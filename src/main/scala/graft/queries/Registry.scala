@@ -1,0 +1,15 @@
+package graft.queries
+
+/** All verifiable queries the engine exposes, in one place. SparkEntry
+  * derives both the `queries` map and the `oracleSql` map from this, so
+  * a query and its oracle can never drift apart.
+  */
+object Registry {
+  def all: Seq[Q] = Relational.all
+
+  def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

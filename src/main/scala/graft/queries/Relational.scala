@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.2, §2.3, §2.4 A1–A4,
+  * §2.5, §2.6) expressed over the driver's TPC-H-ish tables.
+  *
+  * Each query is a declarative DataFrame plan — filters and projections
+  * sit directly on the parquet scan so Catalyst pushes them into the
+  * reader; dimension joins are explicitly broadcast; aggregations get
+  * map-side partial aggregation for free. At 100 TB the same plans
+  * hold: the only shuffles are the groupBy/join keys themselves.
+  */
+object Relational {
+
+  /** F1-style boolean filter + TPC-H Q1-shaped aggregation (A4).
+    * Reference analog: pricing-summary style rollup over the tick
+    * table (`notebooks/bbo.ipynb` cell 2-3 aggregates).
+    */
+  private val aggPricingSummary = Q(
+    "q_agg_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_quantity" <= 45.0)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_base_price,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_quantity <= 45.0
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+  )
+
+  /** F2: IN-set membership filter (reference: market-id filter,
+    * `cli/src/tick_generator.rs:323-351`) + projection pushed to scan.
+    */
+  private val filterInSet = Q(
+    "q_filter_in_set",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_returnflag".isin("A", "R") && $"l_quantity" > 48.0)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+           |FROM lineitem
+           |WHERE l_returnflag IN ('A', 'R') AND l_quantity > 48.0
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+  )
+
+  /** F3: case-insensitive substring filter (reference:
+    * `question.to_lowercase().contains`, `cli/src/main.rs:217-220`).
+    */
+  private val filterSubstring = Q(
+    "q_filter_substring",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).part
+        .filter(lower($"p_name").contains("red"))
+        .select($"p_partkey", $"p_name", $"p_brand")
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_brand
+           |FROM part
+           |WHERE lower(p_name) LIKE '%red%'
+           |ORDER BY p_partkey""".stripMargin),
+  )
+
+  /** F4: half-open time-range predicate (reference: file-overlap check
+    * `cli/src/file_reader.rs:93-99`); at scale this is the partition-
+    * pruning predicate.
+    */
+  private val filterTimeRange = Q(
+    "q_filter_time_range",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .filter(
+          $"ts" >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+            $"ts" < lit("2024-01-05 00:00:00").cast("timestamp"))
+        .select($"event_id", $"event_type", $"user_id")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, event_type, user_id
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+           |ORDER BY event_id""".stripMargin),
+  )
+
+  /** J1: fact-to-dimension broadcast hash join (reference: token→outcome
+    * dict lookup, `notebooks/bbo.ipynb` cell 1). `broadcast()` keeps the
+    * 100 TB fact table shuffle-free.
+    */
+  private val joinBroadcastDim = Q(
+    "q_join_broadcast_dim",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin),
+  )
+
+  /** Multiway join: fact tables shuffle on their keys, dims broadcast
+    * (TPC-H Q5 shape; exercises Catalyst join reorder + AQE).
+    */
+  private val joinMultiway = Q(
+    "q_join_multiway",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, $"c_custkey" === $"o_custkey")
+        .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""SELECT r_name, n_name,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           |  count(*) AS n_items
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name
+           |ORDER BY r_name, n_name""".stripMargin),
+  )
+
+  /** J2: anti join (reference: required-files minus cached-files,
+    * `cli/src/gcs_downloader.rs:48-57`).
+    */
+  private val joinAnti = Q(
+    "q_join_anti",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer
+        .join(
+          t.orders.filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey",
+          "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+           |ORDER BY c_custkey""".stripMargin),
+  )
+
+  /** Semi join (EXISTS): orders having at least one max-quantity line. */
+  private val joinSemi = Q(
+    "q_join_semi",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.lineitem.filter($"l_quantity" >= 49.0), $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+           |FROM orders
+           |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+           |ORDER BY o_orderkey""".stripMargin),
+  )
+
+  /** W1/A1: last observation per tumbling minute (pandas
+    * `resample('1min').last()`, `notebooks/bbo.ipynb` cell 2).
+    * `max_by(value, event_id)` = last-in-arrival-order; arrival order is
+    * the unique monotone event_id, exactly the reference's log order.
+    */
+  private val windowLastPerMinute = Q(
+    "q_window_last_per_minute",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(
+          date_format(date_trunc("minute", $"ts"), "yyyy-MM-dd HH:mm:ss").as("minute"),
+          $"event_type")
+        .agg(max_by($"value", $"event_id").as("last_value"), count(lit(1)).as("n"))
+        .orderBy($"minute", $"event_type")
+    },
+    Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+           |  event_type,
+           |  max_by(value, event_id) AS last_value,
+           |  count(*) AS n
+           |FROM events
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin),
+  )
+
+  /** A2: tumbling hourly volume bars (pandas `resample('1h').sum()`,
+    * `notebooks/bbo.ipynb` cell 2).
+    */
+  private val aggHourlyVolume = Q(
+    "q_agg_hourly_volume",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy(
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type")
+        .agg(round(sum($"value"), 2).as("volume"), count(lit(1)).as("n_events"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           |  event_type,
+           |  round(sum(value), 2) AS volume,
+           |  count(*) AS n_events
+           |FROM events
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin),
+  )
+
+  /** A3: summary statistics (pandas `describe()`, `notebooks/bbo.ipynb`
+    * cell 3) with EXACT interpolated percentiles (Spark `percentile`,
+    * not `approx_percentile`) to match pandas/DuckDB quantile semantics.
+    */
+  private val summaryStats = Q(
+    "q_summary_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).lineitem.agg(
+        count($"l_quantity").as("cnt"),
+        round(avg($"l_quantity"), 4).as("mean_qty"),
+        round(stddev($"l_quantity"), 4).as("std_qty"),
+        min($"l_quantity").as("min_qty"),
+        round(percentile($"l_quantity", lit(0.25)), 4).as("p25_qty"),
+        round(percentile($"l_quantity", lit(0.5)), 4).as("p50_qty"),
+        round(percentile($"l_quantity", lit(0.75)), 4).as("p75_qty"),
+        max($"l_quantity").as("max_qty"),
+      )
+    },
+    Some("""SELECT count(l_quantity) AS cnt,
+           |  round(avg(l_quantity), 4) AS mean_qty,
+           |  round(stddev(l_quantity), 4) AS std_qty,
+           |  min(l_quantity) AS min_qty,
+           |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+           |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           |  round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+           |  max(l_quantity) AS max_qty
+           |FROM lineitem""".stripMargin),
+  )
+
+  /** O1/O3/O4: total sort + deterministic top-k (reference: filename
+    * sort `file_reader.rs:47-49`, first/last selection, take-n).
+    */
+  private val sortTopK = Q(
+    "q_sort_topk",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(25)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 25""".stripMargin),
+  )
+
+  /** U1 + distinct: union of page-style result sets
+    * (`collector/src/client/mod.rs:320`).
+    */
+  private val unionDistinct = Q(
+    "q_union_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir).orders
+      val hi = o.filter($"o_totalprice" > 450000.0).select($"o_custkey")
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      hi.union(urgent).distinct().orderBy($"o_custkey")
+    },
+    Some("""SELECT DISTINCT o_custkey FROM (
+           |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
+           |  UNION ALL
+           |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           |) ORDER BY o_custkey""".stripMargin),
+  )
+
+  /** C1/C4/C6/C7/C8/C9 scalar-function surface: hour-bucket formatting
+    * (`collector/src/main.rs:132-135`), epoch-ms extraction
+    * (`bbo.ipynb` cell 0), base64 cursor (`mod.rs:363-366`), JSON field
+    * extraction (`main.rs:66-69`), lowercase/contains
+    * (`cli/src/main.rs:217-220`), and format→parse round-trip
+    * (`cli/src/main.rs:270-287`).
+    */
+  private val scalarFuncs = Q(
+    "q_scalar_funcs",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .filter($"event_id" < 500)
+        .select(
+          $"event_id",
+          date_format($"ts", "yyyy-MM-dd-HH").as("hour_bucket"),
+          unix_millis($"ts").as("epoch_ms"),
+          base64(concat($"user_id".cast("string"), lit(":"), $"event_type").cast("binary")).as("cursor"),
+          get_json_object($"props", "$.k").as("prop_k"),
+          contains($"event_type", lit("c")).as("has_c"),
+          date_format(
+            to_timestamp(date_format($"ts", "yyyy-MM-dd-HH"), "yyyy-MM-dd-HH"),
+            "yyyy-MM-dd HH:mm:ss").as("hour_parsed"),
+        )
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+           |  strftime(ts, '%Y-%m-%d-%H') AS hour_bucket,
+           |  epoch_ms(ts) AS epoch_ms,
+           |  to_base64(encode(cast(user_id AS VARCHAR) || ':' || event_type)) AS cursor,
+           |  json_extract_string(props, '$.k') AS prop_k,
+           |  contains(event_type, 'c') AS has_c,
+           |  strftime(strptime(strftime(ts, '%Y-%m-%d-%H'), '%Y-%m-%d-%H'), '%Y-%m-%d %H:%M:%S') AS hour_parsed
+           |FROM events
+           |WHERE event_id < 500
+           |ORDER BY event_id""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(
+    aggPricingSummary,
+    filterInSet,
+    filterSubstring,
+    filterTimeRange,
+    joinBroadcastDim,
+    joinMultiway,
+    joinAnti,
+    joinSemi,
+    windowLastPerMinute,
+    aggHourlyVolume,
+    summaryStats,
+    sortTopK,
+    unionDistinct,
+    scalarFuncs,
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.{FeedMsg, Tick}
+
+/** B1/B2/B3 — order-book reconstruction (SURVEY.md §2.4), the
+  * reference's core operator (`MarketState::update`,
+  * `cli/src/tick_generator.rs:318-362`).
+  *
+  * Distribution argument: book state is keyed solely by `asset_id`, so
+  * replaying each asset's messages in arrival order is equivalent to
+  * the reference's single-threaded global-order replay — only the
+  * interleaving of *different* assets' output rows differs (SURVEY.md
+  * §2.4 B1). That makes the operator shard perfectly: one shuffle on
+  * `assetId`, then a streaming fold per key.
+  *
+  * Physical plan: `repartition(assetId)` + `sortWithinPartitions(assetId,
+  * arrival key)` + `mapPartitions` — the classic secondary-sort shape.
+  * Unlike `groupByKey.flatMapGroups` (which materializes each group),
+  * the sort runs through Spark's spillable external sorter and the fold
+  * walks the partition as one pass holding exactly ONE book at a time.
+  * Memory per task is O(one asset's live levels), independent of
+  * message count — this is what survives a 100 TB replay.
+  *
+  * The market filter (F2) is applied *before* the shuffle: filtered
+  * messages neither move nor mutate state, matching the reference's
+  * filter-before-state placement (`tick_generator.rs:322-351`) and
+  * shrinking the shuffle to exactly the requested markets.
+  */
+object BookReplay {
+
+  /** Full tick stream (BBO + TRADE) with arrival-order seq columns. */
+  def ticks(
+      msgs: Dataset[FeedMsg],
+      marketFilter: Option[Set[String]] = None,
+  ): Dataset[Tick] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    val filtered = marketFilter match {
+      case Some(ids) =>
+        // Broadcastable IN-set, placed upstream of the shuffle so
+        // Catalyst can push it into the scan where possible.
+        msgs.filter($"market".isin(ids.toSeq: _*))
+      case None => msgs
+    }
+    filtered
+      .repartition($"assetId")
+      .sortWithinPartitions($"assetId", $"fileHour", $"lineNo", $"msgIdx")
+      .mapPartitions(foldPartition)
+  }
+
+  /** Reference-schema projection (7 columns, `tick_generator.rs:50-58`),
+    * ordered like a single-threaded replay would append.
+    */
+  def referenceTicks(
+      msgs: Dataset[FeedMsg],
+      marketFilter: Option[Set[String]] = None,
+  ): DataFrame =
+    ticks(msgs, marketFilter)
+      .orderBy(col("file_hour"), col("line_no"), col("msg_idx"), col("emit_idx"))
+      .select(Tick.referenceColumns.map(col): _*)
+
+  /** Walk one partition of asset-contiguous, arrival-ordered messages,
+    * folding a single live book and emitting ticks. Assets arrive
+    * grouped (partition is sorted by assetId first), so book state is
+    * dropped as soon as its asset's run ends.
+    */
+  private def foldPartition(iter: Iterator[FeedMsg]): Iterator[Tick] = {
+    var currentAsset: String = null
+    var book: Book = null
+    iter.flatMap { m =>
+      if (m.assetId != currentAsset) {
+        currentAsset = m.assetId
+        book = new Book
+      }
+      m.eventType match {
+        case "last_trade_price" =>
+          // B3: passthrough (`tick_generator.rs:209-221`); wire side
+          // BUY/SELL → stored BID/ASK (`tick_generator.rs:85-88`).
+          val side = if (m.side == "BUY") "BID" else "ASK"
+          Seq(
+            Tick(m.ts, "TRADE", m.market, m.assetId, side,
+              new java.math.BigDecimal(m.price).doubleValue,
+              new java.math.BigDecimal(m.size).doubleValue,
+              m.fileHour, m.lineNo, m.msgIdx, 0))
+        case "book" =>
+          book.resetFromSnapshot(m.asks, m.bids)
+          bbo(book, m)
+        case "price_change" =>
+          book.updateFromDiff(m.changes)
+          bbo(book, m)
+        case _ => Nil
+      }
+    }
+  }
+
+  /** B2: two BBO rows after every book event, ASK first then BID
+    * (`Book::write_bbo`, `tick_generator.rs:283-315`), (0,0) for an
+    * empty side.
+    */
+  private def bbo(book: Book, m: FeedMsg): Seq[Tick] = {
+    val (ap, as) = book.topAsk
+    val (bp, bs) = book.topBid
+    Seq(
+      Tick(m.ts, "BBO", m.market, m.assetId, "ASK", ap, as,
+        m.fileHour, m.lineNo, m.msgIdx, 0),
+      Tick(m.ts, "BBO", m.market, m.assetId, "BID", bp, bs,
+        m.fileHour, m.lineNo, m.msgIdx, 1),
+    )
+  }
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.FeedMsg
+import graft.operators.BookReplay
+import graft.sources.{FixtureLog, MarketsDim, RawLogSource}
+
+/** Order-book replay queries (SURVEY.md §2.4 B1/B2/B3) — the
+  * reference's core operator, exposed through the driver's correctness
+  * gate two ways:
+  *
+  *  1. `q_replay_final_bbo`: the book fold over a synthetic feed derived
+  *     deterministically from the `events` table, with a full DuckDB
+  *     oracle. Because the feed is diff-only, the final top-of-book is
+  *     SQL-expressible (last-write-wins per level + min/max over live
+  *     levels), so the fold's upsert/delete/empty-side semantics get a
+  *     hash-checked oracle at every scale factor.
+  *  2. `q_replay_fixture_*`: the full raw-log pipeline (zstd JSONL scan
+  *     → frame parse → double-encoded feed explode → keyed fold) over
+  *     generated reference-format fixture files — rows-only checked,
+  *     covering the parts an SQL oracle can't express (BBO-after-every-
+  *     event, snapshot resets, PONG/unknown-frame filtering).
+  */
+object Replay {
+
+  /** events → one price_change diff per row; every derived column is a
+    * pure integer function of (event_id, user_id) so Spark and DuckDB
+    * agree bit-for-bit.
+    */
+  private def syntheticFeed(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir).events.select(
+      lit("2024-01-01-00").as("fileHour"),
+      $"event_id".as("lineNo"),
+      lit(0).as("msgIdx"),
+      lit("price_change").as("eventType"),
+      concat(lit("M"), $"user_id" % 4).as("market"),
+      concat(lit("A"), $"user_id" % 16).as("assetId"),
+      $"event_id".cast("string").as("ts"),
+      lit(null).cast("string").as("side"),
+      lit(null).cast("string").as("price"),
+      lit(null).cast("string").as("size"),
+      lit(null).cast("array<struct<price:string,size:string>>").as("asks"),
+      lit(null).cast("array<struct<price:string,size:string>>").as("bids"),
+      array(
+        struct(
+          format_string("0.%02d", lit(1) + pmod($"event_id" * 37 + $"user_id", lit(97)))
+            .as("price"),
+          when($"event_id" % 5 === 0, lit("0"))
+            .otherwise((lit(1) + pmod($"event_id", lit(997))).cast("string"))
+            .as("size"),
+          when($"event_id" % 2 === 0, lit("BUY")).otherwise(lit("SELL")).as("side"),
+        )).as("changes"),
+    ).as[FeedMsg]
+  }
+
+  private val replayFinalBbo = Q(
+    "q_replay_final_bbo",
+    (s, dir) => {
+      import s.implicits._
+      BookReplay
+        .ticks(syntheticFeed(s, dir))
+        .filter($"kind" === "BBO")
+        .groupBy($"asset", $"side")
+        .agg(
+          max_by($"price", $"line_no").as("best_price"),
+          max_by($"size", $"line_no").as("best_size"),
+        )
+        .orderBy($"asset", $"side")
+    },
+    // Last-write-wins per (asset, side, level); a side's final BBO is the
+    // min (ask) / max (bid) live level, (0, 0) when empty — exactly
+    // `Book::top`'s `unwrap_or_default` (`tick_generator.rs:274-281`).
+    Some("""WITH feed AS (
+           |  SELECT event_id,
+           |         'A' || (user_id % 16) AS asset,
+           |         CASE WHEN event_id % 2 = 0 THEN 'BID' ELSE 'ASK' END AS side,
+           |         1 + (event_id * 37 + user_id) % 97 AS pc,
+           |         CASE WHEN event_id % 5 = 0 THEN 0 ELSE 1 + (event_id % 997) END AS sz
+           |  FROM events
+           |),
+           |levels AS (
+           |  SELECT asset, side, pc, max_by(sz, event_id) AS last_sz
+           |  FROM feed GROUP BY asset, side, pc
+           |),
+           |live AS (SELECT * FROM levels WHERE last_sz > 0),
+           |spine AS (
+           |  SELECT DISTINCT asset, s.side
+           |  FROM feed, (VALUES ('BID'), ('ASK')) s(side)
+           |),
+           |best AS (
+           |  SELECT asset, side,
+           |         CASE WHEN side = 'ASK' THEN min(pc) ELSE max(pc) END AS best_pc
+           |  FROM live GROUP BY asset, side
+           |)
+           |SELECT sp.asset, sp.side,
+           |       coalesce(b.best_pc / 100.0, 0.0) AS best_price,
+           |       CAST(coalesce(l.last_sz, 0) AS DOUBLE) AS best_size
+           |FROM spine sp
+           |LEFT JOIN best b ON b.asset = sp.asset AND b.side = sp.side
+           |LEFT JOIN live l ON l.asset = sp.asset AND l.side = sp.side AND l.pc = b.best_pc
+           |ORDER BY sp.asset, sp.side""".stripMargin),
+  )
+
+  /** Deterministic fixture logs under java.io.tmpdir; written lazily
+    * once per JVM (same spec → same bytes, so rewrites are harmless).
+    */
+  private lazy val fixtureSpec: FixtureLog.Spec = {
+    val spec = FixtureLog.Spec(
+      dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_fixture_logs").getPath)
+    FixtureLog.write(spec)
+    spec
+  }
+
+  /** Full pipeline: scan → parse → fold → reference-schema ticks,
+    * totally ordered. Rows-only check (stateful multi-row emission is
+    * not SQL-expressible).
+    */
+  private val replayFixtureTicks = Q(
+    "q_replay_fixture_ticks",
+    (s, _) => {
+      val paths = FixtureLog.write(fixtureSpec)
+      val msgs = RawLogSource.feedMessages(RawLogSource.frames(s, paths))
+      BookReplay.referenceTicks(msgs)
+    },
+  )
+
+  /** Same pipeline with the reference's `-m` market filter applied
+    * before state (F2, `tick_generator.rs:322-351`).
+    */
+  private val replayFixtureFiltered = Q(
+    "q_replay_fixture_market_filter",
+    (s, _) => {
+      val paths = FixtureLog.write(fixtureSpec)
+      val msgs = RawLogSource.feedMessages(RawLogSource.frames(s, paths))
+      BookReplay.referenceTicks(msgs, marketFilter = Some(Set("0xM0")))
+    },
+  )
+
+  /** S2/F1/F7: markets dim → active filter → exploded token dim from
+    * the fixture's `active_markets` frames (earliest file's frame,
+    * `cli/src/main.rs:180-185`). Rows-only.
+    */
+  private val marketsActiveTokens = Q(
+    "q_markets_active_tokens",
+    (s, _) => {
+      import s.implicits._
+      val paths = FixtureLog.write(fixtureSpec)
+      val frames = RawLogSource.frames(s, paths.take(1))
+      MarketsDim
+        .tokenDim(MarketsDim.activeMarkets(MarketsDim.markets(frames)))
+        .orderBy($"condition_id", $"token_id")
+    },
+  )
+
+  /** J1: tick → token-dim broadcast join, the notebook's asset→outcome
+    * lookup (`bbo.ipynb` cell 1), over the fixture pipeline. Rows-only.
+    */
+  private val replayTicksWithOutcome = Q(
+    "q_replay_ticks_with_outcome",
+    (s, _) => {
+      import s.implicits._
+      val paths = FixtureLog.write(fixtureSpec)
+      val frames = RawLogSource.frames(s, paths)
+      val ticks = BookReplay.referenceTicks(RawLogSource.feedMessages(frames))
+      val dim = MarketsDim.tokenDim(MarketsDim.markets(frames))
+        .select($"token_id", $"outcome").distinct()
+      ticks
+        .join(broadcast(dim), ticks("asset") === dim("token_id"), "left")
+        .drop("token_id")
+        .orderBy($"market", $"asset", $"timestamp", $"kind", $"side", $"price", $"size")
+    },
+  )
+
+  val all: Seq[Q] = Seq(
+    replayFinalBbo,
+    replayFixtureTicks,
+    replayFixtureFiltered,
+    marketsActiveTokens,
+    replayTicksWithOutcome,
+  )
+}

@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.github.luben.zstd.ZstdInputStream
+import org.apache.spark.input.PortableDataStream
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Change, FeedMsg, Frame, Level}
+
+/** Scan layer for the hourly `YYYY-MM-DD-HH.jsonl.zst` raw logs
+  * (SURVEY.md §2.1 S1/S2/S7, §2.2 F4/F5/F6).
+  *
+  * Design notes for scale:
+  *   - The unit of parallelism is the hourly file — the same unit the
+  *     reference processes sequentially (`cli/src/tick_generator.rs:164-195`).
+  *     `binaryFiles` hands each file to one task as a lazy stream
+  *     (`PortableDataStream`), so a 1000-executor cluster decodes 1000
+  *     hours concurrently; no file is ever materialized in memory.
+  *   - Line numbers are assigned while streaming one file start-to-end,
+  *     which is the only way to get a stable arrival-order key out of a
+  *     non-splittable compressed file. `(fileHour, lineNo, msgIdx)` is
+  *     then a total order identical to the reference's replay order.
+  *   - Hour-range pruning (F4, `cli/src/file_reader.rs:93-99`) happens
+  *     at file-listing time — the distributed scan never opens a file
+  *     outside the range, the moral equivalent of partition pruning.
+  *   - Frame parse uses Jackson per line (the same work `from_json`
+  *     would do) because `content` is polymorphic: a JSON string for
+  *     feed frames but a JSON object for dimension frames. We keep the
+  *     object form as compact JSON text so downstream stays
+  *     schema-on-read (SURVEY.md §1.3).
+  */
+object RawLogSource {
+
+  /** Hour key from a log file name, e.g. "2025-07-01-14" from
+    * ".../2025-07-01-14.jsonl.zst" (`cli/src/file_reader.rs:52-73`).
+    */
+  def fileHourOf(path: String): String = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    name.takeWhile(c => c.isDigit || c == '-')
+  }
+
+  private val HourPattern = """^\d{4}-\d{2}-\d{2}-\d{2}$""".r
+
+  /** S7/F4: enumerate a directory, keep files whose hour overlaps
+    * `[startHour, endHour]` (inclusive hour-key compare — hour files are
+    * half-open hour intervals, mirroring `file_reader.rs:93-99`), sorted
+    * lexicographically = chronologically (`file_reader.rs:47-49`).
+    */
+  def discover(
+      dir: String,
+      startHour: Option[String] = None,
+      endHour: Option[String] = None,
+  ): Seq[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.iterator
+      .map(_.getPath)
+      .filter { p =>
+        val h = fileHourOf(p)
+        HourPattern.matches(h) &&
+        startHour.forall(h >= _) && endHour.forall(h <= _)
+      }
+      .toSeq
+      .sorted
+  }
+
+  /** S1: stream-decode log files into typed frames with stable
+    * per-file line numbers.
+    */
+  def frames(spark: SparkSession, paths: Seq[String]): Dataset[Frame] = {
+    import spark.implicits._
+    require(paths.nonEmpty, "RawLogSource.frames: no input files")
+    spark.sparkContext
+      .binaryFiles(paths.mkString(","), minPartitions = paths.size)
+      .flatMap { case (path, stream) => readFile(path, stream) }
+      .toDS()
+  }
+
+  private def readFile(path: String, pds: PortableDataStream): Iterator[Frame] = {
+    val raw = pds.open()
+    val in =
+      if (path.endsWith(".zst")) new ZstdInputStream(raw)
+      else raw
+    val reader = new BufferedReader(
+      new InputStreamReader(in, StandardCharsets.UTF_8))
+    val hour = fileHourOf(path)
+    val mapper = new ObjectMapper()
+    var lineNo = -1L
+    new Iterator[Frame] {
+      private var nextLine: String = reader.readLine()
+      override def hasNext: Boolean = {
+        if (nextLine == null) reader.close()
+        nextLine != null
+      }
+      override def next(): Frame = {
+        val line = nextLine
+        nextLine = reader.readLine()
+        lineNo += 1
+        parseFrame(mapper, hour, lineNo, line)
+      }
+    }
+  }
+
+  /** Strict frame parse, mirroring the reference's serde decode of
+    * `{timestamp, message_type, content}` (`collector/src/main.rs:18-23`):
+    * a malformed line is an error, not a silent drop
+    * (`tick_generator.rs:179-186`).
+    */
+  private[sources] def parseFrame(
+      mapper: ObjectMapper,
+      fileHour: String,
+      lineNo: Long,
+      line: String,
+  ): Frame = {
+    val node = mapper.readTree(line)
+    val content = node.get("content") match {
+      case null => null
+      case c if c.isTextual => c.asText()
+      case c => c.toString // keep object payloads as compact JSON text
+    }
+    Frame(
+      fileHour = fileHour,
+      lineNo = lineNo,
+      frameTs = Option(node.get("timestamp")).map(_.asText()).orNull,
+      messageType = Option(node.get("message_type")).map(_.asText()).orNull,
+      content = content,
+    )
+  }
+
+  /** Schema of one feed message inside the double-encoded array
+    * (`cli/src/tick_generator.rs:379-443`). Everything is a string on
+    * the wire; unknown event types simply leave their branch columns
+    * null.
+    */
+  val feedMessageSchema: ArrayType = ArrayType(
+    StructType(
+      Seq(
+        StructField("event_type", StringType),
+        StructField("market", StringType),
+        StructField("asset_id", StringType),
+        StructField("timestamp", StringType),
+        StructField("side", StringType),
+        StructField("price", StringType),
+        StructField("size", StringType),
+        StructField(
+          "asks",
+          ArrayType(StructType(Seq(
+            StructField("price", StringType),
+            StructField("size", StringType)))),
+        ),
+        StructField(
+          "bids",
+          ArrayType(StructType(Seq(
+            StructField("price", StringType),
+            StructField("size", StringType)))),
+        ),
+        StructField(
+          "changes",
+          ArrayType(StructType(Seq(
+            StructField("price", StringType),
+            StructField("size", StringType),
+            StructField("side", StringType)))),
+        ),
+      )))
+
+  private val KnownEvents = Seq("last_trade_price", "book", "price_change")
+
+  /** F5 + F6 + the inner `from_json` + posexplode: frames →
+    * arrival-keyed feed messages. This stage is pure Catalyst (codegen,
+    * prunable, pushdown-friendly) — only the outer frame decode needed
+    * custom code.
+    */
+  def feedMessages(frames: Dataset[Frame]): Dataset[FeedMsg] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames
+      // F5: only feed frames, and skip logged server PONGs
+      // (`tick_generator.rs:181-186`)
+      .filter($"messageType" === "feed_message" && $"content" =!= "PONG")
+      .select(
+        $"fileHour",
+        $"lineNo",
+        posexplode(from_json($"content", feedMessageSchema)).as(Seq("msgIdx", "m")),
+      )
+      // F6: drop unknown event types (`tick_generator.rs:391-392`)
+      .filter($"m.event_type".isin(KnownEvents: _*))
+      .select(
+        $"fileHour",
+        $"lineNo",
+        $"msgIdx",
+        $"m.event_type".as("eventType"),
+        $"m.market".as("market"),
+        $"m.asset_id".as("assetId"),
+        $"m.timestamp".as("ts"),
+        $"m.side".as("side"),
+        $"m.price".as("price"),
+        $"m.size".as("size"),
+        $"m.asks".as("asks"),
+        $"m.bids".as("bids"),
+        $"m.changes".as("changes"),
+      )
+      .as[FeedMsg]
+  }
+
+  /** Convenience: full scan path from a directory + hour range. */
+  def feedMessagesIn(
+      spark: SparkSession,
+      dir: String,
+      startHour: Option[String] = None,
+      endHour: Option[String] = None,
+  ): Dataset[FeedMsg] =
+    feedMessages(frames(spark, discover(dir, startHour, endHour)))
+}

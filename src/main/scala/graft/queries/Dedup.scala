@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextDedup
+
+/** Deduplication operator inventory over the `documents` table — each
+  * variant oracle-checked against DuckDB (hash compare), which is why
+  * every hash is md5-derived and every reduction integer-valued (see
+  * TextDedup / HashBits scaladoc).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash. The corpus has no exact duplicates,
+    * so the query doubles it (shifted ids) first — every group must
+    * then collapse two copies to one canonical row, exercising the
+    * hash-groupBy mechanics non-trivially.
+    */
+  private val exact = Q(
+    "q_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+      val doubled = docs.union(docs.select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      doubled
+        .groupBy(md5($"text").as("text_hash"))
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"canonical_id")
+    },
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+           |FROM (SELECT doc_id, text FROM documents
+           |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+           |GROUP BY 1
+           |ORDER BY canonical_id""".stripMargin),
+  )
+
+  /** MinHash(8 seeds) + LSH(4 bands × 2) over word 3-gram shingles,
+    * candidates verified with exact Jaccard ≥ 0.8.
+    */
+  private val minhashLsh = Q(
+    "q_dedup_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val sh = TextDedup.shingles(Tables(s, dir).documents, 3)
+      val bands = TextDedup.minhashBands(TextDedup.minhash(sh, 8), 2)
+      val pairs = TextDedup.bandPairs(bands)
+      TextDedup
+        .jaccard(pairs, sh)
+        .filter($"jaccard" >= 0.8)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+           |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+           |),
+           |mh AS (
+           |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || sh)) AS mh
+           |  FROM sh, unnest(range(0, 8)) AS s(seed)
+           |  GROUP BY doc_id, s.seed
+           |),
+           |bands AS (
+           |  SELECT doc_id, seed // 2 AS band,
+           |         md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
+           |  FROM mh GROUP BY doc_id, seed // 2
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+           |),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT doc_a, doc_b, count(*) AS i
+           |  FROM cand
+           |  JOIN sh sa ON sa.doc_id = doc_a
+           |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+           |  GROUP BY doc_a, doc_b
+           |)
+           |SELECT doc_a, doc_b,
+           |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+           |FROM inter
+           |JOIN cnt ca ON ca.doc_id = doc_a
+           |JOIN cnt cb ON cb.doc_id = doc_b
+           |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
+  /** 64-bit SimHash signatures; near-dup pairs via 4×16-bit bands with
+    * Hamming distance ≤ 8.
+    */
+  private val simhashPairs = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val sig = TextDedup.simhash(Tables(s, dir).documents)
+      val bands = TextDedup.bitBands(sig, "simhash", 64, 4)
+        .select($"doc_id", $"simhash", $"band", $"band_hash")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        .distinct()
+      cand
+        .select($"doc_a", $"doc_b",
+          TextDedup.hamming($"sa", $"sb", 64).as("hamming"))
+        .filter($"hamming" <= 8)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |bits AS (
+           |  SELECT doc_id, b.b,
+           |         CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), (b.b // 4) + 1, 1)) - 1) >> (b.b % 4)) & 1 = 1
+           |              THEN 1 ELSE -1 END AS v
+           |  FROM w, unnest(range(0, 64)) AS b(b)
+           |),
+           |sig AS (
+           |  SELECT doc_id,
+           |         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+           |  FROM (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY doc_id, b)
+           |  GROUP BY doc_id
+           |),
+           |bands AS (
+           |  SELECT doc_id, simhash, band.band,
+           |         substr(simhash, band.band * 16 + 1, 16) AS band_hash
+           |  FROM sig, unnest(range(0, 4)) AS band(band)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.simhash AS sa, b.simhash AS sb
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |       CAST(list_sum(list_transform(range(1, 65),
+           |         i -> CASE WHEN substr(sa, CAST(i AS INT), 1) = substr(sb, CAST(i AS INT), 1)
+           |                   THEN 0 ELSE 1 END)) AS INT) AS hamming
+           |FROM cand
+           |WHERE CAST(list_sum(list_transform(range(1, 65),
+           |        i -> CASE WHEN substr(sa, CAST(i AS INT), 1) = substr(sb, CAST(i AS INT), 1)
+           |                  THEN 0 ELSE 1 END)) AS INT) <= 8
+           |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
+  /** Inverted-index n-gram (4-gram) Jaccard, no sketching: candidates
+    * are pairs sharing ≥ 3 indexable shingles, where the index carries
+    * only shingles with document frequency ≤ 100 (the skew guard — a
+    * stop-shingle may not create a quadratic bucket); final Jaccard is
+    * exact over the full shingle sets, ≥ 0.7.
+    */
+  private val ngramJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val sh = TextDedup.shingles(Tables(s, dir).documents, 4)
+      val dfCap = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 100)
+      val indexed = sh.join(dfCap.select("sh"), "sh")
+      val cand = indexed.as("a")
+        .join(indexed.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+        .filter($"common" >= 3)
+        .select($"doc_a", $"doc_b")
+      TextDedup
+        .jaccard(cand, sh)
+        .filter($"jaccard" >= 0.7)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS sh
+           |  FROM words, unnest(range(1, len(ws) - 2)) AS t(i)
+           |),
+           |idx AS (
+           |  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100
+           |),
+           |indexed AS (SELECT s.doc_id, s.sh FROM sh s JOIN idx USING (sh)),
+           |cand AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM indexed a JOIN indexed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= 3
+           |),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT doc_a, doc_b, count(*) AS i
+           |  FROM cand
+           |  JOIN sh sa ON sa.doc_id = doc_a
+           |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+           |  GROUP BY doc_a, doc_b
+           |)
+           |SELECT doc_a, doc_b,
+           |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+           |FROM inter
+           |JOIN cnt ca ON ca.doc_id = doc_a
+           |JOIN cnt cb ON cb.doc_id = doc_b
+           |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.7
+           |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(exact, minhashLsh, simhashPairs, ngramJaccard)
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.VectorSim
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): exact brute-force cosine top-k as the baseline, and
+  * rp-LSH bucketing as the scale path — both on integer-quantized
+  * components so the DuckDB oracle matches hash-for-hash (VectorSim
+  * scaladoc explains why).
+  */
+object Similarity {
+
+  /** Brute-force exact top-3 neighbors for a 1-in-50 query sample.
+    * The sample bounds the cross product (the honest way to run exact
+    * search at scale: all-pairs brute force is O(n²) and should never
+    * ship); ranking is by rounded cosine with vec_id tie-break, so the
+    * ordering is total and engine-independent.
+    */
+  private val topkBrute = Q(
+    "q_embed_topk_brute",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+      val queries = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na"))
+      val joined = queries
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")),
+          $"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdot($"qa", $"qb"), $"na", $"nb").as("cosine"))
+      joined
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"cand_id", $"rank", $"cosine")
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings
+           |),
+           |n AS (
+           |  SELECT vec_id, q,
+           |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+           |  FROM q
+           |),
+           |pairs AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           |         round(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |                 i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+           |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cosine
+           |  FROM n a JOIN n b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+           |),
+           |ranked AS (
+           |  SELECT query_id, cand_id, cosine,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+           |  FROM pairs
+           |)
+           |SELECT query_id, cand_id, rank, cosine
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin),
+  )
+
+  /** rp-LSH near-neighbor pairs: 32-bit signed-random-projection
+    * signatures, 8 bands × 4 bits, candidates verified with quantized
+    * cosine ≥ 0.4. Collision probability per bit is 1 − θ/π, so at
+    * cos θ ≈ 0.5 a pair lands in ≥1 of 8 bands with p ≈ 0.83 —
+    * documented recall, exactness delegated to the verify stage. The
+    * only shuffle is the (band, band_bits) join.
+    */
+  private val lshPairs = Q(
+    "q_embed_lsh_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+      val sigs = VectorSim.rpSignature(e, dims = 64, nBits = 32)
+      val bands = VectorSim.sigBands(sigs, "vec_id", nBits = 32, nBands = 8)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_bits") === col("b.band_bits") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select($"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("na")), "vec_a")
+        .join(e.select($"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("nb")), "vec_b")
+        .select($"vec_a", $"vec_b",
+          VectorSim.qcosine(VectorSim.qdot($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .filter($"cosine" >= 0.4)
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings
+           |),
+           |n AS (
+           |  SELECT vec_id, q,
+           |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+           |  FROM q
+           |),
+           |planes AS (
+           |  SELECT s.s AS s, j.j AS j,
+           |         CASE WHEN ((strpos('0123456789abcdef', substr(md5('h' || s.s), (j.j // 4) + 1, 1)) - 1) >> (j.j % 4)) & 1 = 1
+           |              THEN 1 ELSE -1 END AS r
+           |  FROM unnest(range(0, 32)) AS s(s), unnest(range(0, 64)) AS j(j)
+           |),
+           |dots AS (
+           |  SELECT q.vec_id, p.s, sum(q.q[CAST(p.j AS INT) + 1] * p.r) AS dot
+           |  FROM q, planes p
+           |  GROUP BY q.vec_id, p.s
+           |),
+           |sig AS (
+           |  SELECT vec_id,
+           |         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY s) AS sig
+           |  FROM dots GROUP BY vec_id
+           |),
+           |bands AS (
+           |  SELECT vec_id, band.band, substr(sig, band.band * 4 + 1, 4) AS band_bits
+           |  FROM sig, unnest(range(0, 8)) AS band(band)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_bits = b.band_bits AND a.vec_id < b.vec_id
+           |),
+           |scored AS (
+           |  SELECT vec_a, vec_b,
+           |         round(CAST(list_sum(list_transform(range(1, len(na.q) + 1),
+           |                 i -> na.q[CAST(i AS INT)] * nb.q[CAST(i AS INT)])) AS DOUBLE)
+           |               / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+           |  FROM cand
+           |  JOIN n na ON na.vec_id = vec_a
+           |  JOIN n nb ON nb.vec_id = vec_b
+           |)
+           |SELECT vec_a, vec_b, cosine
+           |FROM scored WHERE cosine >= 0.4
+           |ORDER BY vec_a, vec_b""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(topkBrute, lshPairs)
+}

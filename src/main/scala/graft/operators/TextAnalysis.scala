@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language
+  * identification (profile-scored), quality features, token counting,
+  * and winnowing document fingerprints.
+  *
+  * All are narrow, codegen-friendly column programs — the only
+  * shuffles are the per-doc groupBys, keyed on doc_id, so every
+  * operator scales linearly with the corpus and parallelizes by
+  * document. Integer/ratio outputs keep results engine-exact for the
+  * oracle compare.
+  */
+object TextAnalysis {
+
+  /** Word-profile language ID: score(doc, lang) = Σ weight(lang, word)
+    * over the doc's words (with multiplicity), prediction = the
+    * lexicographically-first language among the max scorers — a total,
+    * engine-independent tie-break. The profile is a parameter; ships
+    * with a small default. (The classic n-gram/stopword heuristic;
+    * accuracy is profile-bound, mechanics are what's verified.)
+    */
+  def langId(docs: DataFrame, profile: Seq[(String, String, Int)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = profile.toDF("p_lang", "p_word", "p_weight")
+    val words = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+    val scores = words
+      .join(broadcast(prof), $"w" === $"p_word")
+      .groupBy($"doc_id", $"p_lang")
+      .agg(sum($"p_weight").as("score"))
+    scores
+      .withColumn("mx", max($"score").over(Window.partitionBy($"doc_id")))
+      .filter($"score" === $"mx")
+      .groupBy($"doc_id")
+      .agg(min($"p_lang").as("pred_lang"), max($"mx").as("best_score"))
+  }
+
+  /** Default profile: common function words for five languages plus
+    * weighted content words so synthetic corpora score non-degenerately.
+    */
+  val defaultProfile: Seq[(String, String, Int)] = Seq(
+    ("en", "the", 3), ("en", "a", 2), ("en", "fast", 1), ("en", "slow", 1),
+    ("en", "key", 1),
+    ("fr", "le", 3), ("fr", "la", 3), ("fr", "table", 1), ("fr", "ligne", 2),
+    ("fr", "query", 1),
+    ("es", "el", 3), ("es", "la", 3), ("es", "data", 1), ("es", "stream", 1),
+    ("es", "row", 1),
+    ("de", "der", 3), ("de", "die", 3), ("de", "und", 2), ("de", "batch", 1),
+    ("de", "window", 1),
+    ("zh", "big", 1), ("zh", "join", 1), ("zh", "merge", 1), ("zh", "spark", 1),
+  )
+
+  /** Quality features per doc: char/word counts, mean word length,
+    * stopword ratio, distinct-word ratio, and a composite score in
+    * [0, 1] (all ratios of integers → engine-exact; rounded 4 dp).
+    */
+  def quality(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = split($"text", " ")
+    val base = docs.select(
+      $"doc_id",
+      length($"text").as("chars"),
+      size(ws).as("words"),
+      size(array_distinct(ws)).as("distinct_words"),
+      size(filter(ws, w => w.isin(stopwords: _*))).as("stop_hits"),
+    )
+    base.select(
+      $"doc_id",
+      $"chars",
+      $"words",
+      round(($"chars" - ($"words" - 1)).cast("double") / $"words", 4).as("mean_word_len"),
+      round($"stop_hits".cast("double") / $"words", 4).as("stop_ratio"),
+      round($"distinct_words".cast("double") / $"words", 4).as("ttr"),
+      // composite: favor mid-length docs, lexical diversity, some
+      // stopword presence (the usual heuristic quality recipe)
+      round(
+        least($"words".cast("double") / 100, lit(1.0)) * 0.4 +
+          ($"distinct_words".cast("double") / $"words") * 0.4 +
+          least($"stop_hits".cast("double") / $"words" * 5, lit(1.0)) * 0.2,
+        4).as("quality"),
+    )
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Token counts: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single non-alphanumerics — the
+    * GPT-2-style pretokenizer shape), chars per regex token.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      $"doc_id",
+      size(split($"text", " ")).as("ws_tokens"),
+      regexp_count($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).as("regex_tokens"),
+      length($"text").as("chars"),
+      round(
+        length($"text").cast("double") /
+          greatest(regexp_count($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")), lit(1)),
+        4).as("chars_per_token"),
+    )
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * word k-gram at its position, slide a w-hash window, keep each
+    * window's min hash; a doc's fingerprint is the distinct selected
+    * set. Output: per-doc fingerprint count + an order-canonical
+    * digest of the set. The sliding min is a window function over
+    * (doc, position) — one shuffle on doc_id.
+    */
+  def winnowing(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = split($"text", " ")
+    val grams = transform(
+      sequence(lit(1), size(ws) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))
+    val hashed = docs
+      .select($"doc_id", posexplode(when(size(ws) >= k, grams).otherwise(array())).as(Seq("pos", "sh")))
+      .select($"doc_id", $"pos", md5($"sh").as("h"))
+    val nsh = hashed.groupBy($"doc_id").agg(max($"pos").as("max_pos"))
+    val selected = hashed
+      .withColumn("win_min",
+        min($"h").over(
+          Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, w - 1)))
+      .join(nsh, "doc_id")
+      // a full window exists only while pos + w - 1 <= max_pos
+      .filter($"pos" <= $"max_pos" - (w - 1))
+      .select($"doc_id", $"win_min".as("fp"))
+      .distinct()
+    selected
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        md5(array_join(array_sort(collect_list($"fp")), ",")).as("fingerprint_digest"),
+      )
+  }
+}

@@ -5,7 +5,8 @@ package graft.queries
   * a query and its oracle can never drift apart.
   */
 object Registry {
-  def all: Seq[Q] = Relational.all ++ Replay.all ++ Dedup.all ++ Similarity.all
+  def all: Seq[Q] =
+    Relational.all ++ Replay.all ++ Dedup.all ++ Similarity.all ++ TextAnalysisQ.all
 
   def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Text-analysis inventory over `documents`, oracle-checked (see
+  * operators/TextAnalysis for the semantics and scale shape of each).
+  */
+object TextAnalysisQ {
+
+  private def profileValues: String =
+    TextAnalysis.defaultProfile
+      .map { case (l, w, wt) => s"('$l', '$w', $wt)" }
+      .mkString(", ")
+
+  private val langId = Q(
+    "q_text_langid",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .langId(Tables(s, dir).documents, TextAnalysis.defaultProfile)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH prof(p_lang, p_word, p_weight) AS (VALUES $profileValues),
+            |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            |scores AS (
+            |  SELECT doc_id, p_lang, CAST(sum(p_weight) AS BIGINT) AS score
+            |  FROM words JOIN prof ON w = p_word
+            |  GROUP BY doc_id, p_lang
+            |),
+            |mx AS (
+            |  SELECT doc_id, p_lang, score, max(score) OVER (PARTITION BY doc_id) AS mx
+            |  FROM scores
+            |)
+            |SELECT doc_id, min(p_lang) AS pred_lang, max(mx) AS best_score
+            |FROM mx WHERE score = mx
+            |GROUP BY doc_id
+            |ORDER BY doc_id""".stripMargin),
+  )
+
+  private def stopList: String =
+    TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  private val quality = Q(
+    "q_text_quality",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .quality(Tables(s, dir).documents, TextAnalysis.defaultStopwords)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id,
+            |         length(text) AS chars,
+            |         len(string_split(text, ' ')) AS words,
+            |         len(list_distinct(string_split(text, ' '))) AS distinct_words,
+            |         len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS stop_hits
+            |  FROM documents
+            |)
+            |SELECT doc_id, chars, words,
+            |       round((chars - (words - 1)) * 1.0 / words, 4) AS mean_word_len,
+            |       round(stop_hits * 1.0 / words, 4) AS stop_ratio,
+            |       round(distinct_words * 1.0 / words, 4) AS ttr,
+            |       round(least(words * 1.0 / 100, 1.0) * 0.4 +
+            |             (distinct_words * 1.0 / words) * 0.4 +
+            |             least(stop_hits * 1.0 / words * 5, 1.0) * 0.2, 4) AS quality
+            |FROM base
+            |ORDER BY doc_id""".stripMargin),
+  )
+
+  private val tokens = Q(
+    "q_text_tokens",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.tokenCounts(Tables(s, dir).documents).orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |       len(string_split(text, ' ')) AS ws_tokens,
+           |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS regex_tokens,
+           |       length(text) AS chars,
+           |       round(length(text) * 1.0 /
+           |             greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1),
+           |             4) AS chars_per_token
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  private val fingerprint = Q(
+    "q_text_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .winnowing(Tables(s, dir).documents, k = 3, w = 4)
+        .orderBy($"doc_id")
+    },
+    // posexplode is 0-based; DuckDB generate_subscripts-style i is
+    // 1-based, so positions shift but windowing is position-relative.
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |grams AS (
+           |  SELECT doc_id, i - 1 AS pos,
+           |         md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+           |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+           |),
+           |nsh AS (SELECT doc_id, max(pos) AS max_pos FROM grams GROUP BY doc_id),
+           |wins AS (
+           |  SELECT g.doc_id, g.pos,
+           |         min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+           |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+           |         n.max_pos
+           |  FROM grams g JOIN nsh n ON g.doc_id = n.doc_id
+           |),
+           |fps AS (
+           |  SELECT DISTINCT doc_id, win_min AS fp
+           |  FROM wins WHERE pos <= max_pos - 3
+           |)
+           |SELECT doc_id, count(*) AS n_fingerprints,
+           |       md5(string_agg(fp, ',' ORDER BY fp)) AS fingerprint_digest
+           |FROM fps
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(langId, quality, tokens, fingerprint)
+}

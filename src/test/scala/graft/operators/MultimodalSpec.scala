@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plumbing semantics of the multimodal stages (stubbed decode,
+  * production-shaped schema/batching/partitioning).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta"),
+    (1L, "one two three"),
+    (2L, "a somewhat longer video-ish document with many more bytes than the others combined"),
+    (3L, "short img"),
+  ).toDF("doc_id", "text")
+
+  private lazy val media = Multimodal.syntheticMedia(docs)
+
+  test("synthetic media: kinds round-robin, payload = text bytes") {
+    val m = media.collect().map(x => x.media_id -> x).toMap
+    assert(m(0L).kind == "image" && m(1L).kind == "audio" && m(2L).kind == "video")
+    assert(new String(m(0L).payload) == "alpha beta gamma delta epsilon zeta")
+    assert(m.values.forall(x => x.meta.width > 0 && x.meta.height > 0))
+  }
+
+  test("decode: only images, pixel buffer sized from metadata, deterministic") {
+    val d1 = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decodeImages(media, batchSize = 1).collect().sortBy(_.media_id)
+    assert(d1.map(_.media_id).toSeq == Seq(0L, 3L)) // ids ≡ 0 mod 3
+    d1.foreach(i => assert(i.pixels.length == i.width * i.height))
+    // batch size must not change results (pure batching)
+    assert(d1.map(_.pixels.toSeq).toSeq == d2.map(_.pixels.toSeq).toSeq)
+  }
+
+  test("resize: exact target dims, nearest-neighbor is deterministic") {
+    val r = Multimodal.resize(Multimodal.decodeImages(media), 4, 4).collect()
+    assert(r.nonEmpty)
+    r.foreach { i =>
+      assert(i.width == 4 && i.height == 4 && i.pixels.length == 16)
+    }
+  }
+
+  test("features: 16-dim, L1-normalized histogram") {
+    val f = Multimodal.features(media).collect()
+    assert(f.length == 4)
+    f.foreach { x =>
+      assert(x.features.length == 16)
+      assert(math.abs(x.features.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("frame sampling: every 2nd fixed-size slice, 1->n rows") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.media_id == 2L)) // only the video
+    val idxs = frames.map(_.frame_idx).sorted.toSeq
+    assert(idxs == idxs.distinct && idxs.forall(_ % 2 == 0))
+    assert(frames.forall(_.frame_payload.length <= 8))
+  }
+}

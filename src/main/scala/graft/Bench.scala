@@ -27,6 +27,9 @@ object Bench {
     // noop sink materializes every column (count() would let Spark
     // skip computing the projection entirely).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop any DataFrames persisted by earlier queries so cached
+      // blocks from query N don't GC-pressure query N+1
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

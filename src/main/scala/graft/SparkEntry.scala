@@ -5,9 +5,12 @@ import graft.queries.Registry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The order-book replay is the engine's core operator
+    * (SURVEY.md §2.4 B1), so it is the flagship.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queriesMap("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+    Registry.queriesMap("q_replay_final_bbo")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -27,7 +27,10 @@ object HashBits {
   def nibbleBit(hexCol: Column, b: Column): Column = {
     val nib = conv(hexCol.substr((b.cast("double") / 4).cast("int") + lit(1), lit(1)), 16, 10)
       .cast("int")
-    (nib.cast("double") / pow(lit(2.0), (b % 4).cast("double"))).cast("int") % 2
+    // integer 2^(b%4) via a when-chain — pow() is a transcendental call
+    // and this sits in per-word × per-bit hot loops
+    val div = when(b % 4 === 0, 1).when(b % 4 === 1, 2).when(b % 4 === 2, 4).otherwise(8)
+    (nib.cast("double") / div).cast("int") % 2
   }
 
   /** Same bit extraction on the driver, used to pre-materialize

@@ -118,11 +118,14 @@ object TextAnalysis {
   def winnowing(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ws = split($"text", " ")
+    val ws = $"ws"
     val grams = transform(
       sequence(lit(1), size(ws) - (k - 1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))
     val hashed = docs
+      // Generate boundary so the split array isn't re-inlined per gram
+      // (see TextDedup.shingles)
+      .select($"doc_id", explode(array(split($"text", " "))).as("ws"))
       .select($"doc_id", posexplode(when(size(ws) >= k, grams).otherwise(array())).as(Seq("pos", "sh")))
       .select($"doc_id", $"pos", md5($"sh").as("h"))
     val nsh = hashed.groupBy($"doc_id").agg(max($"pos").as("max_pos"))

@@ -31,38 +31,57 @@ import graft.functions.HashBits
   */
 object TextDedup {
 
-  /** Distinct word n-gram shingles per document: (doc_id, sh). */
+  /** Distinct word n-gram shingles per document: (doc_id, sh).
+    *
+    * The split word array is materialized through a Generate boundary
+    * (`explode(array(split(...)))`) — without it, CollapseProject
+    * inlines the `split` alias into every `element_at`, re-tokenizing
+    * the document O(words) times per row (measured 10× slower).
+    */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val ws = split(col("text"), " ")
+    val ws = col("ws")
     val grams = transform(
       sequence(lit(1), size(ws) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
     docs
+      .select(col("doc_id"), explode(array(split(col("text"), " "))).as("ws"))
       .select(col("doc_id"),
         explode(when(size(ws) >= n, grams).otherwise(array())).as("sh"))
       .distinct()
   }
 
-  /** MinHash signature rows (doc_id, seed, mh): mh = lexicographic min
-    * of `md5(seed ':' shingle)` over the doc's shingle set — a valid
-    * min-wise hash family because md5 is uniform and strings compare
-    * totally.
+  /** MinHash signatures, one wide row per doc (mh_0..mh_{n-1}): mh_s =
+    * lexicographic min of `md5(s ':' shingle)` over the doc's shingle
+    * set — a valid min-wise hash family because md5 is uniform and
+    * strings compare totally. All n mins come out of ONE map-side
+    * partial aggregation over the shingle table: no seed explosion, no
+    * n× shuffle volume — the shape that matters when the shingle table
+    * is 100 TB.
     */
-  def minhash(sh: DataFrame, nSeeds: Int): DataFrame =
-    sh.select(col("doc_id"), explode(sequence(lit(0), lit(nSeeds - 1))).as("seed"), col("sh"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
+  def minhashSignature(sh: DataFrame, nSeeds: Int): DataFrame = {
+    val aggs = (0 until nSeeds).map { s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("sh")))).as(s"mh_$s")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH banding: group `rowsPerBand` consecutive minhashes, hash each
-    * band; docs sharing any (band, band_hash) are candidates.
+  /** LSH banding over a wide signature: hash each group of
+    * `rowsPerBand` consecutive minhashes (band_hash = md5("mh_i|mh_j"),
+    * byte-compatible with a row-wise string_agg formulation). Narrow
+    * op — one output row per (doc, band) via a generated array, no
+    * shuffle.
     */
-  def minhashBands(mh: DataFrame, rowsPerBand: Int): DataFrame =
-    mh.withColumn("band", (col("seed").cast("double") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        md5(array_join(
-          transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
-          "|")).as("band_hash"))
+  def minhashBands(sig: DataFrame, nSeeds: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until nSeeds / rowsPerBand).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)).as("band_hash"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
 
   /** Candidate pairs from any equal-key banding table with columns
     * (doc_id, band, band_hash).
@@ -105,21 +124,42 @@ object TextDedup {
     * maps to '1'.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // one md5 per word, 64 ±1 bits as an array column, then 64
+    // map-side-combinable integer sums — a single shuffle of partial
+    // sums per doc instead of a 64× exploded row stream. Each stage
+    // (digest, nibble values, bit array) is materialized through its
+    // own Generate boundary; otherwise CollapseProject inlines the
+    // alias into every downstream reference (the md5 would run 64×
+    // per word, the bits array 64× per aggregate — measured ~50×
+    // slower). Bit derivation after the digest is pure integer math.
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), explode(array(md5(col("w")))).as("h"))
+      .select(col("doc_id"), explode(array(transform(sequence(lit(0), lit(15)),
+        p => conv(col("h").substr(p + 1, lit(1)), 16, 10).cast("int")))).as("nibs"))
+      .select(col("doc_id"),
+        explode(array(transform(sequence(lit(0), lit(63)), b => {
+          val nib = element_at(col("nibs"), (b.cast("double") / 4).cast("int") + 1)
+          val div = when(b % 4 === 0, 1).when(b % 4 === 1, 2).when(b % 4 === 2, 4).otherwise(8)
+          when((nib.cast("double") / div).cast("int") % 2 === 1, lit(1)).otherwise(lit(-1))
+        }))).as("bits"))
+    val sums = (0 until 64).map(i => sum(element_at(col("bits"), i + 1)).as(s"s_$i"))
     words
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("b"), col("w"))
-      .select(col("doc_id"), col("b"),
-        when(HashBits.nibbleBit(md5(col("w")), col("b")) === 1, lit(1))
-          .otherwise(lit(-1)).as("v"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("v")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("b"),
-            when(col("s") >= 0, lit("1")).otherwise(lit("0")).as("bit")))),
-          x => x.getField("bit")),
-        "").as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(
+        col("doc_id"),
+        concat((0 until 64).map(i =>
+          when(col(s"s_$i") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"),
+        // the same 64 bits packed into two longs, for xor/bit_count
+        // hamming downstream (integer ops instead of 128 substrs/pair)
+        (0 until 32).map(i =>
+          when(col(s"s_$i") >= 0, lit(1L << (31 - i))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim_hi"),
+        (32 until 64).map(i =>
+          when(col(s"s_$i") >= 0, lit(1L << (63 - i))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim_lo"),
+      )
   }
 
   /** Hamming distance between two equal-length bit-string columns. */
@@ -130,13 +170,13 @@ object TextDedup {
       (acc, i) => acc + when(a.substr(i, lit(1)) === b.substr(i, lit(1)), 0).otherwise(1))
 
   /** Band a bit-string signature into `nBands` contiguous slices for
-    * LSH candidate generation: (doc_id, simhash, band, band_hash).
+    * LSH candidate generation; preserves all input columns and adds
+    * (band, band_hash).
     */
   def bitBands(sig: DataFrame, sigCol: String, bits: Int, nBands: Int): DataFrame = {
     val w = bits / nBands
     sig
-      .select(col("doc_id"), col(sigCol),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col("*"), explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_hash", col(sigCol).substr(col("band") * w + 1, lit(w)))
   }
 }

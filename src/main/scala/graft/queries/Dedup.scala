@@ -42,8 +42,11 @@ object Dedup {
     "q_dedup_minhash_lsh",
     (s, dir) => {
       import s.implicits._
-      val sh = TextDedup.shingles(Tables(s, dir).documents, 3)
-      val bands = TextDedup.minhashBands(TextDedup.minhash(sh, 8), 2)
+      // persisted: the shingle table feeds the signature pass, both
+      // sides of the intersection join, and the set-size counts —
+      // materializing it once beats four recomputes of split+distinct
+      val sh = TextDedup.shingles(Tables(s, dir).documents, 3).persist()
+      val bands = TextDedup.minhashBands(TextDedup.minhashSignature(sh, 8), 8, 2)
       val pairs = TextDedup.bandPairs(bands)
       TextDedup
         .jaccard(pairs, sh)
@@ -94,9 +97,11 @@ object Dedup {
     "q_dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      val sig = TextDedup.simhash(Tables(s, dir).documents)
+      // persisted: the signature pass feeds both sides of the band
+      // self-join; hamming runs on the packed-long form (2 xors + 2
+      // popcounts per pair instead of 128 substring compares)
+      val sig = TextDedup.simhash(Tables(s, dir).documents).persist()
       val bands = TextDedup.bitBands(sig, "simhash", 64, 4)
-        .select($"doc_id", $"simhash", $"band", $"band_hash")
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") &&
@@ -104,11 +109,12 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+          col("a.sim_hi").as("hia"), col("a.sim_lo").as("loa"),
+          col("b.sim_hi").as("hib"), col("b.sim_lo").as("lob"))
         .distinct()
       cand
         .select($"doc_a", $"doc_b",
-          TextDedup.hamming($"sa", $"sb", 64).as("hamming"))
+          expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").cast("int").as("hamming"))
         .filter($"hamming" <= 8)
         .orderBy($"doc_a", $"doc_b")
     },
@@ -121,29 +127,29 @@ object Dedup {
            |),
            |sig AS (
            |  SELECT doc_id,
-           |         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+           |         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash,
+           |         CAST(sum(CASE WHEN s >= 0 AND b < 32
+           |                       THEN (CAST(1 AS BIGINT) << CAST(31 - b AS INT)) ELSE 0 END) AS BIGINT) AS sim_hi,
+           |         CAST(sum(CASE WHEN s >= 0 AND b >= 32
+           |                       THEN (CAST(1 AS BIGINT) << CAST(63 - b AS INT)) ELSE 0 END) AS BIGINT) AS sim_lo
            |  FROM (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY doc_id, b)
            |  GROUP BY doc_id
            |),
            |bands AS (
-           |  SELECT doc_id, simhash, band.band,
+           |  SELECT doc_id, simhash, sim_hi, sim_lo, band.band,
            |         substr(simhash, band.band * 16 + 1, 16) AS band_hash
            |  FROM sig, unnest(range(0, 4)) AS band(band)
            |),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         a.simhash AS sa, b.simhash AS sb
+           |         a.sim_hi AS hia, a.sim_lo AS loa, b.sim_hi AS hib, b.sim_lo AS lob
            |  FROM bands a JOIN bands b
            |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
            |)
            |SELECT doc_a, doc_b,
-           |       CAST(list_sum(list_transform(range(1, 65),
-           |         i -> CASE WHEN substr(sa, CAST(i AS INT), 1) = substr(sb, CAST(i AS INT), 1)
-           |                   THEN 0 ELSE 1 END)) AS INT) AS hamming
+           |       CAST(bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS INT) AS hamming
            |FROM cand
-           |WHERE CAST(list_sum(list_transform(range(1, 65),
-           |        i -> CASE WHEN substr(sa, CAST(i AS INT), 1) = substr(sb, CAST(i AS INT), 1)
-           |                  THEN 0 ELSE 1 END)) AS INT) <= 8
+           |WHERE bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) <= 8
            |ORDER BY doc_a, doc_b""".stripMargin),
   )
 
@@ -157,10 +163,10 @@ object Dedup {
     "q_dedup_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
-      val sh = TextDedup.shingles(Tables(s, dir).documents, 4)
+      val sh = TextDedup.shingles(Tables(s, dir).documents, 4).persist()
       val dfCap = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
         .filter($"df" <= 100)
-      val indexed = sh.join(dfCap.select("sh"), "sh")
+      val indexed = sh.join(dfCap.select("sh"), "sh").persist()
       val cand = indexed.as("a")
         .join(indexed.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -32,9 +32,8 @@ class DedupSimSpec extends AnyFunSuite {
   test("identical docs: minhash signatures equal, jaccard = 1") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
     val sh = TextDedup.shingles(d, 3)
-    val mh = TextDedup.minhash(sh, 4)
-      .groupBy($"doc_id").agg(sort_array(collect_list(struct($"seed", $"mh"))).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val mh = TextDedup.minhashSignature(sh, 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString).toSeq).toMap
     assert(mh(1L) == mh(2L) && mh(1L) != mh(3L))
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     val j = TextDedup.jaccard(pairs, sh).select($"jaccard").as[Double].head()

@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.io.{File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.github.luben.zstd.ZstdOutputStream
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.Frame
+
+/** Output sinks (SURVEY.md §2.1 K1-K4).
+  *
+  * K1/K3/K4 are plain Spark writers — batching, columnarization, and
+  * compression come from the parquet/csv sinks (the reference
+  * hand-rolls 10k-row Arrow batches, `tick_generator.rs:33-140`;
+  * Spark's vectorized writer is that machinery, built in).
+  */
+object Sinks {
+
+  /** K1: Parquet tick sink, SNAPPY like the reference
+    * (`tick_generator.rs:60-63`). Optionally hour-partitioned — at
+    * 100 TB the partition column is what keeps downstream time-range
+    * scans pruned.
+    */
+  def writeTicksParquet(
+      ticks: DataFrame,
+      path: String,
+      partitionByHour: Boolean = false,
+  ): Unit = {
+    val w = ticks.write.mode("overwrite").option("compression", "snappy")
+    if (partitionByHour) w.partitionBy("file_hour").parquet(path)
+    else w.parquet(path)
+  }
+
+  /** K4: legacy CSV tick sink. The CSV generation predates the
+    * BID/ASK rename, so sides are written BUY/SELL
+    * (`tick_generator.rs:407-413`; the notebook filters on these,
+    * `bbo.ipynb` cell 2).
+    */
+  def writeTicksCsvLegacy(ticks: DataFrame, path: String): Unit =
+    ticks
+      .withColumn("side",
+        when(col("side") === "BID", "BUY")
+          .when(col("side") === "ASK", "SELL")
+          .otherwise(col("side")))
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K2: rotating zstd-JSONL frame sink — one
+    * `YYYY-MM-DD-HH.jsonl.zst` per hour, lines in arrival order,
+    * byte-format-compatible with the collector's log
+    * (`collector/src/main.rs:137-183`). Executors each write the hours
+    * they own (frames are partitioned by hour first), so the sink
+    * scales with the cluster; "rotation" is the partition boundary.
+    */
+  def writeFramesJsonlZst(frames: Dataset[Frame], dir: String): Unit = {
+    new File(dir).mkdirs()
+    frames
+      .repartition(col("fileHour"))
+      .sortWithinPartitions(col("fileHour"), col("lineNo"))
+      .foreachPartition { (it: Iterator[Frame]) =>
+        val mapper = new ObjectMapper()
+        var hour: String = null
+        var out: OutputStreamWriter = null
+        def roll(h: String): Unit = {
+          if (out != null) out.close()
+          hour = h
+          out = new OutputStreamWriter(
+            new ZstdOutputStream(new FileOutputStream(new File(dir, s"$h.jsonl.zst"))),
+            StandardCharsets.UTF_8)
+        }
+        try {
+          it.foreach { f =>
+            if (f.fileHour != hour) roll(f.fileHour)
+            val node = mapper.createObjectNode()
+            node.put("timestamp", f.frameTs)
+            node.put("message_type", f.messageType)
+            // feed frames carry string content (double-encoded JSON);
+            // dimension/operational frames carry a JSON object
+            if (f.content != null && (f.content.startsWith("{") || f.content.startsWith("["))
+              && f.messageType != "feed_message")
+              node.set("content", mapper.readTree(f.content))
+            else node.put("content", f.content)
+            out.write(node.toString)
+            out.write("\n")
+          }
+        } finally if (out != null) out.close()
+      }
+  }
+}

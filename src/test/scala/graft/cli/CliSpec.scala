@@ -1,0 +1,95 @@
+package graft.cli
+
+import java.nio.file.Files
+import java.time.{Duration, Instant}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.{FixtureLog, RawLogSource, Sinks}
+
+/** CLI verbs, time-arg parsing, and sink round-trips. */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_cli_spec").toString
+    FixtureLog.write(FixtureLog.Spec(dir = d, nFiles = 2, framesPerFile = 60))
+    d
+  }
+
+  test("parseTs: rfc3339, iso-no-offset, date-only fallbacks (C1)") {
+    assert(TimeArgs.parseTs("2025-07-01T14:30:00+02:00") ==
+      Instant.parse("2025-07-01T12:30:00Z"))
+    assert(TimeArgs.parseTs("2025-07-01T14:30:00") ==
+      Instant.parse("2025-07-01T14:30:00Z"))
+    assert(TimeArgs.parseTs("2025-07-01") == Instant.parse("2025-07-01T00:00:00Z"))
+    intercept[Exception](TimeArgs.parseTs("not-a-time"))
+  }
+
+  test("parseDuration + sinceRange (C2/C3)") {
+    assert(TimeArgs.parseDuration("90s") == Duration.ofSeconds(90))
+    assert(TimeArgs.parseDuration("12h") == Duration.ofHours(12))
+    assert(TimeArgs.parseDuration("2d") == Duration.ofDays(2))
+    intercept[IllegalArgumentException](TimeArgs.parseDuration("12x"))
+    val now = Instant.parse("2025-07-01T14:37:21Z")
+    val (a, b) = TimeArgs.sinceRange(Duration.ofHours(2), now)
+    assert(a == Instant.parse("2025-07-01T12:37:21Z"))
+    assert(b == Instant.parse("2025-07-01T13:59:00Z")) // trunc hour - 1min
+    assert(TimeArgs.hourKey(now) == "2025-07-01-14")
+  }
+
+  test("replay verb writes reference-schema parquet") {
+    val out = Files.createTempDirectory("graft_cli_out").toString + "/ticks"
+    Main.run(spark, List("replay", "--in", dir, "--out", out))
+    val df = spark.read.parquet(out)
+    assert(df.columns.toSeq ==
+      Seq("timestamp", "kind", "market", "asset", "side", "price", "size"))
+    assert(df.count() > 0)
+  }
+
+  test("replay verb with market filter and csv output (K4 legacy sides)") {
+    val out = Files.createTempDirectory("graft_cli_out").toString + "/ticks_csv"
+    Main.run(spark, List("replay", "--in", dir, "-m", "0xM0", "--csv", "--out", out))
+    val df = spark.read.option("header", "true").csv(out)
+    assert(df.count() > 0)
+    val sides = df.select("side").distinct().collect().map(_.getString(0)).toSet
+    assert(sides.subsetOf(Set("BUY", "SELL"))) // legacy CSV side names
+    assert(df.select("market").distinct().collect().map(_.getString(0)).toSet == Set("0xM0"))
+  }
+
+  test("replay --since prunes to an empty range cleanly") {
+    val out = Files.createTempDirectory("graft_cli_out").toString + "/none"
+    // fixture hours are 2025-07-01-{10,11}; a --since window in 2026
+    // must select no files
+    intercept[IllegalArgumentException] {
+      Main.run(spark, List("replay", "--in", dir, "--since", "2h", "--out", out),
+        now = Instant.parse("2026-01-01T00:00:00Z"))
+    }
+  }
+
+  test("markets verb lists the dim from the chosen file") {
+    // smoke: runs end-to-end and prints; earliest vs latest both valid
+    Main.run(spark, List("markets", "--in", dir, "--csv"))
+    Main.run(spark, List("markets", "--in", dir, "--earliest", "--csv", "--filter", "fixture"))
+  }
+
+  test("K2 round-trip: frames -> jsonl.zst -> frames") {
+    val orig = RawLogSource.frames(spark, RawLogSource.discover(dir))
+    val outDir = Files.createTempDirectory("graft_k2").toString
+    Sinks.writeFramesJsonlZst(orig, outDir)
+    val files = RawLogSource.discover(outDir)
+    assert(files.map(RawLogSource.fileHourOf) ==
+      Seq("2025-07-01-10", "2025-07-01-11"))
+    val back = RawLogSource.frames(spark, files)
+    val a = orig.collect().sortBy(f => (f.fileHour, f.lineNo))
+    val b = back.collect().sortBy(f => (f.fileHour, f.lineNo))
+    assert(a.length == b.length)
+    (a zip b).foreach { case (x, y) =>
+      assert(x.messageType == y.messageType)
+      assert(x.frameTs == y.frameTs)
+      // feed/string content must round-trip byte-identically
+      if (x.messageType == "feed_message") assert(x.content == y.content)
+    }
+  }
+}

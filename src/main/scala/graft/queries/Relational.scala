@@ -355,8 +355,52 @@ object Relational {
            |ORDER BY event_id""".stripMargin),
   )
 
+  /** A1 with pandas gap semantics: `resample('1min').last()` emits a
+    * row for EVERY minute in the observed range, value-less minutes as
+    * NULL/NaN. Spine = `sequence(min_minute, max_minute, 1 min)`
+    * exploded, cross-joined with the type dim, left-joined to the
+    * per-minute last-value agg (SURVEY.md §2.4 A1 gap note).
+    */
+  private val windowMinuteSpine = Q(
+    "q_window_minute_spine",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select(date_trunc("minute", $"ts").as("m"), $"event_type", $"value", $"event_id")
+      val agg = ev.groupBy($"m", $"event_type")
+        .agg(max_by($"value", $"event_id").as("last_value"))
+      val spine = ev.agg(min($"m").as("lo"), max($"m").as("hi"))
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 minute"))).as("m"))
+      val types = ev.select($"event_type").distinct()
+      spine
+        .crossJoin(broadcast(types))
+        .join(agg, Seq("m", "event_type"), "left")
+        .select(
+          date_format($"m", "yyyy-MM-dd HH:mm:ss").as("minute"),
+          $"event_type", $"last_value")
+        .orderBy($"minute", $"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT date_trunc('minute', ts) AS m, event_type, value, event_id FROM events
+           |),
+           |agg AS (
+           |  SELECT m, event_type, max_by(value, event_id) AS last_value
+           |  FROM ev GROUP BY m, event_type
+           |),
+           |spine AS (
+           |  SELECT unnest(generate_series(min(m), max(m), INTERVAL 1 MINUTE)) AS m FROM ev
+           |),
+           |types AS (SELECT DISTINCT event_type FROM ev)
+           |SELECT strftime(s.m, '%Y-%m-%d %H:%M:%S') AS minute, t.event_type AS event_type, a.last_value AS last_value
+           |FROM spine s
+           |CROSS JOIN types t
+           |LEFT JOIN agg a ON a.m = s.m AND a.event_type = t.event_type
+           |ORDER BY minute, t.event_type""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     aggPricingSummary,
+    windowMinuteSpine,
     filterInSet,
     filterSubstring,
     filterTimeRange,

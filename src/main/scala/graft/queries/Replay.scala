@@ -176,11 +176,45 @@ object Replay {
     },
   )
 
+  /** The notebook's headline query end-to-end (SURVEY.md §7.2): raw
+    * logs → frames → feed explode → book fold → J1 token-dim lookup →
+    * F8 filters (one market's YES token, BBO rows) → A1 1-minute last
+    * price per side. Rows-only (the BBO stream itself is stateful).
+    */
+  private val notebookBboMinutely = Q(
+    "q_notebook_bbo_minutely",
+    (s, _) => {
+      import s.implicits._
+      val paths = FixtureLog.write(fixtureSpec)
+      val frames = RawLogSource.frames(s, paths)
+      val ticks = BookReplay.ticks(RawLogSource.feedMessages(frames))
+      val yesTokens = MarketsDim
+        .tokenDim(MarketsDim.markets(frames))
+        .filter($"outcome" === "Yes" && $"condition_id" === "0xM0")
+        .select($"token_id").distinct()
+      ticks
+        .filter($"kind" === "BBO")
+        .join(broadcast(yesTokens), ticks("asset") === yesTokens("token_id"), "left_semi")
+        .withColumn("minute",
+          date_format(
+            date_trunc("minute", timestamp_millis($"timestamp".cast("long"))),
+            "yyyy-MM-dd HH:mm:ss"))
+        .groupBy($"minute", $"side")
+        .agg(
+          max_by($"price",
+            struct($"file_hour", $"line_no", $"msg_idx", $"emit_idx")).as("last_price"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy($"minute", $"side")
+    },
+  )
+
   val all: Seq[Q] = Seq(
     replayFinalBbo,
     replayFixtureTicks,
     replayFixtureFiltered,
     marketsActiveTokens,
     replayTicksWithOutcome,
+    notebookBboMinutely,
   )
 }

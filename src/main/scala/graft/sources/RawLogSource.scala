@@ -208,6 +208,55 @@ object RawLogSource {
       .as[FeedMsg]
   }
 
+  /** Streaming-compatible frame→feed parse for LIVE ingest: takes a
+    * (possibly streaming) DataFrame of raw frame lines (column
+    * `value`, e.g. from `readStream.text` on uncompressed logs or a
+    * socket/queue bridge) and produces the same FeedMsg shape as the
+    * batch path — pure Catalyst expressions, no custom iteration, so
+    * it plans inside a streaming query.
+    *
+    * A live stream has no file/line coordinates; the arrival key is
+    * derived from the frame receipt time (hour bucket, C4) and the
+    * exchange epoch-ms timestamp — the same event-time the reference's
+    * analytics order by (`bbo.ipynb` cell 0). Object-content frames
+    * (dimension/operational) null out under the string schema and are
+    * dropped by the feed filter, mirroring F5/F6.
+    */
+  def feedMessagesFromLines(lines: DataFrame): Dataset[FeedMsg] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val frameSchema = StructType(Seq(
+      StructField("timestamp", StringType),
+      StructField("message_type", StringType),
+      StructField("content", StringType)))
+    lines
+      .select(from_json($"value", frameSchema).as("f"))
+      .filter($"f.message_type" === "feed_message" &&
+        $"f.content".isNotNull && $"f.content" =!= "PONG")
+      .select(
+        date_format(to_timestamp($"f.timestamp"), "yyyy-MM-dd-HH").as("fileHour"),
+        $"f.content".as("content"))
+      .select($"fileHour",
+        posexplode(from_json($"content", feedMessageSchema)).as(Seq("msgIdx", "m")))
+      .filter($"m.event_type".isin(KnownEvents: _*))
+      .select(
+        $"fileHour",
+        $"m.timestamp".cast("long").as("lineNo"), // exchange-ms as arrival key
+        $"msgIdx",
+        $"m.event_type".as("eventType"),
+        $"m.market".as("market"),
+        $"m.asset_id".as("assetId"),
+        $"m.timestamp".as("ts"),
+        $"m.side".as("side"),
+        $"m.price".as("price"),
+        $"m.size".as("size"),
+        $"m.asks".as("asks"),
+        $"m.bids".as("bids"),
+        $"m.changes".as("changes"),
+      )
+      .as[FeedMsg]
+  }
+
   /** Convenience: full scan path from a directory + hour range. */
   def feedMessagesIn(
       spark: SparkSession,

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.RawLogSource
+
+/** Live-ingest path: streaming text frames → FeedMsg → stateful fold
+  * → hour-partitioned parquet sink (the K2-analog streaming file
+  * sink), driven as a real file-source streaming query.
+  */
+class LiveIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frameLine(tsSec: Int, msg: String): String =
+    s"""{"timestamp":"2025-07-01T14:00:${f"$tsSec%02d"}+00:00","message_type":"feed_message","content":"[$msg]"}"""
+
+  private def bookMsg(asset: String, ms: Long, ask: String, bid: String): String =
+    s"""{\\"event_type\\":\\"book\\",\\"asset_id\\":\\"$asset\\",\\"market\\":\\"0xM1\\",\\"timestamp\\":\\"$ms\\",\\"asks\\":[{\\"price\\":\\"$ask\\",\\"size\\":\\"10\\"}],\\"bids\\":[{\\"price\\":\\"$bid\\",\\"size\\":\\"20\\"}]}"""
+
+  test("file-source stream: lines -> feed -> fold -> partitioned parquet sink") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_live_in").toString
+    val outDir = Files.createTempDirectory("graft_live_out").toString
+    val ckpt = Files.createTempDirectory("graft_live_ckpt").toString
+
+    Files.writeString(new File(inDir, "batch1.jsonl").toPath,
+      frameLine(1, bookMsg("A1", 1751378401000L, "0.60", "0.50")) + "\n" +
+        s"""{"timestamp":"2025-07-01T14:00:02+00:00","message_type":"feed_message","content":"PONG"}""" + "\n" +
+        frameLine(3, bookMsg("A2", 1751378403000L, "0.70", "0.30")) + "\n")
+
+    val lines = spark.readStream
+      .schema("value STRING")
+      .text(inDir)
+    val msgs = RawLogSource.feedMessagesFromLines(lines.toDF())
+    val ticks = StreamingReplay.ticksStream(msgs)
+    val query = ticks.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("file_hour")
+      .outputMode("append")
+      .start()
+    query.processAllAvailable()
+
+    // second micro-batch file: a diff for A1 must see A1's book state
+    Files.writeString(new File(inDir, "batch2.jsonl").toPath,
+      frameLine(10,
+        s"""{\\"event_type\\":\\"price_change\\",\\"asset_id\\":\\"A1\\",\\"market\\":\\"0xM1\\",\\"timestamp\\":\\"1751378410000\\",\\"changes\\":[{\\"price\\":\\"0.60\\",\\"size\\":\\"0\\",\\"side\\":\\"SELL\\"}]}""") + "\n")
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.contains("file_hour")) // hour-partitioned sink
+    val rows = out
+      .select($"asset", $"kind", $"side", $"price", $"size", $"line_no")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._6, t._3))
+      .toSeq
+    // A1: snapshot BBO then diff (ask deleted -> (0,0)); A2: snapshot BBO
+    assert(rows == Seq(
+      ("A1", "BBO", "ASK", 0.60, 10.0, 1751378401000L),
+      ("A1", "BBO", "BID", 0.50, 20.0, 1751378401000L),
+      ("A1", "BBO", "ASK", 0.0, 0.0, 1751378410000L),
+      ("A1", "BBO", "BID", 0.50, 20.0, 1751378410000L),
+      ("A2", "BBO", "ASK", 0.70, 10.0, 1751378403000L),
+      ("A2", "BBO", "BID", 0.30, 20.0, 1751378403000L),
+    ))
+  }
+}

@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Declarative registration of graft's native expressions, for
+  * sessions configured with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (the SparkSessionExtensions route; `ArrayDotLong.register` is the
+  * imperative equivalent for sessions we don't configure).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      FunctionIdentifier(ArrayDotLong.name),
+      new ExpressionInfo(classOf[ArrayDotLong].getName, ArrayDotLong.name),
+      (exprs: Seq[Expression]) => ArrayDotLong(exprs.head, exprs(1))))
+  }
+}

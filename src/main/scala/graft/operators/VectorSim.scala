@@ -28,9 +28,20 @@ object VectorSim {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Integer dot product of two quantized vectors (index-aligned). */
+  /** Integer dot product of two quantized vectors (index-aligned).
+    * Built-in HOF formulation — correct anywhere, but allocates a
+    * zipped array per row.
+    */
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Same semantics via the native codegen'd expression (see
+    * graft.functions.ArrayDotLong) — call
+    * `ArrayDotLong.register(spark)` once per session first. Use in
+    * hot per-pair verification loops.
+    */
+  def qdotNative(a: Column, b: Column): Column =
+    call_function(graft.functions.ArrayDotLong.name, a, b)
 
   /** Squared L2 norm of a quantized vector. */
   def qnorm2(a: Column): Column = qdot(a, a)

@@ -24,6 +24,7 @@ object Similarity {
     "q_embed_topk_brute",
     (s, dir) => {
       import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
       val e = Tables(s, dir).embeddings
         .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
         .withColumn("n2", VectorSim.qnorm2($"q"))
@@ -33,7 +34,7 @@ object Similarity {
         .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")),
           $"query_id" =!= $"cand_id")
         .select($"query_id", $"cand_id",
-          VectorSim.qcosine(VectorSim.qdot($"qa", $"qb"), $"na", $"nb").as("cosine"))
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
       joined
         .withColumn("rank",
           row_number().over(
@@ -80,6 +81,7 @@ object Similarity {
     "q_embed_lsh_pairs",
     (s, dir) => {
       import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
       val e = Tables(s, dir).embeddings
         .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
         .withColumn("n2", VectorSim.qnorm2($"q"))
@@ -96,7 +98,7 @@ object Similarity {
         .join(e.select($"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("na")), "vec_a")
         .join(e.select($"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("nb")), "vec_b")
         .select($"vec_a", $"vec_b",
-          VectorSim.qcosine(VectorSim.qdot($"qa", $"qb"), $"na", $"nb").as("cosine"))
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
         .filter($"cosine" >= 0.4)
         .orderBy($"vec_a", $"vec_b")
     },

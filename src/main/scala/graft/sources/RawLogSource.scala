@@ -72,17 +72,34 @@ object RawLogSource {
 
   /** S1: stream-decode log files into typed frames with stable
     * per-file line numbers.
+    *
+    * `permissive = false` (default) mirrors the reference: a malformed
+    * line is an error (`tick_generator.rs:179-186` would bail).
+    * `permissive = true` is the engine mode for dirty data at scale: a
+    * malformed line becomes a `messageType = "_corrupt"` frame carrying
+    * the raw text (count them, don't die at hour 90,000 of a 100 TB
+    * replay); downstream feed filters drop them naturally.
     */
-  def frames(spark: SparkSession, paths: Seq[String]): Dataset[Frame] = {
+  def frames(
+      spark: SparkSession,
+      paths: Seq[String],
+      permissive: Boolean = false,
+  ): Dataset[Frame] = {
     import spark.implicits._
     require(paths.nonEmpty, "RawLogSource.frames: no input files")
     spark.sparkContext
       .binaryFiles(paths.mkString(","), minPartitions = paths.size)
-      .flatMap { case (path, stream) => readFile(path, stream) }
+      .flatMap { case (path, stream) => readFile(path, stream, permissive) }
       .toDS()
   }
 
-  private def readFile(path: String, pds: PortableDataStream): Iterator[Frame] = {
+  val CorruptType = "_corrupt"
+
+  private def readFile(
+      path: String,
+      pds: PortableDataStream,
+      permissive: Boolean,
+  ): Iterator[Frame] = {
     val raw = pds.open()
     val in =
       if (path.endsWith(".zst")) new ZstdInputStream(raw)
@@ -102,7 +119,12 @@ object RawLogSource {
         val line = nextLine
         nextLine = reader.readLine()
         lineNo += 1
-        parseFrame(mapper, hour, lineNo, line)
+        if (permissive)
+          try parseFrame(mapper, hour, lineNo, line)
+          catch {
+            case _: Exception => Frame(hour, lineNo, null, CorruptType, line)
+          }
+        else parseFrame(mapper, hour, lineNo, line)
       }
     }
   }

@@ -28,13 +28,19 @@ object Bench {
     // noop sink materializes every column (count() would let Spark
     // skip computing the projection entirely).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // drop any DataFrames persisted by earlier queries so cached
-      // blocks from query N don't GC-pressure query N+1
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // two timed runs, report the min — single-JVM local mode shares
+      // the host with other tenants and a stray 10x outlier would
+      // otherwise masquerade as a plan regression. clearCache between
+      // runs so persisted subplans are re-materialized (their cost is
+      // part of the query).
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

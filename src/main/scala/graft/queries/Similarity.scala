@@ -151,5 +151,105 @@ object Similarity {
            |ORDER BY vec_a, vec_b""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(topkBrute, lshPairs)
+  /** IVF top-k: the other scale path. Coarse quantizer = a
+    * deterministic centroid subset (every 100th vector), posting
+    * lists = nearest-centroid assignment, search probes the 2 nearest
+    * centroids' lists and ranks exactly within them. One broadcast
+    * (centroids) + one equi-join (posting lists) — never an all-pairs
+    * product. Recall is bounded by nprobe like any IVF; the sampled
+    * brute-force query is the exact baseline.
+    */
+  private val topkIvf = Q(
+    "q_embed_topk_ivf",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val cents = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      def rankByCos(df: org.apache.spark.sql.DataFrame, part: String) =
+        df.withColumn("cos",
+            VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+          .withColumn("rn",
+            row_number().over(
+              Window.partitionBy(col(part)).orderBy($"cos".desc, $"cent_id")))
+      // posting lists: every vector assigned to its nearest centroid
+      val assign = rankByCos(e.crossJoin(broadcast(cents)), "vec_id")
+        .filter($"rn" === 1)
+        .select($"vec_id".as("cand_id"), $"cent_id")
+      // queries probe their 2 nearest centroids
+      val probes = rankByCos(
+        e.filter($"vec_id" % 97 === 0).crossJoin(broadcast(cents)), "vec_id")
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      val cand = probes.join(assign, "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id").distinct()
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings
+           |),
+           |n AS (
+           |  SELECT vec_id, q,
+           |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+           |  FROM q
+           |),
+           |cents AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c FROM n WHERE vec_id % 100 = 1),
+           |alldots AS (
+           |  SELECT v.vec_id, c.cent_id,
+           |         round(CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+           |                 i -> v.q[CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS DOUBLE)
+           |               / (sqrt(v.n2) * sqrt(c.n2c)), 4) AS cos
+           |  FROM n v CROSS JOIN cents c
+           |),
+           |ranked AS (
+           |  SELECT vec_id, cent_id,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+           |  FROM alldots
+           |),
+           |assign AS (SELECT vec_id AS cand_id, cent_id FROM ranked WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS query_id, cent_id FROM ranked
+           |  WHERE rn <= 2 AND vec_id % 97 = 0
+           |),
+           |cand AS (
+           |  SELECT DISTINCT p.query_id, a.cand_id
+           |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+           |  WHERE p.query_id <> a.cand_id
+           |),
+           |scored AS (
+           |  SELECT c.query_id, c.cand_id,
+           |         round(CAST(list_sum(list_transform(range(1, len(na.q) + 1),
+           |                 i -> na.q[CAST(i AS INT)] * nb.q[CAST(i AS INT)])) AS DOUBLE)
+           |               / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+           |  FROM cand c
+           |  JOIN n na ON na.vec_id = c.query_id
+           |  JOIN n nb ON nb.vec_id = c.cand_id
+           |),
+           |final AS (
+           |  SELECT query_id, cand_id, cosine,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT query_id, cand_id, cosine, rank
+           |FROM final WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(topkBrute, lshPairs, topkIvf)
 }

@@ -211,5 +211,51 @@ object Dedup {
            |ORDER BY doc_a, doc_b""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(exact, minhashLsh, simhashPairs, ngramJaccard)
+  /** Embedding-cosine near-dup, exact: all-pairs quantized cosine ≥
+    * 0.45 over the embeddings table. This is the exactness baseline
+    * that quantifies `q_embed_lsh_pairs`' recall — O(n²) by nature, so
+    * at training-pipeline scale it runs on bounded blocks (a shard, a
+    * cluster, a dedup bucket) while the LSH variant is the corpus-wide
+    * path. The native dot kernel keeps the inner loop allocation-free.
+    */
+  private val embeddingCosine = Q(
+    "q_dedup_embedding_cosine",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorSim
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+      e.select($"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("na"))
+        .join(
+          e.select($"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("nb")),
+          $"vec_a" < $"vec_b")
+        .select($"vec_a", $"vec_b",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .filter($"cosine" >= 0.45)
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings
+           |),
+           |n AS (
+           |  SELECT vec_id, q,
+           |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+           |  FROM q
+           |)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       round(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |               i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+           |             / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cosine
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE round(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |               i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+           |             / (sqrt(a.n2) * sqrt(b.n2)), 4) >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(exact, minhashLsh, simhashPairs, ngramJaccard, embeddingCosine)
 }

@@ -1,5 +1,6 @@
 package graft.cli
 
+import java.io.File
 import java.nio.file.Files
 import java.time.{Duration, Instant}
 
@@ -56,6 +57,18 @@ class CliSpec extends AnyFunSuite {
     val sides = df.select("side").distinct().collect().map(_.getString(0)).toSet
     assert(sides.subsetOf(Set("BUY", "SELL"))) // legacy CSV side names
     assert(df.select("market").distinct().collect().map(_.getString(0)).toSet == Set("0xM0"))
+  }
+
+  test("replay --partition-by-hour writes hour-partitioned layout") {
+    val out = Files.createTempDirectory("graft_cli_out").toString + "/ticks_part"
+    Main.run(spark, List("replay", "--in", dir, "--partition-by-hour", "--out", out))
+    val dirs = new File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("file_hour=2025-07-01-10", "file_hour=2025-07-01-11"))
+    // partition pruning: reading one hour touches only that directory
+    val one = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("file_hour") === "2025-07-01-10")
+    assert(one.count() > 0)
+    val scanned = one.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters"))
   }
 
   test("replay --since prunes to an empty range cleanly") {

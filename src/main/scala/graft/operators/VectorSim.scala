@@ -87,6 +87,54 @@ object VectorSim {
         ""))
   }
 
+  /** Nearest-centroid assignment: each vector to its best-cosine
+    * centroid (rounded cosine, centroid-id tie-break — total order, so
+    * engine-independent). Centroids broadcast; one narrow pass.
+    */
+  def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vecs
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", qcosine(qdot(col("q"), col("qc")), col("n2"), col("n2c")))
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("cos"))
+  }
+
+  /** One Lloyd update: element-wise integer mean of each cluster's
+    * members, re-quantized (`round(avg)` of exact integer sums —
+    * deterministic in any engine). Empty clusters drop out.
+    */
+  def recomputeCentroids(assign: DataFrame, vecs: DataFrame, dims: Int): DataFrame = {
+    val avgs = (0 until dims).map(i =>
+      round(avg(element_at(col("q"), i + 1))).cast("long").as(s"c_$i"))
+    assign
+      .join(vecs.select(col("vec_id"), col("q")), "vec_id")
+      .groupBy(col("cent_id"))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("cent_id"),
+        array((0 until dims).map(i => col(s"c_$i")): _*).as("qc"))
+      .withColumn("n2c", qnorm2(col("qc")))
+  }
+
+  /** Lloyd's k-means on quantized vectors: deterministic init
+    * (caller-provided centroid subset), fixed iteration count. Returns
+    * the final assignment (vec_id, cent_id, cos). Each iteration is
+    * one broadcast + one shuffle on cent_id — linear in corpus size,
+    * the trained-quantizer path for IVF at scale.
+    */
+  def kmeans(vecs: DataFrame, initCents: DataFrame, dims: Int, iters: Int): DataFrame = {
+    var cents = initCents
+    var assign = assignToCentroids(vecs, cents)
+    (1 until iters).foreach { _ =>
+      cents = recomputeCentroids(assign, vecs, dims)
+      assign = assignToCentroids(vecs, cents)
+    }
+    assign
+  }
+
   /** LSH banding over the signature: (id, band, band_bits) rows. */
   def sigBands(sigs: DataFrame, idCol: String, nBits: Int, nBands: Int): DataFrame = {
     val w = nBits / nBands

@@ -251,5 +251,89 @@ object Similarity {
            |ORDER BY query_id, rank""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(topkBrute, lshPairs, topkIvf)
+  /** DuckDB oracle for k-means: the same fixed-iteration Lloyd loop,
+    * unrolled into CTEs by the same Scala code shape that drives the
+    * Spark loop — init and update rules stay in lockstep by
+    * construction.
+    */
+  private def kmeansOracleSql(iters: Int): String = {
+    def cos(vq: String, vn: String, cq: String, cn: String) =
+      s"round(CAST(list_sum(list_transform(range(1, 65), i -> $vq[CAST(i AS INT)] * $cq[CAST(i AS INT)])) AS DOUBLE) / (sqrt($vn) * sqrt($cn)), 4)"
+    val sb = new StringBuilder
+    sb ++= """WITH q AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |  FROM embeddings
+             |),
+             |n AS (
+             |  SELECT vec_id, q,
+             |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+             |  FROM q
+             |),
+             |cents0 AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c FROM n WHERE vec_id % 100 = 1)""".stripMargin
+    for (k <- 0 until iters) {
+      sb ++= s""",
+                |assign$k AS (
+                |  SELECT vec_id, cent_id, cos FROM (
+                |    SELECT vec_id, cent_id, cos,
+                |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+                |    FROM (
+                |      SELECT v.vec_id, c.cent_id, ${cos("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+                |      FROM n v CROSS JOIN cents$k c))
+                |  WHERE rn = 1)""".stripMargin
+      if (k < iters - 1) {
+        sb ++= s""",
+                  |cents${k + 1} AS (
+                  |  SELECT cent_id, qc,
+                  |         CAST(list_sum(list_transform(qc, x -> x * x)) AS DOUBLE) AS n2c
+                  |  FROM (
+                  |    SELECT cent_id, list(CAST(round(a) AS BIGINT) ORDER BY j) AS qc
+                  |    FROM (
+                  |      SELECT s.cent_id, t.j, avg(v.q[CAST(t.j AS INT) + 1]) AS a
+                  |      FROM assign$k s JOIN n v ON v.vec_id = s.vec_id, unnest(range(0, 64)) AS t(j)
+                  |      GROUP BY s.cent_id, t.j)
+                  |    GROUP BY cent_id))""".stripMargin
+      }
+    }
+    sb ++= s"""
+              |SELECT cent_id, count(*) AS n_members,
+              |       CAST(sum(vec_id) AS BIGINT) AS member_checksum,
+              |       min(cos) AS min_cos, max(cos) AS max_cos
+              |FROM assign${iters - 1}
+              |GROUP BY cent_id
+              |ORDER BY cent_id""".stripMargin
+    sb.toString
+  }
+
+  /** K-means clustering of the embedding corpus (3 Lloyd iterations,
+    * deterministic init = every 100th vector): the trained-quantizer
+    * upgrade of the IVF path, and the cluster-then-dedup primitive of
+    * semantic dedup pipelines. Per-cluster output uses order-free
+    * reductions (count, integer checksum, min/max of rounded cosine)
+    * so the hash compare holds under distributed aggregation.
+    */
+  private val kmeansClusters = Q(
+    "q_embed_kmeans",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      VectorSim.kmeans(e, init, dims = 64, iters = 3)
+        .groupBy($"cent_id")
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum($"vec_id").as("member_checksum"),
+          min($"cos").as("min_cos"),
+          max($"cos").as("max_cos"),
+        )
+        .orderBy($"cent_id")
+    },
+    Some(kmeansOracleSql(3)),
+  )
+
+  val all: Seq[Q] = Seq(topkBrute, lshPairs, topkIvf, kmeansClusters)
 }

@@ -36,15 +36,21 @@ object Bench {
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // a failing query must read as breakage, not a speedup
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -114,8 +114,10 @@ object Main {
       case Some(f) => ms.filter(lower($"question").contains(f.toLowerCase))
       case None => ms
     }
+    // reference prints question,question_id,outcome,token_id
+    // (`cli/src/main.rs:212-228`)
     val dim = MarketsDim.tokenDim(filtered)
-      .select($"question", $"condition_id".as("question_id"), $"outcome", $"token_id")
+      .select($"question", $"question_id", $"outcome", $"token_id")
     if (o.has("--csv"))
       dim.collect().foreach(r => println(r.mkString(",")))
     else

@@ -27,9 +27,13 @@ final class Book {
     asks.clear()
     bids.clear()
     if (askLvls != null)
-      askLvls.foreach(l => asks.update(new BigDecimal(l.price), new BigDecimal(l.size)))
+      askLvls.foreach(l =>
+        if (l != null && l.price != null && l.size != null)
+          asks.update(new BigDecimal(l.price), new BigDecimal(l.size)))
     if (bidLvls != null)
-      bidLvls.foreach(l => bids.update(new BigDecimal(l.price), new BigDecimal(l.size)))
+      bidLvls.foreach(l =>
+        if (l != null && l.price != null && l.size != null)
+          bids.update(new BigDecimal(l.price), new BigDecimal(l.size)))
     this
   }
 
@@ -39,10 +43,15 @@ final class Book {
     */
   def updateFromDiff(changes: Seq[Change]): this.type = {
     if (changes != null) changes.foreach { c =>
-      val side = if (c.side == "BUY") bids else asks
-      val size = new BigDecimal(c.size)
-      if (size.signum() == 0) side.remove(new BigDecimal(c.price))
-      else side.update(new BigDecimal(c.price), size)
+      // incomplete entries (missing price/size) are skipped rather than
+      // NPE-ing — the strict parse path can't produce them, but the
+      // permissive path must survive them
+      if (c != null && c.price != null && c.size != null) {
+        val side = if (c.side == "BUY") bids else asks
+        val size = new BigDecimal(c.size)
+        if (size.signum() == 0) side.remove(new BigDecimal(c.price))
+        else side.update(new BigDecimal(c.price), size)
+      }
     }
     this
   }

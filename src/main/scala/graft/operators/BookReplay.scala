@@ -76,7 +76,7 @@ object BookReplay {
         book = new Book
       }
       m.eventType match {
-        case "last_trade_price" =>
+        case "last_trade_price" if m.price != null && m.size != null =>
           // B3: passthrough (`tick_generator.rs:209-221`); wire side
           // BUY/SELL → stored BID/ASK (`tick_generator.rs:85-88`).
           val side = if (m.side == "BUY") "BID" else "ASK"

@@ -93,6 +93,7 @@ object Multimodal {
     */
   private def decodeBytes(payload: Array[Byte], nPixels: Int): Array[Byte] = {
     val out = new Array[Byte](nPixels)
+    if (payload.isEmpty) return out // empty payload decodes to zeros
     var acc = 17
     var i = 0
     while (i < nPixels) {

@@ -47,7 +47,7 @@ object Scale {
       buckets: Int,
   ): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
-      pmod(pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()), lit(buckets)) + buckets, lit(buckets)))
+      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()), lit(buckets)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")

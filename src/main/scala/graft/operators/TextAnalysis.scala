@@ -61,14 +61,19 @@ object TextAnalysis {
   def quality(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ws = split($"text", " ")
-    val base = docs.select(
-      $"doc_id",
-      length($"text").as("chars"),
-      size(ws).as("words"),
-      size(array_distinct(ws)).as("distinct_words"),
-      size(filter(ws, w => w.isin(stopwords: _*))).as("stop_hits"),
-    )
+    val ws = $"ws"
+    val base = docs
+      // Generate boundary: one split per doc, not one per consumer
+      // (see TextDedup.shingles)
+      .select($"doc_id", length($"text").as("chars"),
+        explode(array(split($"text", " "))).as("ws"))
+      .select(
+        $"doc_id",
+        $"chars",
+        size(ws).as("words"),
+        size(array_distinct(ws)).as("distinct_words"),
+        size(filter(ws, w => w.isin(stopwords: _*))).as("stop_hits"),
+      )
     base.select(
       $"doc_id",
       $"chars",
@@ -96,16 +101,22 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      $"doc_id",
-      size(split($"text", " ")).as("ws_tokens"),
-      regexp_count($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).as("regex_tokens"),
-      length($"text").as("chars"),
-      round(
-        length($"text").cast("double") /
-          greatest(regexp_count($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")), lit(1)),
-        4).as("chars_per_token"),
-    )
+    docs
+      // materialize the regex count once; the alias would otherwise be
+      // inlined into both consumers below (see TextDedup.shingles)
+      .select($"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        length($"text").as("chars"),
+        explode(array(
+          regexp_count($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")))).as("regex_tokens"))
+      .select(
+        $"doc_id",
+        $"ws_tokens",
+        $"regex_tokens",
+        $"chars",
+        round($"chars".cast("double") / greatest($"regex_tokens", lit(1)), 4)
+          .as("chars_per_token"),
+      )
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every

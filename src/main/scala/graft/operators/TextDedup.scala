@@ -72,6 +72,9 @@ object TextDedup {
     * shuffle.
     */
   def minhashBands(sig: DataFrame, nSeeds: Int, rowsPerBand: Int): DataFrame = {
+    require(nSeeds % rowsPerBand == 0,
+      s"nSeeds ($nSeeds) must be divisible by rowsPerBand ($rowsPerBand) — " +
+        "trailing minhashes would be silently dropped from banding")
     val bandCols = (0 until nSeeds / rowsPerBand).map { b =>
       struct(
         lit(b).as("band"),

@@ -44,7 +44,11 @@ object Dedup {
       import s.implicits._
       // persisted: the shingle table feeds the signature pass, both
       // sides of the intersection join, and the set-size counts —
-      // materializing it once beats four recomputes of split+distinct
+      // materializing it once beats four recomputes of split+distinct.
+      // NOTE: caches are session-scoped and not unpersisted here (the
+      // builder returns before the action runs); Verify/Bench
+      // clearCache() between queries — embedders running many queries
+      // in one session should do the same
       val sh = TextDedup.shingles(Tables(s, dir).documents, 3).persist()
       val bands = TextDedup.minhashBands(TextDedup.minhashSignature(sh, 8), 8, 2)
       val pairs = TextDedup.bandPairs(bands)

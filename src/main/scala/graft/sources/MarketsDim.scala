@@ -124,9 +124,10 @@ object MarketsDim {
   def tokenDim(ms: Dataset[Market]): DataFrame = {
     val spark = ms.sparkSession
     import spark.implicits._
-    ms.select($"condition_id", $"question", explode($"tokens").as("t"))
+    ms.select($"condition_id", $"question_id", $"question", explode($"tokens").as("t"))
       .select(
         $"condition_id",
+        $"question_id",
         $"question",
         $"t.outcome".as("outcome"),
         $"t.price".as("token_price"),

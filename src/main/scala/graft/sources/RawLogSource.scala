@@ -106,6 +106,12 @@ object RawLogSource {
       else raw
     val reader = new BufferedReader(
       new InputStreamReader(in, StandardCharsets.UTF_8))
+    // a limit()/take() or downstream failure abandons the iterator
+    // before exhaustion — close on task completion so file handles and
+    // native zstd buffers don't leak on long-lived executors
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try reader.close() catch { case _: Exception => () }))
     val hour = fileHourOf(path)
     val mapper = new ObjectMapper()
     var lineNo = -1L

@@ -77,11 +77,21 @@ object Sinks {
             node.put("timestamp", f.frameTs)
             node.put("message_type", f.messageType)
             // feed frames carry string content (double-encoded JSON);
-            // dimension/operational frames carry a JSON object
-            if (f.content != null && (f.content.startsWith("{") || f.content.startsWith("["))
-              && f.messageType != "feed_message")
-              node.set("content", mapper.readTree(f.content))
-            else node.put("content", f.content)
+            // dimension/operational frames carry a JSON object; a
+            // quarantined _corrupt frame's content is the raw
+            // (possibly invalid) line and must fall back to a string
+            // rather than fail the sink
+            val asObject =
+              if (f.content != null && (f.content.startsWith("{") || f.content.startsWith("["))
+                && f.messageType != "feed_message")
+                try Some(mapper.readTree(f.content))
+                catch { case _: Exception => None }
+              else None
+            asObject match {
+              case Some(tree) =>
+                node.set[com.fasterxml.jackson.databind.JsonNode]("content", tree); ()
+              case None => node.put("content", f.content); ()
+            }
             out.write(node.toString)
             out.write("\n")
           }

@@ -79,7 +79,7 @@ object StreamingReplay {
     * batch fold (`MarketState::update`, `tick_generator.rs:318-362`).
     */
   private def applyMsg(book: Book, m: FeedMsg): Seq[Tick] = m.eventType match {
-    case "last_trade_price" =>
+    case "last_trade_price" if m.price != null && m.size != null =>
       val side = if (m.side == "BUY") "BID" else "ASK"
       Seq(Tick(m.ts, "TRADE", m.market, m.assetId, side,
         new java.math.BigDecimal(m.price).doubleValue,

@@ -398,9 +398,75 @@ object Relational {
            |ORDER BY minute, t.event_type""".stripMargin),
   )
 
+  /** Rollup (hierarchical subtotals + grand total) — beyond the
+    * reference's flat aggs, table stakes for an analytics engine.
+    * Group columns coalesced to 'ALL' so the output is null-free and
+    * totally ordered.
+    */
+  private val aggRollup = Q(
+    "q_agg_rollup",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+        )
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("flag"),
+          coalesce($"l_linestatus", lit("ALL")).as("status"),
+          $"sum_qty", $"n")
+        .orderBy($"flag", $"status")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           |       coalesce(l_linestatus, 'ALL') AS status,
+           |       round(sum(l_quantity), 2) AS sum_qty,
+           |       count(*) AS n
+           |FROM lineitem
+           |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY flag, status""".stripMargin),
+  )
+
+  /** Frame-based window functions: 7-row moving average + lag delta
+    * per event_type in event_id order. Values quantized to integer
+    * cents before the windowed sum so frame aggregation is
+    * order-exact across engines.
+    */
+  private val windowMovingAvg = Q(
+    "q_window_moving_avg",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"event_id")
+      Tables(s, dir).events
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("cents"))
+        .select(
+          $"event_id", $"event_type",
+          round(avg($"cents").over(w.rowsBetween(-6, 0)) / 100.0, 4).as("mavg7"),
+          ($"cents" - coalesce(lag($"cents", 1).over(w), lit(0L))).as("delta_cents"),
+        )
+        .orderBy($"event_id")
+    },
+    Some("""WITH c AS (
+           |  SELECT event_id, event_type,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events
+           |)
+           |SELECT event_id, event_type,
+           |       round(avg(cents) OVER (PARTITION BY event_type ORDER BY event_id
+           |                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4) AS mavg7,
+           |       cents - coalesce(lag(cents, 1) OVER (PARTITION BY event_type ORDER BY event_id), 0) AS delta_cents
+           |FROM c
+           |ORDER BY event_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     aggPricingSummary,
+    aggRollup,
     windowMinuteSpine,
+    windowMovingAvg,
     filterInSet,
     filterSubstring,
     filterTimeRange,

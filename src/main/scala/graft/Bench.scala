@@ -50,7 +50,10 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // any failed query poisons the headline metric — a breakage must
+    // never read as a speedup
+    val total =
+      if (results.values.exists(_ < 0)) -1.0 else results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

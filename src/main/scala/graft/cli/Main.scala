@@ -118,9 +118,11 @@ object Main {
     // (`cli/src/main.rs:212-228`)
     val dim = MarketsDim.tokenDim(filtered)
       .select($"question", $"question_id", $"outcome", $"token_id")
-    if (o.has("--csv"))
+    if (o.has("--csv")) {
+      // header line matches the reference (`cli/src/main.rs:211`)
+      println("question,question_id,outcome,token_id")
       dim.collect().foreach(r => println(r.mkString(",")))
-    else
+    } else
       dim.show(1000, truncate = false)
   }
 }

@@ -66,7 +66,7 @@ object TextAnalysis {
       // Generate boundary: one split per doc, not one per consumer
       // (see TextDedup.shingles)
       .select($"doc_id", length($"text").as("chars"),
-        explode(array(split($"text", " "))).as("ws"))
+        graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
       .select(
         $"doc_id",
         $"chars",
@@ -107,8 +107,8 @@ object TextAnalysis {
       .select($"doc_id",
         size(split($"text", " ")).as("ws_tokens"),
         length($"text").as("chars"),
-        explode(array(
-          regexp_count($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")))).as("regex_tokens"))
+        graft.functions.Cols.materialized(
+          regexp_count($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))).as("regex_tokens"))
       .select(
         $"doc_id",
         $"ws_tokens",
@@ -136,7 +136,7 @@ object TextAnalysis {
     val hashed = docs
       // Generate boundary so the split array isn't re-inlined per gram
       // (see TextDedup.shingles)
-      .select($"doc_id", explode(array(split($"text", " "))).as("ws"))
+      .select($"doc_id", graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
       .select($"doc_id", posexplode(when(size(ws) >= k, grams).otherwise(array())).as(Seq("pos", "sh")))
       .select($"doc_id", $"pos", md5($"sh").as("h"))
     val nsh = hashed.groupBy($"doc_id").agg(max($"pos").as("max_pos"))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashBits
+import graft.functions.Cols
 
 /** Text deduplication operators for a large-scale training-data
   * pipeline: exact, MinHash+LSH, SimHash, and inverted-index n-gram
@@ -44,7 +44,7 @@ object TextDedup {
       sequence(lit(1), size(ws) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
     docs
-      .select(col("doc_id"), explode(array(split(col("text"), " "))).as("ws"))
+      .select(col("doc_id"), Cols.materialized(split(col("text"), " ")).as("ws"))
       .select(col("doc_id"),
         explode(when(size(ws) >= n, grams).otherwise(array())).as("sh"))
       .distinct()
@@ -137,15 +137,15 @@ object TextDedup {
     // slower). Bit derivation after the digest is pure integer math.
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), explode(array(md5(col("w")))).as("h"))
-      .select(col("doc_id"), explode(array(transform(sequence(lit(0), lit(15)),
-        p => conv(col("h").substr(p + 1, lit(1)), 16, 10).cast("int")))).as("nibs"))
+      .select(col("doc_id"), Cols.materialized(md5(col("w"))).as("h"))
+      .select(col("doc_id"), Cols.materialized(transform(sequence(lit(0), lit(15)),
+        p => conv(col("h").substr(p + 1, lit(1)), 16, 10).cast("int"))).as("nibs"))
       .select(col("doc_id"),
-        explode(array(transform(sequence(lit(0), lit(63)), b => {
+        Cols.materialized(transform(sequence(lit(0), lit(63)), b => {
           val nib = element_at(col("nibs"), (b.cast("double") / 4).cast("int") + 1)
           val div = when(b % 4 === 0, 1).when(b % 4 === 1, 2).when(b % 4 === 2, 4).otherwise(8)
           when((nib.cast("double") / div).cast("int") % 2 === 1, lit(1)).otherwise(lit(-1))
-        }))).as("bits"))
+        })).as("bits"))
     val sums = (0 until 64).map(i => sum(element_at(col("bits"), i + 1)).as(s"s_$i"))
     words
       .groupBy(col("doc_id"))

@@ -203,10 +203,30 @@ object RawLogSource {
     * arrival-keyed feed messages. This stage is pure Catalyst (codegen,
     * prunable, pushdown-friendly) — only the outer frame decode needed
     * custom code.
+    *
+    * `strict = true` (default, reference parity): a known-event message
+    * missing a structurally-required field (a trade without price/size,
+    * a snapshot without both sides, a diff without changes — exactly
+    * what serde would reject, `tick_generator.rs:397-443`) raises an
+    * error. `strict = false` drops such messages instead, the dirty-
+    * data companion to `frames(..., permissive = true)`.
     */
-  def feedMessages(frames: Dataset[Frame]): Dataset[FeedMsg] = {
+  def feedMessages(frames: Dataset[Frame], strict: Boolean = true): Dataset[FeedMsg] = {
     val spark = frames.sparkSession
     import spark.implicits._
+    val invalid =
+      (col("m.event_type") === "last_trade_price" &&
+        (col("m.price").isNull || col("m.size").isNull)) ||
+        (col("m.event_type") === "book" &&
+          (col("m.asks").isNull || col("m.bids").isNull)) ||
+        (col("m.event_type") === "price_change" && col("m.changes").isNull)
+    val structureGate =
+      if (strict)
+        when(invalid,
+          raise_error(concat(
+            lit("malformed feed message (strict mode): "), col("m").cast("string"))))
+          .otherwise(true)
+      else !invalid
     frames
       // F5: only feed frames, and skip logged server PONGs
       // (`tick_generator.rs:181-186`)
@@ -218,6 +238,8 @@ object RawLogSource {
       )
       // F6: drop unknown event types (`tick_generator.rs:391-392`)
       .filter($"m.event_type".isin(KnownEvents: _*))
+      // strict: error on structurally-invalid known events; permissive: drop
+      .filter(structureGate)
       .select(
         $"fileHour",
         $"lineNo",

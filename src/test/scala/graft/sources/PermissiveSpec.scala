@@ -36,6 +36,25 @@ class PermissiveSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("feed strictness: missing required field raises in strict, drops in permissive") {
+    import spark.implicits._
+    val frames = Seq(
+      graft.model.Frame("2025-07-01-10", 0L, "2025-07-01T10:00:00+00:00", "feed_message",
+        """[{"event_type":"last_trade_price","asset_id":"A1","market":"0xM1","timestamp":"1751378400000","side":"BUY","price":"0.5"}]"""),
+      graft.model.Frame("2025-07-01-10", 1L, "2025-07-01T10:00:01+00:00", "feed_message",
+        """[{"event_type":"last_trade_price","asset_id":"A1","market":"0xM1","timestamp":"1751378401000","side":"SELL","price":"0.6","size":"2"}]"""),
+    ).toDS()
+    // strict (default): the size-less trade is an error, like serde
+    val ex = intercept[Exception] {
+      RawLogSource.feedMessages(frames).collect()
+    }
+    assert(ex.getMessage.contains("malformed feed message") ||
+      Option(ex.getCause).exists(_.getMessage.contains("malformed feed message")))
+    // permissive: it is dropped, the valid trade survives
+    val ok = RawLogSource.feedMessages(frames, strict = false).collect()
+    assert(ok.map(_.size).toSeq == Seq("2"))
+  }
+
   test("permissive mode: malformed line quarantined, pipeline unaffected") {
     val frames = RawLogSource
       .frames(spark, RawLogSource.discover(dir), permissive = true)

@@ -105,6 +105,122 @@ object Replay {
            |ORDER BY sp.asset, sp.side""".stripMargin),
   )
 
+  /** Like q_replay_final_bbo but the synthetic feed interleaves BOOK
+    * SNAPSHOTS (every 53rd event: 2 asks + 2 bids, all fields integer
+    * functions of event_id) with diffs — so the fold's clear-and-
+    * rebuild reset (`tick_generator.rs:241-254`) is oracle-verified at
+    * scale, not just in unit goldens. SQL equivalence: a level is live
+    * iff its last write AFTER the asset's last snapshot is non-zero,
+    * where the snapshot's own levels count as writes at snapshot time.
+    */
+  private val replaySnapshotsBbo = Q(
+    "q_replay_snapshots_bbo",
+    (s, dir) => {
+      import s.implicits._
+      val snap = $"event_id" % 53 === 0
+      def pc(c: org.apache.spark.sql.Column) = format_string("0.%02d", c)
+      val levelArr = "array<struct<price:string,size:string>>"
+      val feed = Tables(s, dir).events.select(
+        lit("2024-01-01-00").as("fileHour"),
+        $"event_id".as("lineNo"),
+        lit(0).as("msgIdx"),
+        when(snap, "book").otherwise("price_change").as("eventType"),
+        concat(lit("M"), $"user_id" % 4).as("market"),
+        concat(lit("A"), $"user_id" % 16).as("assetId"),
+        $"event_id".cast("string").as("ts"),
+        lit(null).cast("string").as("side"),
+        lit(null).cast("string").as("price"),
+        lit(null).cast("string").as("size"),
+        when(snap, array(
+          struct(pc(lit(50) + $"event_id" % 29).as("price"),
+            (lit(1) + $"event_id" % 89).cast("string").as("size")),
+          struct(pc(lit(57) + $"event_id" % 29).as("price"),
+            (lit(1) + $"event_id" % 83).cast("string").as("size")),
+        )).otherwise(lit(null).cast(levelArr)).as("asks"),
+        when(snap, array(
+          struct(pc(lit(45) - $"event_id" % 29).as("price"),
+            (lit(1) + $"event_id" % 79).cast("string").as("size")),
+          struct(pc(lit(38) - $"event_id" % 29).as("price"),
+            (lit(1) + $"event_id" % 73).cast("string").as("size")),
+        )).otherwise(lit(null).cast(levelArr)).as("bids"),
+        when(snap, lit(null).cast("array<struct<price:string,size:string,side:string>>"))
+          .otherwise(array(struct(
+            pc(lit(1) + pmod($"event_id" * 37 + $"user_id", lit(97))).as("price"),
+            when($"event_id" % 5 === 0, lit("0"))
+              .otherwise((lit(1) + pmod($"event_id", lit(997))).cast("string")).as("size"),
+            when($"event_id" % 2 === 0, lit("BUY")).otherwise(lit("SELL")).as("side"),
+          ))).as("changes"),
+      ).as[FeedMsg]
+      BookReplay
+        .ticks(feed)
+        .filter($"kind" === "BBO")
+        .groupBy($"asset", $"side")
+        .agg(
+          max_by($"price", $"line_no").as("best_price"),
+          max_by($"size", $"line_no").as("best_size"),
+        )
+        .orderBy($"asset", $"side")
+    },
+    Some("""WITH feed AS (
+           |  SELECT event_id, user_id,
+           |         'A' || (user_id % 16) AS asset,
+           |         event_id % 53 = 0 AS is_snap,
+           |         CASE WHEN event_id % 2 = 0 THEN 'BID' ELSE 'ASK' END AS dside,
+           |         1 + (event_id * 37 + user_id) % 97 AS dpc,
+           |         CASE WHEN event_id % 5 = 0 THEN 0 ELSE 1 + (event_id % 997) END AS dsz
+           |  FROM events
+           |),
+           |last_snap AS (
+           |  SELECT asset, max(event_id) AS snap_id FROM feed WHERE is_snap GROUP BY asset
+           |),
+           |snap_levels AS (
+           |  SELECT f.asset,
+           |         CASE WHEN t.k < 2 THEN 'ASK' ELSE 'BID' END AS side,
+           |         CASE t.k WHEN 0 THEN 50 + f.event_id % 29
+           |                  WHEN 1 THEN 57 + f.event_id % 29
+           |                  WHEN 2 THEN 45 - f.event_id % 29
+           |                  ELSE 38 - f.event_id % 29 END AS pc,
+           |         CASE t.k WHEN 0 THEN 1 + f.event_id % 89
+           |                  WHEN 1 THEN 1 + f.event_id % 83
+           |                  WHEN 2 THEN 1 + f.event_id % 79
+           |                  ELSE 1 + f.event_id % 73 END AS sz
+           |  FROM feed f
+           |  JOIN last_snap ls ON f.asset = ls.asset AND f.event_id = ls.snap_id,
+           |       unnest(range(0, 4)) AS t(k)
+           |),
+           |diff_last AS (
+           |  SELECT f.asset, f.dside AS side, f.dpc AS pc,
+           |         max_by(f.dsz, f.event_id) AS last_sz
+           |  FROM feed f LEFT JOIN last_snap ls ON f.asset = ls.asset
+           |  WHERE NOT f.is_snap AND f.event_id > coalesce(ls.snap_id, -1)
+           |  GROUP BY 1, 2, 3
+           |),
+           |live AS (
+           |  SELECT asset, side, pc, last_sz AS sz FROM diff_last WHERE last_sz > 0
+           |  UNION ALL
+           |  SELECT sl.asset, sl.side, sl.pc, sl.sz
+           |  FROM snap_levels sl
+           |  LEFT JOIN diff_last d
+           |    ON d.asset = sl.asset AND d.side = sl.side AND d.pc = sl.pc
+           |  WHERE d.pc IS NULL
+           |),
+           |spine AS (
+           |  SELECT DISTINCT asset, s.side FROM feed, (VALUES ('BID'), ('ASK')) s(side)
+           |),
+           |best AS (
+           |  SELECT asset, side,
+           |         CASE WHEN side = 'ASK' THEN min(pc) ELSE max(pc) END AS bpc
+           |  FROM live GROUP BY asset, side
+           |)
+           |SELECT sp.asset, sp.side,
+           |       coalesce(b.bpc / 100.0, 0.0) AS best_price,
+           |       CAST(coalesce(l.sz, 0) AS DOUBLE) AS best_size
+           |FROM spine sp
+           |LEFT JOIN best b ON b.asset = sp.asset AND b.side = sp.side
+           |LEFT JOIN live l ON l.asset = sp.asset AND l.side = sp.side AND l.pc = b.bpc
+           |ORDER BY sp.asset, sp.side""".stripMargin),
+  )
+
   /** Deterministic fixture logs under java.io.tmpdir; written lazily
     * once per JVM (same spec → same bytes, so rewrites are harmless).
     */
@@ -211,6 +327,7 @@ object Replay {
 
   val all: Seq[Q] = Seq(
     replayFinalBbo,
+    replaySnapshotsBbo,
     replayFixtureTicks,
     replayFixtureFiltered,
     marketsActiveTokens,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.model.FeedMsg
+import graft.model.{FeedMsg, Tick}
 import graft.operators.BookReplay
 import graft.sources.{FixtureLog, MarketsDim, RawLogSource}
 
@@ -325,6 +325,49 @@ object Replay {
     },
   )
 
+  /** Structured Streaming under the correctness gate: the
+    * flatMapGroupsWithState fold runs as a REAL streaming query
+    * (file source → AvailableNow trigger → memory sink) over
+    * uncompressed fixture logs, and the sink contents are the query
+    * result. Deterministic (fixture-derived), rows-only checked —
+    * every verify round now executes the streaming engine end-to-end,
+    * not just its unit specs.
+    */
+  private lazy val streamFixtureSpec: FixtureLog.Spec = {
+    val spec = FixtureLog.Spec(
+      dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_fixture_logs_plain").getPath,
+      compress = false)
+    FixtureLog.write(spec)
+    spec
+  }
+
+  private val streamReplayTicks = Q(
+    "q_stream_replay_ticks",
+    (s, _) => {
+      import s.implicits._
+      FixtureLog.write(streamFixtureSpec)
+      val sinkName = "graft_stream_replay_gate"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName))
+        .foreach(_.stop())
+      try s.catalog.dropTempView(sinkName)
+      catch { case _: Exception => () }
+      val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
+      val ticks = graft.streaming.StreamingReplay.ticksStream(
+        RawLogSource.feedMessagesFromLines(lines.toDF()))
+      val query = ticks.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sinkName)
+        .orderBy($"asset", $"line_no", $"msg_idx", $"emit_idx")
+        .select(Tick.referenceColumns.map(col): _*)
+    },
+  )
+
   val all: Seq[Q] = Seq(
     replayFinalBbo,
     replaySnapshotsBbo,
@@ -333,5 +376,6 @@ object Replay {
     marketsActiveTokens,
     replayTicksWithOutcome,
     notebookBboMinutely,
+    streamReplayTicks,
   )
 }

@@ -26,6 +26,7 @@ object FixtureLog {
       nMarkets: Int = 2,
       assetsPerMarket: Int = 2,
       seed: Long = 42L,
+      compress: Boolean = true, // false → plain .jsonl (streaming text source)
   )
 
   def assets(spec: Spec): Seq[(String, String)] = // (market, asset)
@@ -42,10 +43,12 @@ object FixtureLog {
     dir.mkdirs()
     (0 until spec.nFiles).map { fi =>
       val hour = f"2025-07-01-${10 + fi}%02d"
-      val path = new File(dir, s"$hour.jsonl.zst")
+      val path =
+        new File(dir, s"$hour.jsonl" + (if (spec.compress) ".zst" else ""))
       val rnd = new Random(spec.seed + fi)
+      val raw = new FileOutputStream(path)
       val out = new OutputStreamWriter(
-        new ZstdOutputStream(new FileOutputStream(path)),
+        if (spec.compress) new ZstdOutputStream(raw) else raw,
         StandardCharsets.UTF_8)
       try writeFile(out, spec, hour, fi, rnd)
       finally out.close()

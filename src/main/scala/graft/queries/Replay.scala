@@ -368,6 +368,37 @@ object Replay {
     },
   )
 
+  /** Streaming watermarked windowed aggregation under the gate: the
+    * A1 minute-BBO agg over the streaming fold, append mode — only
+    * windows finalized below the terminal watermark emit, which is
+    * deterministic for a fixed fixture. Covers watermark + window
+    * close semantics every verify round.
+    */
+  private val streamBboMinutely = Q(
+    "q_stream_bbo_minutely",
+    (s, _) => {
+      import s.implicits._
+      FixtureLog.write(streamFixtureSpec)
+      val sinkName = "graft_stream_bbo_gate"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName))
+        .foreach(_.stop())
+      try s.catalog.dropTempView(sinkName)
+      catch { case _: Exception => () }
+      val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
+      val ticks = graft.streaming.StreamingReplay.ticksStream(
+        RawLogSource.feedMessagesFromLines(lines.toDF()))
+      val query = graft.streaming.StreamingReplay.bboMinutely(ticks)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sinkName).orderBy($"minute", $"asset", $"side")
+    },
+  )
+
   val all: Seq[Q] = Seq(
     replayFinalBbo,
     replaySnapshotsBbo,
@@ -377,5 +408,6 @@ object Replay {
     replayTicksWithOutcome,
     notebookBboMinutely,
     streamReplayTicks,
+    streamBboMinutely,
   )
 }

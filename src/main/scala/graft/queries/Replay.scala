@@ -26,51 +26,70 @@ import graft.sources.{FixtureLog, MarketsDim, RawLogSource}
   */
 object Replay {
 
-  /** events → one price_change diff per row; every derived column is a
-    * pure integer function of (event_id, user_id) so Spark and DuckDB
-    * agree bit-for-bit.
+  /** events → synthetic feed; every derived column is a pure integer
+    * function of (event_id, user_id) so Spark and DuckDB agree
+    * bit-for-bit. `withSnapshots = false`: one price_change diff per
+    * row. `withSnapshots = true`: every 53rd event is instead a book
+    * snapshot (2 asks + 2 bids). The diff leg's formulas are shared —
+    * one source of truth for both oracle-checked queries.
     */
-  private def syntheticFeed(s: SparkSession, dir: String) = {
+  private def syntheticFeed(s: SparkSession, dir: String, withSnapshots: Boolean) = {
     import s.implicits._
+    val levelArr = "array<struct<price:string,size:string>>"
+    def pc(c: org.apache.spark.sql.Column) = format_string("0.%02d", c)
+    val snap = if (withSnapshots) $"event_id" % 53 === 0 else lit(false)
+    val diffChanges = array(struct(
+      pc(lit(1) + pmod($"event_id" * 37 + $"user_id", lit(97))).as("price"),
+      when($"event_id" % 5 === 0, lit("0"))
+        .otherwise((lit(1) + pmod($"event_id", lit(997))).cast("string")).as("size"),
+      when($"event_id" % 2 === 0, lit("BUY")).otherwise(lit("SELL")).as("side"),
+    ))
     Tables(s, dir).events.select(
       lit("2024-01-01-00").as("fileHour"),
       $"event_id".as("lineNo"),
       lit(0).as("msgIdx"),
-      lit("price_change").as("eventType"),
+      when(snap, "book").otherwise("price_change").as("eventType"),
       concat(lit("M"), $"user_id" % 4).as("market"),
       concat(lit("A"), $"user_id" % 16).as("assetId"),
       $"event_id".cast("string").as("ts"),
       lit(null).cast("string").as("side"),
       lit(null).cast("string").as("price"),
       lit(null).cast("string").as("size"),
-      lit(null).cast("array<struct<price:string,size:string>>").as("asks"),
-      lit(null).cast("array<struct<price:string,size:string>>").as("bids"),
-      array(
-        struct(
-          format_string("0.%02d", lit(1) + pmod($"event_id" * 37 + $"user_id", lit(97)))
-            .as("price"),
-          when($"event_id" % 5 === 0, lit("0"))
-            .otherwise((lit(1) + pmod($"event_id", lit(997))).cast("string"))
-            .as("size"),
-          when($"event_id" % 2 === 0, lit("BUY")).otherwise(lit("SELL")).as("side"),
-        )).as("changes"),
+      when(snap, array(
+        struct(pc(lit(50) + $"event_id" % 29).as("price"),
+          (lit(1) + $"event_id" % 89).cast("string").as("size")),
+        struct(pc(lit(57) + $"event_id" % 29).as("price"),
+          (lit(1) + $"event_id" % 83).cast("string").as("size")),
+      )).otherwise(lit(null).cast(levelArr)).as("asks"),
+      when(snap, array(
+        struct(pc(lit(45) - $"event_id" % 29).as("price"),
+          (lit(1) + $"event_id" % 79).cast("string").as("size")),
+        struct(pc(lit(38) - $"event_id" % 29).as("price"),
+          (lit(1) + $"event_id" % 73).cast("string").as("size")),
+      )).otherwise(lit(null).cast(levelArr)).as("bids"),
+      when(snap, lit(null).cast("array<struct<price:string,size:string,side:string>>"))
+        .otherwise(diffChanges).as("changes"),
     ).as[FeedMsg]
+  }
+
+  /** Final BBO per (asset, side) from a synthetic feed's fold. */
+  private def finalBbo(feed: org.apache.spark.sql.Dataset[FeedMsg]) = {
+    val s = feed.sparkSession
+    import s.implicits._
+    BookReplay
+      .ticks(feed)
+      .filter($"kind" === "BBO")
+      .groupBy($"asset", $"side")
+      .agg(
+        max_by($"price", $"line_no").as("best_price"),
+        max_by($"size", $"line_no").as("best_size"),
+      )
+      .orderBy($"asset", $"side")
   }
 
   private val replayFinalBbo = Q(
     "q_replay_final_bbo",
-    (s, dir) => {
-      import s.implicits._
-      BookReplay
-        .ticks(syntheticFeed(s, dir))
-        .filter($"kind" === "BBO")
-        .groupBy($"asset", $"side")
-        .agg(
-          max_by($"price", $"line_no").as("best_price"),
-          max_by($"size", $"line_no").as("best_size"),
-        )
-        .orderBy($"asset", $"side")
-    },
+    (s, dir) => finalBbo(syntheticFeed(s, dir, withSnapshots = false)),
     // Last-write-wins per (asset, side, level); a side's final BBO is the
     // min (ask) / max (bid) live level, (0, 0) when empty — exactly
     // `Book::top`'s `unwrap_or_default` (`tick_generator.rs:274-281`).
@@ -115,52 +134,7 @@ object Replay {
     */
   private val replaySnapshotsBbo = Q(
     "q_replay_snapshots_bbo",
-    (s, dir) => {
-      import s.implicits._
-      val snap = $"event_id" % 53 === 0
-      def pc(c: org.apache.spark.sql.Column) = format_string("0.%02d", c)
-      val levelArr = "array<struct<price:string,size:string>>"
-      val feed = Tables(s, dir).events.select(
-        lit("2024-01-01-00").as("fileHour"),
-        $"event_id".as("lineNo"),
-        lit(0).as("msgIdx"),
-        when(snap, "book").otherwise("price_change").as("eventType"),
-        concat(lit("M"), $"user_id" % 4).as("market"),
-        concat(lit("A"), $"user_id" % 16).as("assetId"),
-        $"event_id".cast("string").as("ts"),
-        lit(null).cast("string").as("side"),
-        lit(null).cast("string").as("price"),
-        lit(null).cast("string").as("size"),
-        when(snap, array(
-          struct(pc(lit(50) + $"event_id" % 29).as("price"),
-            (lit(1) + $"event_id" % 89).cast("string").as("size")),
-          struct(pc(lit(57) + $"event_id" % 29).as("price"),
-            (lit(1) + $"event_id" % 83).cast("string").as("size")),
-        )).otherwise(lit(null).cast(levelArr)).as("asks"),
-        when(snap, array(
-          struct(pc(lit(45) - $"event_id" % 29).as("price"),
-            (lit(1) + $"event_id" % 79).cast("string").as("size")),
-          struct(pc(lit(38) - $"event_id" % 29).as("price"),
-            (lit(1) + $"event_id" % 73).cast("string").as("size")),
-        )).otherwise(lit(null).cast(levelArr)).as("bids"),
-        when(snap, lit(null).cast("array<struct<price:string,size:string,side:string>>"))
-          .otherwise(array(struct(
-            pc(lit(1) + pmod($"event_id" * 37 + $"user_id", lit(97))).as("price"),
-            when($"event_id" % 5 === 0, lit("0"))
-              .otherwise((lit(1) + pmod($"event_id", lit(997))).cast("string")).as("size"),
-            when($"event_id" % 2 === 0, lit("BUY")).otherwise(lit("SELL")).as("side"),
-          ))).as("changes"),
-      ).as[FeedMsg]
-      BookReplay
-        .ticks(feed)
-        .filter($"kind" === "BBO")
-        .groupBy($"asset", $"side")
-        .agg(
-          max_by($"price", $"line_no").as("best_price"),
-          max_by($"size", $"line_no").as("best_size"),
-        )
-        .orderBy($"asset", $"side")
-    },
+    (s, dir) => finalBbo(syntheticFeed(s, dir, withSnapshots = true)),
     Some("""WITH feed AS (
            |  SELECT event_id, user_id,
            |         'A' || (user_id % 16) AS asset,
@@ -342,27 +316,38 @@ object Replay {
     spec
   }
 
+  /** Run a streaming plan built on the fixture tick stream to a memory
+    * sink with an AvailableNow trigger, returning the sink table. The
+    * no-data-microbatch conf is forced on: append-mode windowed aggs
+    * only finalize in the terminal no-data batch, and a session with it
+    * disabled would silently gate against an empty table.
+    */
+  private def runStreamToTable(
+      s: SparkSession,
+      sinkName: String,
+  )(plan: org.apache.spark.sql.Dataset[graft.model.Tick] => DataFrame): DataFrame = {
+    FixtureLog.write(streamFixtureSpec)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    s.catalog.dropTempView(sinkName)
+    val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
+    val ticks = graft.streaming.StreamingReplay.ticksStream(
+      RawLogSource.feedMessagesFromLines(lines.toDF()))
+    val query = plan(ticks).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(sinkName)
+  }
+
   private val streamReplayTicks = Q(
     "q_stream_replay_ticks",
     (s, _) => {
       import s.implicits._
-      FixtureLog.write(streamFixtureSpec)
-      val sinkName = "graft_stream_replay_gate"
-      s.streams.active.filter(q => Option(q.name).contains(sinkName))
-        .foreach(_.stop())
-      try s.catalog.dropTempView(sinkName)
-      catch { case _: Exception => () }
-      val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
-      val ticks = graft.streaming.StreamingReplay.ticksStream(
-        RawLogSource.feedMessagesFromLines(lines.toDF()))
-      val query = ticks.writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sinkName)
+      runStreamToTable(s, "graft_stream_replay_gate")(_.toDF())
         .orderBy($"asset", $"line_no", $"msg_idx", $"emit_idx")
         .select(Tick.referenceColumns.map(col): _*)
     },
@@ -378,24 +363,9 @@ object Replay {
     "q_stream_bbo_minutely",
     (s, _) => {
       import s.implicits._
-      FixtureLog.write(streamFixtureSpec)
-      val sinkName = "graft_stream_bbo_gate"
-      s.streams.active.filter(q => Option(q.name).contains(sinkName))
-        .foreach(_.stop())
-      try s.catalog.dropTempView(sinkName)
-      catch { case _: Exception => () }
-      val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
-      val ticks = graft.streaming.StreamingReplay.ticksStream(
-        RawLogSource.feedMessagesFromLines(lines.toDF()))
-      val query = graft.streaming.StreamingReplay.bboMinutely(ticks)
-        .writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sinkName).orderBy($"minute", $"asset", $"side")
+      runStreamToTable(s, "graft_stream_bbo_gate")(
+        graft.streaming.StreamingReplay.bboMinutely(_))
+        .orderBy($"minute", $"asset", $"side")
     },
   )
 

@@ -41,6 +41,18 @@ object FixtureLog {
   def write(spec: Spec): Seq[String] = {
     val dir = new File(spec.dir)
     dir.mkdirs()
+    val written = writeFiles(spec, dir)
+    // the fixture dir persists across JVM runs (tmpdir): drop stray
+    // files from older specs so directory-globbing readers (the
+    // streaming gate) see exactly this spec's files
+    val keep = written.map(p => new File(p).getName).toSet
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => keep(f.getName))
+      .foreach(f => f.delete(): Unit)
+    written
+  }
+
+  private def writeFiles(spec: Spec, dir: File): Seq[String] = {
     (0 until spec.nFiles).map { fi =>
       val hour = f"2025-07-01-${10 + fi}%02d"
       val path =

@@ -40,6 +40,27 @@ class CliSpec extends AnyFunSuite {
     assert(TimeArgs.hourKey(now) == "2025-07-01-14")
   }
 
+  test("parseOpts: values, repeated -m, flags, unexpected args") {
+    val o = Main.parseOpts(List(
+      "--in", "/x", "-m", "0xA", "-m", "0xB", "--csv", "--since", "24h"))
+    assert(o.get("--in").contains("/x"))
+    assert(o.all("-m") == List("0xA", "0xB"))
+    assert(o.has("--csv") && !o.has("--earliest"))
+    assert(o.get("--since").contains("24h"))
+    intercept[RuntimeException](Main.parseOpts(List("stray")))
+  }
+
+  test("hourRange: --since wins over --start/--end; explicit bounds parse") {
+    val now = Instant.parse("2025-07-01T14:37:21Z")
+    val both = Main.hourRange(Main.parseOpts(List(
+      "--since", "2h", "--start", "2020-01-01")), now)
+    assert(both == ((Some("2025-07-01-12"), Some("2025-07-01-13"))))
+    val explicit = Main.hourRange(Main.parseOpts(List(
+      "--start", "2025-07-01T10:00:00", "--end", "2025-07-01T12:30:00")), now)
+    assert(explicit == ((Some("2025-07-01-10"), Some("2025-07-01-12"))))
+    assert(Main.hourRange(Main.parseOpts(Nil), now) == ((None, None)))
+  }
+
   test("replay verb writes reference-schema parquet") {
     val out = Files.createTempDirectory("graft_cli_out").toString + "/ticks"
     Main.run(spark, List("replay", "--in", dir, "--out", out))

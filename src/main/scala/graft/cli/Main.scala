@@ -58,6 +58,11 @@ object Main {
         loop(t, acc.copy(values = acc.values + (k -> v)))
       case k :: v :: t if MultiOpts(k) =>
         loop(t, acc.copy(multi = acc.multi + (k -> (acc.multi.getOrElse(k, Nil) :+ v))))
+      case k :: Nil if ValueOpts(k) || MultiOpts(k) =>
+        // a value-taking option as the last token must fail loudly,
+        // not degrade into a flag (a trailing `--out` would otherwise
+        // silently replay to the default output path)
+        sys.error(s"option $k requires a value")
       case k :: t if k.startsWith("-") =>
         loop(t, acc.copy(flags = acc.flags + k))
       case other :: _ => sys.error(s"unexpected argument: $other")

@@ -43,10 +43,13 @@ final class Book {
     */
   def updateFromDiff(changes: Seq[Change]): this.type = {
     if (changes != null) changes.foreach { c =>
-      // incomplete entries (missing price/size) are skipped rather than
-      // NPE-ing — the strict parse path can't produce them, but the
-      // permissive path must survive them
-      if (c != null && c.price != null && c.size != null) {
+      // incomplete entries (missing price/size) and unknown sides are
+      // skipped rather than NPE-ing or silently mutating the ask side
+      // — serde's Side enum admits only BUY/SELL
+      // (`tick_generator.rs:407-413`), so anything else is dirty data
+      // the strict parse gate would have rejected
+      if (c != null && c.price != null && c.size != null &&
+        (c.side == "BUY" || c.side == "SELL")) {
         val side = if (c.side == "BUY") bids else asks
         val size = new BigDecimal(c.size)
         if (size.signum() == 0) side.remove(new BigDecimal(c.price))

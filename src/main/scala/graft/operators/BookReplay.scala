@@ -68,10 +68,15 @@ object BookReplay {
     * dropped as soon as its asset's run ends.
     */
   private def foldPartition(iter: Iterator[FeedMsg]): Iterator[Tick] = {
+    var started = false
     var currentAsset: String = null
     var book: Book = null
     iter.flatMap { m =>
-      if (m.assetId != currentAsset) {
+      // `started` (not a null sentinel) so the very first message
+      // always allocates a book — even a dirty null-asset message that
+      // slipped past an upstream gate folds instead of NPE-ing
+      if (!started || m.assetId != currentAsset) {
+        started = true
         currentAsset = m.assetId
         book = new Book
       }

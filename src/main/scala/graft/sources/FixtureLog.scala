@@ -76,7 +76,11 @@ object FixtureLog {
       rnd: Random,
   ): Unit = {
     val pairs = assets(spec)
-    def frameTs(i: Int) = s"2025-07-01T${hour.takeRight(2)}:${f"${i % 60}%02d"}:00+00:00"
+    // receipt timestamps strictly increase with the line index (minute
+    // then second), like a real single-writer collector log — the
+    // streaming path keys arrival order on receipt time
+    def frameTs(i: Int) =
+      s"2025-07-01T${hour.takeRight(2)}:${f"${(i / 60) % 60}%02d"}:${f"${i % 60}%02d"}+00:00"
     def msgTs(i: Int) = (1751378400000L + fileIdx * 3600000L + i * 1000L).toString
 
     // dimension frame first, as after each rotation

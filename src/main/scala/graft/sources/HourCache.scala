@@ -20,17 +20,22 @@ import graft.cli.TimeArgs
   */
 object HourCache {
 
-  /** Hour keys whose files overlap `[start, end)`
-    * (`gcs_downloader.rs:105-124`).
+  /** Hour keys for `[start, end]` exactly as the reference computes
+    * them (`get_required_files_for_range`, `gcs_downloader.rs:105-124`):
+    * iterate from the UN-truncated start in whole-hour steps while
+    * `current <= end`, taking each step's hour bucket. Inclusive end:
+    * an end falling exactly on an hour boundary (e.g. a date-only
+    * `--end` parsed to midnight) fetches that hour's file too —
+    * the half-open variant silently dropped up to an hour of data.
     */
   def requiredHours(start: Instant, end: Instant): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var t = TimeArgs.truncHour(start)
-    while (t.isBefore(end)) {
+    var t = start
+    while (!t.isAfter(end)) {
       out += TimeArgs.hourKey(t)
       t = t.plus(Duration.ofHours(1))
     }
-    out.result()
+    out.result().distinct
   }
 
   final case class Partitioned(cached: Seq[String], missing: Seq[String])

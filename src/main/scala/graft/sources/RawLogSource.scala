@@ -199,27 +199,55 @@ object RawLogSource {
 
   private val KnownEvents = Seq("last_trade_price", "book", "price_change")
 
+  /** Structural validity of one exploded feed message (column `m`),
+    * mirroring the reference serde's required fields exactly
+    * (`tick_generator.rs:397-443`): every known event needs
+    * `market`/`asset_id`/`timestamp`; a trade needs `side` ∈
+    * {BUY,SELL} plus `price`/`size`; a snapshot needs both complete
+    * sides; a diff needs complete changes with valid sides. Each
+    * subterm is null-safe by construction (isNull guards precede value
+    * checks), so the predicate never evaluates to SQL NULL — strict
+    * and permissive modes agree on what "invalid" means.
+    */
+  private[sources] def invalidFeedMessage: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def f(n: String) = col("m").getField(n)
+    val badLevel = (l: Column) =>
+      l.getField("price").isNull || l.getField("size").isNull
+    val badChange = (c: Column) =>
+      c.getField("price").isNull || c.getField("size").isNull ||
+        c.getField("side").isNull || !c.getField("side").isin("BUY", "SELL")
+    (f("asset_id").isNull || f("market").isNull || f("timestamp").isNull) ||
+    (f("event_type") === "last_trade_price" &&
+      (f("price").isNull || f("size").isNull ||
+        f("side").isNull || !f("side").isin("BUY", "SELL"))) ||
+    (f("event_type") === "book" &&
+      (f("asks").isNull || f("bids").isNull ||
+        exists(f("asks"), badLevel) || exists(f("bids"), badLevel))) ||
+    (f("event_type") === "price_change" &&
+      (f("changes").isNull || exists(f("changes"), badChange)))
+  }
+
   /** F5 + F6 + the inner `from_json` + posexplode: frames →
     * arrival-keyed feed messages. This stage is pure Catalyst (codegen,
     * prunable, pushdown-friendly) — only the outer frame decode needed
     * custom code.
     *
     * `strict = true` (default, reference parity): a known-event message
-    * missing a structurally-required field (a trade without price/size,
-    * a snapshot without both sides, a diff without changes — exactly
-    * what serde would reject, `tick_generator.rs:397-443`) raises an
-    * error. `strict = false` drops such messages instead, the dirty-
-    * data companion to `frames(..., permissive = true)`.
+    * the reference's serde would reject — missing
+    * `market`/`asset_id`/`timestamp`, a trade without price/size/side,
+    * a snapshot without both sides, a diff without changes, or a
+    * level/change entry with missing fields or a side that is neither
+    * BUY nor SELL (`tick_generator.rs:397-443`) — raises an error.
+    * `strict = false` drops such messages instead, the dirty-data
+    * companion to `frames(..., permissive = true)`: a malformed
+    * message must never reach the book fold, where a null asset id or
+    * half-formed snapshot would poison a whole partition's replay.
     */
   def feedMessages(frames: Dataset[Frame], strict: Boolean = true): Dataset[FeedMsg] = {
     val spark = frames.sparkSession
     import spark.implicits._
-    val invalid =
-      (col("m.event_type") === "last_trade_price" &&
-        (col("m.price").isNull || col("m.size").isNull)) ||
-        (col("m.event_type") === "book" &&
-          (col("m.asks").isNull || col("m.bids").isNull)) ||
-        (col("m.event_type") === "price_change" && col("m.changes").isNull)
+    val invalid = invalidFeedMessage
     val structureGate =
       if (strict)
         when(invalid,
@@ -266,11 +294,23 @@ object RawLogSource {
     * it plans inside a streaming query.
     *
     * A live stream has no file/line coordinates; the arrival key is
-    * derived from the frame receipt time (hour bucket, C4) and the
-    * exchange epoch-ms timestamp — the same event-time the reference's
-    * analytics order by (`bbo.ipynb` cell 0). Object-content frames
-    * (dimension/operational) null out under the string schema and are
-    * dropped by the feed filter, mirroring F5/F6.
+    * the frame RECEIPT time in microseconds — the collector stamps
+    * each frame with `Utc::now` at append time
+    * (`collector/src/main.rs:28`), so receipt order IS the log-append
+    * order the reference replays in. (The exchange epoch-ms timestamp
+    * stays in `ts` for event-time analytics.) The hour bucket (C4) is
+    * computed via an explicit UTC conversion so it matches the batch
+    * path's UTC filenames regardless of `spark.sql.session.timeZone`.
+    * Residual limitation (documented): two frames stamped in the SAME
+    * microsecond fold in undefined relative order — a true ingest
+    * sequence number needs a source that provides one (e.g. a Kafka
+    * offset or the file path's line index).
+    *
+    * Object-content frames (dimension/operational) null out under the
+    * string schema and are dropped by the feed filter, mirroring
+    * F5/F6; structurally-invalid messages are dropped by the same
+    * gate as `feedMessages(strict = false)` — live ingest is
+    * inherently dirty-data territory.
     */
   def feedMessagesFromLines(lines: DataFrame): Dataset[FeedMsg] = {
     val spark = lines.sparkSession
@@ -279,19 +319,28 @@ object RawLogSource {
       StructField("timestamp", StringType),
       StructField("message_type", StringType),
       StructField("content", StringType)))
+    val receiptTs = to_timestamp($"f.timestamp")
     lines
       .select(from_json($"value", frameSchema).as("f"))
       .filter($"f.message_type" === "feed_message" &&
         $"f.content".isNotNull && $"f.content" =!= "PONG")
       .select(
-        date_format(to_timestamp($"f.timestamp"), "yyyy-MM-dd-HH").as("fileHour"),
+        // session-tz-independent UTC hour bucket: instant → UTC wall
+        // clock (TIMESTAMP_NTZ) → format, so an embedder session
+        // without spark.sql.session.timeZone=UTC still buckets like
+        // the batch path's UTC filenames
+        date_format(
+          convert_timezone(lit("UTC"), receiptTs.cast("timestamp_ntz")),
+          "yyyy-MM-dd-HH").as("fileHour"),
+        unix_micros(receiptTs).as("lineNo"), // receipt order = append order
         $"f.content".as("content"))
-      .select($"fileHour",
+      .select($"fileHour", $"lineNo",
         posexplode(from_json($"content", feedMessageSchema)).as(Seq("msgIdx", "m")))
       .filter($"m.event_type".isin(KnownEvents: _*))
+      .filter(!invalidFeedMessage)
       .select(
         $"fileHour",
-        $"m.timestamp".cast("long").as("lineNo"), // exchange-ms as arrival key
+        $"lineNo",
         $"msgIdx",
         $"m.event_type".as("eventType"),
         $"m.market".as("market"),

@@ -50,6 +50,14 @@ class CliSpec extends AnyFunSuite {
     intercept[RuntimeException](Main.parseOpts(List("stray")))
   }
 
+  test("parseOpts: value-taking option with no value is an error, not a flag") {
+    val exOut = intercept[RuntimeException](
+      Main.parseOpts(List("--in", "/x", "--out")))
+    assert(exOut.getMessage.contains("--out requires a value"))
+    val exM = intercept[RuntimeException](Main.parseOpts(List("-m")))
+    assert(exM.getMessage.contains("-m requires a value"))
+  }
+
   test("hourRange: --since wins over --start/--end; explicit bounds parse") {
     val now = Instant.parse("2025-07-01T14:37:21Z")
     val both = Main.hourRange(Main.parseOpts(List(

@@ -10,12 +10,24 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Hour-cache semantics (S6/B4/J2) with an injectable fetcher. */
 class HourCacheSpec extends AnyFunSuite {
 
-  test("requiredHours covers [start, end) at hour granularity") {
+  test("requiredHours mirrors the reference's inclusive-end hour walk") {
+    // un-truncated start, whole-hour steps while current <= end
+    // (`gcs_downloader.rs:105-124`): 10:30, 11:30, 12:30 → hours 10-12
     val hs = HourCache.requiredHours(
       Instant.parse("2025-07-01T10:30:00Z"), Instant.parse("2025-07-01T13:00:00Z"))
     assert(hs == Seq("2025-07-01-10", "2025-07-01-11", "2025-07-01-12"))
+    // end exactly on an hour boundary fetches that hour's file (a
+    // date-only --end parses to midnight; the reference includes it)
     assert(HourCache.requiredHours(
-      Instant.parse("2025-07-01T10:00:00Z"), Instant.parse("2025-07-01T10:00:00Z")).isEmpty)
+      Instant.parse("2025-07-01T10:00:00Z"), Instant.parse("2025-07-01T12:00:00Z")) ==
+      Seq("2025-07-01-10", "2025-07-01-11", "2025-07-01-12"))
+    // degenerate start == end still names the covering hour
+    assert(HourCache.requiredHours(
+      Instant.parse("2025-07-01T10:00:00Z"), Instant.parse("2025-07-01T10:00:00Z")) ==
+      Seq("2025-07-01-10"))
+    // inverted range is empty
+    assert(HourCache.requiredHours(
+      Instant.parse("2025-07-01T11:00:00Z"), Instant.parse("2025-07-01T10:00:00Z")).isEmpty)
   }
 
   test("partitionByCache splits by local existence (B4/J2)") {
@@ -54,7 +66,7 @@ class HourCacheSpec extends AnyFunSuite {
       true
     }
     val paths = HourCache.ensureRange(dir,
-      Instant.parse("2025-07-01T10:00:00Z"), Instant.parse("2025-07-01T12:00:00Z"), fetch)
+      Instant.parse("2025-07-01T10:00:00Z"), Instant.parse("2025-07-01T11:30:00Z"), fetch)
     assert(paths.map(p => RawLogSource.fileHourOf(p)) ==
       Seq("2025-07-01-10", "2025-07-01-11"))
     assert(fetched.get() == 1) // only the missing hour

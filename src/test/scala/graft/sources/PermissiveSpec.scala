@@ -55,6 +55,37 @@ class PermissiveSpec extends AnyFunSuite {
     assert(ok.map(_.size).toSeq == Seq("2"))
   }
 
+  test("gate rejects known events missing asset_id/market/timestamp " +
+    "and diffs with invalid change sides (serde-required fields)") {
+    import spark.implicits._
+    def feed(lineNo: Long, msg: String) =
+      graft.model.Frame("2025-07-01-10", lineNo,
+        s"2025-07-01T10:00:0$lineNo+00:00", "feed_message", s"[$msg]")
+    val frames = Seq(
+      // no asset_id: previously flowed into the fold where a null key
+      // NPE'd the whole partition (ADVICE r1, medium)
+      feed(0,
+        """{"event_type":"book","market":"0xM1","timestamp":"1751378400000","asks":[],"bids":[]}"""),
+      // no timestamp
+      feed(1,
+        """{"event_type":"price_change","asset_id":"A1","market":"0xM1","changes":[{"price":"0.5","size":"1","side":"BUY"}]}"""),
+      // change side neither BUY nor SELL: serde's Side enum rejects it
+      feed(2,
+        """{"event_type":"price_change","asset_id":"A1","market":"0xM1","timestamp":"1751378402000","changes":[{"price":"0.5","size":"1","side":"HOLD"}]}"""),
+      // well-formed control message
+      feed(3,
+        """{"event_type":"price_change","asset_id":"A1","market":"0xM1","timestamp":"1751378403000","changes":[{"price":"0.5","size":"1","side":"BUY"}]}"""),
+    ).toDS()
+    intercept[Exception](RawLogSource.feedMessages(frames).collect())
+    val kept = RawLogSource.feedMessages(frames, strict = false).collect()
+    assert(kept.map(_.lineNo).toSeq == Seq(3L))
+    // the surviving pipeline folds cleanly (no null-asset NPE)
+    val ticks = graft.operators.BookReplay
+      .ticks(RawLogSource.feedMessages(frames, strict = false))
+      .collect()
+    assert(ticks.length == 2 && ticks.forall(_.asset == "A1"))
+  }
+
   test("permissive mode: malformed line quarantined, pipeline unaffected") {
     val frames = RawLogSource
       .frames(spark, RawLogSource.discover(dir), permissive = true)

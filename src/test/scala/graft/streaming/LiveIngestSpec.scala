@@ -61,14 +61,35 @@ class LiveIngestSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
       .sortBy(t => (t._1, t._6, t._3))
       .toSeq
-    // A1: snapshot BBO then diff (ask deleted -> (0,0)); A2: snapshot BBO
+    // A1: snapshot BBO then diff (ask deleted -> (0,0)); A2: snapshot BBO.
+    // line_no is the frame RECEIPT time in micros (14:00:0X UTC), the
+    // log-append arrival key — not the exchange ms, which stays in ts.
     assert(rows == Seq(
-      ("A1", "BBO", "ASK", 0.60, 10.0, 1751378401000L),
-      ("A1", "BBO", "BID", 0.50, 20.0, 1751378401000L),
-      ("A1", "BBO", "ASK", 0.0, 0.0, 1751378410000L),
-      ("A1", "BBO", "BID", 0.50, 20.0, 1751378410000L),
-      ("A2", "BBO", "ASK", 0.70, 10.0, 1751378403000L),
-      ("A2", "BBO", "BID", 0.30, 20.0, 1751378403000L),
+      ("A1", "BBO", "ASK", 0.60, 10.0, 1751378401000000L),
+      ("A1", "BBO", "BID", 0.50, 20.0, 1751378401000000L),
+      ("A1", "BBO", "ASK", 0.0, 0.0, 1751378410000000L),
+      ("A1", "BBO", "BID", 0.50, 20.0, 1751378410000000L),
+      ("A2", "BBO", "ASK", 0.70, 10.0, 1751378403000000L),
+      ("A2", "BBO", "BID", 0.30, 20.0, 1751378403000000L),
     ))
+  }
+
+  test("fileHour bucket is UTC regardless of session timezone; " +
+    "same-receipt-second frames keep distinct arrival keys") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val lines = Seq(
+        frameLine(5, bookMsg("A1", 1751378405000L, "0.61", "0.51")),
+        // same receipt second, later millis: distinct micros key
+        s"""{"timestamp":"2025-07-01T14:00:05.250+00:00","message_type":"feed_message","content":"[${bookMsg("A1", 1751378405000L, "0.62", "0.52")}]"}""",
+      ).toDF("value")
+      val msgs = RawLogSource.feedMessagesFromLines(lines).collect()
+      assert(msgs.length == 2)
+      // 14:00 UTC must not become 10:00 (EDT) in the hour bucket
+      assert(msgs.forall(_.fileHour == "2025-07-01-14"))
+      assert(msgs.map(_.lineNo).distinct.length == 2)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 }

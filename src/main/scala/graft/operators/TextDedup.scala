@@ -31,14 +31,18 @@ import graft.functions.Cols
   */
 object TextDedup {
 
-  /** Distinct word n-gram shingles per document: (doc_id, sh).
+  /** Distinct word n-gram shingles per document as ONE ARRAY row:
+    * (doc_id, shs). `array_distinct` dedupes inside the row, so no
+    * shuffle is spent deduplicating shingles — which in turn lets the
+    * signature stage stay a narrow map (see [[minhashSignature]]).
     *
-    * The split word array is materialized through a Generate boundary
-    * (`explode(array(split(...)))`) — without it, CollapseProject
-    * inlines the `split` alias into every `element_at`, re-tokenizing
-    * the document O(words) times per row (measured 10× slower).
+    * The split word array and the shingle array are each materialized
+    * through a Generate boundary (`explode(array(...))`) — without it,
+    * CollapseProject inlines the alias into every consumer,
+    * re-tokenizing the document O(words) times per row (measured 10×
+    * slower).
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
+  def shingleArrays(docs: DataFrame, n: Int): DataFrame = {
     val ws = col("ws")
     val grams = transform(
       sequence(lit(1), size(ws) - (n - 1)),
@@ -46,23 +50,35 @@ object TextDedup {
     docs
       .select(col("doc_id"), Cols.materialized(split(col("text"), " ")).as("ws"))
       .select(col("doc_id"),
-        explode(when(size(ws) >= n, grams).otherwise(array())).as("sh"))
-      .distinct()
+        Cols.materialized(
+          array_distinct(when(size(ws) >= n, grams).otherwise(array()))).as("shs"))
   }
+
+  /** Distinct word n-gram shingles per document, exploded:
+    * (doc_id, sh) — the inverted-index / set-intersection form.
+    */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    shingleArrays(docs, n).select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** MinHash signatures, one wide row per doc (mh_0..mh_{n-1}): mh_s =
     * lexicographic min of `md5(s ':' shingle)` over the doc's shingle
     * set — a valid min-wise hash family because md5 is uniform and
-    * strings compare totally. All n mins come out of ONE map-side
-    * partial aggregation over the shingle table: no seed explosion, no
-    * n× shuffle volume — the shape that matters when the shingle table
-    * is 100 TB.
+    * strings compare totally. Input is the [[shingleArrays]] form, so
+    * each signature is `array_min(transform(...))` — a NARROW map with
+    * no shuffle and no aggregation at all; 100 TB of documents
+    * signature in one pass of the scan. Documents with no shingles
+    * (fewer than n words) are excluded — an empty set has no min, and
+    * all-null signatures would otherwise band together as spurious
+    * candidates.
     */
-  def minhashSignature(sh: DataFrame, nSeeds: Int): DataFrame = {
-    val aggs = (0 until nSeeds).map { s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("sh")))).as(s"mh_$s")
+  def minhashSignature(docShingles: DataFrame, nSeeds: Int): DataFrame = {
+    val sigs = (0 until nSeeds).map { s =>
+      array_min(transform(col("shs"),
+        g => md5(concat(lit(s.toString), lit(":"), g)))).as(s"mh_$s")
     }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    docShingles
+      .filter(size(col("shs")) >= 1)
+      .select(col("doc_id") +: sigs: _*)
   }
 
   /** LSH banding over a wide signature: hash each group of
@@ -104,9 +120,16 @@ object TextDedup {
     * shingle table (pairs are small → broadcast-join shaped).
     * Output: (doc_a, doc_b, jaccard) with jaccard rounded to 4 dp
     * (an integer ratio — identical in any engine).
+    *
+    * The 2-arg form aggregates set sizes from the exploded table; when
+    * the caller already has the [[shingleArrays]] form, pass
+    * `cnt = arr.select(doc_id, size(shs) as n)` and the size side
+    * becomes a narrow map instead of a 1-per-shingle-row aggregation.
     */
-  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+    jaccard(pairs, sh, sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+
+  def jaccard(pairs: DataFrame, sh: DataFrame, cnt: DataFrame): DataFrame = {
     val inter = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
@@ -127,40 +150,47 @@ object TextDedup {
     * maps to '1'.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    // one md5 per word, 64 ±1 bits as an array column, then 64
-    // map-side-combinable integer sums — a single shuffle of partial
-    // sums per doc instead of a 64× exploded row stream. Each stage
-    // (digest, nibble values, bit array) is materialized through its
-    // own Generate boundary; otherwise CollapseProject inlines the
-    // alias into every downstream reference (the md5 would run 64×
-    // per word, the bits array 64× per aggregate — measured ~50×
-    // slower). Bit derivation after the digest is pure integer math.
+    // one md5 per word, its first 16 hex chars parsed ONCE into two
+    // 32-bit integers (h1 = chars 0-7 → bits 0-31, h2 = chars 8-15 →
+    // bits 32-63); each of the 64 per-bit aggregates is then a long
+    // shift+mask — no per-word nibble/bit ARRAYS at all. (The previous
+    // formulation built a 16-element conv() array plus a 64-element
+    // ±1 array per word occurrence and read them back through 64
+    // element_at aggregates — measured ~4× slower at sf0.1.) The ±1
+    // sum s_b = 2·(count of set bits) − n, so the sign test is
+    // `2·c_b >= n` with one extra count(*) aggregate; bit values are
+    // unchanged from the nibble formulation (hex char b/4,
+    // little-endian bit b%4 within the nibble), so signatures — and
+    // the DuckDB oracle — are bit-identical. The md5 is materialized
+    // through a Generate boundary so CollapseProject can't inline one
+    // digest per substr.
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), Cols.materialized(md5(col("w"))).as("h"))
-      .select(col("doc_id"), Cols.materialized(transform(sequence(lit(0), lit(15)),
-        p => conv(col("h").substr(p + 1, lit(1)), 16, 10).cast("int"))).as("nibs"))
       .select(col("doc_id"),
-        Cols.materialized(transform(sequence(lit(0), lit(63)), b => {
-          val nib = element_at(col("nibs"), (b.cast("double") / 4).cast("int") + 1)
-          val div = when(b % 4 === 0, 1).when(b % 4 === 1, 2).when(b % 4 === 2, 4).otherwise(8)
-          when((nib.cast("double") / div).cast("int") % 2 === 1, lit(1)).otherwise(lit(-1))
-        })).as("bits"))
-    val sums = (0 until 64).map(i => sum(element_at(col("bits"), i + 1)).as(s"s_$i"))
+        conv(col("h").substr(1, 8), 16, 10).cast("long").as("h1"),
+        conv(col("h").substr(9, 8), 16, 10).cast("long").as("h2"))
+    // bit b of the digest: hex char c = b/4 sits at shift 28-4c within
+    // its 8-char word; little-endian bit b%4 inside the nibble
+    def bit(h: Column, b: Int): Column =
+      shiftright(h, (28 - 4 * (b / 4)) + (b % 4)).bitwiseAND(lit(1L))
+    val counts = (0 until 64).map(b =>
+      sum(bit(if (b < 32) col("h1") else col("h2"), b % 32)).as(s"c_$b"))
+    def one(b: Int): Column = col(s"c_$b") * 2 >= col("nw")
     words
       .groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
+      .agg(counts.head, (counts.tail :+ count(lit(1)).as("nw")): _*)
       .select(
         col("doc_id"),
-        concat((0 until 64).map(i =>
-          when(col(s"s_$i") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"),
+        concat((0 until 64).map(b =>
+          when(one(b), lit("1")).otherwise(lit("0"))): _*).as("simhash"),
         // the same 64 bits packed into two longs, for xor/bit_count
         // hamming downstream (integer ops instead of 128 substrs/pair)
-        (0 until 32).map(i =>
-          when(col(s"s_$i") >= 0, lit(1L << (31 - i))).otherwise(lit(0L)))
+        (0 until 32).map(b =>
+          when(one(b), lit(1L << (31 - b))).otherwise(lit(0L)))
           .reduce(_ + _).as("sim_hi"),
-        (32 until 64).map(i =>
-          when(col(s"s_$i") >= 0, lit(1L << (63 - i))).otherwise(lit(0L)))
+        (32 until 64).map(b =>
+          when(one(b), lit(1L << (63 - b))).otherwise(lit(0L)))
           .reduce(_ + _).as("sim_lo"),
       )
   }

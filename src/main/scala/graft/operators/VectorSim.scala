@@ -93,9 +93,13 @@ object VectorSim {
     */
   def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // native kernel: the assignment pass is vectors × centroids dots —
+    // the hottest loop of every Lloyd iteration (registration is
+    // idempotent, so the operator self-registers)
+    graft.functions.ArrayDotLong.register(vecs.sparkSession)
     vecs
       .crossJoin(broadcast(cents))
-      .withColumn("cos", qcosine(qdot(col("q"), col("qc")), col("n2"), col("n2c")))
+      .withColumn("cos", qcosine(qdotNative(col("q"), col("qc")), col("n2"), col("n2c")))
       .withColumn("rn",
         row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))))

@@ -42,18 +42,22 @@ object Dedup {
     "q_dedup_minhash_lsh",
     (s, dir) => {
       import s.implicits._
-      // persisted: the shingle table feeds the signature pass, both
-      // sides of the intersection join, and the set-size counts —
-      // materializing it once beats four recomputes of split+distinct.
+      // persisted: the per-doc shingle ARRAY table feeds the signature
+      // pass (a narrow array_min map — no shuffle), the exploded
+      // intersection sides, and the set sizes (size(shs) — no
+      // aggregation). The only shuffles left in the whole pipeline are
+      // the band-bucket self-join and the final small aggregations.
       // NOTE: caches are session-scoped and not unpersisted here (the
       // builder returns before the action runs); Verify/Bench
       // clearCache() between queries — embedders running many queries
       // in one session should do the same
-      val sh = TextDedup.shingles(Tables(s, dir).documents, 3).persist()
-      val bands = TextDedup.minhashBands(TextDedup.minhashSignature(sh, 8), 8, 2)
+      val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 3).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      val bands = TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
       val pairs = TextDedup.bandPairs(bands)
       TextDedup
-        .jaccard(pairs, sh)
+        .jaccard(pairs, sh, cnt)
         .filter($"jaccard" >= 0.8)
         .orderBy($"doc_a", $"doc_b")
     },
@@ -167,7 +171,9 @@ object Dedup {
     "q_dedup_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
-      val sh = TextDedup.shingles(Tables(s, dir).documents, 4).persist()
+      val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 4).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
       val dfCap = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
         .filter($"df" <= 100)
       val indexed = sh.join(dfCap.select("sh"), "sh").persist()
@@ -179,7 +185,7 @@ object Dedup {
         .filter($"common" >= 3)
         .select($"doc_a", $"doc_b")
       TextDedup
-        .jaccard(cand, sh)
+        .jaccard(cand, sh, cnt)
         .filter($"jaccard" >= 0.7)
         .orderBy($"doc_a", $"doc_b")
     },
@@ -231,13 +237,18 @@ object Dedup {
       val e = Tables(s, dir).embeddings
         .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
         .withColumn("n2", VectorSim.qnorm2($"q"))
+      def cos = VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb")
+      // the cosine THRESHOLD lives in the join condition: the
+      // nested-loop join then evaluates the kernel on its (zero-copy)
+      // joined-row view and only assembles output rows for the tiny
+      // surviving set — materializing all O(n²) pairs (two 64-long
+      // arrays each) just to filter them was the dominant cost, not
+      // the dot products. Survivors re-derive the cosine column.
       e.select($"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("na"))
         .join(
           e.select($"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("nb")),
-          $"vec_a" < $"vec_b")
-        .select($"vec_a", $"vec_b",
-          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
-        .filter($"cosine" >= 0.45)
+          $"vec_a" < $"vec_b" && cos >= 0.45)
+        .select($"vec_a", $"vec_b", cos.as("cosine"))
         .orderBy($"vec_a", $"vec_b")
     },
     Some("""WITH q AS (

@@ -70,12 +70,23 @@ object Similarity {
            |ORDER BY query_id, rank""".stripMargin),
   )
 
-  /** rp-LSH near-neighbor pairs: 32-bit signed-random-projection
-    * signatures, 8 bands × 4 bits, candidates verified with quantized
-    * cosine ≥ 0.4. Collision probability per bit is 1 − θ/π, so at
-    * cos θ ≈ 0.5 a pair lands in ≥1 of 8 bands with p ≈ 0.83 —
-    * documented recall, exactness delegated to the verify stage. The
-    * only shuffle is the (band, band_bits) join.
+  /** rp-LSH near-neighbor pairs: 128-bit signed-random-projection
+    * signatures, 16 bands × 8 bits, candidates verified with quantized
+    * cosine ≥ 0.4.
+    *
+    * Band tuning (the knob that decides whether LSH beats brute force):
+    * per-bit collision is 1 − θ/π, so an 8-bit band keeps recall high
+    * exactly in the near-dup regime the operator exists for — ≥ 0.99
+    * at cos 0.9, ≈ 0.94 at cos 0.8, ≈ 0.80 at cos 0.7 (by design,
+    * borderline pairs at cos ≈ 0.5 surface with p ≈ 0.47; the exact
+    * brute-force query is the baseline that quantifies this) — while
+    * an UNRELATED pair (θ ≈ π/2, per-bit 0.5) collides anywhere with
+    * only 16/2⁸ ≈ 6%. The previous 4-bit bands admitted ~50% of ALL
+    * pairs as candidates, which is quadratic candidate volume with
+    * extra steps; width-8 bands are what make candidate volume track
+    * true-duplicate density instead of corpus size². Signatures and
+    * the (tiny) band table are persisted: both join sides and the
+    * verification stage reuse one computation.
     */
   private val lshPairs = Q(
     "q_embed_lsh_pairs",
@@ -85,21 +96,30 @@ object Similarity {
       val e = Tables(s, dir).embeddings
         .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
         .withColumn("n2", VectorSim.qnorm2($"q"))
-      val sigs = VectorSim.rpSignature(e, dims = 64, nBits = 32)
-      val bands = VectorSim.sigBands(sigs, "vec_id", nBits = 32, nBands = 8)
+        .persist()
+      val sigs = VectorSim.rpSignature(e, dims = 64, nBits = 128)
+      val bands = VectorSim.sigBands(sigs, "vec_id", nBits = 128, nBands = 16).persist()
+      // no distinct before verification: the raw band-join stream stays
+      // inside one codegen stage (band table broadcasts) straight
+      // through the two id→vector broadcast joins and the fused
+      // dot+filter, and the distinct runs on the tiny SURVIVOR set
+      // instead of shuffling every multi-band duplicate candidate.
+      // Cost: re-verifying a pair once per colliding band (≤ nBands);
+      // at scale that multiplier is bounded while the avoided shuffle
+      // grows with the corpus.
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_bits") === col("b.band_bits") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
       cand
         .join(e.select($"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("na")), "vec_a")
         .join(e.select($"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("nb")), "vec_b")
         .select($"vec_a", $"vec_b",
           VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
         .filter($"cosine" >= 0.4)
+        .distinct()
         .orderBy($"vec_a", $"vec_b")
     },
     Some("""WITH q AS (
@@ -116,7 +136,7 @@ object Similarity {
            |  SELECT s.s AS s, j.j AS j,
            |         CASE WHEN ((strpos('0123456789abcdef', substr(md5('h' || s.s), (j.j // 4) + 1, 1)) - 1) >> (j.j % 4)) & 1 = 1
            |              THEN 1 ELSE -1 END AS r
-           |  FROM unnest(range(0, 32)) AS s(s), unnest(range(0, 64)) AS j(j)
+           |  FROM unnest(range(0, 128)) AS s(s), unnest(range(0, 64)) AS j(j)
            |),
            |dots AS (
            |  SELECT q.vec_id, p.s, sum(q.q[CAST(p.j AS INT) + 1] * p.r) AS dot
@@ -129,8 +149,8 @@ object Similarity {
            |  FROM dots GROUP BY vec_id
            |),
            |bands AS (
-           |  SELECT vec_id, band.band, substr(sig, band.band * 4 + 1, 4) AS band_bits
-           |  FROM sig, unnest(range(0, 8)) AS band(band)
+           |  SELECT vec_id, band.band, substr(sig, band.band * 8 + 1, 8) AS band_bits
+           |  FROM sig, unnest(range(0, 16)) AS band(band)
            |),
            |cand AS (
            |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

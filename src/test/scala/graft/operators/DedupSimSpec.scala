@@ -29,13 +29,17 @@ class DedupSimSpec extends AnyFunSuite {
     assert(driverBits == sqlBits)
   }
 
-  test("identical docs: minhash signatures equal, jaccard = 1") {
-    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
-    val sh = TextDedup.shingles(d, 3)
-    val mh = TextDedup.minhashSignature(sh, 4)
+  test("identical docs: minhash signatures equal, jaccard = 1; " +
+    "shingle-less docs are excluded from signatures") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v",
+      4L -> "too short")
+    val arr = TextDedup.shingleArrays(d, 3)
+    val mh = TextDedup.minhashSignature(arr, 4)
       .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString).toSeq).toMap
     assert(mh(1L) == mh(2L) && mh(1L) != mh(3L))
+    assert(!mh.contains(4L)) // no shingles → no signature row
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val sh = TextDedup.shingles(d, 3)
     val j = TextDedup.jaccard(pairs, sh).select($"jaccard").as[Double].head()
     assert(j == 1.0)
   }

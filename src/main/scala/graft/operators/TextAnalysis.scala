@@ -123,8 +123,20 @@ object TextAnalysis {
     * word k-gram at its position, slide a w-hash window, keep each
     * window's min hash; a doc's fingerprint is the distinct selected
     * set. Output: per-doc fingerprint count + an order-canonical
-    * digest of the set. The sliding min is a window function over
-    * (doc, position) — one shuffle on doc_id.
+    * digest of the set.
+    *
+    * The whole computation happens INSIDE each document's row — gram
+    * hashes as an array, sliding min via `array_min(slice(...))`,
+    * dedup via `array_distinct`, canonical digest via
+    * `array_sort`+`array_join` — so the operator is a pure narrow map:
+    * zero shuffles at any corpus size. (The window-function
+    * formulation shuffled the exploded gram table four times; a
+    * document's grams always fit one row, so none of those shuffles
+    * bought anything.) Documents with fewer than w full windows have
+    * no fingerprints and are excluded, matching the windowed form.
+    * Each intermediate array is materialized through a Generate
+    * boundary so CollapseProject can't re-inline it per consumer (see
+    * TextDedup.shingles).
     */
   def winnowing(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -133,27 +145,19 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), size(ws) - (k - 1)),
       i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))
-    val hashed = docs
-      // Generate boundary so the split array isn't re-inlined per gram
-      // (see TextDedup.shingles)
+    docs
       .select($"doc_id", graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
-      .select($"doc_id", posexplode(when(size(ws) >= k, grams).otherwise(array())).as(Seq("pos", "sh")))
-      .select($"doc_id", $"pos", md5($"sh").as("h"))
-    val nsh = hashed.groupBy($"doc_id").agg(max($"pos").as("max_pos"))
-    val selected = hashed
-      .withColumn("win_min",
-        min($"h").over(
-          Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, w - 1)))
-      .join(nsh, "doc_id")
-      // a full window exists only while pos + w - 1 <= max_pos
-      .filter($"pos" <= $"max_pos" - (w - 1))
-      .select($"doc_id", $"win_min".as("fp"))
-      .distinct()
-    selected
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_fingerprints"),
-        md5(array_join(array_sort(collect_list($"fp")), ",")).as("fingerprint_digest"),
+      .select($"doc_id", graft.functions.Cols.materialized(
+        when(size(ws) >= k, transform(grams, g => md5(g))).otherwise(array())).as("hs"))
+      .filter(size($"hs") >= w) // no full window → no fingerprints
+      .select($"doc_id", graft.functions.Cols.materialized(
+        array_distinct(transform(
+          sequence(lit(1), size($"hs") - (w - 1)),
+          p => array_min(slice($"hs", p, lit(w)))))).as("fps"))
+      .select(
+        $"doc_id",
+        size($"fps").as("n_fingerprints"),
+        md5(array_join(array_sort($"fps"), ",")).as("fingerprint_digest"),
       )
   }
 }

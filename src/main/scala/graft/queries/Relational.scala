@@ -258,16 +258,25 @@ object Relational {
     "q_summary_stats",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir).lineitem.agg(
-        count($"l_quantity").as("cnt"),
-        round(avg($"l_quantity"), 4).as("mean_qty"),
-        round(stddev($"l_quantity"), 4).as("std_qty"),
-        min($"l_quantity").as("min_qty"),
-        round(percentile($"l_quantity", lit(0.25)), 4).as("p25_qty"),
-        round(percentile($"l_quantity", lit(0.5)), 4).as("p50_qty"),
-        round(percentile($"l_quantity", lit(0.75)), 4).as("p75_qty"),
-        max($"l_quantity").as("max_qty"),
-      )
+      // one exact-percentile aggregate evaluating all three quantiles
+      // from a single buffered column — three separate percentile()
+      // calls would each buffer and sort the full column
+      Tables(s, dir).lineitem
+        .agg(
+          count($"l_quantity").as("cnt"),
+          round(avg($"l_quantity"), 4).as("mean_qty"),
+          round(stddev($"l_quantity"), 4).as("std_qty"),
+          min($"l_quantity").as("min_qty"),
+          percentile($"l_quantity", array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
+          max($"l_quantity").as("max_qty"),
+        )
+        .select(
+          $"cnt", $"mean_qty", $"std_qty", $"min_qty",
+          round(element_at($"ps", 1), 4).as("p25_qty"),
+          round(element_at($"ps", 2), 4).as("p50_qty"),
+          round(element_at($"ps", 3), 4).as("p75_qty"),
+          $"max_qty",
+        )
     },
     Some("""SELECT count(l_quantity) AS cnt,
            |  round(avg(l_quantity), 4) AS mean_qty,

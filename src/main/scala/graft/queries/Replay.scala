@@ -330,16 +330,28 @@ object Replay {
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
     s.catalog.dropTempView(sinkName)
-    val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
-    val ticks = graft.streaming.StreamingReplay.ticksStream(
-      RawLogSource.feedMessagesFromLines(lines.toDF()))
-    val query = plan(ticks).writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // Stateful operators allocate one state-store instance PER SHUFFLE
+    // PARTITION per micro-batch, each with its own commit — so a
+    // streaming query's shuffle partitioning must be sized to its
+    // state-key cardinality, not to a batch-wide default. The fixture
+    // stream has a handful of assets; 32 partitions would spend the
+    // whole query on empty state-store commits. (At scale the same
+    // sizing rule applies with bigger numbers: partitions ≈ active
+    // keys / keys-per-task, set per query.)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
+      val ticks = graft.streaming.StreamingReplay.ticksStream(
+        RawLogSource.feedMessagesFromLines(lines.toDF()))
+      val query = plan(ticks).writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(sinkName)
   }
 

@@ -381,6 +381,43 @@ object Replay {
     },
   )
 
+  /** S5 under the gate: the CUSTOM DataSourceV2 streaming source
+    * (graft-feed — the live-socket stand-in, see
+    * graft.sources.GraftFeedProvider) drained with AvailableNow in
+    * admission-controlled chunks, parsed and folded by the same
+    * pipeline as recorded logs. Deterministic (the source is a pure
+    * function of the frame index), rows-only checked — every verify
+    * round exercises the full custom-source contract: offsets,
+    * admission control, partition slicing, recovery-safe replay.
+    */
+  private val streamLiveSource = Q(
+    "q_stream_live_source",
+    (s, _) => {
+      import s.implicits._
+      val sinkName = "graft_stream_live_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val lines = s.readStream.format("graft-feed")
+          .option("totalFrames", 400).option("framesPerBatch", 100).load()
+        val ticks = graft.streaming.StreamingReplay.ticksStream(
+          RawLogSource.feedMessagesFromLines(lines))
+        val query = ticks.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName)
+        .orderBy($"asset", $"line_no", $"msg_idx", $"emit_idx")
+        .select(Tick.referenceColumns.map(col): _*)
+    },
+  )
+
   val all: Seq[Q] = Seq(
     replayFinalBbo,
     replaySnapshotsBbo,
@@ -391,5 +428,6 @@ object Replay {
     notebookBboMinutely,
     streamReplayTicks,
     streamBboMinutely,
+    streamLiveSource,
   )
 }

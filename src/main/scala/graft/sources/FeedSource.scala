@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S5 — the live feed as a REAL custom Structured Streaming source
+  * (DataSourceV2), the Spark analog of the reference's WebSocket
+  * client (`Connection::subscribe` / read loop,
+  * `collector/src/client/connection.rs:231-360`).
+  *
+  * In this zero-egress environment the socket is replaced by a
+  * deterministic frame generator speaking the exact reference wire
+  * format (`collector/src/main.rs:18-69`): each emitted row is one
+  * raw frame line (`value STRING`), so the downstream pipeline is
+  * IDENTICAL to the recorded-log path —
+  * `RawLogSource.feedMessagesFromLines` → `StreamingReplay.ticksStream`
+  * — which is the point: a real socket source only has to swap the
+  * generator for a network read loop; offsets, admission control,
+  * restart and the whole query surface stay as built here.
+  *
+  * Source contract implemented:
+  *   - `MicroBatchStream` with monotonic long offsets (frame index);
+  *     `planInputPartitions(start, end)` slices the range across
+  *     `numPartitions` readers, so a batch parallelizes like any scan.
+  *   - Admission control (`SupportsAdmissionControl.latestOffset`)
+  *     caps each micro-batch at `framesPerBatch` — the analog of the
+  *     reference's bounded mpsc(1000) event channel
+  *     (`collector/src/client/mod.rs:86`).
+  *   - `SupportsTriggerAvailableNow`: `Trigger.AvailableNow` drains
+  *     exactly the frames that existed at query start, in
+  *     `framesPerBatch` chunks, then stops — deterministic and
+  *     restart-safe (offsets are pure frame indexes; the generator is
+  *     a pure function of the index, so recovery replays identical
+  *     data, the property checkpointed sources must guarantee).
+  *   - `BATCH_READ`: the same table is readable with `spark.read`,
+  *     which is what lets tests assert stream ≡ batch.
+  *
+  * Options: `totalFrames` (default 500), `framesPerBatch` (default
+  * 100), `nMarkets` (2), `assetsPerMarket` (2), `numPartitions` (4).
+  * Register by class (`format("graft.sources.GraftFeedProvider")`) or
+  * short name `graft-feed` (DataSourceRegister service file).
+  */
+class GraftFeedProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-feed"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftFeed.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftFeedTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftFeed {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  final case class Opts(
+      totalFrames: Long,
+      framesPerBatch: Long,
+      nMarkets: Int,
+      assetsPerMarket: Int,
+      numPartitions: Int,
+  )
+
+  def opts(m: CaseInsensitiveStringMap): Opts = Opts(
+    totalFrames = m.getLong("totalFrames", 500L),
+    framesPerBatch = m.getLong("framesPerBatch", 100L),
+    nMarkets = m.getInt("nMarkets", 2),
+    assetsPerMarket = m.getInt("assetsPerMarket", 2),
+    numPartitions = m.getInt("numPartitions", 4),
+  )
+
+  private val EpochMs = 1751378400000L // 2025-07-01T14:00:00Z
+
+  private def pad2(n: Long): String = f"$n%02d"
+
+  /** RFC3339 receipt timestamp, strictly increasing with the frame
+    * index (seconds, then rolled minutes/hours) — the arrival key the
+    * streaming parse sorts on.
+    */
+  private def receiptTs(i: Long): String = {
+    val s = i % 60; val m = (i / 60) % 60; val h = 14 + i / 3600
+    s"2025-07-01T${pad2(h)}:${pad2(m)}:${pad2(s)}+00:00"
+  }
+
+  private def cents(c: Long): String = f"0.${math.max(1, math.min(99, c))}%02d"
+
+  /** One wire frame line, a PURE function of the frame index — random
+    * access for any partition slice, and identical bytes on recovery
+    * replay. Frame mix mirrors FixtureLog: dimension frame first, then
+    * PONGs (F5), unknown events (F6), snapshots, trades, diffs with
+    * level deletes.
+    */
+  def frameLine(i: Long, nMarkets: Int, assetsPerMarket: Int): String = {
+    val ts = receiptTs(i)
+    if (i == 0) {
+      // active_markets dimension frame, as at startup
+      // (`collector/src/main.rs:212-229,346-347`)
+      val markets = (0 until nMarkets).map { m =>
+        val tokens = (0 until assetsPerMarket).map { a =>
+          s"""{"outcome":"${if (a == 0) "Yes" else "No"}","price":0.5,"token_id":"A${m * assetsPerMarket + a}","winner":false}"""
+        }.mkString(",")
+        s"""{"closed":false,"accepting_orders":true,"active":true,"archived":false,"enable_order_book":true,"id":"$m","condition_id":"0xM$m","question_id":"0xQ$m","question":"Live feed market $m?","description":"live","tokens":[$tokens]}"""
+      }.mkString(",")
+      return s"""{"timestamp":"$ts","message_type":"active_markets","content":{"count":$nMarkets,"markets":[$markets]}}"""
+    }
+    val nAssets = nMarkets * assetsPerMarket
+    val asset = i % nAssets
+    val market = asset / assetsPerMarket
+    val exchMs = EpochMs + i * 1000
+    def feed(msg: String) =
+      s"""{"timestamp":"$ts","message_type":"feed_message","content":"[$msg]"}"""
+    def head = s"""\\"asset_id\\":\\"A$asset\\",\\"market\\":\\"0xM$market\\",\\"timestamp\\":\\"$exchMs\\""""
+    i % 10 match {
+      case 1 => // server keepalive — dropped at parse (F5)
+        s"""{"timestamp":"$ts","message_type":"feed_message","content":"PONG"}"""
+      case 2 => // unknown event type — dropped (F6)
+        feed(s"""{\\"event_type\\":\\"tick_size_change\\",$head,\\"old_tick_size\\":\\"0.01\\",\\"new_tick_size\\":\\"0.001\\"}""")
+      case 3 | 7 => // full snapshot: 2 asks + 2 bids
+        val a0 = 50 + i % 20
+        val asks = s"""{\\"price\\":\\"${cents(a0)}\\",\\"size\\":\\"${10 + i % 90}\\"},{\\"price\\":\\"${cents(a0 + 2)}\\",\\"size\\":\\"${5 + i % 50}\\"}"""
+        val bids = s"""{\\"price\\":\\"${cents(a0 - 5)}\\",\\"size\\":\\"${8 + i % 70}\\"},{\\"price\\":\\"${cents(a0 - 8)}\\",\\"size\\":\\"${3 + i % 40}\\"}"""
+        feed(s"""{\\"event_type\\":\\"book\\",$head,\\"asks\\":[$asks],\\"bids\\":[$bids]}""")
+      case 5 => // trade
+        val side = if (i % 4 == 1) "BUY" else "SELL"
+        feed(s"""{\\"event_type\\":\\"last_trade_price\\",$head,\\"side\\":\\"$side\\",\\"price\\":\\"${cents(30 + i % 40)}\\",\\"size\\":\\"${1 + i % 500}\\"}""")
+      case _ => // diff; every 4th change is a level delete
+        val px = cents(20 + (i * 7) % 60)
+        val sz = if (i % 4 == 0) "0" else (1 + i % 300).toString
+        val side = if (i % 2 == 0) "BUY" else "SELL"
+        feed(s"""{\\"event_type\\":\\"price_change\\",$head,\\"changes\\":[{\\"price\\":\\"$px\\",\\"size\\":\\"$sz\\",\\"side\\":\\"$side\\"}]}""")
+    }
+  }
+}
+
+/** Long offset (frame index) with trivial JSON round-trip. */
+final case class FeedOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class GraftFeedTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val o = GraftFeed.opts(options)
+  override def name(): String = s"graft_feed(${o.totalFrames})"
+  override def schema(): StructType = GraftFeed.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftFeedScan(o)
+    }
+}
+
+class GraftFeedScan(o: GraftFeed.Opts) extends Scan {
+  override def readSchema(): StructType = GraftFeed.schema
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftFeedStream.slices(0L, o.totalFrames, o.numPartitions)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new FeedReaderFactory(o.nMarkets, o.assetsPerMarket)
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftFeedStream(o)
+}
+
+object GraftFeedStream {
+  /** Slice [start, end) into ≤ n contiguous ranges. */
+  def slices(start: Long, end: Long, n: Int): Array[InputPartition] = {
+    val total = math.max(0L, end - start)
+    val per = math.max(1L, (total + n - 1) / n)
+    Iterator
+      .iterate(start)(_ + per)
+      .takeWhile(_ < end)
+      .map(b => FeedRange(b, math.min(b + per, end)): InputPartition)
+      .toArray
+  }
+}
+
+final case class FeedRange(begin: Long, end: Long) extends InputPartition
+
+class GraftFeedStream(o: GraftFeed.Opts)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // frames "arrived" so far: grows by framesPerBatch per poll until
+  // totalFrames, like a drained bounded channel; AvailableNow pins the
+  // drain target to what existed at query start
+  @volatile private var availableNowCap: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = o.totalFrames
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(o.framesPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val begin = start.asInstanceOf[FeedOffset].n
+    val cap = if (availableNowCap >= 0) availableNowCap else o.totalFrames
+    val step = limit match {
+      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
+      case _ => o.framesPerBatch
+    }
+    FeedOffset(math.min(begin + step, cap))
+  }
+
+  override def reportLatestOffset(): Offset = FeedOffset(o.totalFrames)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this admission-controlled source")
+
+  override def initialOffset(): Offset = FeedOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftFeedStream.slices(
+      start.asInstanceOf[FeedOffset].n,
+      end.asInstanceOf[FeedOffset].n,
+      o.numPartitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(o.nMarkets, o.assetsPerMarket)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class FeedReaderFactory(nMarkets: Int, assetsPerMarket: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[FeedRange]
+    new PartitionReader[InternalRow] {
+      private var i = r.begin - 1
+      override def next(): Boolean = { i += 1; i < r.end }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(
+          GraftFeed.frameLine(i, nMarkets, assetsPerMarket)))
+      override def close(): Unit = ()
+    }
+  }
+}

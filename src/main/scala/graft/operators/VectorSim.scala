@@ -125,19 +125,27 @@ object VectorSim {
 
   /** Lloyd's k-means on quantized vectors: deterministic init
     * (caller-provided centroid subset), fixed iteration count. Returns
-    * the final assignment (vec_id, cent_id, cos). Each iteration is
-    * one broadcast + one shuffle on cent_id — linear in corpus size,
-    * the trained-quantizer path for IVF at scale.
+    * (final centroids, final assignment) — the centroid side is the
+    * trained coarse quantizer an IVF index probes. Each iteration is
+    * one broadcast + one shuffle on cent_id — linear in corpus size.
     */
-  def kmeans(vecs: DataFrame, initCents: DataFrame, dims: Int, iters: Int): DataFrame = {
+  def kmeansFit(
+      vecs: DataFrame,
+      initCents: DataFrame,
+      dims: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     var cents = initCents
     var assign = assignToCentroids(vecs, cents)
     (1 until iters).foreach { _ =>
       cents = recomputeCentroids(assign, vecs, dims)
       assign = assignToCentroids(vecs, cents)
     }
-    assign
+    (cents, assign)
   }
+
+  /** Final assignment only (vec_id, cent_id, cos). */
+  def kmeans(vecs: DataFrame, initCents: DataFrame, dims: Int, iters: Int): DataFrame =
+    kmeansFit(vecs, initCents, dims, iters)._2
 
   /** LSH banding over the signature: (id, band, band_bits) rows. */
   def sigBands(sigs: DataFrame, idCol: String, nBits: Int, nBands: Int): DataFrame = {

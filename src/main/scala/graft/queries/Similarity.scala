@@ -271,14 +271,18 @@ object Similarity {
            |ORDER BY query_id, rank""".stripMargin),
   )
 
-  /** DuckDB oracle for k-means: the same fixed-iteration Lloyd loop,
-    * unrolled into CTEs by the same Scala code shape that drives the
-    * Spark loop — init and update rules stay in lockstep by
-    * construction.
+  /** DuckDB oracle CTE prefix for k-means: the same fixed-iteration
+    * Lloyd loop, unrolled into CTEs by the same Scala code shape that
+    * drives the Spark loop — init and update rules stay in lockstep by
+    * construction. Ends with `cents{iters-1}` (the trained quantizer)
+    * and `assign{iters-1}` (the final assignment); callers append
+    * their final SELECT.
     */
-  private def kmeansOracleSql(iters: Int): String = {
-    def cos(vq: String, vn: String, cq: String, cn: String) =
-      s"round(CAST(list_sum(list_transform(range(1, 65), i -> $vq[CAST(i AS INT)] * $cq[CAST(i AS INT)])) AS DOUBLE) / (sqrt($vn) * sqrt($cn)), 4)"
+  private def cosSql(vq: String, vn: String, cq: String, cn: String) =
+    s"round(CAST(list_sum(list_transform(range(1, 65), i -> $vq[CAST(i AS INT)] * $cq[CAST(i AS INT)])) AS DOUBLE) / (sqrt($vn) * sqrt($cn)), 4)"
+
+  private def kmeansCtes(iters: Int): String = {
+    def cos(vq: String, vn: String, cq: String, cn: String) = cosSql(vq, vn, cq, cn)
     val sb = new StringBuilder
     sb ++= """WITH q AS (
              |  SELECT vec_id,
@@ -315,14 +319,55 @@ object Similarity {
                   |    GROUP BY cent_id))""".stripMargin
       }
     }
-    sb ++= s"""
-              |SELECT cent_id, count(*) AS n_members,
-              |       CAST(sum(vec_id) AS BIGINT) AS member_checksum,
-              |       min(cos) AS min_cos, max(cos) AS max_cos
-              |FROM assign${iters - 1}
-              |GROUP BY cent_id
-              |ORDER BY cent_id""".stripMargin
     sb.toString
+  }
+
+  /** Oracle for q_embed_kmeans: the Lloyd CTEs + per-cluster rollup. */
+  private def kmeansOracleSql(iters: Int): String =
+    kmeansCtes(iters) + s"""
+      |SELECT cent_id, count(*) AS n_members,
+      |       CAST(sum(vec_id) AS BIGINT) AS member_checksum,
+      |       min(cos) AS min_cos, max(cos) AS max_cos
+      |FROM assign${iters - 1}
+      |GROUP BY cent_id
+      |ORDER BY cent_id""".stripMargin
+
+  /** Oracle for q_embed_topk_ivf_kmeans: Lloyd CTEs, then IVF probe +
+    * exact rank within the probed posting lists (nprobe = 2, top-3).
+    */
+  private def ivfKmeansOracleSql(iters: Int): String = {
+    val L = iters - 1
+    kmeansCtes(iters) + s""",
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT d.vec_id, d.cent_id,
+      |           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cent_id) AS rn
+      |    FROM (
+      |      SELECT v.vec_id, c.cent_id, ${cosSql("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+      |      FROM n v CROSS JOIN cents$L c
+      |      WHERE v.vec_id % 97 = 0) d)
+      |  WHERE rn <= 2
+      |),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      |  FROM probes p JOIN assign$L a ON p.cent_id = a.cent_id
+      |  WHERE p.query_id <> a.vec_id
+      |),
+      |scored AS (
+      |  SELECT c.query_id, c.cand_id,
+      |         ${cosSql("na.q", "na.n2", "nb.q", "nb.n2")} AS cosine
+      |  FROM cand c
+      |  JOIN n na ON na.vec_id = c.query_id
+      |  JOIN n nb ON nb.vec_id = c.cand_id
+      |),
+      |final AS (
+      |  SELECT query_id, cand_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, cand_id, cosine, rank
+      |FROM final WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
   }
 
   /** K-means clustering of the embedding corpus (3 Lloyd iterations,
@@ -355,5 +400,52 @@ object Similarity {
     Some(kmeansOracleSql(3)),
   )
 
-  val all: Seq[Q] = Seq(topkBrute, lshPairs, topkIvf, kmeansClusters)
+  /** IVF top-k with a TRAINED coarse quantizer: the k-means centroids
+    * (3 Lloyd iterations) replace q_embed_topk_ivf's raw sample as the
+    * quantizer, the final assignment is the posting-list index, and
+    * search probes the 2 nearest centroids' lists with exact ranking
+    * inside — the full train → index → probe IVF lifecycle, each stage
+    * a broadcast or equi-join (never an all-pairs product), verified
+    * hash-for-hash against the unrolled-CTE oracle.
+    */
+  private val topkIvfKmeans = Q(
+    "q_embed_topk_ivf_kmeans",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val (cents, assignFinal) = VectorSim.kmeansFit(e, init, dims = 64, iters = 3)
+      val posting = assignFinal.select($"vec_id".as("cand_id"), $"cent_id")
+      val probes = e.filter($"vec_id" % 97 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("cos",
+          VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      val cand = probes.join(posting, "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id").distinct()
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(ivfKmeansOracleSql(3)),
+  )
+
+  val all: Seq[Q] = Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans)
 }

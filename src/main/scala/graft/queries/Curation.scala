@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{TextAnalysis, TextDedup}
+
+/** The composed curation pipeline — the training-data workflow the
+  * individual operators exist for, end-to-end under one oracle:
+  *
+  *   quality gate → language gate → exact dedup → MinHash near-dup
+  *   removal → per-source token accounting.
+  *
+  * Every stage reuses the already-oracle-checked operator (quality
+  * features, profile lang-ID, hash-groupBy dedup, MinHash+LSH with
+  * exact-Jaccard verify), so this query verifies their COMPOSITION:
+  * filters feeding dedup feeding aggregation, with the near-dup drop
+  * policy applied greedily (for every verified pair, the higher doc_id
+  * is dropped — not a transitive closure; documented, deterministic).
+  * Scale shape is the union of the parts: narrow quality/lang maps, a
+  * broadcast profile join, shingle arrays with no dedup shuffle, band
+  * equi-joins, and one final tiny per-source aggregation.
+  *
+  * The average quality is computed from integer-quantized values
+  * (sum of 4-dp millis / count, one final division) so distributed
+  * partial-aggregation order can't flip a float bit vs the oracle.
+  */
+object Curation {
+
+  private def profileValues: String =
+    TextAnalysis.defaultProfile
+      .map { case (l, w, wt) => s"('$l', '$w', $wt)" }
+      .mkString(", ")
+
+  private def stopList: String =
+    TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  private val curation = Q(
+    "q_pipeline_curation",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val qual = TextAnalysis.quality(docs, TextAnalysis.defaultStopwords)
+        .select($"doc_id", $"words", $"quality")
+        .filter($"quality" >= 0.45)
+      val lang = TextAnalysis.langId(docs, TextAnalysis.defaultProfile)
+        .filter($"pred_lang" === "en")
+        .select($"doc_id")
+      val gated = docs.select($"doc_id", $"text", $"source")
+        .join(qual, "doc_id")
+        .join(lang, "doc_id")
+      // exact dedup: one canonical (min doc_id) survivor per text hash
+      val canonical = gated
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val kept = gated.join(canonical, Seq("doc_id"), "left_semi")
+      // near-dup removal: MinHash(8)+LSH(4×2) candidates, exact Jaccard
+      // ≥ 0.8 verify, greedy drop of the pair's higher id
+      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      val pairs = TextDedup.bandPairs(
+        TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2))
+      val nearDups = TextDedup.jaccard(pairs, sh, cnt)
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_b".as("doc_id"))
+        .distinct()
+      val curated = kept.join(nearDups, Seq("doc_id"), "left_anti")
+      curated
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"words").as("total_tokens"),
+          round(sum(round($"quality" * 10000).cast("long")) /
+            (count(lit(1)) * 10000.0), 4).as("avg_quality"),
+        )
+        .orderBy($"source")
+    },
+    Some(s"""WITH prof(p_lang, p_word, p_weight) AS (VALUES $profileValues),
+            |qbase AS (
+            |  SELECT doc_id,
+            |         len(string_split(text, ' ')) AS words,
+            |         len(list_distinct(string_split(text, ' '))) AS distinct_words,
+            |         len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS stop_hits
+            |  FROM documents
+            |),
+            |qual AS (
+            |  SELECT doc_id, words,
+            |         round(least(words * 1.0 / 100, 1.0) * 0.4 +
+            |               (distinct_words * 1.0 / words) * 0.4 +
+            |               least(stop_hits * 1.0 / words * 5, 1.0) * 0.2, 4) AS quality
+            |  FROM qbase
+            |),
+            |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            |scores AS (
+            |  SELECT doc_id, p_lang, sum(p_weight) AS score
+            |  FROM w JOIN prof ON w = p_word GROUP BY doc_id, p_lang
+            |),
+            |mx AS (
+            |  SELECT doc_id, p_lang, score, max(score) OVER (PARTITION BY doc_id) AS mxs
+            |  FROM scores
+            |),
+            |pred AS (
+            |  SELECT doc_id, min(p_lang) AS pred_lang FROM mx WHERE score = mxs GROUP BY doc_id
+            |),
+            |gated AS (
+            |  SELECT d.doc_id, d.text, d.source, q.words, q.quality
+            |  FROM documents d
+            |  JOIN qual q ON q.doc_id = d.doc_id AND q.quality >= 0.45
+            |  JOIN pred p ON p.doc_id = d.doc_id AND p.pred_lang = 'en'
+            |),
+            |canonical AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+            |kept AS (SELECT g.* FROM gated g JOIN canonical c ON g.doc_id = c.doc_id),
+            |kws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            |  FROM kws, unnest(range(1, len(ws) - 1)) AS t(i)
+            |),
+            |mh AS (
+            |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || sh)) AS mh
+            |  FROM sh, unnest(range(0, 8)) AS s(seed)
+            |  GROUP BY doc_id, s.seed
+            |),
+            |bands AS (
+            |  SELECT doc_id, seed // 2 AS band,
+            |         md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
+            |  FROM mh GROUP BY doc_id, seed // 2
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+            |),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT doc_a, doc_b, count(*) AS i
+            |  FROM cand
+            |  JOIN sh sa ON sa.doc_id = doc_a
+            |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+            |  GROUP BY doc_a, doc_b
+            |),
+            |drops AS (
+            |  SELECT DISTINCT doc_b AS doc_id
+            |  FROM inter
+            |  JOIN cnt ca ON ca.doc_id = doc_a
+            |  JOIN cnt cb ON cb.doc_id = doc_b
+            |  WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+            |),
+            |curated AS (
+            |  SELECT k.* FROM kept k
+            |  LEFT JOIN drops dr ON k.doc_id = dr.doc_id
+            |  WHERE dr.doc_id IS NULL
+            |)
+            |SELECT source,
+            |       count(*) AS n_docs,
+            |       CAST(sum(words) AS BIGINT) AS total_tokens,
+            |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) /
+            |             (count(*) * 10000.0), 4) AS avg_quality
+            |FROM curated
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(curation)
+}

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 import graft.model.{FeedMsg, Level, Tick}
 import graft.operators.Book
@@ -147,4 +147,31 @@ object StreamingReplay {
       count(lit(1)).as("n_messages"),
       sum(length(col("ts")) + length(col("market")) + length(col("assetId")))
         .as("approx_bytes"))
+
+  /** Periodic dimension refresh (SURVEY.md §2.7 "market discovery"):
+    * the reference re-fetches the markets dimension by RESTARTING the
+    * collector every 6 hours (`deploy/src/main.rs:111-112`); the
+    * streaming analog restarts nothing — `foreachBatch` re-resolves
+    * the dimension source at EVERY micro-batch, so a refreshed dim
+    * (new tokens, flipped winners, delisted markets) joins against the
+    * next batch without touching the query or its state.
+    *
+    * `readDim` must re-READ the source (e.g. a fresh
+    * `spark.read.parquet(dimPath)`) rather than capture a DataFrame:
+    * a captured plan pins the file listing from the time it was built,
+    * which is exactly the staleness this operator exists to avoid.
+    * The dim is broadcast per batch (J1 is a classic small-dim join).
+    */
+  def sinkWithRefreshedDim(
+      ticks: Dataset[Tick],
+      readDim: SparkSession => DataFrame,
+      write: (DataFrame, Long) => Unit,
+  ): DataStreamWriter[Tick] =
+    ticks.writeStream.foreachBatch { (batch: Dataset[Tick], batchId: Long) =>
+      val dim = readDim(batch.sparkSession)
+      val joined = batch.toDF()
+        .join(broadcast(dim), batch("asset") === dim("token_id"), "left")
+        .drop("token_id")
+      write(joined, batchId)
+    }
 }

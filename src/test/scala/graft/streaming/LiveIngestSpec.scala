@@ -74,6 +74,45 @@ class LiveIngestSpec extends AnyFunSuite {
     ))
   }
 
+  test("foreachBatch dim refresh: a rewritten dimension joins the next " +
+    "micro-batch without restarting the query (6h-rediscovery analog)") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_dim_in").toString
+    val outDir = Files.createTempDirectory("graft_dim_out").toString
+    val dimDir = Files.createTempDirectory("graft_dim_dim").toString
+
+    def writeDim(outcome: String): Unit =
+      Seq(("A1", outcome)).toDF("token_id", "outcome")
+        .write.mode("overwrite").parquet(dimDir)
+
+    writeDim("Yes")
+    Files.writeString(new File(inDir, "b1.jsonl").toPath,
+      frameLine(1, bookMsg("A1", 1751378401000L, "0.60", "0.50")) + "\n")
+
+    val lines = spark.readStream.schema("value STRING").text(inDir)
+    val ticks = StreamingReplay.ticksStream(
+      RawLogSource.feedMessagesFromLines(lines.toDF()))
+    val query = StreamingReplay.sinkWithRefreshedDim(
+      ticks,
+      readDim = s => s.read.parquet(dimDir), // fresh read per batch
+      write = (df, _) => df.write.mode("append").parquet(outDir),
+    ).start()
+    query.processAllAvailable()
+
+    // dimension changes BETWEEN batches; no query restart
+    writeDim("REFRESHED")
+    Files.writeString(new File(inDir, "b2.jsonl").toPath,
+      frameLine(10, bookMsg("A1", 1751378410000L, "0.61", "0.51")) + "\n")
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select($"line_no", $"outcome").distinct()
+      .as[(Long, String)].collect().toMap
+    assert(out(1751378401000000L) == "Yes") // batch 1 saw dim v1
+    assert(out(1751378410000000L) == "REFRESHED") // batch 2 saw dim v2
+  }
+
   test("fileHour bucket is UTC regardless of session timezone; " +
     "same-receipt-second frames keep distinct arrival keys") {
     import spark.implicits._

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the properties the 100 TB story
+  * depends on (pushdown, pruning, broadcasts, shuffle counts, native
+  * kernels in join conditions) asserted on the REAL gate queries, so a
+  * refactor that silently de-optimizes a plan fails here instead of in
+  * a benchmark diff.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("pricing summary: filter pushed into the parquet scan, columns pruned") {
+    val p = physical(SparkEntry.queries("q_agg_pricing_summary")(spark, dir))
+    assert(p.contains("PushedFilters: [") && p.contains("l_quantity"),
+      s"quantity bound not pushed:\n$p")
+    // 16-column table, 5-column read
+    assert(!p.contains("l_comment"), s"unprojected column read:\n$p")
+  }
+
+  test("dim join broadcasts the small side") {
+    val p = physical(SparkEntry.queries("q_join_broadcast_dim")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("winnowing is a pure narrow map: zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val p = physical(graft.operators.TextAnalysis.winnowing(docs, 3, 4))
+    assert(!p.contains("Exchange"), s"winnowing grew a shuffle:\n$p")
+  }
+
+  test("minhash signatures are narrow: zero exchanges from docs to signature") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val p = physical(graft.operators.TextDedup.minhashSignature(
+      graft.operators.TextDedup.shingleArrays(docs, 3), 8))
+    assert(!p.contains("Exchange"), s"signature stage grew a shuffle:\n$p")
+  }
+
+  test("book replay has exactly ONE exchange (the assetId repartition)") {
+    import spark.implicits._
+    val msgs = Seq(
+      graft.model.FeedMsg("h", 0L, 0, "last_trade_price", "m", "a", "1", "BUY",
+        "0.5", "1", null, null, null)).toDS()
+    val p = physical(graft.operators.BookReplay.ticks(msgs).toDF())
+    assert(countOccurrences(p, "Exchange") == 1,
+      s"replay should shuffle exactly once:\n$p")
+  }
+
+  test("embedding cosine evaluates the native dot kernel inside the join " +
+    "condition (no all-pairs row materialization before the threshold)") {
+    val p = physical(SparkEntry.queries("q_dedup_embedding_cosine")(spark, dir))
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(joinIdx >= 0, s"expected nested-loop join:\n$p")
+    val joinLine = p.substring(joinIdx, p.indexOf('\n', joinIdx).max(joinIdx))
+    assert(joinLine.contains("array_dot_long"),
+      s"cosine threshold not in the join condition:\n$joinLine")
+  }
+}

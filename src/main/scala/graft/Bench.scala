@@ -28,12 +28,13 @@ object Bench {
     // noop sink materializes every column (count() would let Spark
     // skip computing the projection entirely).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // two timed runs, report the min — single-JVM local mode shares
-      // the host with other tenants and a stray 10x outlier would
-      // otherwise masquerade as a plan regression. clearCache between
+      // three timed runs, report the min — the host shares physical
+      // cores with other tenants (hypervisor steal), and a multi-second
+      // stall can hit any single run; with two runs a stray stall still
+      // poisons the min whenever it overlaps both. clearCache between
       // runs so persisted subplans are re-materialized (their cost is
       // part of the query).
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {

@@ -7,7 +7,7 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     Relational.all ++ Replay.all ++ Dedup.all ++ Similarity.all ++
-      TextAnalysisQ.all ++ MultimodalQ.all ++ Curation.all
+      TextAnalysisQ.all ++ MultimodalQ.all ++ Curation.all ++ Temporal.all
 
   def queriesMap: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TemporalJoins
+
+/** Time-series join queries over the `events` table: AS-OF (latest
+  * quote at-or-before each trade) and RANGE (points within interval
+  * windows) — the two joins a tick-data engine needs that the
+  * DataFrame API lacks as primitives. Both derive integer-valued
+  * streams from `events` so DuckDB (which has native ASOF / range
+  * joins — the oracle) agrees hash-for-hash.
+  */
+object Temporal {
+
+  /** Trades as-of joined to quotes on (asset, event_id order): every
+    * 5th event is a trade, the rest are quotes; each trade picks up
+    * the latest same-asset quote at-or-before it. One shuffle on
+    * asset (union + running last), versus DuckDB's native ASOF JOIN.
+    */
+  private val joinAsof = Q(
+    "q_join_asof",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", pmod($"user_id", lit(16)).as("asset"))
+      val quotes = ev.filter($"event_id" % 5 =!= 0)
+        .select($"asset", $"event_id".as("k"),
+          $"event_id".as("quote_id"),
+          pmod($"event_id" * 31, lit(1000)).as("quote_val"))
+      val trades = ev.filter($"event_id" % 5 === 0)
+        .select($"asset", $"event_id".as("k"),
+          pmod($"event_id" * 7, lit(500)).as("trade_val"))
+      TemporalJoins.asOfJoin(trades, quotes, keys = Seq("asset"), tsCol = "k")
+        .orderBy($"asset", $"k")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id % 16 AS asset FROM events),
+           |quotes AS (
+           |  SELECT asset, event_id AS k, event_id AS quote_id,
+           |         (event_id * 31) % 1000 AS quote_val
+           |  FROM ev WHERE event_id % 5 <> 0
+           |),
+           |trades AS (
+           |  SELECT asset, event_id AS k, (event_id * 7) % 500 AS trade_val
+           |  FROM ev WHERE event_id % 5 = 0
+           |)
+           |SELECT t.asset, t.k, t.trade_val, q.quote_id, q.quote_val
+           |FROM trades t ASOF JOIN quotes q
+           |  ON t.asset = q.asset AND q.k <= t.k
+           |ORDER BY t.asset, t.k""".stripMargin),
+  )
+
+  /** Interval × point range join: every 503rd event spawns a ±200
+    * window; events inside a window aggregate into it. Spark side uses
+    * the binned equi-join strategy (bin width 400 ≈ the span, so each
+    * interval lands in ≤ 2 bins); the oracle states the plain
+    * inequality join.
+    */
+  private val joinRange = Q(
+    "q_join_range",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", pmod($"event_id" * 13, lit(100)).as("pv"))
+      val intervals = ev.filter($"event_id" % 503 === 0)
+        .select($"event_id".as("sess_id"),
+          ($"event_id" - 200).as("lo"), ($"event_id" + 200).as("hi"))
+      TemporalJoins
+        .rangeJoinBinned(ev, "event_id", intervals, "lo", "hi", binWidth = 400L)
+        .groupBy($"sess_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"pv").as("sum_pv"),
+          min($"event_id").as("first_event"),
+          max($"event_id").as("last_event"),
+        )
+        .orderBy($"sess_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, (event_id * 13) % 100 AS pv FROM events),
+           |intervals AS (
+           |  SELECT event_id AS sess_id, event_id - 200 AS lo, event_id + 200 AS hi
+           |  FROM ev WHERE event_id % 503 = 0
+           |)
+           |SELECT i.sess_id,
+           |       count(*) AS n_events,
+           |       CAST(sum(e.pv) AS BIGINT) AS sum_pv,
+           |       min(e.event_id) AS first_event,
+           |       max(e.event_id) AS last_event
+           |FROM intervals i JOIN ev e ON e.event_id BETWEEN i.lo AND i.hi
+           |GROUP BY i.sess_id
+           |ORDER BY i.sess_id""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(joinAsof, joinRange)
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** As-of and binned range join semantics. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def quotes = Seq(
+    // (asset, ts, qv)
+    ("A", 10L, 100L), ("A", 20L, 200L), ("A", 30L, 300L),
+    ("B", 15L, 150L),
+  ).toDF("asset", "ts", "qv")
+
+  private def trades = Seq(
+    ("A", 5L, 1L),   // before any quote
+    ("A", 20L, 2L),  // exactly AT a quote ts → that quote matches
+    ("A", 25L, 3L),  // between quotes → earlier one
+    ("B", 99L, 4L),  // far after B's only quote
+    ("C", 50L, 5L),  // key with no quotes at all
+  ).toDF("asset", "ts", "tv")
+
+  test("asOfJoin inner: latest at-or-before per key; unmatched rows drop") {
+    val out = TemporalJoins.asOfJoin(trades, quotes, Seq("asset"), "ts")
+      .select($"asset", $"ts", $"tv", $"qv")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", 20L, 2L, 200L),
+      ("A", 25L, 3L, 200L),
+      ("B", 99L, 4L, 150L),
+    ))
+  }
+
+  test("asOfJoin left: unmatched rows keep null payload") {
+    val out = TemporalJoins.asOfJoin(trades, quotes, Seq("asset"), "ts", how = "left")
+      .select($"asset", $"ts", $"qv")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out.contains(("A", 5L, None)) && out.contains(("C", 50L, None)))
+    assert(out.contains(("A", 20L, Some(200L))))
+    assert(out.size == 5)
+  }
+
+  test("asOfJoin plans one exchange per side-union (single keyed shuffle)") {
+    val p = TemporalJoins.asOfJoin(trades, quotes, Seq("asset"), "ts")
+      .queryExecution.executedPlan.toString
+    // union of two local scans → one hashpartitioning exchange for the
+    // window; no join operator at all
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+  }
+
+  test("rangeJoinBinned equals the naive inequality join, including " +
+    "intervals that straddle bin boundaries") {
+    val points = spark.range(0, 1000).select($"id".as("ts"), ($"id" % 7).as("v"))
+    val intervals = Seq(
+      (1L, 0L, 99L),     // inside one bin
+      (2L, 95L, 205L),   // straddles bins at width 100
+      (3L, 150L, 150L),  // degenerate single-point interval
+      (4L, 990L, 1200L), // runs past the data
+    ).toDF("iid", "lo", "hi")
+    val binned = TemporalJoins
+      .rangeJoinBinned(points, "ts", intervals, "lo", "hi", binWidth = 100L)
+      .groupBy($"iid").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = points.join(intervals, $"ts" >= $"lo" && $"ts" <= $"hi")
+      .groupBy($"iid").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(binned == naive && binned.map(_._1) == Set(1L, 2L, 3L, 4L))
+  }
+}

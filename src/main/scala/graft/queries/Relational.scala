@@ -471,6 +471,82 @@ object Relational {
            |ORDER BY event_id""".stripMargin),
   )
 
+  /** Gap-based sessionization over the event stream: a new session
+    * starts when a user's inter-event gap exceeds the threshold. The
+    * classic lag-flag + running-sum formulation — one shuffle on the
+    * user key, both window passes share it (same partitioning and
+    * ordering, so Catalyst plans a single exchange+sort). The
+    * training-data analog is conversation/document sessionization.
+    */
+  private val windowSessionize = Q(
+    "q_window_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+        .select(pmod($"user_id", lit(50)).as("u"), $"event_id".as("t"))
+      val w = Window.partitionBy($"u").orderBy($"t")
+      ev
+        .withColumn("new_sess",
+          when(lag($"t", 1).over(w).isNull ||
+            $"t" - lag($"t", 1).over(w) > 100, 1).otherwise(0))
+        .withColumn("sid",
+          sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"u", $"sid")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"t").as("t_start"),
+          max($"t").as("t_end"),
+        )
+        .orderBy($"u", $"sid")
+    },
+    Some("""WITH ev AS (SELECT user_id % 50 AS u, event_id AS t FROM events),
+           |flags AS (
+           |  SELECT u, t,
+           |         CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t) IS NULL
+           |                OR t - lag(t) OVER (PARTITION BY u ORDER BY t) > 100
+           |              THEN 1 ELSE 0 END AS new_sess
+           |  FROM ev
+           |),
+           |sess AS (
+           |  SELECT u, t,
+           |         CAST(sum(new_sess) OVER (PARTITION BY u ORDER BY t
+           |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           |  FROM flags
+           |)
+           |SELECT u, sid, count(*) AS n_events, min(t) AS t_start, max(t) AS t_end
+           |FROM sess GROUP BY u, sid
+           |ORDER BY u, sid""".stripMargin),
+  )
+
+  /** Deterministic hash-stratified sampling: keep documents whose
+    * content-independent hash (md5 of the id) lands in a fixed bucket
+    * — reproducible across engines and runs, composable with any
+    * downstream stage, and (unlike rand()-based sampling) exactly
+    * re-derivable at 100 TB without materializing the sample. ~1/16
+    * per first hex digit.
+    */
+  private val sampleStratified = Q(
+    "q_sample_stratified",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter(substring(md5($"doc_id".cast("string")), 1, 1) === "0")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum($"n_chars").as("sampled_chars"),
+        )
+        .orderBy($"source")
+    },
+    Some("""SELECT source, count(*) AS n_sampled,
+           |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+           |FROM documents
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     aggPricingSummary,
     aggRollup,
@@ -489,5 +565,7 @@ object Relational {
     sortTopK,
     unionDistinct,
     scalarFuncs,
+    windowSessionize,
+    sampleStratified,
   )
 }

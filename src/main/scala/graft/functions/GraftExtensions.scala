@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Declarative registration of graft's native expressions, for
-  * sessions configured with
+/** Declarative registration of graft's native expressions and
+  * optimizer rules, for sessions configured with
   * `spark.sql.extensions=graft.functions.GraftExtensions`
-  * (the SparkSessionExtensions route; `ArrayDotLong.register` is the
-  * imperative equivalent for sessions we don't configure).
+  * (the SparkSessionExtensions route; `ArrayDotLong.register` and
+  * `spark.experimental.extraOptimizations` are the imperative
+  * equivalents for sessions we don't configure).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -16,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(ArrayDotLong.name),
       new ExpressionInfo(classOf[ArrayDotLong].getName, ArrayDotLong.name),
       (exprs: Seq[Expression]) => ArrayDotLong(exprs.head, exprs(1))))
+    // rewrites naive interval range joins (nested loops) into binned
+    // equi-joins; inert until spark.graft.rangeJoin.binWidth is set
+    extensions.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
   }
 }

@@ -54,7 +54,8 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      features: Seq[Float], // 16-dim byte-histogram embedding
+      histogram: Seq[Int], // 16-bin raw byte histogram (integer-exact)
+      features: Seq[Float], // the same histogram, L1-normalized
   )
 
   final case class Frame(
@@ -162,7 +163,7 @@ object Multimodal {
           m.payload.foreach(b => hist((b & 0xff) / 16) += 1)
           val n = math.max(m.payload.length, 1).toFloat
           MediaFeatures(m.media_id, m.kind, m.payload.length,
-            hist.map(_ / n).toSeq)
+            hist.toSeq, hist.map(_ / n).toSeq)
         }
       }
     }

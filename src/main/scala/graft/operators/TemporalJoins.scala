@@ -42,6 +42,13 @@ object TemporalJoins {
       how: String = "inner",
   ): DataFrame = {
     require(how == "inner" || how == "left", s"asOfJoin: unsupported how=$how")
+    // relational join semantics: NULL keys match nothing. Without this
+    // filter the window would group null-key rows together and "join"
+    // them — exactly what `t.k = q.k` in an ASOF engine never does.
+    val rightNonNull = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val leftFiltered =
+      if (how == "inner") keys.foldLeft(left)((df, k) => df.filter(col(k).isNotNull))
+      else left // left mode: null-key rows survive with null payload
     val lCols = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     val rCols = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     require(rCols.nonEmpty, "asOfJoin: right side has no payload columns")
@@ -50,7 +57,7 @@ object TemporalJoins {
     val keyCols = keys.map(col)
     def payloadType(df: DataFrame, cols: Seq[String]): StructType =
       StructType(cols.map(c => df.schema(c)))
-    val lu = left.select(
+    val lu = leftFiltered.select(
       keyCols ++ Seq(
         col(tsCol),
         lit(1).as("__side"),
@@ -58,7 +65,7 @@ object TemporalJoins {
          else struct(lit(1).as("__unit"))).as("__l"),
         lit(null).cast(payloadType(right, rCols)).as("__r"),
       ): _*)
-    val ru = right.select(
+    val ru = rightNonNull.select(
       keyCols ++ Seq(
         col(tsCol),
         lit(0).as("__side"),

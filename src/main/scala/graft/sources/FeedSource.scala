@@ -81,16 +81,14 @@ object GraftFeed {
 
   private val EpochMs = 1751378400000L // 2025-07-01T14:00:00Z
 
-  private def pad2(n: Long): String = f"$n%02d"
-
   /** RFC3339 receipt timestamp, strictly increasing with the frame
-    * index (seconds, then rolled minutes/hours) — the arrival key the
-    * streaming parse sorts on.
+    * index (one second per frame) — the arrival key the streaming
+    * parse sorts on. Computed from the epoch so day/hour boundaries
+    * roll correctly at any totalFrames (a hand-rolled "hour = 14 +
+    * i/3600" would emit invalid hour-24 stamps past 36k frames).
     */
-  private def receiptTs(i: Long): String = {
-    val s = i % 60; val m = (i / 60) % 60; val h = 14 + i / 3600
-    s"2025-07-01T${pad2(h)}:${pad2(m)}:${pad2(s)}+00:00"
-  }
+  private def receiptTs(i: Long): String =
+    java.time.Instant.ofEpochMilli(EpochMs + i * 1000L).toString
 
   private def cents(c: Long): String = f"0.${math.max(1, math.min(99, c))}%02d"
 

@@ -323,7 +323,11 @@ object RawLogSource {
     lines
       .select(from_json($"value", frameSchema).as("f"))
       .filter($"f.message_type" === "feed_message" &&
-        $"f.content".isNotNull && $"f.content" =!= "PONG")
+        $"f.content".isNotNull && $"f.content" =!= "PONG" &&
+        // a frame whose receipt timestamp doesn't parse has no arrival
+        // key — drop it like any other dirty frame rather than letting
+        // null fileHour/lineNo rows into the fold's ordering
+        receiptTs.isNotNull)
       .select(
         // session-tz-independent UTC hour bucket: instant → UTC wall
         // clock (TIMESTAMP_NTZ) → format, so an embedder session

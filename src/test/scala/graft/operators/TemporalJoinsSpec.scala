@@ -52,6 +52,45 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
   }
 
+  test("asOfJoin: NULL keys match nothing (relational semantics)") {
+    val q = Seq((Option("A"), 10L, 100L), (Option.empty[String], 5L, 999L))
+      .toDF("asset", "ts", "qv")
+    val t = Seq((Option("A"), 20L, 1L), (Option.empty[String], 20L, 2L))
+      .toDF("asset", "ts", "tv")
+    val inner = TemporalJoins.asOfJoin(t, q, Seq("asset"), "ts")
+      .select($"asset", $"qv").as[(String, Long)].collect().toSet
+    assert(inner == Set(("A", 100L))) // null-key trade matched nothing
+    val leftJ = TemporalJoins.asOfJoin(t, q, Seq("asset"), "ts", how = "left")
+      .select($"asset", $"qv")
+      .collect().map(r => (Option(r.getString(0)), Option(r.get(1)))).toSet
+    assert(leftJ == Set((Some("A"), Some(100L)), (None, None)))
+  }
+
+  test("property: asOfJoin equals a naive per-row scan on random data") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      // right side unique per (key, ts) by construction
+      val right = rnd.shuffle(
+        (for { k <- 0 to 2; ts <- 0 to 30 } yield (k, ts))
+          .filter(_ => rnd.nextBoolean()))
+        .map { case (k, ts) => (s"K$k", ts.toLong, rnd.nextInt(1000).toLong) }
+      val left = Seq.fill(15)(
+        (s"K${rnd.nextInt(4)}", rnd.nextInt(35).toLong, rnd.nextInt(100).toLong))
+      val got = TemporalJoins
+        .asOfJoin(left.toDF("k", "ts", "lv"), right.toDF("k", "ts", "rv"),
+          Seq("k"), "ts")
+        .select($"k", $"ts", $"lv", $"rv")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val expect = left.flatMap { case (k, ts, lv) =>
+        val prior = right.filter(r => r._1 == k && r._2 <= ts)
+        if (prior.isEmpty) None
+        else Some((k, ts, lv, prior.maxBy(_._2)._3))
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expect)
+    }
+  }
+
   test("rangeJoinBinned equals the naive inequality join, including " +
     "intervals that straddle bin boundaries") {
     val points = spark.range(0, 1000).select($"id".as("ts"), ($"id" % 7).as("v"))

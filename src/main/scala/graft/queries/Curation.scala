@@ -54,7 +54,10 @@ object Curation {
         .groupBy(md5($"text").as("h"))
         .agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
-      val kept = gated.join(canonical, Seq("doc_id"), "left_semi")
+      // persisted: kept feeds both the shingle-array table (via arr's
+      // materialization) and the final anti-join — without the cache
+      // the quality+langid+dedup lineage runs twice
+      val kept = gated.join(canonical, Seq("doc_id"), "left_semi").persist()
       // near-dup removal: MinHash(8)+LSH(4×2) candidates, exact Jaccard
       // ≥ 0.8 verify, greedy drop of the pair's higher id
       val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).persist()

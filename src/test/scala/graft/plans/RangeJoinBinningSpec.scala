@@ -45,6 +45,20 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("rule handles intervals on the LEFT side too") {
+    val s = freshSession()
+    import s.implicits._
+    s.conf.set("spark.graft.rangeJoin.binWidth", "50")
+    val intervals = Seq((1L, 10L, 60L), (2L, 200L, 260L)).toDF("iid", "lo", "hi")
+    val points = s.range(0, 300).select($"id".as("ts"))
+    val joined = intervals.join(points, $"ts" >= $"lo" && $"ts" <= $"hi")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && p.contains("Generate"), p)
+    val counts = joined.groupBy($"iid").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 51L, 2L -> 61L))
+  }
+
   test("rule is inert without the binWidth conf and when an equi-conjunct " +
     "already exists") {
     val s = freshSession()

@@ -13,14 +13,23 @@ import graft.sources.{MarketsDim, RawLogSource, Sinks}
   * §3.1/§3.3; `cli/src/main.rs`):
   *
   * {{{
-  * replay  --in DIR [--since 24h | --start TS [--end TS]]
-  *         [-m MARKET]... [--out PATH] [--csv] [--partition-by-hour]
-  * markets --in DIR [--earliest] [--filter SUBSTR] [--csv]
+  * download --in CACHEDIR [--since 24h | --start TS [--end TS]]
+  *          [--from SRCDIR]
+  * replay   --in DIR [--since 24h | --start TS [--end TS]]
+  *          [-m MARKET]... [--out PATH] [--csv] [--partition-by-hour]
+  * markets  --in DIR [--since Δ | --start TS] [--earliest]
+  *          [--filter SUBSTR] [--csv] [--raw]
   * }}}
   *
   * `replay` is the reference's single-threaded decode→parse→fold→write
   * pipeline re-expressed as: pruned file listing → distributed scan →
   * one shuffle on asset → streaming fold → parquet/csv sink.
+  * `download` is the hour-cache fill (`cli download`,
+  * `cli/src/main.rs:29-31`): compute the required hours, fetch the
+  * missing ones 4-wide. The transport is pluggable — `--from SRCDIR`
+  * copies from a local mirror (this environment has no egress); a
+  * deployment passes a bucket fetcher to `HourCache.ensureRange`.
+  * Without `--from` it reports cached/missing (a dry run).
   */
 object Main {
 
@@ -32,10 +41,11 @@ object Main {
 
   def run(spark: SparkSession, args: List[String], now: Instant = Instant.now()): Unit =
     args match {
+      case "download" :: rest => download(parseOpts(rest), now)
       case "replay" :: rest => replay(spark, parseOpts(rest), now)
       case "markets" :: rest => markets(spark, parseOpts(rest))
       case other =>
-        sys.error(s"usage: (replay|markets) [options]; got: $other")
+        sys.error(s"usage: (download|replay|markets) [options]; got: $other")
     }
 
   final case class Opts(
@@ -48,7 +58,8 @@ object Main {
     def all(k: String): List[String] = multi.getOrElse(k, Nil)
   }
 
-  private val ValueOpts = Set("--in", "--since", "--start", "--end", "--out", "--filter")
+  private val ValueOpts =
+    Set("--in", "--since", "--start", "--end", "--out", "--filter", "--from")
   private val MultiOpts = Set("-m")
 
   private[cli] def parseOpts(args: List[String]): Opts = {
@@ -84,6 +95,41 @@ object Main {
           o.get("--end").map(s => TimeArgs.hourKey(TimeArgs.parseTs(s))))
     }
 
+  /** Instant range from CLI options (download wants instants, not hour
+    * keys — HourCache walks hours the reference's way).
+    */
+  private[cli] def instantRange(o: Opts, now: Instant): (Instant, Instant) =
+    o.get("--since") match {
+      case Some(d) => TimeArgs.sinceRange(TimeArgs.parseDuration(d), now)
+      case None =>
+        (o.get("--start").map(TimeArgs.parseTs).getOrElse(Instant.EPOCH),
+          o.get("--end").map(TimeArgs.parseTs).getOrElse(now))
+    }
+
+  private def download(o: Opts, now: Instant): Unit = {
+    val cacheDir = o.get("--in").getOrElse(sys.error("download requires --in CACHEDIR"))
+    val (start, end) = instantRange(o, now)
+    o.get("--from") match {
+      case Some(src) =>
+        val fetch = (hour: String, target: java.io.File) => {
+          val s = new java.io.File(src, s"$hour.jsonl.zst")
+          s.exists() && {
+            java.nio.file.Files.copy(s.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            true
+          }
+        }
+        val present = graft.sources.HourCache.ensureRange(cacheDir, start, end, fetch)
+        println(s"[graft] download: ${present.size} hour files present in $cacheDir")
+      case None => // dry run: report the cache partition
+        val p = graft.sources.HourCache.partitionByCache(
+          cacheDir, graft.sources.HourCache.requiredHours(start, end))
+        println(s"[graft] download (dry run): ${p.cached.size} cached, " +
+          s"${p.missing.size} missing of ${p.cached.size + p.missing.size} " +
+          "required hours (pass --from SRCDIR or wire a bucket fetcher)")
+    }
+  }
+
   private def replay(spark: SparkSession, o: Opts, now: Instant): Unit = {
     val dir = o.get("--in").getOrElse(sys.error("replay requires --in DIR"))
     val (startHour, endHour) = hourRange(o, now)
@@ -108,12 +154,28 @@ object Main {
   private def markets(spark: SparkSession, o: Opts): Unit = {
     import spark.implicits._
     val dir = o.get("--in").getOrElse(sys.error("markets requires --in DIR"))
-    val files = RawLogSource.discover(dir)
-    require(files.nonEmpty, s"no log files in $dir")
-    // latest file by default, earliest with --earliest
-    // (`cli/src/main.rs:180-185`)
-    val file = if (o.has("--earliest")) files.head else files.last
+    val (startHour, endHour) = hourRange(o, Instant.now())
+    val files = RawLogSource.discover(dir, startHour, endHour)
+    require(files.nonEmpty, s"no log files in $dir for the requested range")
+    // earliest file when a range was requested (or --earliest), else
+    // latest — the reference's file choice (`cli/src/main.rs:180-185`)
+    val rangeGiven = o.get("--since").isDefined || o.get("--start").isDefined
+    val file =
+      if (o.has("--earliest") || rangeGiven) files.head else files.last
     val frames = RawLogSource.frames(spark, Seq(file))
+    if (o.has("--raw")) {
+      // raw JSON of the first active_markets frame's content
+      // (`--raw`, `cli/src/main.rs:92-94`)
+      val raw = frames
+        .filter($"messageType" === "active_markets")
+        .orderBy($"lineNo")
+        .limit(1)
+        .select($"content")
+        .as[String]
+        .collect()
+      raw.foreach(println)
+      return
+    }
     val ms = MarketsDim.markets(frames)
     val filtered = o.get("--filter") match {
       case Some(f) => ms.filter(lower($"question").contains(f.toLowerCase))

@@ -50,6 +50,37 @@ class CliSpec extends AnyFunSuite {
     intercept[RuntimeException](Main.parseOpts(List("stray")))
   }
 
+  test("download verb: dry run reports the cache partition; --from fills " +
+    "the cache from a mirror and is idempotent") {
+    val src = Files.createTempDirectory("graft_dl_src").toString
+    val cache = Files.createTempDirectory("graft_dl_cache").toString
+    FixtureLog.write(FixtureLog.Spec(dir = src, nFiles = 2, framesPerFile = 10))
+    // fixture hours are 2025-07-01-10/11
+    val range = List("--start", "2025-07-01T10:00:00", "--end", "2025-07-01T11:30:00")
+    Main.run(spark, "download" :: "--in" :: cache :: range) // dry run, no copy
+    assert(RawLogSource.discover(cache).isEmpty)
+    Main.run(spark, "download" :: "--in" :: cache :: "--from" :: src :: range)
+    assert(RawLogSource.discover(cache).map(RawLogSource.fileHourOf) ==
+      Seq("2025-07-01-10", "2025-07-01-11"))
+    // re-running downloads nothing new (cache hit)
+    Main.run(spark, "download" :: "--in" :: cache :: "--from" :: src :: range)
+    assert(RawLogSource.discover(cache).size == 2)
+    // a replay over the downloaded cache works end-to-end
+    val out = Files.createTempDirectory("graft_dl_out").toString + "/ticks"
+    Main.run(spark, List("replay", "--in", cache, "--out", out))
+    assert(spark.read.parquet(out).count() > 0)
+  }
+
+  test("markets --raw prints the dimension frame's raw JSON") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      Main.run(spark, List("markets", "--in", dir, "--raw"))
+    }
+    val printed = bos.toString("UTF-8").trim
+    assert(printed.startsWith("{") && printed.contains("\"markets\""))
+    assert(printed.contains("\"condition_id\":\"0xM0\""))
+  }
+
   test("parseOpts: value-taking option with no value is an error, not a flag") {
     val exOut = intercept[RuntimeException](
       Main.parseOpts(List("--in", "/x", "--out")))

@@ -86,6 +86,52 @@ class PermissiveSpec extends AnyFunSuite {
     assert(ticks.length == 2 && ticks.forall(_.asset == "A1"))
   }
 
+  test("property: permissive gate keeps exactly the serde-valid messages " +
+    "and strict raises iff any message is invalid (200 randomized msgs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def maybe(s: String): Option[String] = if (rnd.nextBoolean()) Some(s) else None
+    // random messages with randomly missing/invalid required fields
+    val msgs: Seq[(Long, String, Boolean)] = (0 until 200).map { i =>
+      val et = Seq("last_trade_price", "book", "price_change")(rnd.nextInt(3))
+      val asset = maybe("\"asset_id\":\"A1\"")
+      val market = maybe("\"market\":\"0xM1\"")
+      val ts = maybe(s""""timestamp":"${1751378400000L + i}"""")
+      val side = Seq(Some("BUY"), Some("SELL"), Some("HOLD"), None)(rnd.nextInt(4))
+      val price = maybe("\"price\":\"0.5\"")
+      val size = maybe("\"size\":\"2\"")
+      val sides = maybe("\"asks\":[{\"price\":\"0.6\",\"size\":\"1\"}],\"bids\":[]")
+      val changes = maybe(
+        s"""\"changes\":[{\"price\":\"0.5\",\"size\":\"1\",\"side\":\"${side.getOrElse("BUY")}\"}]""")
+      val fields = (Seq(Some(s""""event_type":"$et""""), asset, market, ts) ++ (et match {
+        case "last_trade_price" =>
+          Seq(side.map(s => s""""side":"$s""""), price, size)
+        case "book" => Seq(sides)
+        case _ => Seq(changes)
+      })).flatten
+      val common = asset.isDefined && market.isDefined && ts.isDefined
+      val valid = common && (et match {
+        case "last_trade_price" =>
+          side.exists(s => s == "BUY" || s == "SELL") && price.isDefined && size.isDefined
+        case "book" => sides.isDefined
+        case _ => changes.isDefined && side.forall(s => s == "BUY" || s == "SELL")
+      })
+      (i.toLong, fields.mkString("{", ",", "}"), valid)
+    }
+    val frames = msgs.map { case (i, m, _) =>
+      graft.model.Frame("2025-07-01-10", i, "2025-07-01T10:00:00+00:00",
+        "feed_message", s"[$m]")
+    }.toDS()
+    val keptLineNos = RawLogSource.feedMessages(frames, strict = false)
+      .collect().map(_.lineNo).toSet
+    val expected = msgs.filter(_._3).map(_._1).toSet
+    assert(keptLineNos == expected)
+    val anyInvalid = msgs.exists(!_._3)
+    if (anyInvalid)
+      intercept[Exception](RawLogSource.feedMessages(frames).collect())
+    else RawLogSource.feedMessages(frames).collect()
+  }
+
   test("permissive mode: malformed line quarantined, pipeline unaffected") {
     val frames = RawLogSource
       .frames(spark, RawLogSource.discover(dir), permissive = true)

@@ -54,7 +54,11 @@ object Dedup {
       val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 3).persist()
       val sh = arr.select($"doc_id", explode($"shs").as("sh"))
       val cnt = arr.select($"doc_id", size($"shs").as("n"))
-      val bands = TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
+      // bands persisted: BOTH sides of the candidate self-join read it,
+      // and without the cache each side re-runs the full signature pass
+      val bands = TextDedup
+        .minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
+        .persist()
       val pairs = TextDedup.bandPairs(bands)
       TextDedup
         .jaccard(pairs, sh, cnt)

@@ -206,7 +206,10 @@ class GraftFeedStream(o: GraftFeed.Opts)
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
       case _ => o.framesPerBatch
     }
-    FeedOffset(math.min(begin + step, cap))
+    // never regress below the committed offset: a restart with a
+    // SMALLER totalFrames than the checkpoint has already consumed
+    // must idle (empty batches), not hand the engine end < start
+    FeedOffset(math.max(begin, math.min(begin + step, cap)))
   }
 
   override def reportLatestOffset(): Offset = FeedOffset(o.totalFrames)

@@ -42,10 +42,14 @@ object TemporalJoins {
       how: String = "inner",
   ): DataFrame = {
     require(how == "inner" || how == "left", s"asOfJoin: unsupported how=$how")
-    // relational join semantics: NULL keys match nothing. Without this
-    // filter the window would group null-key rows together and "join"
-    // them — exactly what `t.k = q.k` in an ASOF engine never does.
-    val rightNonNull = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    // relational join semantics: NULL keys and NULL right timestamps
+    // match nothing. Without the key filter the window would group
+    // null-key rows together and "join" them; without the ts filter a
+    // null-ts right row sorts FIRST in the window and would carry into
+    // every later left row — but `q.ts <= t.ts` is never true for
+    // NULL in any ASOF engine.
+    val rightNonNull = (keys :+ tsCol)
+      .foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
     val leftFiltered =
       if (how == "inner") keys.foldLeft(left)((df, k) => df.filter(col(k).isNotNull))
       else left // left mode: null-key rows survive with null payload

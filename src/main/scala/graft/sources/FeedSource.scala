@@ -171,10 +171,11 @@ class GraftFeedScan(o: GraftFeed.Opts) extends Scan {
 }
 
 object GraftFeedStream {
-  /** Slice [start, end) into ≤ n contiguous ranges. */
+  /** Slice [start, end) into ≤ n contiguous ranges (n clamped ≥ 1). */
   def slices(start: Long, end: Long, n: Int): Array[InputPartition] = {
+    val nn = math.max(1, n)
     val total = math.max(0L, end - start)
-    val per = math.max(1L, (total + n - 1) / n)
+    val per = math.max(1L, (total + nn - 1) / nn)
     Iterator
       .iterate(start)(_ + per)
       .takeWhile(_ < end)

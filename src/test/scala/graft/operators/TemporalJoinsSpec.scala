@@ -52,6 +52,17 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
   }
 
+  test("asOfJoin: NULL right timestamps never match (they'd otherwise " +
+    "sort first and shadow-carry into every left row)") {
+    val q = Seq((Option("A"), Option.empty[java.lang.Long], 999L),
+      (Option("A"), Option(5L: java.lang.Long), 100L))
+      .toDF("asset", "ts", "qv")
+    val t = Seq(("A", 10L, 1L)).toDF("asset", "ts", "tv")
+    val out = TemporalJoins.asOfJoin(t, q, Seq("asset"), "ts")
+      .select($"qv").as[Long].collect().toSeq
+    assert(out == Seq(100L)) // the null-ts quote is invisible
+  }
+
   test("asOfJoin: NULL keys match nothing (relational semantics)") {
     val q = Seq((Option("A"), 10L, 100L), (Option.empty[String], 5L, 999L))
       .toDF("asset", "ts", "qv")

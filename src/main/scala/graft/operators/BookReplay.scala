@@ -51,6 +51,36 @@ object BookReplay {
       .mapPartitions(foldPartition)
   }
 
+  /** Replay WITHOUT the shuffle, for inputs whose partitioning already
+    * co-locates every asset's messages — a message lake bucketed by
+    * `assetId` (`bucketBy(n, "assetId")`), or an upstream repartition
+    * shared by several consumers. The exchange disappears from the
+    * plan entirely; what remains is the in-partition spillable sort
+    * and the fold. This is the incremental-tick-generation shape at
+    * scale: parse once into a bucketed table, then every replay/
+    * reprocess over it is shuffle-free.
+    *
+    * Caller contract: each partition must hold all of its assets'
+    * messages (bucketed scans guarantee this). A violated contract
+    * silently folds per-partition partial books — there is nothing
+    * the operator could check without a shuffle, which is the thing
+    * being avoided.
+    */
+  def ticksPreDistributed(
+      msgs: Dataset[FeedMsg],
+      marketFilter: Option[Set[String]] = None,
+  ): Dataset[Tick] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    val filtered = marketFilter match {
+      case Some(ids) => msgs.filter($"market".isin(ids.toSeq: _*))
+      case None => msgs
+    }
+    filtered
+      .sortWithinPartitions($"assetId", $"fileHour", $"lineNo", $"msgIdx")
+      .mapPartitions(foldPartition)
+  }
+
   /** Reference-schema projection (7 columns, `tick_generator.rs:50-58`),
     * ordered like a single-threaded replay would append.
     */

@@ -58,6 +58,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"replay should shuffle exactly once:\n$p")
   }
 
+  test("replay over an assetId-bucketed message lake is shuffle-free " +
+    "and equals the shuffled replay") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_replay").toString
+    try {
+      val msgs = (0 until 200).map { i =>
+        graft.model.FeedMsg("h", i.toLong, 0, "last_trade_price",
+          s"M${i % 3}", s"A${i % 7}", (1000 + i).toString, "BUY",
+          s"0.${10 + i % 80}", s"${1 + i % 9}", null, null, null)
+      }
+      msgs.toDS().write.mode("overwrite")
+        .option("path", s"$wh/feed").bucketBy(4, "assetId")
+        .saveAsTable("graft_feed_bucketed")
+      val bucketed = spark.table("graft_feed_bucketed").as[graft.model.FeedMsg]
+      val df = graft.operators.BookReplay.ticksPreDistributed(bucketed).toDF()
+      val p = physical(df)
+      assert(!p.contains("Exchange"), s"bucketed replay grew a shuffle:\n$p")
+      val expect = graft.operators.BookReplay.ticks(msgs.toDS())
+        .collect().map(_.toString).sorted.toSeq
+      assert(df.as[graft.model.Tick].collect().map(_.toString).sorted.toSeq == expect)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_feed_bucketed")
+  }
+
   test("embedding cosine evaluates the native dot kernel inside the join " +
     "condition (no all-pairs row materialization before the threshold)") {
     val p = physical(SparkEntry.queries("q_dedup_embedding_cosine")(spark, dir))

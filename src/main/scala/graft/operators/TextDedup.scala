@@ -60,24 +60,46 @@ object TextDedup {
   def shingles(docs: DataFrame, n: Int): DataFrame =
     shingleArrays(docs, n).select(col("doc_id"), explode(col("shs")).as("sh"))
 
-  /** MinHash signatures, one wide row per doc (mh_0..mh_{n-1}): mh_s =
-    * lexicographic min of `md5(s ':' shingle)` over the doc's shingle
-    * set — a valid min-wise hash family because md5 is uniform and
-    * strings compare totally. Input is the [[shingleArrays]] form, so
-    * each signature is `array_min(transform(...))` — a NARROW map with
-    * no shuffle and no aggregation at all; 100 TB of documents
-    * signature in one pass of the scan. Documents with no shingles
-    * (fewer than n words) are excluded — an empty set has no min, and
-    * all-null signatures would otherwise band together as spurious
-    * candidates.
+  /** MinHash signatures, one wide row per doc (mh_0..mh_{n-1}):
+    * ONE md5 per shingle, split into two 60-bit integers
+    * (h1 = hex chars 1-15, h2 = chars 17-31), and seed hashes derived
+    * arithmetically — `g_s = h1 + s·h2` (Kirsch-Mitzenmacher double
+    * hashing, a standard min-wise family given a uniform base hash);
+    * mh_s = min over the doc's shingle set. Versus hashing
+    * `md5(s ':' shingle)` per seed this cuts digest work n-fold on
+    * the map side — the term that dominates at corpus scale.
+    *
+    * Input is the [[shingleArrays]] form, so each signature is
+    * `array_min(zip_with(...))` — a NARROW map with no shuffle and no
+    * aggregation; 100 TB of documents signature in one pass of the
+    * scan. Documents with no shingles (fewer than n words) are
+    * excluded — an empty set has no min, and all-null signatures
+    * would otherwise band together as spurious candidates. nSeeds ≤ 8
+    * keeps `h1 + 7·h2 < 2⁶³` (no overflow, also exactly wrap-free in
+    * the DuckDB oracle's BIGINT arithmetic).
     */
   def minhashSignature(docShingles: DataFrame, nSeeds: Int): DataFrame = {
+    require(nSeeds >= 1 && nSeeds <= 8,
+      s"minhashSignature: nSeeds ($nSeeds) must be in [1, 8] — " +
+        "h1 + s*h2 must stay below 2^63 for 60-bit halves")
     val sigs = (0 until nSeeds).map { s =>
-      array_min(transform(col("shs"),
-        g => md5(concat(lit(s.toString), lit(":"), g)))).as(s"mh_$s")
+      array_min(zip_with(col("h1s"), col("h2s"),
+        (a, b) => a + lit(s.toLong) * b)).as(s"mh_$s")
     }
     docShingles
       .filter(size(col("shs")) >= 1)
+      // one digest per shingle; each derived array gets its own
+      // Generate boundary (one generator per select) so CollapseProject
+      // can't re-inline the md5 into both halves
+      .select(col("doc_id"),
+        Cols.materialized(transform(col("shs"), g => md5(g))).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        Cols.materialized(transform(col("hs"),
+          h => conv(h.substr(1, 15), 16, 10).cast("long"))).as("h1s"))
+      .select(col("doc_id"),
+        Cols.materialized(transform(col("hs"),
+          h => conv(h.substr(17, 15), 16, 10).cast("long"))).as("h2s"),
+        col("h1s"))
       .select(col("doc_id") +: sigs: _*)
   }
 

@@ -120,16 +120,7 @@ object Curation {
             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
             |  FROM kws, unnest(range(1, len(ws) - 1)) AS t(i)
             |),
-            |mh AS (
-            |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || sh)) AS mh
-            |  FROM sh, unnest(range(0, 8)) AS s(seed)
-            |  GROUP BY doc_id, s.seed
-            |),
-            |bands AS (
-            |  SELECT doc_id, seed // 2 AS band,
-            |         md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
-            |  FROM mh GROUP BY doc_id, seed // 2
-            |),
+            |${Dedup.minhashOracleCtes},
             |cand AS (
             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             |  FROM bands a JOIN bands b

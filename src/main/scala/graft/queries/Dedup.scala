@@ -12,6 +12,38 @@ import graft.operators.TextDedup
   */
 object Dedup {
 
+  /** DuckDB twin of the Spark-side `conv(substr(md5hex, start, 15), 16, 10)`
+    * 60-bit halves: 15 hex chars of `expr` from 1-based `start` as BIGINT.
+    */
+  private[queries] def hex15ToBig(expr: String, start: Int): String =
+    s"CAST(list_sum(list_transform(range(0, 15), i -> " +
+      s"CAST(strpos('0123456789abcdef', substr($expr, CAST($start + i AS BIGINT), 1)) - 1 AS BIGINT) * " +
+      s"(CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INT)))) AS BIGINT)"
+
+  /** Shared oracle CTE chain for MinHash(8)+LSH(4×2) over a CTE named
+    * `sh(doc_id, sh)` — single digest + double hashing, in lockstep
+    * with `TextDedup.minhashSignature`/`minhashBands`. Emits
+    * `mh` and `bands`.
+    */
+  private[queries] def minhashOracleCtes: String =
+    s"""hx AS (SELECT doc_id, md5(sh) AS hx FROM sh),
+       |hh AS (
+       |  SELECT doc_id,
+       |         ${hex15ToBig("hx", 1)} AS h1,
+       |         ${hex15ToBig("hx", 17)} AS h2
+       |  FROM hx
+       |),
+       |mh AS (
+       |  SELECT doc_id, s.seed, min(h1 + s.seed * h2) AS mh
+       |  FROM hh, unnest(range(0, 8)) AS s(seed)
+       |  GROUP BY doc_id, s.seed
+       |),
+       |bands AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_hash
+       |  FROM mh GROUP BY doc_id, seed // 2
+       |)""".stripMargin
+
   /** Exact dedup by content hash. The corpus has no exact duplicates,
     * so the query doubles it (shifted ids) first — every group must
     * then collapse two copies to one canonical row, exercising the
@@ -65,21 +97,12 @@ object Dedup {
         .filter($"jaccard" >= 0.8)
         .orderBy($"doc_a", $"doc_b")
     },
-    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |sh AS (
            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
            |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
            |),
-           |mh AS (
-           |  SELECT doc_id, s.seed, min(md5(s.seed || ':' || sh)) AS mh
-           |  FROM sh, unnest(range(0, 8)) AS s(seed)
-           |  GROUP BY doc_id, s.seed
-           |),
-           |bands AS (
-           |  SELECT doc_id, seed // 2 AS band,
-           |         md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
-           |  FROM mh GROUP BY doc_id, seed // 2
-           |),
+           |$minhashOracleCtes,
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b

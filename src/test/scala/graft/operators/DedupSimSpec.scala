@@ -35,8 +35,9 @@ class DedupSimSpec extends AnyFunSuite {
       4L -> "too short")
     val arr = TextDedup.shingleArrays(d, 3)
     val mh = TextDedup.minhashSignature(arr, 4)
-      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString).toSeq).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
     assert(mh(1L) == mh(2L) && mh(1L) != mh(3L))
+    assert(mh.values.flatten.forall(_ >= 0L)) // 60-bit halves: no overflow
     assert(!mh.contains(4L)) // no shingles → no signature row
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     val sh = TextDedup.shingles(d, 3)

@@ -437,6 +437,42 @@ object Relational {
            |ORDER BY flag, status""".stripMargin),
   )
 
+  /** GROUPING SETS (the general form rollup/cube specialize): an
+    * explicitly chosen lattice — (flag, status), (status), and the
+    * grand total, but NOT (flag) — exercising Spark 4's
+    * `groupingSets` Dataset API. One pass over the fact table; the
+    * expand operator fans each row into its grouping combinations
+    * before one partial-aggregated shuffle.
+    */
+  private val aggGroupingSets = Q(
+    "q_agg_grouping_sets",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"),
+        )
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("flag"),
+          coalesce($"l_linestatus", lit("ALL")).as("status"),
+          $"sum_qty", $"sum_price", $"n")
+        .orderBy($"flag", $"status")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           |       coalesce(l_linestatus, 'ALL') AS status,
+           |       round(sum(l_quantity), 2) AS sum_qty,
+           |       round(sum(l_extendedprice), 2) AS sum_price,
+           |       count(*) AS n
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+           |ORDER BY flag, status""".stripMargin),
+  )
+
   /** Frame-based window functions: 7-row moving average + lag delta
     * per event_type in event_id order. Values quantized to integer
     * cents before the windowed sum so frame aggregation is
@@ -567,5 +603,6 @@ object Relational {
     scalarFuncs,
     windowSessionize,
     sampleStratified,
+    aggGroupingSets,
   )
 }

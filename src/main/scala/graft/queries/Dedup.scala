@@ -201,9 +201,15 @@ object Dedup {
       val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 4).persist()
       val sh = arr.select($"doc_id", explode($"shs").as("sh"))
       val cnt = arr.select($"doc_id", size($"shs").as("n"))
-      val dfCap = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-        .filter($"df" <= 100)
-      val indexed = sh.join(dfCap.select("sh"), "sh").persist()
+      // the skew guard inverted: instead of equi-joining the full
+      // shingle table against the (nearly-all-shingles) keep-list, ANTI
+      // join it against the over-cap STOP list — which is tiny by
+      // construction (a shingle over the cap appears in > 100 docs), so
+      // it broadcasts and the shingle table never shuffles for the gate
+      val stopShingles = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > 100)
+        .select("sh")
+      val indexed = sh.join(broadcast(stopShingles), Seq("sh"), "left_anti").persist()
       val cand = indexed.as("a")
         .join(indexed.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -197,26 +197,25 @@ object Replay {
 
   /** Deterministic fixture logs under java.io.tmpdir; written lazily
     * once per JVM (same spec → same bytes, so rewrites are harmless).
+    * The spec lives in [[FixtureOracle]], which also dumps the
+    * generator's structured ground truth for the DuckDB oracle.
     */
-  private lazy val fixtureSpec: FixtureLog.Spec = {
-    val spec = FixtureLog.Spec(
-      dir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_fixture_logs").getPath)
-    FixtureLog.write(spec)
-    spec
-  }
+  private def fixtureSpec: FixtureLog.Spec = FixtureOracle.batchSpec
 
-  /** Full pipeline: scan → parse → fold → reference-schema ticks,
-    * totally ordered. Rows-only check (stateful multi-row emission is
-    * not SQL-expressible).
+  /** Full pipeline: scan → parse → fold → reference-schema ticks.
+    * Oracle: per-event BBO reconstructed in DuckDB from the generator's
+    * structured dump (cumulative last-write-wins with snapshot
+    * cutoffs) — fully independent of the Spark scan/parse/fold.
     */
   private val replayFixtureTicks = Q(
     "q_replay_fixture_ticks",
     (s, _) => {
+      FixtureOracle.ensureDumps(s)
       val paths = FixtureLog.write(fixtureSpec)
       val msgs = RawLogSource.feedMessages(RawLogSource.frames(s, paths))
       BookReplay.referenceTicks(msgs)
     },
+    Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
   )
 
   /** Same pipeline with the reference's `-m` market filter applied
@@ -225,35 +224,42 @@ object Replay {
   private val replayFixtureFiltered = Q(
     "q_replay_fixture_market_filter",
     (s, _) => {
+      FixtureOracle.ensureDumps(s)
       val paths = FixtureLog.write(fixtureSpec)
       val msgs = RawLogSource.feedMessages(RawLogSource.frames(s, paths))
       BookReplay.referenceTicks(msgs, marketFilter = Some(Set("0xM0")))
     },
+    Some(FixtureOracle.referenceTicksSql(
+      FixtureOracle.fixtureMsgsPath, marketPred = "market = '0xM0'")),
   )
 
   /** S2/F1/F7: markets dim → active filter → exploded token dim from
     * the fixture's `active_markets` frames (earliest file's frame,
-    * `cli/src/main.rs:180-185`). Rows-only.
+    * `cli/src/main.rs:180-185`). Oracle: the F1 predicate over the
+    * generator's market×token ground truth.
     */
   private val marketsActiveTokens = Q(
     "q_markets_active_tokens",
     (s, _) => {
       import s.implicits._
+      FixtureOracle.ensureDumps(s)
       val paths = FixtureLog.write(fixtureSpec)
       val frames = RawLogSource.frames(s, paths.take(1))
       MarketsDim
         .tokenDim(MarketsDim.activeMarkets(MarketsDim.markets(frames)))
         .orderBy($"condition_id", $"token_id")
     },
+    Some(FixtureOracle.marketsActiveTokensSql),
   )
 
   /** J1: tick → token-dim broadcast join, the notebook's asset→outcome
-    * lookup (`bbo.ipynb` cell 1), over the fixture pipeline. Rows-only.
+    * lookup (`bbo.ipynb` cell 1), over the fixture pipeline.
     */
   private val replayTicksWithOutcome = Q(
     "q_replay_ticks_with_outcome",
     (s, _) => {
       import s.implicits._
+      FixtureOracle.ensureDumps(s)
       val paths = FixtureLog.write(fixtureSpec)
       val frames = RawLogSource.frames(s, paths)
       val ticks = BookReplay.referenceTicks(RawLogSource.feedMessages(frames))
@@ -264,6 +270,7 @@ object Replay {
         .drop("token_id")
         .orderBy($"market", $"asset", $"timestamp", $"kind", $"side", $"price", $"size")
     },
+    Some(FixtureOracle.ticksWithOutcomeSql),
   )
 
   /** The notebook's headline query end-to-end (SURVEY.md §7.2): raw
@@ -275,6 +282,7 @@ object Replay {
     "q_notebook_bbo_minutely",
     (s, _) => {
       import s.implicits._
+      FixtureOracle.ensureDumps(s)
       val paths = FixtureLog.write(fixtureSpec)
       val frames = RawLogSource.frames(s, paths)
       val ticks = BookReplay.ticks(RawLogSource.feedMessages(frames))
@@ -297,6 +305,7 @@ object Replay {
         )
         .orderBy($"minute", $"side")
     },
+    Some(FixtureOracle.notebookBboMinutelySql),
   )
 
   /** Structured Streaming under the correctness gate: the
@@ -307,14 +316,7 @@ object Replay {
     * every verify round now executes the streaming engine end-to-end,
     * not just its unit specs.
     */
-  private lazy val streamFixtureSpec: FixtureLog.Spec = {
-    val spec = FixtureLog.Spec(
-      dir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_fixture_logs_plain").getPath,
-      compress = false)
-    FixtureLog.write(spec)
-    spec
-  }
+  private def streamFixtureSpec: FixtureLog.Spec = FixtureOracle.streamSpec
 
   /** Run a streaming plan built on the fixture tick stream to a memory
     * sink with an AvailableNow trigger, returning the sink table. The
@@ -326,6 +328,7 @@ object Replay {
       s: SparkSession,
       sinkName: String,
   )(plan: org.apache.spark.sql.Dataset[graft.model.Tick] => DataFrame): DataFrame = {
+    FixtureOracle.ensureDumps(s)
     FixtureLog.write(streamFixtureSpec)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
@@ -363,6 +366,10 @@ object Replay {
         .orderBy($"asset", $"line_no", $"msg_idx", $"emit_idx")
         .select(Tick.referenceColumns.map(col): _*)
     },
+    // stream ≡ batch ≡ oracle: the plain-text fixture carries the same
+    // logical messages as the zstd one (same spec/seed), so the same
+    // structured-dump oracle hash-checks the streaming fold.
+    Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
   )
 
   /** Streaming watermarked windowed aggregation under the gate: the
@@ -379,6 +386,10 @@ object Replay {
         graft.streaming.StreamingReplay.bboMinutely(_))
         .orderBy($"minute", $"asset", $"side")
     },
+    // Watermark + window-close semantics under oracle: append mode
+    // emits exactly the windows finalized below the terminal
+    // watermark, which the SQL reproduces as max(event_ts) - delay.
+    Some(FixtureOracle.streamBboMinutelySql()),
   )
 
   /** S5 under the gate: the CUSTOM DataSourceV2 streaming source
@@ -394,6 +405,7 @@ object Replay {
     "q_stream_live_source",
     (s, _) => {
       import s.implicits._
+      FixtureOracle.ensureDumps(s)
       val sinkName = "graft_stream_live_gate"
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
@@ -402,7 +414,8 @@ object Replay {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val lines = s.readStream.format("graft-feed")
-          .option("totalFrames", 400).option("framesPerBatch", 100).load()
+          .option("totalFrames", FixtureOracle.LiveTotalFrames)
+          .option("framesPerBatch", 100).load()
         val ticks = graft.streaming.StreamingReplay.ticksStream(
           RawLogSource.feedMessagesFromLines(lines))
         val query = ticks.writeStream
@@ -416,6 +429,9 @@ object Replay {
         .orderBy($"asset", $"line_no", $"msg_idx", $"emit_idx")
         .select(Tick.referenceColumns.map(col): _*)
     },
+    // The custom-source gate folds the generator's pure-function
+    // frames; the oracle replays the same generator's structured dump.
+    Some(FixtureOracle.referenceTicksSql(FixtureOracle.liveMsgsPath)),
   )
 
   val all: Seq[Q] = Seq(

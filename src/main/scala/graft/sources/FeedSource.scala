@@ -92,11 +92,51 @@ object GraftFeed {
 
   private def cents(c: Long): String = f"0.${math.max(1, math.min(99, c))}%02d"
 
+  /** Structured form of frame `i`'s feed message, a pure function of
+    * the index — `None` for the dimension frame (i = 0), PONGs and
+    * unknown-event frames, which carry nothing the book fold consumes.
+    * This is the generator's ground truth: `frameLine` renders the wire
+    * bytes FROM it (via [[WireJson]]), and the replay oracle dump reads
+    * it directly, so wire and oracle cannot drift. `line_no` carries
+    * the frame index (the arrival key; `file_hour` is constant — all
+    * that matters to the fold is the total order).
+    */
+  def structuredMsg(i: Long, nMarkets: Int, assetsPerMarket: Int): Option[WireMsg] = {
+    if (i == 0) return None
+    val nAssets = nMarkets * assetsPerMarket
+    val asset = s"A${i % nAssets}"
+    val market = s"0xM${(i % nAssets) / assetsPerMarket}"
+    val exchMs = (EpochMs + i * 1000).toString
+    val msg = i % 10 match {
+      case 1 | 2 => None // PONG (F5) / unknown event (F6)
+      case 3 | 7 => // full snapshot: 2 asks + 2 bids
+        val a0 = 50 + i % 20
+        Some(WireMsg.book(market, asset, exchMs,
+          asks = Seq(
+            graft.model.Level(cents(a0), (10 + i % 90).toString),
+            graft.model.Level(cents(a0 + 2), (5 + i % 50).toString)),
+          bids = Seq(
+            graft.model.Level(cents(a0 - 5), (8 + i % 70).toString),
+            graft.model.Level(cents(a0 - 8), (3 + i % 40).toString))))
+      case 5 => // trade
+        Some(WireMsg.trade(market, asset, exchMs,
+          side = if (i % 4 == 1) "BUY" else "SELL",
+          price = cents(30 + i % 40),
+          size = (1 + i % 500).toString))
+      case _ => // diff; every 4th change is a level delete
+        Some(WireMsg.diff(market, asset, exchMs, Seq(graft.model.Change(
+          price = cents(20 + (i * 7) % 60),
+          size = if (i % 4 == 0) "0" else (1 + i % 300).toString,
+          side = if (i % 2 == 0) "BUY" else "SELL"))))
+    }
+    msg.map(_.copy(file_hour = "", line_no = i))
+  }
+
   /** One wire frame line, a PURE function of the frame index — random
     * access for any partition slice, and identical bytes on recovery
     * replay. Frame mix mirrors FixtureLog: dimension frame first, then
     * PONGs (F5), unknown events (F6), snapshots, trades, diffs with
-    * level deletes.
+    * level deletes. Feed events render from [[structuredMsg]].
     */
   def frameLine(i: Long, nMarkets: Int, assetsPerMarket: Int): String = {
     val ts = receiptTs(i)
@@ -115,27 +155,14 @@ object GraftFeed {
     val asset = i % nAssets
     val market = asset / assetsPerMarket
     val exchMs = EpochMs + i * 1000
-    def feed(msg: String) =
-      s"""{"timestamp":"$ts","message_type":"feed_message","content":"[$msg]"}"""
-    def head = s"""\\"asset_id\\":\\"A$asset\\",\\"market\\":\\"0xM$market\\",\\"timestamp\\":\\"$exchMs\\""""
     i % 10 match {
       case 1 => // server keepalive — dropped at parse (F5)
         s"""{"timestamp":"$ts","message_type":"feed_message","content":"PONG"}"""
       case 2 => // unknown event type — dropped (F6)
-        feed(s"""{\\"event_type\\":\\"tick_size_change\\",$head,\\"old_tick_size\\":\\"0.01\\",\\"new_tick_size\\":\\"0.001\\"}""")
-      case 3 | 7 => // full snapshot: 2 asks + 2 bids
-        val a0 = 50 + i % 20
-        val asks = s"""{\\"price\\":\\"${cents(a0)}\\",\\"size\\":\\"${10 + i % 90}\\"},{\\"price\\":\\"${cents(a0 + 2)}\\",\\"size\\":\\"${5 + i % 50}\\"}"""
-        val bids = s"""{\\"price\\":\\"${cents(a0 - 5)}\\",\\"size\\":\\"${8 + i % 70}\\"},{\\"price\\":\\"${cents(a0 - 8)}\\",\\"size\\":\\"${3 + i % 40}\\"}"""
-        feed(s"""{\\"event_type\\":\\"book\\",$head,\\"asks\\":[$asks],\\"bids\\":[$bids]}""")
-      case 5 => // trade
-        val side = if (i % 4 == 1) "BUY" else "SELL"
-        feed(s"""{\\"event_type\\":\\"last_trade_price\\",$head,\\"side\\":\\"$side\\",\\"price\\":\\"${cents(30 + i % 40)}\\",\\"size\\":\\"${1 + i % 500}\\"}""")
-      case _ => // diff; every 4th change is a level delete
-        val px = cents(20 + (i * 7) % 60)
-        val sz = if (i % 4 == 0) "0" else (1 + i % 300).toString
-        val side = if (i % 2 == 0) "BUY" else "SELL"
-        feed(s"""{\\"event_type\\":\\"price_change\\",$head,\\"changes\\":[{\\"price\\":\\"$px\\",\\"size\\":\\"$sz\\",\\"side\\":\\"$side\\"}]}""")
+        WireJson.feedFrame(ts,
+          s"""{"event_type":"tick_size_change","asset_id":"A$asset","market":"0xM$market","timestamp":"$exchMs","old_tick_size":"0.01","new_tick_size":"0.001"}""")
+      case _ =>
+        WireJson.frame(ts, structuredMsg(i, nMarkets, assetsPerMarket).get)
     }
   }
 }

@@ -43,7 +43,7 @@ object Main {
     args match {
       case "download" :: rest => download(parseOpts(rest), now)
       case "replay" :: rest => replay(spark, parseOpts(rest), now)
-      case "markets" :: rest => markets(spark, parseOpts(rest))
+      case "markets" :: rest => markets(spark, parseOpts(rest), now)
       case other =>
         sys.error(s"usage: (download|replay|markets) [options]; got: $other")
     }
@@ -151,10 +151,10 @@ object Main {
     println(s"[graft] replay written to $out")
   }
 
-  private def markets(spark: SparkSession, o: Opts): Unit = {
+  private def markets(spark: SparkSession, o: Opts, now: Instant): Unit = {
     import spark.implicits._
     val dir = o.get("--in").getOrElse(sys.error("markets requires --in DIR"))
-    val (startHour, endHour) = hourRange(o, Instant.now())
+    val (startHour, endHour) = hourRange(o, now)
     val files = RawLogSource.discover(dir, startHour, endHour)
     require(files.nonEmpty, s"no log files in $dir for the requested range")
     // earliest file when a range was requested (or --earliest), else

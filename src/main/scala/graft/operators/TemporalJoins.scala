@@ -58,6 +58,13 @@ object TemporalJoins {
     require(rCols.nonEmpty, "asOfJoin: right side has no payload columns")
     val overlap = lCols.intersect(rCols)
     require(overlap.isEmpty, s"asOfJoin: colliding payload columns $overlap")
+    // fail fast on collisions with the rewrite's internal helper names —
+    // an input column named e.g. __side would otherwise silently corrupt
+    // the union/window logic instead of erroring
+    val reserved = (left.columns ++ right.columns).toSeq
+      .intersect(Seq("__side", "__l", "__r", "__last_r", "__unit"))
+    require(reserved.isEmpty,
+      s"asOfJoin: input columns collide with reserved helper names $reserved")
     val keyCols = keys.map(col)
     def payloadType(df: DataFrame, cols: Seq[String]): StructType =
       StructType(cols.map(c => df.schema(c)))
@@ -116,6 +123,8 @@ object TemporalJoins {
       binWidth: Long,
   ): DataFrame = {
     require(binWidth > 0, "rangeJoinBinned: binWidth must be positive")
+    require(!(points.columns ++ intervals.columns).contains("__bin"),
+      "rangeJoinBinned: input columns collide with reserved helper name __bin")
     val pb = points.withColumn("__bin", floor(col(tsCol) / binWidth))
     val ib = intervals.withColumn(
       "__bin",

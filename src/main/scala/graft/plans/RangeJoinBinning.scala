@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Catalyst optimizer rule: rewrite a naive interval range join
   *
@@ -34,6 +34,26 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *     other ('>' / '<' also qualify — strictness lives in the
   *     retained predicates).
   *
+  * Replication guard: an interval spanning `(hi-lo)/binWidth` bins
+  * replicates to that many rows, and an open-ended sentinel `hi`
+  * (e.g. `Long.MaxValue`) would blow past Spark's array-length cap at
+  * runtime — turning a slow-but-working nested-loop query into an
+  * error. `spark.graft.rangeJoin.maxBinsPerRow` (default 65536) bounds
+  * the per-row replication, with two behaviours under
+  * `spark.graft.rangeJoin.overflowMode`:
+  *
+  *   - `error` (default): an overflowing interval raises a descriptive
+  *     error naming both confs — binWidth is a caller assertion about
+  *     interval spans, and a violation is a data surprise that should
+  *     be loud, not a silent 10⁹-row explosion;
+  *   - `catchall`: exact semantics at any span — overflowing intervals
+  *     map to a single catch-all bin that every point also carries (a
+  *     second tagged bin per point row), so huge intervals degrade to
+  *     the nested-loop cost *for those rows only* while normal
+  *     intervals stay equi-joined. This is the skew-guard shape for
+  *     data with rare unbounded intervals; it costs 2× point-side
+  *     join-key fanout, which is why it is not the default.
+  *
   * Registered via `graft.functions.GraftExtensions`
   * (`injectOptimizerRule`) or imperatively through
   * `spark.experimental.extraOptimizations`.
@@ -41,9 +61,17 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 object RangeJoinBinning extends Rule[LogicalPlan] {
 
   private val ConfKey = "spark.graft.rangeJoin.binWidth"
+  private val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerRow"
+  private val OverflowModeKey = "spark.graft.rangeJoin.overflowMode"
 
   private def binWidth: Option[Long] =
     conf.getConfString(ConfKey, "").toLongOption.filter(_ > 0)
+
+  private def maxBinsPerRow: Long =
+    conf.getConfString(MaxBinsKey, "").toLongOption.filter(_ > 0).getOrElse(65536L)
+
+  private def catchAllMode: Boolean =
+    conf.getConfString(OverflowModeKey, "error").trim.toLowerCase == "catchall"
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType => true
@@ -71,18 +99,60 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
             case Some((point, lo, hi, pointOnLeft)) =>
               val (pSide, iSide) = if (pointOnLeft) (left, right) else (right, left)
               val bw = Literal(w, LongType)
+              val cap = maxBinsPerRow
               def binOf(e: Expression): Expression =
                 Floor(Divide(Cast(e, DoubleType), Cast(bw, DoubleType)))
-              val pBin = Alias(binOf(point), "__graft_bin_p")()
-              val pProj = Project(pSide.output :+ pBin, pSide)
-              val seq = Sequence(binOf(lo), binOf(hi), None, Some(conf.sessionLocalTimeZone))
-              val gOut = AttributeReference("__graft_bin_i", LongType)()
-              val iGen = Generate(Explode(seq), Nil, outer = false,
-                qualifier = None, generatorOutput = Seq(gOut), child = iSide)
-              val newCond = And(EqualTo(pBin.toAttribute, gOut), cond)
+              val binLo = binOf(lo)
+              val binHi = binOf(hi)
+              val seq = Sequence(binLo, binHi, None, Some(conf.sessionLocalTimeZone))
+              val overflow =
+                GreaterThan(Add(Subtract(binHi, binLo), Literal(1L)), Literal(cap))
+              val (pPlan, pKey, iGen) =
+                if (!catchAllMode) {
+                  // error mode: keep the narrow single-long bin key; an
+                  // overflowing interval fails loudly with the fix spelled
+                  // out instead of hitting Spark's array-length cap.
+                  val msg = "graft range-join binning: an interval spans more than " +
+                    s"$cap bins at binWidth=$w; raise $MaxBinsKey, set " +
+                    s"$OverflowModeKey=catchall, or unset $ConfKey for this query"
+                  val guarded =
+                    If(overflow, Cast(new RaiseError(Literal(msg)), seq.dataType), seq)
+                  val pBin = Alias(binOf(point), "__graft_bin_p")()
+                  val gOut = AttributeReference("__graft_bin_i", LongType)()
+                  (Project(pSide.output :+ pBin, pSide),
+                    pBin.toAttribute,
+                    Generate(Explode(guarded), Nil, outer = false,
+                      qualifier = None, generatorOutput = Seq(gOut), child = iSide))
+                } else {
+                  // catch-all mode: tagged bins — (0, bin) for real bins,
+                  // (1, 0) as the catch-all every point row also carries;
+                  // overflowing intervals emit ONLY the catch-all, so they
+                  // meet every point once and the retained original
+                  // predicate refines — exact at any span.
+                  def tagged(tag: Int, bin: Expression) = CreateNamedStruct(Seq(
+                    Literal("t"), Literal(tag), Literal("b"), bin))
+                  val lv = NamedLambdaVariable("b", LongType, nullable = true)
+                  val taggedSeq =
+                    ArrayTransform(seq, LambdaFunction(tagged(0, lv), Seq(lv)))
+                  val iBins = If(overflow,
+                    CreateArray(Seq(tagged(1, Literal(0L)))), taggedSeq)
+                  val pBins = CreateArray(Seq(
+                    tagged(0, binOf(point)), tagged(1, Literal(0L))))
+                  val keyType = StructType(Seq(
+                    StructField("t", IntegerType, nullable = false),
+                    StructField("b", LongType)))
+                  val pOut = AttributeReference("__graft_bin_p", keyType)()
+                  val iOut = AttributeReference("__graft_bin_i", keyType)()
+                  (Generate(Explode(pBins), Nil, outer = false,
+                    qualifier = None, generatorOutput = Seq(pOut), child = pSide),
+                    pOut,
+                    Generate(Explode(iBins), Nil, outer = false,
+                      qualifier = None, generatorOutput = Seq(iOut), child = iSide))
+                }
+              val newCond = And(EqualTo(pKey, iGen.generatorOutput.head), cond)
               val (nl, nr) =
-                if (pointOnLeft) (pProj: LogicalPlan, iGen: LogicalPlan)
-                else (iGen: LogicalPlan, pProj: LogicalPlan)
+                if (pointOnLeft) (pPlan: LogicalPlan, iGen: LogicalPlan)
+                else (iGen: LogicalPlan, pPlan: LogicalPlan)
               // restore the original output (drop the helper columns)
               Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
             case None => j

@@ -56,8 +56,14 @@ class GraftFeedProvider extends TableProvider
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // fixed-schema source: a caller's .schema(...) must match, like
+    // other fixed-schema V2 sources — silently serving the built-in
+    // shape under a different user schema would corrupt downstream
+    require(schema == GraftFeed.schema,
+      s"graft-feed has a fixed schema ${GraftFeed.schema.simpleString}; got ${schema.simpleString}")
     new GraftFeedTable(new CaseInsensitiveStringMap(properties))
+  }
 }
 
 object GraftFeed {

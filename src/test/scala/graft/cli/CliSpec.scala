@@ -147,6 +147,23 @@ class CliSpec extends AnyFunSuite {
     Main.run(spark, List("markets", "--in", dir, "--earliest", "--csv", "--filter", "fixture"))
   }
 
+  test("markets --since honors the injected clock like replay/download") {
+    // fixture hours are 2025-07-01-{10,11}: a 2h window ending at 11:30
+    // selects hour 10; the same window under a 2026 clock selects none.
+    // (markets used to call Instant.now() directly, making --since
+    // nondeterministic regardless of the `now` threaded through run().)
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      Main.run(spark, List("markets", "--in", dir, "--since", "2h", "--csv"),
+        now = Instant.parse("2025-07-01T11:30:00Z"))
+    }
+    assert(bos.toString("UTF-8").contains("Fixture question 0?"))
+    intercept[IllegalArgumentException] {
+      Main.run(spark, List("markets", "--in", dir, "--since", "2h"),
+        now = Instant.parse("2026-01-01T00:00:00Z"))
+    }
+  }
+
   test("K2 round-trip: frames -> jsonl.zst -> frames") {
     val orig = RawLogSource.frames(spark, RawLogSource.discover(dir))
     val outDir = Files.createTempDirectory("graft_k2").toString

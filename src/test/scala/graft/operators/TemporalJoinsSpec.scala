@@ -120,4 +120,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(binned == naive && binned.map(_._1) == Set(1L, 2L, 3L, 4L))
   }
+
+  test("reserved helper-name collisions fail fast instead of silently " +
+    "corrupting the rewrite") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "__side")
+    val r = Seq((1L, 5L, 2.0)).toDF("k", "ts", "q")
+    val ex = intercept[IllegalArgumentException](
+      TemporalJoins.asOfJoin(l, r, Seq("k"), "ts"))
+    assert(ex.getMessage.contains("__side"))
+    val rBad = Seq((1L, 5L, 2.0)).toDF("k", "ts", "__last_r")
+    val lOk = Seq((1L, 10L, "x")).toDF("k", "ts", "v")
+    assert(intercept[IllegalArgumentException](
+      TemporalJoins.asOfJoin(lOk, rBad, Seq("k"), "ts"))
+      .getMessage.contains("__last_r"))
+    val pts = Seq((1L, 7L)).toDF("ts", "__bin")
+    val iv = Seq((5L, 9L)).toDF("lo", "hi")
+    assert(intercept[IllegalArgumentException](
+      TemporalJoins.rangeJoinBinned(pts, "ts", iv, "lo", "hi", 10L))
+      .getMessage.contains("__bin"))
+  }
 }

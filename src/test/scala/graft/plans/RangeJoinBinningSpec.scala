@@ -59,6 +59,47 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     assert(counts == Map(1L -> 51L, 2L -> 61L))
   }
 
+  test("overflow guard (error mode): an interval spanning more than " +
+    "maxBinsPerRow bins fails with an actionable message, not an " +
+    "array-length blowup") {
+    val s = freshSession()
+    import s.implicits._
+    s.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    s.conf.set("spark.graft.rangeJoin.maxBinsPerRow", "10")
+    val points = s.range(0, 100).select($"id".as("ts"))
+    val intervals = Seq((1L, 0L, 5000L)).toDF("iid", "lo", "hi") // 501 bins
+    val joined = points.join(intervals, $"ts" >= $"lo" && $"ts" <= $"hi")
+    val ex = intercept[Exception](joined.count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBinsPerRow")), ex.getMessage)
+    // within the cap, same conf still rewrites and answers correctly
+    val ok = points.join(Seq((1L, 10L, 60L)).toDF("iid", "lo", "hi"),
+      $"ts" >= $"lo" && $"ts" <= $"hi")
+    assert(ok.count() == 51)
+  }
+
+  test("overflow guard (catchall mode): oversized and open-ended " +
+    "intervals stay exact via the catch-all bin; plan remains equi-join") {
+    val s = freshSession()
+    import s.implicits._
+    s.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    s.conf.set("spark.graft.rangeJoin.maxBinsPerRow", "5")
+    s.conf.set("spark.graft.rangeJoin.overflowMode", "catchall")
+    val points = s.range(0, 500).select($"id".as("ts"), ($"id" % 5).as("v"))
+    val intervals = Seq(
+      (1L, 10L, 40L), // 4 bins: normal binned path
+      (2L, 0L, 5000L), // 501 bins: catch-all
+      (3L, 450L, Long.MaxValue), // open-ended sentinel: catch-all
+      (4L, 600L, 9000L), // catch-all, matches nothing
+    ).toDF("iid", "lo", "hi")
+    val joined = points.join(intervals, $"ts" >= $"lo" && $"ts" <= $"hi")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"), s"rule did not fire:\n$p")
+    val counts = joined.groupBy($"iid").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 31L, 2L -> 500L, 3L -> 50L))
+  }
+
   test("rule is inert without the binWidth conf and when an equi-conjunct " +
     "already exists") {
     val s = freshSession()

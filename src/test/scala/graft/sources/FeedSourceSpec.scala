@@ -96,4 +96,25 @@ class FeedSourceSpec extends AnyFunSuite {
     // and the drained rows are exactly the distinct 220 frames
     assert(spark.read.parquet(outDir).distinct().count() == 220)
   }
+
+  test("a user-supplied schema that differs from the fixed source " +
+    "schema is rejected, not silently ignored") {
+    import org.apache.spark.sql.types._
+    val wrong = StructType(Seq(StructField("payload", StringType)))
+    // public path: Spark itself refuses user schemas for providers
+    // without external-metadata support
+    intercept[UnsupportedOperationException] {
+      spark.read.format("graft-feed").schema(wrong).load().count()
+    }
+    // direct-API path (e.g. a catalog integration calling getTable):
+    // the provider's own guard catches a mismatched schema...
+    val provider = new GraftFeedProvider
+    val ex = intercept[IllegalArgumentException] {
+      provider.getTable(wrong, Array.empty, new java.util.HashMap[String, String]())
+    }
+    assert(ex.getMessage.contains("fixed schema"))
+    // ...and accepts the real one
+    assert(provider.getTable(GraftFeed.schema, Array.empty,
+      new java.util.HashMap[String, String]()).schema() == GraftFeed.schema)
+  }
 }

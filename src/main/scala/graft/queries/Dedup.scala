@@ -259,7 +259,10 @@ object Dedup {
     * that quantifies `q_embed_lsh_pairs`' recall — O(n²) by nature, so
     * at training-pipeline scale it runs on bounded blocks (a shard, a
     * cluster, a dedup bucket) while the LSH variant is the corpus-wide
-    * path. The native dot kernel keeps the inner loop allocation-free.
+    * path — `q_dedup_embedding_cosine_blocked` below IS that blocked
+    * form (k-means clusters as blocks, equi-join pair generation);
+    * use it for anything past ~10⁵ rows. The native dot kernel keeps
+    * the inner loop allocation-free.
     */
   private val embeddingCosine = Q(
     "q_dedup_embedding_cosine",
@@ -305,5 +308,57 @@ object Dedup {
            |ORDER BY vec_a, vec_b""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(exact, minhashLsh, simhashPairs, ngramJaccard, embeddingCosine)
+  /** Embedding-cosine near-dup, blocked: exact all-pairs cosine
+    * *within k-means clusters* (3 Lloyd iterations, the same trained
+    * quantizer as q_embed_kmeans). This is the 100 TB form of
+    * q_dedup_embedding_cosine: cluster assignment is linear
+    * (broadcast centroids + one cent_id shuffle per iteration), and
+    * pair generation becomes an EQUI-join on cent_id — per-cluster
+    * quadratic, never corpus-quadratic, the standard
+    * cluster-then-dedup shape of semantic dedup pipelines. Recall
+    * loss is exactly the cross-cluster pairs; the unblocked variant
+    * stays as the ≤10⁵-row exactness baseline that quantifies it.
+    */
+  private val embeddingCosineBlocked = Q(
+    "q_dedup_embedding_cosine_blocked",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorSim
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val assign = VectorSim.kmeans(e, init, dims = 64, iters = 3)
+        .select($"vec_id", $"cent_id")
+      // members persisted: both sides of the within-cluster self-join
+      // read it, and without the cache each side re-runs the Lloyd loop
+      val m = assign.join(e, "vec_id").persist()
+      def cos = VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb")
+      // same kernel-in-join-condition trick as the unblocked variant,
+      // but on a cent_id EQUI-join: survivors materialize, non-pairs
+      // never leave the per-cluster sort-merge stream
+      m.select($"cent_id", $"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("na"))
+        .join(
+          m.select($"cent_id".as("cent_b"), $"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("nb")),
+          $"cent_id" === $"cent_b" && $"vec_a" < $"vec_b" && cos >= 0.45)
+        .select($"cent_id", $"vec_a", $"vec_b", cos.as("cosine"))
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some(Similarity.kmeansCtes(3) + s""",
+       |m AS (
+       |  SELECT a.cent_id, a.vec_id, v.q, v.n2
+       |  FROM assign2 a JOIN n v ON v.vec_id = a.vec_id
+       |)
+       |SELECT a.cent_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${Similarity.cosSql("a.q", "a.n2", "b.q", "b.n2")} AS cosine
+       |FROM m a JOIN m b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |WHERE ${Similarity.cosSql("a.q", "a.n2", "b.q", "b.n2")} >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(exact, minhashLsh, simhashPairs, ngramJaccard,
+    embeddingCosine, embeddingCosineBlocked)
 }

@@ -278,10 +278,10 @@ object Similarity {
     * and `assign{iters-1}` (the final assignment); callers append
     * their final SELECT.
     */
-  private def cosSql(vq: String, vn: String, cq: String, cn: String) =
+  private[queries] def cosSql(vq: String, vn: String, cq: String, cn: String) =
     s"round(CAST(list_sum(list_transform(range(1, 65), i -> $vq[CAST(i AS INT)] * $cq[CAST(i AS INT)])) AS DOUBLE) / (sqrt($vn) * sqrt($cn)), 4)"
 
-  private def kmeansCtes(iters: Int): String = {
+  private[queries] def kmeansCtes(iters: Int): String = {
     def cos(vq: String, vn: String, cq: String, cn: String) = cosSql(vq, vn, cq, cn)
     val sb = new StringBuilder
     sb ++= """WITH q AS (

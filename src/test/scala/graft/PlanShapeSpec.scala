@@ -90,4 +90,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joinLine.contains("array_dot_long"),
       s"cosine threshold not in the join condition:\n$joinLine")
   }
+
+  test("blocked embedding cosine: pair generation is a cent_id EQUI-join, " +
+    "no nested-loop join spans the corpus") {
+    val p = physical(
+      SparkEntry.queries("q_dedup_embedding_cosine_blocked")(spark, dir))
+    // the within-cluster self-join must hash/sort-merge on cent_id with
+    // the cosine threshold evaluated inside the join condition
+    val equi = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(equi.exists(l => l.contains("cent_id") && l.contains("array_dot_long")),
+      s"expected cent_id equi-join with the kernel in its condition:\n$p")
+    // the only nested-loop join allowed is centroid assignment (tiny
+    // broadcast side, no condition); a BNLJ carrying the pair predicate
+    // means the blocking degraded back to corpus x corpus
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(!bnlj.exists(l => l.contains("vec_a") || l.contains("array_dot_long")),
+      s"pair generation fell back to a corpus-wide nested-loop join:\n$p")
+  }
 }

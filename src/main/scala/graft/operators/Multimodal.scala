@@ -1,6 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,11 +24,13 @@ import org.apache.spark.sql.functions._
   *   - frame sampling is a flatMap (1 video row → n frame rows), the
   *     generator/posexplode shape.
   *
-  * ⚠ STUB: the actual codecs are not in this container, so
-  * `decodeBytes` is a deterministic fake (payload bytes are "decoded"
-  * by seeding a byte generator from the payload itself). Swap
-  * `decodeBytes` for a real imageio/ffmpeg call and nothing else
-  * changes — schemas, batching, and partitioning are production-shaped.
+  * The image codec is REAL: `encodePng`/`decodeImages` run 8-bit
+  * grayscale PNG through `javax.imageio` (lossless — round-trip is
+  * byte-exact, property-tested in MultimodalSpec). Audio/video codecs
+  * aren't in the JDK, so their payloads stay opaque bytes and the
+  * byte-level stages (histogram features, frame slicing) operate on
+  * them directly. Swapping in an ffmpeg-style codec touches only the
+  * decode function — schemas, batching, and partitioning stay as-is.
   */
 object Multimodal {
 
@@ -82,46 +88,98 @@ object Multimodal {
       val h = 3 + (payload.length % 7)
       Media(id, kind, payload,
         MediaMeta(w, h, 16000, 1 + (payload.length % 5).toInt, kind match {
-          case "image" => "png"
+          case "image" => "raw" // un-encoded raster bytes; see syntheticPngMedia for real PNGs
           case "audio" => "wav"
           case _ => "mp4"
         }))
     }
   }
 
-  /** STUB decode: deterministic pixels from payload bytes (a real
-    * build replaces this one function with the codec call).
+  /** Deterministic grayscale raster for a document: pixel i is text
+    * byte (i mod n) — cyclic fill, zeros for an empty text. Chosen
+    * because it is exactly expressible in the DuckDB oracle (hex-nibble
+    * extraction), so the full encode → decode → resize pipeline is
+    * hash-verifiable end to end.
     */
-  private def decodeBytes(payload: Array[Byte], nPixels: Int): Array[Byte] = {
+  private def pixelsFor(text: Array[Byte], nPixels: Int): Array[Byte] = {
     val out = new Array[Byte](nPixels)
-    if (payload.isEmpty) return out // empty payload decodes to zeros
-    var acc = 17
+    if (text.isEmpty) return out
     var i = 0
-    while (i < nPixels) {
-      acc = acc * 31 + payload(i % payload.length)
-      out(i) = (acc & 0xff).toByte
-      i += 1
-    }
+    while (i < nPixels) { out(i) = text(i % text.length); i += 1 }
     out
   }
 
-  /** Decode stage: binary payload → pixel buffer sized from metadata.
-    * Batched mapPartitions — `batchSize` rows share one (stub) codec
-    * instance, mirroring arrow-batch amortization.
+  /** Real PNG encode: 8-bit grayscale raster → PNG bytes via
+    * `javax.imageio`. Lossless — `decodeImages` recovers the exact
+    * input samples.
+    */
+  def encodePng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"raster ${pixels.length} != ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic PNG corpus: the image-kind documents (doc_id ≡ 0 mod 3,
+    * matching `syntheticMedia`'s round-robin) rendered as REAL grayscale
+    * PNGs — dims from the same (4 + n%13, 3 + n%7) formulas, raster from
+    * `pixelsFor`. This is the corpus `decodeImages` consumes; the other
+    * modalities keep raw payloads (no JDK codec exists for them).
+    */
+  def syntheticPngMedia(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .filter(_._1 % 3 == 0)
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val tb = text.getBytes(StandardCharsets.UTF_8)
+            val w = 4 + (tb.length % 13)
+            val h = 3 + (tb.length % 7)
+            Media(id, "image", encodePng(pixelsFor(tb, w * h), w, h),
+              MediaMeta(w, h, 16000, 1, "png"))
+          }
+        }
+      }
+  }
+
+  /** Decode stage: PNG payload → pixel buffer, dims read from the PNG
+    * header itself (metadata is advisory). Batched mapPartitions — one
+    * `ImageReader` instance per batch, mirroring arrow-batch codec
+    * amortization.
     */
   def decodeImages(media: Dataset[Media], batchSize: Int = 64): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .filter(_.kind == "image")
+      .filter(m => m.kind == "image" && m.meta.format == "png")
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // one decoder per batch in a real build
-          batch.map { m =>
-            val n = m.meta.width * m.meta.height
-            DecodedImage(m.media_id, m.meta.width, m.meta.height,
-              decodeBytes(m.payload, n))
-          }
+          val reader = ImageIO.getImageReadersByFormatName("png").next()
+          try {
+            batch.map { m =>
+              val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(m.payload))
+              try {
+                reader.setInput(iis, true, true)
+                val img = reader.read(0)
+                val (w, h) = (img.getWidth, img.getHeight)
+                val px = new Array[Byte](w * h)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    px(y * w + x) = img.getRaster.getSample(x, y, 0).toByte
+                    x += 1
+                  }
+                  y += 1
+                }
+                DecodedImage(m.media_id, w, h, px)
+              } finally iis.close()
+            }.toVector // materialize before the shared reader is disposed
+          } finally reader.dispose()
         }
       }
   }

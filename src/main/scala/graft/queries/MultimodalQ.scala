@@ -6,12 +6,11 @@ import graft.Tables
 import graft.operators.Multimodal
 
 /** Multimodal pipeline queries. The synthetic corpus is a pure
-  * function of `documents` (payload = UTF-8 text bytes), so the
-  * byte-level stages — histogram features and frame sampling — get
-  * FULL DuckDB oracles (hex-nibble byte extraction on the oracle
-  * side); only the stubbed iterative codec (decode/resize) stays
-  * rows-only, since its hash-chain "decode" would need recursion to
-  * express in SQL.
+  * function of `documents` (payload = UTF-8 text bytes; image docs
+  * additionally rendered as real grayscale PNGs), so every stage —
+  * histogram features, frame sampling, and the full javax.imageio
+  * PNG encode → decode → resize pipeline — gets a FULL DuckDB oracle
+  * via hex-nibble byte extraction on the oracle side.
   */
 object MultimodalQ {
 
@@ -24,19 +23,73 @@ object MultimodalQ {
     s"len(list_filter(range(1, n_bytes + 1), i -> substr(hx, CAST(2*i - 1 AS BIGINT), 1) = '$d')) AS h$k"
   }
 
-  /** decode → resize → flattened pixel stats per image. */
+  /** Pixel `idx` (0-based) of the cyclic-text raster, as an integer
+    * byte value read from the document's hex string (2 chars/byte).
+    */
+  private def duckByteAt(idx: String): String =
+    s"""CASE WHEN n = 0 THEN 0 ELSE
+       |  (strpos('0123456789ABCDEF', substr(hx, CAST(2*(($idx) % n) + 1 AS BIGINT), 1)) - 1) * 16
+       |  + strpos('0123456789ABCDEF', substr(hx, CAST(2*(($idx) % n) + 2 AS BIGINT), 1)) - 1
+       |END""".stripMargin.replaceAll("\\s+", " ").trim
+
+  /** Same pixel as its 2-char hex pair (for digesting the raster). */
+  private def duckHexAt(idx: String): String =
+    s"CASE WHEN n = 0 THEN '00' ELSE substr(hx, CAST(2*(($idx) % n) + 1 AS BIGINT), 2) END"
+
+  /** Nearest-neighbor source index for resized pixel t of a 4x4 target:
+    * (y*h/4)*w + (x*w/4) with y = t/4, x = t mod 4 (integer division) —
+    * the exact arithmetic of `Multimodal.resize`.
+    */
+  private def duckSrcIdx(t: String): String =
+    s"((($t)//4) * h // 4) * w + ((($t) % 4) * w // 4)"
+
+  /** Real-codec pipeline: synthesize grayscale PNGs from the image-kind
+    * documents, decode them with javax.imageio (dims from the PNG
+    * header), nearest-neighbor resize to 4x4 — then hash-verify source
+    * dims, source pixel sum, resized pixel sum, AND an md5 digest of
+    * the resized raster against a DuckDB reconstruction that never
+    * touches PNG bytes (pixel i = text byte i mod n, cycled). A codec
+    * that dropped, reordered, or re-quantized a single sample fails
+    * the digest.
+    */
   private val mediaDecodeResize = Q(
     "q_media_decode_resize",
     (s, dir) => {
       import s.implicits._
-      val media = Multimodal.syntheticMedia(Tables(s, dir).documents)
-      Multimodal
-        .resize(Multimodal.decodeImages(media), 4, 4)
-        .map(i => (i.media_id, i.width, i.height,
+      val dec = Multimodal
+        .decodeImages(Multimodal.syntheticPngMedia(Tables(s, dir).documents))
+        .persist() // read twice: source-dim stats + the resize stage
+      val dims = dec
+        .map(i => (i.media_id, i.width.toLong, i.height.toLong,
           i.pixels.map(b => (b & 0xff).toLong).sum))
-        .toDF("media_id", "width", "height", "pixel_sum")
+        .toDF("media_id", "src_w", "src_h", "src_pixel_sum")
+      val rs = Multimodal.resize(dec, 4, 4)
+        .map(i => (i.media_id,
+          i.pixels.map(b => (b & 0xff).toLong).sum,
+          i.pixels.map(b => f"${b & 0xff}%02X").mkString))
+        .toDF("rs_id", "rs_pixel_sum", "hx")
+      dims.join(rs, $"media_id" === $"rs_id")
+        .select($"media_id", $"src_w", $"src_h", $"src_pixel_sum",
+          $"rs_pixel_sum", md5($"hx").as("rs_digest"))
         .orderBy($"media_id")
     },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id,
+            |         hex(encode(text)) AS hx,
+            |         octet_length(encode(text)) AS n
+            |  FROM documents WHERE doc_id % 3 = 0
+            |),
+            |d AS (
+            |  SELECT media_id, hx, n, 4 + n % 13 AS w, 3 + n % 7 AS h FROM m
+            |)
+            |SELECT media_id,
+            |       CAST(w AS BIGINT) AS src_w,
+            |       CAST(h AS BIGINT) AS src_h,
+            |       CAST(list_sum(list_transform(range(0, w*h), i -> ${duckByteAt("i")})) AS BIGINT) AS src_pixel_sum,
+            |       CAST(list_sum(list_transform(range(0, 16), t -> ${duckByteAt(duckSrcIdx("t"))})) AS BIGINT) AS rs_pixel_sum,
+            |       md5(list_aggregate(list_transform(range(0, 16), t -> ${duckHexAt(duckSrcIdx("t"))}), 'string_agg', '')) AS rs_digest
+            |FROM d
+            |ORDER BY media_id""".stripMargin),
   )
 
   /** feature-extract over every modality; the integer byte histogram

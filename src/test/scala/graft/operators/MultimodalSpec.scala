@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Plumbing semantics of the multimodal stages (stubbed decode,
-  * production-shaped schema/batching/partitioning).
+/** Plumbing semantics of the multimodal stages (real javax.imageio
+  * PNG codec, production-shaped schema/batching/partitioning).
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -19,6 +19,7 @@ class MultimodalSpec extends AnyFunSuite {
   ).toDF("doc_id", "text")
 
   private lazy val media = Multimodal.syntheticMedia(docs)
+  private lazy val pngMedia = Multimodal.syntheticPngMedia(docs)
 
   test("synthetic media: kinds round-robin, payload = text bytes") {
     val m = media.collect().map(x => x.media_id -> x).toMap
@@ -27,17 +28,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.values.forall(x => x.meta.width > 0 && x.meta.height > 0))
   }
 
-  test("decode: only images, pixel buffer sized from metadata, deterministic") {
-    val d1 = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
-    val d2 = Multimodal.decodeImages(media, batchSize = 1).collect().sortBy(_.media_id)
+  test("PNG encode/decode round-trip is byte-exact across raster sizes") {
+    val rng = new scala.util.Random(42)
+    val cases = (0 until 30).map { i =>
+      val (w, h) = (1 + rng.nextInt(20), 1 + rng.nextInt(20))
+      val px = new Array[Byte](w * h)
+      rng.nextBytes(px)
+      Multimodal.Media(i.toLong, "image", Multimodal.encodePng(px, w, h),
+        Multimodal.MediaMeta(w, h, 0, 1, "png")) -> px
+    }
+    val back = Multimodal.decodeImages(cases.map(_._1).toDS(), batchSize = 7)
+      .collect().map(d => d.media_id -> d).toMap
+    cases.foreach { case (m, px) =>
+      val d = back(m.media_id)
+      assert(d.width == m.meta.width && d.height == m.meta.height)
+      assert(d.pixels.toSeq == px.toSeq, s"pixels differ for ${m.media_id}")
+    }
+    // payload is a real PNG, not a raw raster
+    assert(cases.forall(_._1.payload.startsWith(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))))
+  }
+
+  test("decode: image docs only, dims from the PNG header, cyclic-text raster") {
+    val d1 = Multimodal.decodeImages(pngMedia).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decodeImages(pngMedia, batchSize = 1).collect().sortBy(_.media_id)
     assert(d1.map(_.media_id).toSeq == Seq(0L, 3L)) // ids ≡ 0 mod 3
     d1.foreach(i => assert(i.pixels.length == i.width * i.height))
     // batch size must not change results (pure batching)
     assert(d1.map(_.pixels.toSeq).toSeq == d2.map(_.pixels.toSeq).toSeq)
+    // pixel i = text byte (i mod n): the decoded raster IS the text, cycled
+    val text = "alpha beta gamma delta epsilon zeta".getBytes("UTF-8")
+    val img0 = d1.find(_.media_id == 0L).get
+    img0.pixels.zipWithIndex.foreach { case (b, i) =>
+      assert(b == text(i % text.length))
+    }
   }
 
   test("resize: exact target dims, nearest-neighbor is deterministic") {
-    val r = Multimodal.resize(Multimodal.decodeImages(media), 4, 4).collect()
+    val r = Multimodal.resize(Multimodal.decodeImages(pngMedia), 4, 4).collect()
     assert(r.nonEmpty)
     r.foreach { i =>
       assert(i.width == 4 && i.height == 4 && i.pixels.length == 16)

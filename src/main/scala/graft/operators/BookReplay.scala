@@ -62,9 +62,16 @@ object BookReplay {
     *
     * Caller contract: each partition must hold all of its assets'
     * messages (bucketed scans guarantee this). A violated contract
-    * silently folds per-partition partial books — there is nothing
-    * the operator could check without a shuffle, which is the thing
-    * being avoided.
+    * silently folds per-partition partial books — the data-path plan
+    * cannot check it without the shuffle being avoided, so the check
+    * lives in an OPT-IN side job: set
+    * `spark.graft.replay.assertPreDistributed=true` (CI/debug) and the
+    * operator first verifies single-partition residency for a sample of
+    * assets (`spark.graft.replay.assertSampleMod`, default 8 — every
+    * asset whose hash ≡ 0 mod it; 1 = all) and fails fast with the
+    * offending asset ids. The side job shuffles only distinct
+    * (asset, partition) pairs — bounded by asset cardinality, never by
+    * message volume — and leaves the replay plan itself untouched.
     */
   def ticksPreDistributed(
       msgs: Dataset[FeedMsg],
@@ -76,9 +83,49 @@ object BookReplay {
       case Some(ids) => msgs.filter($"market".isin(ids.toSeq: _*))
       case None => msgs
     }
+    if (spark.conf.getOption("spark.graft.replay.assertPreDistributed")
+        .exists(_.toBoolean)) {
+      val mod = spark.conf.getOption("spark.graft.replay.assertSampleMod")
+        .map(_.toInt).getOrElse(8)
+      assertCoLocated(filtered, mod)
+    }
     filtered
       .sortWithinPartitions($"assetId", $"fileHour", $"lineNo", $"msgIdx")
       .mapPartitions(foldPartition)
+  }
+
+  /** Debug-mode contract check: every sampled asset must live in exactly
+    * one partition of `msgs` AS PARTITIONED NOW. Emits one (asset,
+    * partitionId) pair per distinct sampled asset per partition, then
+    * looks for assets spanning >1 partition.
+    */
+  private def assertCoLocated(msgs: Dataset[FeedMsg], sampleMod: Int): Unit = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    require(sampleMod >= 1, s"assertSampleMod must be >= 1, got $sampleMod")
+    val offending = msgs
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        it.foreach { m =>
+          if (m.assetId != null && (m.assetId.hashCode & 0x7fffffff) % sampleMod == 0)
+            seen += m.assetId
+        }
+        seen.iterator.map(a => (a, pid))
+      }
+      .toDF("assetId", "pid")
+      .groupBy($"assetId")
+      .agg(countDistinct($"pid").as("n_parts"))
+      .filter($"n_parts" > 1)
+      .limit(5)
+      .collect()
+    require(offending.isEmpty,
+      "ticksPreDistributed contract violated: asset(s) " +
+        offending.map(r => s"${r.getString(0)} (${r.getLong(1)} partitions)")
+          .mkString(", ") +
+        " span multiple partitions — the fold would emit partial books. " +
+        "Bucket the input by assetId (bucketBy(n, \"assetId\")) or use " +
+        "BookReplay.ticks, which shuffles.")
   }
 
   /** Reference-schema projection (7 columns, `tick_generator.rs:50-58`),

@@ -199,4 +199,32 @@ class BookReplaySpec extends AnyFunSuite {
     val mixed = replay(rnd.shuffle(a ++ b): Seq[FeedMsg]).filter(_.asset == "A1").map(brief)
     assert(aloneA == mixed)
   }
+
+  test("ticksPreDistributed debug contract check catches a non-co-located input") {
+    import spark.implicits._
+    val msgs = (0 until 100).map(i =>
+      msg(i.toLong, "price_change", asset = s"A${i % 5}",
+        changes = Seq(Change("0.50", "1", "BUY"))))
+    // round-robin partitioning scatters every asset across partitions —
+    // exactly the silent-partial-book misuse the flag must catch
+    val scattered = spark.createDataset(msgs).repartition(4)
+    // co-located: hash-partitioned on the contract key
+    val coLocated = spark.createDataset(msgs).repartition($"assetId")
+    spark.conf.set("spark.graft.replay.assertPreDistributed", "true")
+    spark.conf.set("spark.graft.replay.assertSampleMod", "1") // sample all
+    try {
+      val e = intercept[IllegalArgumentException] {
+        BookReplay.ticksPreDistributed(scattered).collect()
+      }
+      assert(e.getMessage.contains("span multiple partitions"))
+      // the same flag lets a correctly distributed input through
+      assert(BookReplay.ticksPreDistributed(coLocated).collect().nonEmpty)
+      // and the check is opt-in: off by default, misuse stays silent
+      spark.conf.set("spark.graft.replay.assertPreDistributed", "false")
+      BookReplay.ticksPreDistributed(scattered).collect()
+    } finally {
+      spark.conf.unset("spark.graft.replay.assertPreDistributed")
+      spark.conf.unset("spark.graft.replay.assertSampleMod")
+    }
+  }
 }

@@ -25,7 +25,12 @@ import graft.operators.Book
   * streaming shuffle is the same HashPartitioning(assetId) as batch.
   * For dead assets, pass a `stateTtl` so books of delisted markets
   * are dropped (documented deviation from the reference, which keeps
-  * them forever in a 2 GB-capped process).
+  * them forever in a 2 GB-capped process). Note that with a TTL the
+  * engine schedules batches every trigger interval even with no data
+  * (that is how pending timeouts fire), so pair `stateTtl` with an
+  * explicit `Trigger.ProcessingTime(...)` — under the default 0 ms
+  * trigger the query busy-spins and `processAllAvailable` never
+  * returns. Eviction under RocksDB is spec'd in LiveIngestSpec.
   */
 object StreamingReplay {
 

@@ -113,6 +113,78 @@ class LiveIngestSpec extends AnyFunSuite {
     assert(out(1751378410000000L) == "REFRESHED") // batch 2 saw dim v2
   }
 
+  test("state TTL evicts dead-asset books under the RocksDB state store: " +
+    "a delisted asset's state disappears, a live one's survives") {
+    val s = spark.newSession() // provider conf stays isolated here
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.{Change, FeedMsg, Level}
+    def m(lineNo: Long, asset: String, eventType: String,
+        asks: Seq[Level] = null, bids: Seq[Level] = null,
+        changes: Seq[Change] = null): FeedMsg =
+      FeedMsg("2025-07-01-14", lineNo, 0, eventType, "0xM1", asset,
+        ts = (1751378400000L + lineNo * 1000).toString,
+        side = null, price = null, size = null,
+        asks = asks, bids = bids, changes = changes)
+
+    val input = MemoryStream[FeedMsg]
+    // NOTE: with ProcessingTimeTimeout the engine keeps running no-data
+    // batches to fire pending timeouts (shouldRunAnotherBatch == true),
+    // so `processAllAvailable` can never observe "no new data" — poll
+    // the sink row count instead, and give the spin a real cadence.
+    val query = StreamingReplay
+      .ticksStream(input.toDS(), stateTtl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("ttl_evict_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (s.table("ttl_evict_test").count() < n) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $n sink rows")
+        assert(query.exception.isEmpty, s"query died: ${query.exception}")
+        Thread.sleep(50)
+      }
+    }
+
+    // batch 1: A1 (soon dead) gets a populated book
+    input.addData(m(0, "A1", "book",
+      asks = Seq(Level("0.60", "10")), bids = Seq(Level("0.50", "20"))))
+    awaitRows(2)
+    // let A1's TTL lapse (spin batches fire the timeout and REMOVE A1's
+    // book, emitting nothing), then land the live asset's snapshot
+    Thread.sleep(6000)
+    input.addData(m(1, "B1", "book",
+      asks = Seq(Level("0.70", "1")), bids = Seq(Level("0.30", "2"))))
+    awaitRows(4)
+    // immediately (inside B1's fresh TTL): a diff for each asset.
+    // A1 folds against a FRESH empty book (bid side (0,0) — the old
+    // 0.50 bid is gone); B1 folds against its surviving book.
+    input.addData(
+      m(2, "A1", "price_change", changes = Seq(Change("0.55", "5", "SELL"))),
+      m(3, "B1", "price_change", changes = Seq(Change("0.30", "0", "BUY"))))
+    awaitRows(8)
+    query.stop()
+
+    val out = s.table("ttl_evict_test").as[graft.model.Tick]
+      .collect().toSeq.sortBy(t => (t.line_no, t.emit_idx))
+      .map(t => (t.asset, t.kind, t.side, t.price, t.size))
+    assert(out == Seq(
+      ("A1", "BBO", "ASK", 0.60, 10.0),
+      ("A1", "BBO", "BID", 0.50, 20.0),
+      ("B1", "BBO", "ASK", 0.70, 1.0),
+      ("B1", "BBO", "BID", 0.30, 2.0),
+      ("A1", "BBO", "ASK", 0.55, 5.0),
+      ("A1", "BBO", "BID", 0.0, 0.0), // evicted: pre-TTL 0.50 bid NOT visible
+      ("B1", "BBO", "ASK", 0.70, 1.0),
+      ("B1", "BBO", "BID", 0.0, 0.0), // survived: diff deleted the live bid
+    ))
+  }
+
   test("fileHour bucket is UTC regardless of session timezone; " +
     "same-receipt-second frames keep distinct arrival keys") {
     import spark.implicits._

@@ -20,5 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrites naive interval range joins (nested loops) into binned
     // equi-joins; inert until spark.graft.rangeJoin.binWidth is set
     extensions.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+    // SQL-callable book replay: SELECT * FROM replay_book('feed_view')
+    extensions.injectTableFunction((
+      FunctionIdentifier(graft.plans.ReplayBookTVF.name),
+      new ExpressionInfo(graft.plans.ReplayBookTVF.getClass.getName,
+        graft.plans.ReplayBookTVF.name),
+      graft.plans.ReplayBookTVF.builder))
   }
 }

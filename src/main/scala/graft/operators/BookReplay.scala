@@ -144,7 +144,7 @@ object BookReplay {
     * grouped (partition is sorted by assetId first), so book state is
     * dropped as soon as its asset's run ends.
     */
-  private def foldPartition(iter: Iterator[FeedMsg]): Iterator[Tick] = {
+  private[graft] def foldPartition(iter: Iterator[FeedMsg]): Iterator[Tick] = {
     var started = false
     var currentAsset: String = null
     var book: Book = null

@@ -70,59 +70,123 @@ object Dedup {
   /** MinHash(8 seeds) + LSH(4 bands × 2) over word 3-gram shingles,
     * candidates verified with exact Jaccard ≥ 0.8.
     */
+  /** Verified near-dup pairs shared by q_dedup_minhash_lsh and
+    * q_dedup_canonical: MinHash(8)+LSH(4×2) candidates, exact Jaccard
+    * ≥ `threshold` over word 3-gram shingles.
+    *
+    * Persisted: the per-doc shingle ARRAY table feeds the signature
+    * pass (a narrow array_min map — no shuffle), the exploded
+    * intersection sides, and the set sizes (size(shs) — no
+    * aggregation). The only shuffles left in the whole pipeline are
+    * the band-bucket self-join and the final small aggregations.
+    * NOTE: caches are session-scoped and not unpersisted here (the
+    * builder returns before the action runs); Verify/Bench
+    * clearCache() between queries — embedders running many queries
+    * in one session should do the same.
+    */
+  private def minhashVerifiedPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String, threshold: Double) = {
+    import s.implicits._
+    val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 3).persist()
+    val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+    val cnt = arr.select($"doc_id", size($"shs").as("n"))
+    // bands persisted: BOTH sides of the candidate self-join read it,
+    // and without the cache each side re-runs the full signature pass
+    val bands = TextDedup
+      .minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
+      .persist()
+    val pairs = TextDedup.bandPairs(bands)
+    TextDedup.jaccard(pairs, sh, cnt).filter($"jaccard" >= threshold)
+  }
+
+  /** DuckDB twin of `minhashVerifiedPairs`: CTE chain ending in
+    * `pairs(doc_a, doc_b, jaccard)`. Callers prepend WITH [RECURSIVE]
+    * and append their final SELECT.
+    */
+  private def minhashPairsCtes(threshold: Double): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+       |),
+       |$minhashOracleCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS i
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+       |  GROUP BY doc_a, doc_b
+       |),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+       |  FROM inter
+       |  JOIN cnt ca ON ca.doc_id = doc_a
+       |  JOIN cnt cb ON cb.doc_id = doc_b
+       |  WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= $threshold
+       |)""".stripMargin
+
   private val minhashLsh = Q(
     "q_dedup_minhash_lsh",
     (s, dir) => {
       import s.implicits._
-      // persisted: the per-doc shingle ARRAY table feeds the signature
-      // pass (a narrow array_min map — no shuffle), the exploded
-      // intersection sides, and the set sizes (size(shs) — no
-      // aggregation). The only shuffles left in the whole pipeline are
-      // the band-bucket self-join and the final small aggregations.
-      // NOTE: caches are session-scoped and not unpersisted here (the
-      // builder returns before the action runs); Verify/Bench
-      // clearCache() between queries — embedders running many queries
-      // in one session should do the same
-      val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 3).persist()
-      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
-      val cnt = arr.select($"doc_id", size($"shs").as("n"))
-      // bands persisted: BOTH sides of the candidate self-join read it,
-      // and without the cache each side re-runs the full signature pass
-      val bands = TextDedup
-        .minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
-        .persist()
-      val pairs = TextDedup.bandPairs(bands)
-      TextDedup
-        .jaccard(pairs, sh, cnt)
-        .filter($"jaccard" >= 0.8)
-        .orderBy($"doc_a", $"doc_b")
+      minhashVerifiedPairs(s, dir, 0.8).orderBy($"doc_a", $"doc_b")
     },
-    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |sh AS (
-           |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-           |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
-           |),
-           |$minhashOracleCtes,
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-           |),
-           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT doc_a, doc_b, count(*) AS i
-           |  FROM cand
-           |  JOIN sh sa ON sa.doc_id = doc_a
-           |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
-           |  GROUP BY doc_a, doc_b
-           |)
-           |SELECT doc_a, doc_b,
-           |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
-           |FROM inter
-           |JOIN cnt ca ON ca.doc_id = doc_a
-           |JOIN cnt cb ON cb.doc_id = doc_b
-           |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+    Some("WITH " + minhashPairsCtes(0.8) + """
+           |SELECT doc_a, doc_b, jaccard FROM pairs
            |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
+  /** The canonicalization step after pair generation: near-dup pairs
+    * chain into duplicate CLUSTERS via connected components
+    * (`Components.connectedComponents` — min-label propagation, one
+    * equi-join + one min-agg per round), and each document maps to its
+    * cluster's canonical id (the minimum doc_id) with the cluster
+    * size. This is what a training pipeline actually keeps: drop every
+    * doc where doc_id != canonical_id. Oracle: the same pairs CTE
+    * chain + a recursive reachability CTE (DuckDB WITH RECURSIVE) —
+    * a fully independent fixpoint computation.
+    */
+  private val canonical = Q(
+    "q_dedup_canonical",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = minhashVerifiedPairs(s, dir, 0.8).select($"doc_a", $"doc_b")
+      val comp = graft.operators.Components
+        .connectedComponents(pairs, "doc_a", "doc_b")
+      val sizes = comp.groupBy($"component").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, "component")
+        .select($"node".as("doc_id"), $"component".as("canonical_id"), $"n_members")
+        .orderBy($"doc_id")
+    },
+    Some("WITH RECURSIVE " + minhashPairsCtes(0.8) + """,
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs
+           |),
+           |walk(node, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+           |),
+           |comp AS (
+           |  SELECT node AS doc_id, min(comp) AS canonical_id
+           |  FROM walk GROUP BY node
+           |),
+           |sizes AS (
+           |  SELECT canonical_id, count(*) AS n_members
+           |  FROM comp GROUP BY canonical_id
+           |)
+           |SELECT c.doc_id, c.canonical_id, s.n_members
+           |FROM comp c JOIN sizes s USING (canonical_id)
+           |ORDER BY doc_id""".stripMargin),
   )
 
   /** 64-bit SimHash signatures; near-dup pairs via 4×16-bit bands with
@@ -359,6 +423,6 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(exact, minhashLsh, simhashPairs, ngramJaccard,
-    embeddingCosine, embeddingCosineBlocked)
+  val all: Seq[Q] = Seq(exact, minhashLsh, canonical, simhashPairs,
+    ngramJaccard, embeddingCosine, embeddingCosineBlocked)
 }

@@ -15,9 +15,15 @@ import graft.operators.VectorSim
 object Similarity {
 
   /** Brute-force exact top-3 neighbors for a 1-in-50 query sample.
-    * The sample bounds the cross product (the honest way to run exact
-    * search at scale: all-pairs brute force is O(n²) and should never
-    * ship); ranking is by rounded cosine with vec_id tie-break, so the
+    * RECALL BASELINE ONLY — the sample bounds the constant, not the
+    * asymptotics: each sampled query still scans every candidate, so
+    * this query is for small-SF recall measurement of the ANN paths,
+    * never the corpus-scale path. At scale use `q_embed_topk_ivf` /
+    * `q_embed_topk_ivf_kmeans` (posting-list equi-joins, linear scan
+    * volume per probe) and, if an exact answer is required, run this
+    * form only within a bounded block (a cluster from `kmeansFit`, an
+    * LSH bucket — the `q_dedup_embedding_cosine_blocked` shape).
+    * Ranking is by rounded cosine with vec_id tie-break, so the
     * ordering is total and engine-independent.
     */
   private val topkBrute = Q(

@@ -160,4 +160,46 @@ object TextAnalysis {
         md5(array_join(array_sort($"fps"), ",")).as("fingerprint_digest"),
       )
   }
+
+  /** One redaction rule: occurrences of `regex` become `token`, and the
+    * per-doc match count is reported as column `n_<name>`.
+    */
+  final case class RedactPattern(name: String, regex: String, token: String)
+
+  /** PII-style patterns kept to the regex subset Java (Spark) and RE2
+    * (DuckDB, the oracle) interpret identically: no backreferences, no
+    * lookaround, character classes with the literal '-' last.
+    */
+  val defaultPiiPatterns: Seq[RedactPattern] = Seq(
+    RedactPattern("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    RedactPattern("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    RedactPattern("phone", "\\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+    RedactPattern("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+  )
+
+  /** Text scrubbing for training corpora: apply `patterns` IN ORDER,
+    * counting each pattern's matches against the text as already
+    * redacted by the earlier patterns (so an SSN consumed by the ssn
+    * rule is not double-counted by the looser phone rule — order the
+    * more specific rule first). Pure narrow map — regexp_count /
+    * regexp_replace are codegen'd built-ins, zero shuffle at any
+    * corpus size. Output: doc_id, n_<name> per pattern, redacted.
+    */
+  def redact(docs: DataFrame, patterns: Seq[RedactPattern] = defaultPiiPatterns): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val start = docs.select($"doc_id", $"text".as("redacted"))
+    patterns.foldLeft(start) { (df, p) =>
+      // count-then-replace on the running text. The NEW redacted text
+      // is materialized through a Generate boundary: the next stage
+      // consumes it twice (its count + its replace), and CollapseProject
+      // would otherwise inline the whole regex chain into both — the
+      // expression tree doubles per pattern (see tokenCounts).
+      df.select(
+        df.columns.filter(_ != "redacted").map(col) :+
+          regexp_count($"redacted", lit(p.regex)).cast("long").as(s"n_${p.name}") :+
+          graft.functions.Cols.materialized(
+            regexp_replace($"redacted", p.regex, p.token)).as("redacted"): _*)
+    }
+  }
 }

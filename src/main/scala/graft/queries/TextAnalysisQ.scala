@@ -122,5 +122,55 @@ object TextAnalysisQ {
            |ORDER BY doc_id""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(langId, quality, tokens, fingerprint)
+  /** DuckDB twin of `TextAnalysis.redact` over the augmented corpus:
+    * one CTE stage per pattern, each counting against the PREVIOUS
+    * stage's text then replacing ('g' = all occurrences, matching
+    * Spark's regexp_replace default). Generated from the same pattern
+    * list as the Spark side, so the two can't drift.
+    */
+  private def redactOracleSql: String = {
+    val pats = TextAnalysis.defaultPiiPatterns
+    val aug = "SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)" +
+      " || '@mail-' || CAST(doc_id % 7 AS VARCHAR)" +
+      " || '.net call +1 (415) 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)" +
+      " || ' ssn 123-45-6789 ip 10.1.' || CAST(doc_id % 256 AS VARCHAR)" +
+      " || '.' || CAST(doc_id % 100 AS VARCHAR) || ' end' AS t FROM documents"
+    val stages = pats.zipWithIndex.map { case (p, i) =>
+      val prev = if (i == 0) "aug" else s"s$i"
+      val carried = pats.take(i).map(q => s"n_${q.name}, ").mkString
+      s"""s${i + 1} AS (
+         |  SELECT doc_id, $carried
+         |         CAST(len(regexp_extract_all(t, '${p.regex}')) AS BIGINT) AS n_${p.name},
+         |         regexp_replace(t, '${p.regex}', '${p.token}', 'g') AS t
+         |  FROM $prev)""".stripMargin
+    }
+    s"WITH aug AS ($aug),\n${stages.mkString(",\n")}\n" +
+      s"SELECT doc_id, ${pats.map(p => s"n_${p.name}").mkString(", ")}, t AS redacted\n" +
+      s"FROM s${pats.size}\nORDER BY doc_id"
+  }
+
+  /** PII scrub over documents augmented with deterministic synthetic
+    * PII (the raw corpus carries none, so the augmentation guarantees
+    * every rule fires on every row — email, SSN, phone, IPv4 — while
+    * the raw text exercises the no-false-positive side).
+    */
+  private val redact = Q(
+    "q_text_redact",
+    (s, dir) => {
+      import s.implicits._
+      val aug = Tables(s, dir).documents.select(
+        $"doc_id",
+        concat(
+          $"text", lit(" reach user"), $"doc_id".cast("string"),
+          lit("@mail-"), ($"doc_id" % 7).cast("string"),
+          lit(".net call +1 (415) 555-"), (lit(1000) + $"doc_id" % 9000).cast("string"),
+          lit(" ssn 123-45-6789 ip 10.1."), ($"doc_id" % 256).cast("string"),
+          lit("."), ($"doc_id" % 100).cast("string"), lit(" end"),
+        ).as("text"))
+      TextAnalysis.redact(aug).orderBy($"doc_id")
+    },
+    Some(redactOracleSql),
+  )
+
+  val all: Seq[Q] = Seq(langId, quality, tokens, fingerprint, redact)
 }

@@ -161,6 +161,56 @@ object TextAnalysis {
       )
   }
 
+  /** BM25 relevance of every document against a fixed query-term set
+    * (k1/b are the classic defaults at the call site). Cross-engine
+    * determinism: the idf is the RATIO form (N - df + 0.5)/(df + 0.5)
+    * — no transcendentals, so Spark and the DuckDB oracle compute
+    * bit-identical doubles — and each (term, doc) contribution is
+    * quantized to an integer (×10⁴) BEFORE the per-doc sum, making the
+    * aggregation order-free. Scale shape: tokens are filtered to the
+    * query-term IN-set BEFORE any shuffle, so the tf/df aggregations
+    * move only the query terms' postings, never the corpus vocabulary;
+    * df and avgdl are 1-row/tiny broadcasts.
+    *
+    * Output: (doc_id, score_q BIGINT, n_hits) for docs matching ≥ 1
+    * query term.
+    */
+  def bm25(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double,
+      b: Double,
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dl = docs.select($"doc_id", size(split($"text", " ")).as("dl"))
+    // scalar stats as a 1-row broadcast: the distributed idiom for a
+    // global constant (no driver-side collect in the operator)
+    val stats = dl.agg(
+      sum($"dl").cast("double").as("sum_dl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(queryTerms: _*)) // before the shuffle
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        // idf ratio and the tf normalizer: plain IEEE arithmetic only.
+        // Association order mirrors the oracle SQL exactly — with no
+        // transcendentals, identical shape means identical doubles.
+        (($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) *
+          ($"tf" * lit(k1 + 1)) /
+          ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / ($"sum_dl" / $"n_docs"))))
+          .as("contrib"))
+      .select($"doc_id", round($"contrib" * 10000).cast("long").as("c_q"))
+      .groupBy($"doc_id")
+      .agg(sum($"c_q").as("score_q"), count(lit(1)).as("n_hits"))
+  }
+
   /** One redaction rule: occurrences of `regex` become `token`, and the
     * per-doc match count is reported as column `n_<name>`.
     */

@@ -172,5 +172,67 @@ object TextAnalysisQ {
     Some(redactOracleSql),
   )
 
-  val all: Seq[Q] = Seq(langId, quality, tokens, fingerprint, redact)
+  /** BM25 top-25 for a fixed 4-term query (k1=1.2, b=0.75). The oracle
+    * mirrors the operator's EXPRESSION SHAPE exactly — ratio idf, same
+    * association order, constants written as the same literals
+    * (`(1.2 + 1)` so both engines fold k1+1 identically), per-term
+    * contributions quantized to BIGINT before the order-free sum —
+    * which is what makes a float-scoring function hash-comparable
+    * across engines.
+    */
+  private val bm25 = Q(
+    "q_text_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis.bm25(
+        Tables(s, dir).documents,
+        Seq("window", "merge", "stream", "hash"), k1 = 1.2, b = 0.75)
+      scored
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy($"score_q".desc, $"doc_id")))
+        .filter($"rank" <= 25)
+        .select($"rank", $"doc_id", $"score_q", $"n_hits")
+        .orderBy($"rank")
+    },
+    Some("""WITH dl AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+           |),
+           |stats AS (
+           |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+           |         CAST(count(*) AS DOUBLE) AS n_docs
+           |  FROM dl
+           |),
+           |tf AS (
+           |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  WHERE term IN ('window', 'merge', 'stream', 'hash')
+           |  GROUP BY doc_id, term
+           |),
+           |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           |contrib AS (
+           |  SELECT t.doc_id,
+           |         CAST(round(
+           |           (s.n_docs - d.df + 0.5) / (d.df + 0.5)
+           |             * (t.tf * (1.2 + 1))
+           |             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (s.sum_dl / s.n_docs)))
+           |           * 10000) AS BIGINT) AS c_q
+           |  FROM tf t
+           |  JOIN df d USING (term)
+           |  JOIN dl l USING (doc_id), stats s
+           |),
+           |scores AS (
+           |  SELECT doc_id, CAST(sum(c_q) AS BIGINT) AS score_q,
+           |         count(*) AS n_hits
+           |  FROM contrib GROUP BY doc_id
+           |)
+           |SELECT rank, doc_id, score_q, n_hits FROM (
+           |  SELECT row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank,
+           |         doc_id, score_q, n_hits
+           |  FROM scores)
+           |WHERE rank <= 25
+           |ORDER BY rank""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(langId, quality, tokens, fingerprint, redact, bm25)
 }

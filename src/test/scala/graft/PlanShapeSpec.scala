@@ -108,4 +108,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!bnlj.exists(l => l.contains("vec_a") || l.contains("array_dot_long")),
       s"pair generation fell back to a corpus-wide nested-loop join:\n$p")
   }
+
+  test("bm25: query-term IN-set filters tokens BELOW the first shuffle " +
+    "(only query-term postings move, never the vocabulary)") {
+    val p = physical(SparkEntry.queries("q_text_bm25")(spark, dir))
+    val exchangeIdx = p.indexOf("Exchange")
+    val filterIdx = p.indexOf("IN (window")
+    assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
+      s"term filter not below the shuffle:\n$p")
+  }
 }

@@ -47,6 +47,45 @@ object Sinks {
           .otherwise(col("side")))
       .write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Bucketed message lake — the INGEST side of shuffle-free replay.
+    * Parse the raw log once, write it bucketed by `assetId`, and every
+    * subsequent replay / reprocess / backfill over the lake runs
+    * `BookReplay.ticksPreDistributed` with ZERO exchanges: the bucketed
+    * scan satisfies the co-location contract (each asset's messages
+    * land in exactly one bucket), so the only remaining work per task
+    * is the in-partition spillable sort and the fold. At 100 TB this
+    * converts the replay's one big shuffle into a one-time write-side
+    * cost amortized over every downstream read. Files are additionally
+    * sorted by the fold's arrival key, so the read-side sort consumes
+    * mostly-ordered runs.
+    *
+    * `nBuckets` sizes read parallelism: one bucket = one task in the
+    * shuffle-free plan, so pick ~2-4× the executor-core count of the
+    * REPLAY cluster (not the ingest cluster).
+    */
+  def writeBucketedLake(
+      msgs: Dataset[graft.model.FeedMsg],
+      table: String,
+      path: String,
+      nBuckets: Int,
+  ): Unit =
+    msgs.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, "assetId")
+      .sortBy("assetId", "fileHour", "lineNo", "msgIdx")
+      .saveAsTable(table)
+
+  /** Typed view of a lake written by `writeBucketedLake`; feed this to
+    * `BookReplay.ticksPreDistributed`.
+    */
+  def readBucketedLake(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+  ): Dataset[graft.model.FeedMsg] = {
+    import spark.implicits._
+    spark.table(table).as[graft.model.FeedMsg]
+  }
+
   /** K2: rotating zstd-JSONL frame sink — one
     * `YYYY-MM-DD-HH.jsonl.zst` per hour, lines in arrival order,
     * byte-format-compatible with the collector's log

@@ -171,5 +171,81 @@ object MultimodalQ {
            |ORDER BY media_id, frame_idx""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(mediaDecodeResize, mediaFeatures, mediaFrames)
+  /** DuckDB source for media feature vectors: the 16-bin byte
+    * histogram as a BIGINT list (integer-exact — the L1 normalization
+    * is skipped because cosine is scale-invariant, so the histogram
+    * IS the feature vector, with no float division to drift
+    * cross-engine). Shape `(vec_id, q, n2)` for Similarity's Lloyd
+    * CTE machinery. Zero vectors are excluded (cosine undefined).
+    */
+  private def mediaVecSql: String =
+    s"""  SELECT vec_id, q,
+       |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+       |  FROM (
+       |    SELECT doc_id AS vec_id,
+       |           list_transform(range(0, 16), k ->
+       |             CAST(len(list_filter(range(1, n_bytes + 1), i ->
+       |               strpos('0123456789ABCDEF', substr(hx, CAST(2*i - 1 AS BIGINT), 1)) - 1 = k)) AS BIGINT)) AS q
+       |    FROM (SELECT doc_id, hex(encode(text)) AS hx,
+       |                 octet_length(encode(text)) AS n_bytes
+       |          FROM documents))
+       |  WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) > 0""".stripMargin
+
+  /** CROSS-FAMILY composition: the multimodal feature extractor's
+    * output (16-dim integer byte histograms) indexed and searched by
+    * the similarity family's trained-IVF machinery UNCHANGED — train a
+    * coarse quantizer with 2 Lloyd iterations over the media vectors,
+    * build posting lists from the final assignment, probe the 2
+    * nearest centroids for a 1-in-29 query sample, exact-rank top-3
+    * inside the probed lists. Every stage is a broadcast or posting
+    * -list equi-join (the `q_embed_topk_ivf_kmeans` scale shape); the
+    * oracle is the same unrolled Lloyd + probe CTE chain instantiated
+    * at 16 dims over the histogram vectors.
+    */
+  private val mediaEmbedTopk = Q(
+    "q_media_embed_topk",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.VectorSim
+      graft.functions.ArrayDotLong.register(s)
+      val e = Multimodal.features(Multimodal.syntheticMedia(Tables(s, dir).documents))
+        .map(f => (f.media_id, f.histogram.map(_.toLong)))
+        .toDF("vec_id", "q")
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .filter($"n2" > 0) // zero vector: cosine undefined
+        .persist()
+      val init = e.filter($"vec_id" % 50 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val (cents, assignFinal) = VectorSim.kmeansFit(e, init, dims = 16, iters = 2)
+      val posting = assignFinal.select($"vec_id".as("cand_id"), $"cent_id")
+      val probes = e.filter($"vec_id" % 29 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("cos",
+          VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      val cand = probes.join(posting, "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id").distinct()
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(Similarity.kmeansCtesOver(mediaVecSql, dims = 16,
+      initPred = "vec_id % 50 = 1", iters = 2) +
+      Similarity.ivfProbeSql(L = 1, dims = 16, queryPred = "v.vec_id % 29 = 0")),
+  )
+
+  val all: Seq[Q] = Seq(mediaDecodeResize, mediaFeatures, mediaFrames, mediaEmbedTopk)
 }

@@ -284,23 +284,28 @@ object Similarity {
     * and `assign{iters-1}` (the final assignment); callers append
     * their final SELECT.
     */
-  private[queries] def cosSql(vq: String, vn: String, cq: String, cn: String) =
-    s"round(CAST(list_sum(list_transform(range(1, 65), i -> $vq[CAST(i AS INT)] * $cq[CAST(i AS INT)])) AS DOUBLE) / (sqrt($vn) * sqrt($cn)), 4)"
+  private[queries] def cosSqlDims(dims: Int)(
+      vq: String, vn: String, cq: String, cn: String) =
+    s"round(CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> $vq[CAST(i AS INT)] * $cq[CAST(i AS INT)])) AS DOUBLE) / (sqrt($vn) * sqrt($cn)), 4)"
 
-  private[queries] def kmeansCtes(iters: Int): String = {
-    def cos(vq: String, vn: String, cq: String, cn: String) = cosSql(vq, vn, cq, cn)
+  private[queries] def cosSql(vq: String, vn: String, cq: String, cn: String) =
+    cosSqlDims(64)(vq, vn, cq, cn)
+
+  /** Lloyd CTE chain over an arbitrary vector source: `nSql` must
+    * yield `(vec_id, q BIGINT[], n2 DOUBLE)`. Emits `n`, `cents0..`,
+    * `assign0..assign{iters-1}`; callers append their final SELECT.
+    * Parameterized so non-embedding vector columns (e.g. media feature
+    * histograms) reuse the identical trained-quantizer oracle.
+    */
+  private[queries] def kmeansCtesOver(
+      nSql: String, dims: Int, initPred: String, iters: Int): String = {
+    def cos(vq: String, vn: String, cq: String, cn: String) =
+      cosSqlDims(dims)(vq, vn, cq, cn)
     val sb = new StringBuilder
-    sb ++= """WITH q AS (
-             |  SELECT vec_id,
-             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-             |  FROM embeddings
+    sb ++= s"""WITH n AS (
+             |$nSql
              |),
-             |n AS (
-             |  SELECT vec_id, q,
-             |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
-             |  FROM q
-             |),
-             |cents0 AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c FROM n WHERE vec_id % 100 = 1)""".stripMargin
+             |cents0 AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c FROM n WHERE $initPred)""".stripMargin
     for (k <- 0 until iters) {
       sb ++= s""",
                 |assign$k AS (
@@ -320,13 +325,62 @@ object Similarity {
                   |    SELECT cent_id, list(CAST(round(a) AS BIGINT) ORDER BY j) AS qc
                   |    FROM (
                   |      SELECT s.cent_id, t.j, avg(v.q[CAST(t.j AS INT) + 1]) AS a
-                  |      FROM assign$k s JOIN n v ON v.vec_id = s.vec_id, unnest(range(0, 64)) AS t(j)
+                  |      FROM assign$k s JOIN n v ON v.vec_id = s.vec_id, unnest(range(0, $dims)) AS t(j)
                   |      GROUP BY s.cent_id, t.j)
                   |    GROUP BY cent_id))""".stripMargin
       }
     }
     sb.toString
   }
+
+  /** The embeddings-table instantiation of the Lloyd CTE chain
+    * (64 dims, every-100th-vector init) — the historical `kmeansCtes`.
+    */
+  private[queries] def kmeansCtes(iters: Int): String =
+    kmeansCtesOver(
+      """  SELECT vec_id, q,
+        |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+        |  FROM (
+        |    SELECT vec_id,
+        |           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |    FROM embeddings)""".stripMargin,
+      dims = 64, initPred = "vec_id % 100 = 1", iters = iters)
+
+  /** IVF probe chain appended after a Lloyd CTE chain: sample queries
+    * by `queryPred` (over alias `v`), probe the 2 nearest centroids,
+    * exact-rank top-3 inside the probed posting lists.
+    */
+  private[queries] def ivfProbeSql(L: Int, dims: Int, queryPred: String): String = s""",
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT d.vec_id, d.cent_id,
+      |           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cent_id) AS rn
+      |    FROM (
+      |      SELECT v.vec_id, c.cent_id, ${cosSqlDims(dims)("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+      |      FROM n v CROSS JOIN cents$L c
+      |      WHERE $queryPred) d)
+      |  WHERE rn <= 2
+      |),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      |  FROM probes p JOIN assign$L a ON p.cent_id = a.cent_id
+      |  WHERE p.query_id <> a.vec_id
+      |),
+      |scored AS (
+      |  SELECT c.query_id, c.cand_id,
+      |         ${cosSqlDims(dims)("na.q", "na.n2", "nb.q", "nb.n2")} AS cosine
+      |  FROM cand c
+      |  JOIN n na ON na.vec_id = c.query_id
+      |  JOIN n nb ON nb.vec_id = c.cand_id
+      |),
+      |final AS (
+      |  SELECT query_id, cand_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, cand_id, cosine, rank
+      |FROM final WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Oracle for q_embed_kmeans: the Lloyd CTEs + per-cluster rollup. */
   private def kmeansOracleSql(iters: Int): String =
@@ -341,40 +395,8 @@ object Similarity {
   /** Oracle for q_embed_topk_ivf_kmeans: Lloyd CTEs, then IVF probe +
     * exact rank within the probed posting lists (nprobe = 2, top-3).
     */
-  private def ivfKmeansOracleSql(iters: Int): String = {
-    val L = iters - 1
-    kmeansCtes(iters) + s""",
-      |probes AS (
-      |  SELECT vec_id AS query_id, cent_id FROM (
-      |    SELECT d.vec_id, d.cent_id,
-      |           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cent_id) AS rn
-      |    FROM (
-      |      SELECT v.vec_id, c.cent_id, ${cosSql("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
-      |      FROM n v CROSS JOIN cents$L c
-      |      WHERE v.vec_id % 97 = 0) d)
-      |  WHERE rn <= 2
-      |),
-      |cand AS (
-      |  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
-      |  FROM probes p JOIN assign$L a ON p.cent_id = a.cent_id
-      |  WHERE p.query_id <> a.vec_id
-      |),
-      |scored AS (
-      |  SELECT c.query_id, c.cand_id,
-      |         ${cosSql("na.q", "na.n2", "nb.q", "nb.n2")} AS cosine
-      |  FROM cand c
-      |  JOIN n na ON na.vec_id = c.query_id
-      |  JOIN n nb ON nb.vec_id = c.cand_id
-      |),
-      |final AS (
-      |  SELECT query_id, cand_id, cosine,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
-      |  FROM scored
-      |)
-      |SELECT query_id, cand_id, cosine, rank
-      |FROM final WHERE rank <= 3
-      |ORDER BY query_id, rank""".stripMargin
-  }
+  private def ivfKmeansOracleSql(iters: Int): String =
+    kmeansCtes(iters) + ivfProbeSql(iters - 1, 64, "v.vec_id % 97 = 0")
 
   /** K-means clustering of the embedding corpus (3 Lloyd iterations,
     * deterministic init = every 100th vector): the trained-quantizer

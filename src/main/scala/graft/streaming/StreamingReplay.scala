@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.model.{FeedMsg, Level, Tick}
 import graft.operators.Book
@@ -39,10 +39,10 @@ object StreamingReplay {
     */
   final case class BookState(asks: Seq[Level], bids: Seq[Level])
 
-  private def toBook(st: BookState): Book =
+  private[streaming] def toBook(st: BookState): Book =
     new Book().resetFromSnapshot(st.asks, st.bids)
 
-  private def fromBook(b: Book): BookState = BookState(
+  private[streaming] def fromBook(b: Book): BookState = BookState(
     asks = b.asks.iterator.map { case (p, s) => Level(p.toPlainString, s.toPlainString) }.toSeq,
     bids = b.bids.iterator.map { case (p, s) => Level(p.toPlainString, s.toPlainString) }.toSeq,
   )
@@ -78,6 +78,61 @@ object StreamingReplay {
             out.iterator
           }
       }
+  }
+
+  /** The same fold on the MODERN state API (`transformWithState`,
+    * Spark 4): the book lives in a `ValueState[BookState]` with NATIVE
+    * per-value TTL (`TTLConfig`) instead of manual
+    * `GroupStateTimeout` bookkeeping — an expired book simply reads as
+    * absent, so dead-asset eviction needs no timer branch at all. The
+    * engine requires the RocksDB state store provider for this
+    * operator, which is the production provider anyway. Kept alongside
+    * `ticksStream` (not replacing it): parity between the two is
+    * spec'd, and the older API remains for HDFS-backed state stores.
+    */
+  def ticksStreamTWS(
+      msgs: Dataset[FeedMsg],
+      marketFilter: Option[Set[String]] = None,
+      stateTtl: Option[java.time.Duration] = None,
+  ): Dataset[Tick] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    val filtered = marketFilter match {
+      case Some(ids) => msgs.filter(m => ids.contains(m.market))
+      case None => msgs
+    }
+    // TTL cleanup is wall-clock based => ProcessingTime time mode
+    val timeMode =
+      if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    filtered
+      .groupByKey(_.assetId)
+      .transformWithState(new BookProcessor(stateTtl), timeMode, OutputMode.Append())
+  }
+
+  /** StatefulProcessor form of the book fold (see `ticksStreamTWS`). */
+  private[streaming] class BookProcessor(stateTtl: Option[java.time.Duration])
+      extends StatefulProcessor[String, FeedMsg, Tick] {
+    @transient private var bookState: ValueState[BookState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      bookState = getHandle.getValueState[BookState](
+        "book", Encoders.product[BookState], ttl)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[FeedMsg],
+        timerValues: TimerValues): Iterator[Tick] = {
+      // an expired (TTL) or absent value both read as non-existent:
+      // the fold starts a fresh book either way
+      val book =
+        if (bookState.exists()) toBook(bookState.get()) else new Book
+      val ordered = rows.toSeq.sortBy(m => (m.fileHour, m.lineNo, m.msgIdx))
+      val out = ordered.iterator.flatMap(m => applyMsg(book, m)).toVector
+      bookState.update(fromBook(book))
+      out.iterator
+    }
   }
 
   /** One message against the live book — same emission contract as the

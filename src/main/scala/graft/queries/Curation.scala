@@ -156,5 +156,183 @@ object Curation {
             |ORDER BY source""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(curation)
+  /** Quality + language CTEs over an arbitrary `(doc_id, text)` source
+    * CTE — the same formulas the v1 oracle inlines over `documents`,
+    * parameterized so v2 can run them over REDACTED text.
+    */
+  private def gateCtes(src: String): String =
+    s"""qbase AS (
+       |  SELECT doc_id,
+       |         len(string_split(text, ' ')) AS words,
+       |         len(list_distinct(string_split(text, ' '))) AS distinct_words,
+       |         len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS stop_hits
+       |  FROM $src
+       |),
+       |qual AS (
+       |  SELECT doc_id, words,
+       |         round(least(words * 1.0 / 100, 1.0) * 0.4 +
+       |               (distinct_words * 1.0 / words) * 0.4 +
+       |               least(stop_hits * 1.0 / words * 5, 1.0) * 0.2, 4) AS quality
+       |  FROM qbase
+       |),
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $src),
+       |scores AS (
+       |  SELECT doc_id, p_lang, sum(p_weight) AS score
+       |  FROM w JOIN prof ON w = p_word GROUP BY doc_id, p_lang
+       |),
+       |mx AS (
+       |  SELECT doc_id, p_lang, score, max(score) OVER (PARTITION BY doc_id) AS mxs
+       |  FROM scores
+       |),
+       |pred AS (
+       |  SELECT doc_id, min(p_lang) AS pred_lang FROM mx WHERE score = mxs GROUP BY doc_id
+       |)""".stripMargin
+
+  /** V2 of the pipeline, composing the round-3 operators end to end:
+    *
+    *   PII redaction → quality gate → language gate → exact dedup →
+    *   near-dup CONNECTED-COMPONENTS canonicalization → per-source
+    *   accounting (docs, tokens, redaction counts, avg quality).
+    *
+    * Differences from v1: every text-derived stage (quality, lang,
+    * hashes, shingles) runs over the REDACTED text — the order a real
+    * pipeline uses, since PII tokens would otherwise perturb quality
+    * ratios and shingles — and near-dup removal keeps one canonical
+    * doc per duplicate CLUSTER (`Components.connectedComponents`)
+    * instead of v1's greedy per-pair drop. The oracle recomputes the
+    * whole chain independently, including the recursive-CTE fixpoint.
+    */
+  private val curationV2 = Q(
+    "q_pipeline_curation_v2",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      // redaction first: synthetic-PII augmentation (same as
+      // q_text_redact) so the scrub stage does real work
+      val red = TextAnalysis
+        .redact(TextAnalysisQ.augmented(docs.select($"doc_id", $"text")))
+        .withColumn("n_redactions",
+          TextAnalysis.defaultPiiPatterns
+            .map(p => col(s"n_${p.name}"))
+            .reduce(_ + _))
+        .select($"doc_id", $"redacted".as("text"), $"n_redactions")
+        .persist() // feeds quality, langid, hashes, shingles, accounting
+      val qual = TextAnalysis.quality(red, TextAnalysis.defaultStopwords)
+        .select($"doc_id", $"words", $"quality")
+        .filter($"quality" >= 0.45)
+      val lang = TextAnalysis.langId(red, TextAnalysis.defaultProfile)
+        .filter($"pred_lang" === "en")
+        .select($"doc_id")
+      val gated = red
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+        .join(qual, "doc_id")
+        .join(lang, "doc_id")
+      val exactCanonical = gated
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val kept = gated.join(exactCanonical, Seq("doc_id"), "left_semi").persist()
+      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      val pairs = TextDedup.jaccard(
+        TextDedup.bandPairs(
+          TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)),
+        sh, cnt)
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b")
+      // cluster canonicalization: drop every clustered doc that is not
+      // its component's minimum id
+      val drops = graft.operators.Components
+        .connectedComponents(pairs, "doc_a", "doc_b")
+        .filter($"node" =!= $"component")
+        .select($"node".as("doc_id"))
+      val curated = kept.join(drops, Seq("doc_id"), "left_anti")
+      curated
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"words").as("total_tokens"),
+          sum($"n_redactions").as("total_redactions"),
+          round(sum(round($"quality" * 10000).cast("long")) /
+            (count(lit(1)) * 10000.0), 4).as("avg_quality"),
+        )
+        .orderBy($"source")
+    },
+    Some(s"""WITH RECURSIVE prof(p_lang, p_word, p_weight) AS (VALUES $profileValues),
+            |aug AS (${TextAnalysisQ.augSql}),
+            |${TextAnalysisQ.redactCtes},
+            |red AS (
+            |  SELECT doc_id, t AS text,
+            |         ${TextAnalysisQ.redactCountCols.mkString(" + ")} AS n_redactions
+            |  FROM ${TextAnalysisQ.redactFinalCte}
+            |),
+            |${gateCtes("red")},
+            |gated AS (
+            |  SELECT r.doc_id, r.text, d.source, r.n_redactions, q.words, q.quality
+            |  FROM red r
+            |  JOIN documents d ON d.doc_id = r.doc_id
+            |  JOIN qual q ON q.doc_id = r.doc_id AND q.quality >= 0.45
+            |  JOIN pred p ON p.doc_id = r.doc_id AND p.pred_lang = 'en'
+            |),
+            |canonical AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+            |kept AS (SELECT g.* FROM gated g JOIN canonical c ON g.doc_id = c.doc_id),
+            |kws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            |  FROM kws, unnest(range(1, len(ws) - 1)) AS t(i)
+            |),
+            |${Dedup.minhashOracleCtes},
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+            |),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT doc_a, doc_b, count(*) AS i
+            |  FROM cand
+            |  JOIN sh sa ON sa.doc_id = doc_a
+            |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+            |  GROUP BY doc_a, doc_b
+            |),
+            |pairs AS (
+            |  SELECT doc_a, doc_b
+            |  FROM inter
+            |  JOIN cnt ca ON ca.doc_id = doc_a
+            |  JOIN cnt cb ON cb.doc_id = doc_b
+            |  WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+            |),
+            |edges AS (
+            |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |  UNION
+            |  SELECT doc_b, doc_a FROM pairs
+            |),
+            |walk(node, comp) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT e.dst, wk.comp FROM walk wk JOIN edges e ON e.src = wk.node
+            |),
+            |drops AS (
+            |  SELECT node AS doc_id FROM (
+            |    SELECT node, min(comp) AS canonical_id FROM walk GROUP BY node)
+            |  WHERE node <> canonical_id
+            |),
+            |curated AS (
+            |  SELECT k.* FROM kept k
+            |  LEFT JOIN drops dr ON k.doc_id = dr.doc_id
+            |  WHERE dr.doc_id IS NULL
+            |)
+            |SELECT source,
+            |       count(*) AS n_docs,
+            |       CAST(sum(words) AS BIGINT) AS total_tokens,
+            |       CAST(sum(n_redactions) AS BIGINT) AS total_redactions,
+            |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) /
+            |             (count(*) * 10000.0), 4) AS avg_quality
+            |FROM curated
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(curation, curationV2)
 }

@@ -128,14 +128,20 @@ object TextAnalysisQ {
     * Spark's regexp_replace default). Generated from the same pattern
     * list as the Spark side, so the two can't drift.
     */
-  private def redactOracleSql: String = {
-    val pats = TextAnalysis.defaultPiiPatterns
-    val aug = "SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)" +
+  /** The synthetic-PII augmentation both redaction queries share. */
+  private[queries] val augSql: String =
+    "SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)" +
       " || '@mail-' || CAST(doc_id % 7 AS VARCHAR)" +
       " || '.net call +1 (415) 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)" +
       " || ' ssn 123-45-6789 ip 10.1.' || CAST(doc_id % 256 AS VARCHAR)" +
       " || '.' || CAST(doc_id % 100 AS VARCHAR) || ' end' AS t FROM documents"
-    val stages = pats.zipWithIndex.map { case (p, i) =>
+
+  /** Redaction CTE stages `s1..sN` over an `aug(doc_id, t)` CTE; the
+    * last stage carries every count column plus the running text `t`.
+    */
+  private[queries] def redactCtes: String = {
+    val pats = TextAnalysis.defaultPiiPatterns
+    pats.zipWithIndex.map { case (p, i) =>
       val prev = if (i == 0) "aug" else s"s$i"
       val carried = pats.take(i).map(q => s"n_${q.name}, ").mkString
       s"""s${i + 1} AS (
@@ -143,31 +149,47 @@ object TextAnalysisQ {
          |         CAST(len(regexp_extract_all(t, '${p.regex}')) AS BIGINT) AS n_${p.name},
          |         regexp_replace(t, '${p.regex}', '${p.token}', 'g') AS t
          |  FROM $prev)""".stripMargin
-    }
-    s"WITH aug AS ($aug),\n${stages.mkString(",\n")}\n" +
-      s"SELECT doc_id, ${pats.map(p => s"n_${p.name}").mkString(", ")}, t AS redacted\n" +
-      s"FROM s${pats.size}\nORDER BY doc_id"
+    }.mkString(",\n")
   }
+
+  /** Name of the final redaction CTE emitted by `redactCtes`. */
+  private[queries] def redactFinalCte: String =
+    s"s${TextAnalysis.defaultPiiPatterns.size}"
+
+  private[queries] def redactCountCols: Seq[String] =
+    TextAnalysis.defaultPiiPatterns.map(p => s"n_${p.name}")
+
+  private def redactOracleSql: String =
+    s"WITH aug AS ($augSql),\n$redactCtes\n" +
+      s"SELECT doc_id, ${redactCountCols.mkString(", ")}, t AS redacted\n" +
+      s"FROM $redactFinalCte\nORDER BY doc_id"
 
   /** PII scrub over documents augmented with deterministic synthetic
     * PII (the raw corpus carries none, so the augmentation guarantees
     * every rule fires on every row — email, SSN, phone, IPv4 — while
     * the raw text exercises the no-false-positive side).
     */
+  /** Spark twin of `augSql`. Keeps `source` if present (pipeline use). */
+  private[queries] def augmented(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    import docs.sparkSession.implicits._
+    docs.withColumn("text",
+      concat(
+        $"text", lit(" reach user"), $"doc_id".cast("string"),
+        lit("@mail-"), ($"doc_id" % 7).cast("string"),
+        lit(".net call +1 (415) 555-"), (lit(1000) + $"doc_id" % 9000).cast("string"),
+        lit(" ssn 123-45-6789 ip 10.1."), ($"doc_id" % 256).cast("string"),
+        lit("."), ($"doc_id" % 100).cast("string"), lit(" end"),
+      ))
+  }
+
   private val redact = Q(
     "q_text_redact",
     (s, dir) => {
       import s.implicits._
-      val aug = Tables(s, dir).documents.select(
-        $"doc_id",
-        concat(
-          $"text", lit(" reach user"), $"doc_id".cast("string"),
-          lit("@mail-"), ($"doc_id" % 7).cast("string"),
-          lit(".net call +1 (415) 555-"), (lit(1000) + $"doc_id" % 9000).cast("string"),
-          lit(" ssn 123-45-6789 ip 10.1."), ($"doc_id" % 256).cast("string"),
-          lit("."), ($"doc_id" % 100).cast("string"), lit(" end"),
-        ).as("text"))
-      TextAnalysis.redact(aug).orderBy($"doc_id")
+      TextAnalysis
+        .redact(augmented(Tables(s, dir).documents.select($"doc_id", $"text")))
+        .orderBy($"doc_id")
     },
     Some(redactOracleSql),
   )

@@ -211,6 +211,93 @@ object TextAnalysis {
       .agg(sum($"c_q").as("score_q"), count(lit(1)).as("n_hits"))
   }
 
+  /** Test-set decontamination: flag training documents that share any
+    * word n-gram with a benchmark/eval set (the standard n-gram-overlap
+    * decontamination pass a pretraining pipeline runs before training).
+    * `bench` has columns (bench_id, text); output is one row per
+    * CONTAMINATED doc: (doc_id, n_grams, n_matched_grams, n_bench_docs,
+    * contamination) where contamination = matched/total distinct grams
+    * (integer ratio → engine-exact, rounded 4 dp).
+    *
+    * Scale shape: the benchmark is orders of magnitude smaller than the
+    * corpus, so its distinct-gram table is BROADCAST and the corpus side
+    * never shuffles at full width — each doc's grams are built as one
+    * array row ([[TextDedup.shingleArrays]], narrow), exploded, and
+    * hash-joined against the broadcast in the same stage. The only
+    * exchange carries (doc, matched-gram) rows, i.e. the contamination
+    * hits, not the corpus. The per-doc gram totals join is inner against
+    * the (small) hit set, which AQE turns into a broadcast.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val bg = TextDedup
+      .shingles(bench.select(col("bench_id").as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val arr = TextDedup.shingleArrays(docs, n)
+    val hits = arr
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(broadcast(bg), "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("sh")).as("n_matched_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    arr
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_grams"))
+      .join(hits, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_matched_grams"),
+        col("n_bench_docs"),
+        round(col("n_matched_grams").cast("double") / col("n_grams"), 4)
+          .as("contamination"))
+  }
+
+  /** Corpus-statistics language-model proxy: score every document by
+    * how RARE its word bigrams are corpus-wide (the cheap stand-in for
+    * n-gram-LM perplexity filtering — docs full of never-seen-elsewhere
+    * transitions are the ones a KenLM-style quality gate flags). All
+    * outputs are integers or integer ratios, so the score is
+    * hash-comparable across engines with no transcendentals.
+    *
+    * Two linear passes, both shuffle-bounded by DISTINCT-per-doc grams,
+    * not occurrences: bigrams are assembled in-row (narrow), exploded,
+    * and reduced to (doc_id, gram, tf) — hash partial aggregation
+    * collapses a document's repeats on the map side, so the exchange
+    * carries per-doc distinct grams. Pass 1 sums tf per gram (partial
+    * aggregation absorbs hot grams); pass 2 joins gram counts back
+    * (sort-merge, exactly one build row per key — no skew
+    * amplification) and re-aggregates per doc. Output per doc:
+    * n_bigrams (occurrences), n_distinct, n_rare (occurrences of grams
+    * with corpus count ≤ maxCount), min_freq, sum_freq, rare_ratio.
+    */
+  def rareBigrams(docs: DataFrame, maxCount: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = $"ws"
+    val grams = transform(
+      sequence(lit(1), size(ws) - 1),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
+    val docGrams = docs
+      .select($"doc_id", graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
+      .filter(size(ws) >= 2)
+      .select($"doc_id", explode(grams).as("gram"))
+      .groupBy($"doc_id", $"gram")
+      .agg(count(lit(1)).as("tf"))
+    val corpus = docGrams.groupBy($"gram").agg(sum($"tf").as("cf"))
+    docGrams
+      .join(corpus, "gram")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when($"cf" <= maxCount, $"tf").otherwise(0L)).as("n_rare"),
+        min($"cf").as("min_freq"),
+        sum($"tf" * $"cf").as("sum_freq"),
+      )
+      .withColumn("rare_ratio",
+        round($"n_rare".cast("double") / $"n_bigrams", 4))
+  }
+
   /** One redaction rule: occurrences of `regex` become `token`, and the
     * per-doc match count is reported as column `n_<name>`.
     */

@@ -256,5 +256,91 @@ object TextAnalysisQ {
            |ORDER BY rank""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(langId, quality, tokens, fingerprint, redact, bm25)
+  /** DuckDB 1-based-list twin of the n-gram concat for gram size `n`. */
+  private def gramSql(n: Int): String =
+    (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+
+  /** 4-gram decontamination of the corpus against a deterministic
+    * benchmark slice (doc_id % 29 = 3 plays the eval set). The corpus
+    * side excludes the benchmark docs themselves — contamination means
+    * a TRAINING doc sharing an eval n-gram, and a bench doc trivially
+    * matching itself would drown the real signal (the planted near-dups
+    * and natural small-vocab collisions).
+    */
+  private val decontaminate = Q(
+    "q_text_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val bench = docs
+        .filter($"doc_id" % 29 === 3)
+        .select($"doc_id".as("bench_id"), $"text")
+      TextAnalysis
+        .decontaminate(docs.filter($"doc_id" % 29 =!= 3), bench, n = 4)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH bench AS (
+            |  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 29 = 3
+            |),
+            |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 3),
+            |bws AS (SELECT bench_id, string_split(text, ' ') AS ws FROM bench),
+            |bg AS (
+            |  SELECT DISTINCT bench_id, ${gramSql(4)} AS g
+            |  FROM bws, unnest(range(1, len(ws) - 2)) AS t(i)
+            |),
+            |cws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+            |cg AS (
+            |  SELECT DISTINCT doc_id, ${gramSql(4)} AS g
+            |  FROM cws, unnest(range(1, len(ws) - 2)) AS t(i)
+            |),
+            |tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+            |hits AS (
+            |  SELECT doc_id,
+            |         count(DISTINCT g) AS n_matched_grams,
+            |         count(DISTINCT bench_id) AS n_bench_docs
+            |  FROM cg JOIN bg USING (g)
+            |  GROUP BY doc_id
+            |)
+            |SELECT t.doc_id, t.n_grams, h.n_matched_grams, h.n_bench_docs,
+            |       round(h.n_matched_grams * 1.0 / t.n_grams, 4) AS contamination
+            |FROM tot t JOIN hits h ON t.doc_id = h.doc_id
+            |ORDER BY t.doc_id""".stripMargin),
+  )
+
+  /** Corpus rare-bigram scoring with threshold 10 (≈ the bottom 2% of
+    * this corpus's bigram-frequency distribution — the "unseen
+    * transition" regime a perplexity gate cuts).
+    */
+  private val rareBigrams = Q(
+    "q_text_rare_bigrams",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .rareBigrams(Tables(s, dir).documents, maxCount = 10L)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |bg AS (
+           |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+           |  FROM ws, unnest(range(1, len(w))) AS t(i)
+           |  WHERE len(w) >= 2
+           |),
+           |dg AS (SELECT doc_id, gram, count(*) AS tf FROM bg GROUP BY doc_id, gram),
+           |cf AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS cf FROM dg GROUP BY gram)
+           |SELECT doc_id,
+           |       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |       count(*) AS n_distinct,
+           |       CAST(sum(CASE WHEN cf <= 10 THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+           |       min(cf) AS min_freq,
+           |       CAST(sum(tf * cf) AS BIGINT) AS sum_freq,
+           |       round(sum(CASE WHEN cf <= 10 THEN tf ELSE 0 END) * 1.0
+           |             / sum(tf), 4) AS rare_ratio
+           |FROM dg JOIN cf USING (gram)
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  val all: Seq[Q] =
+    Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
+      rareBigrams)
 }

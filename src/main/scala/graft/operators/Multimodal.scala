@@ -227,6 +227,42 @@ object Multimodal {
     }
   }
 
+  final case class AHash(
+      media_id: Long,
+      ahash: String, // 64 chars of '0'/'1', bit 0 first
+      ah_hi: Long, // bits 0-31 packed, bit 0 at 1<<31 (simhash convention)
+      ah_lo: Long, // bits 32-63 packed, bit 32 at 1<<31... i.e. 1L<<(63-b)
+  )
+
+  /** Perceptual average-hash over an 8×8 DECODED raster: bit b is
+    * pixel(b) ≥ mean, computed integer-exactly as `pixel·64 ≥ Σpixels`
+    * (no division — Spark and any oracle agree bit for bit). Emits the
+    * bit string AND the bits packed into two longs (TextDedup.simhash's
+    * convention), so candidate generation reuses the SimHash machinery:
+    * band the string with [[TextDedup.bitBands]] for LSH buckets, then
+    * verify survivors with `bit_count(xor)` hamming on the packed
+    * halves — integer ops, never 64 substrings per pair. Narrow map;
+    * near-dup image search stays linear + band-join-shaped at any
+    * corpus size.
+    */
+  def aHash(imgs: Dataset[DecodedImage]): Dataset[AHash] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.map { img =>
+      require(img.pixels.length == 64,
+        s"aHash expects an 8x8 raster (resize first); got ${img.pixels.length} px")
+      val px = img.pixels.map(_ & 0xff)
+      val s = px.sum
+      val bits = px.map(p => p * 64 >= s)
+      var hi = 0L
+      var lo = 0L
+      var b = 0
+      while (b < 32) { if (bits(b)) hi |= 1L << (31 - b); b += 1 }
+      while (b < 64) { if (bits(b)) lo |= 1L << (63 - b); b += 1 }
+      AHash(img.media_id, bits.map(if (_) '1' else '0').mkString, hi, lo)
+    }
+  }
+
   /** Frame sampling: every `everyN`-th fixed-size slice of a video
     * payload becomes a frame row (1 → n flatMap).
     */

@@ -247,5 +247,88 @@ object MultimodalQ {
       Similarity.ivfProbeSql(L = 1, dims = 16, queryPred = "v.vec_id % 29 = 0")),
   )
 
-  val all: Seq[Q] = Seq(mediaDecodeResize, mediaFeatures, mediaFrames, mediaEmbedTopk)
+  /** Nearest-neighbor source index for resized pixel t of an 8x8
+    * target (the aHash raster): same arithmetic as `duckSrcIdx` at 8.
+    */
+  private def duckSrcIdx8(t: String): String =
+    s"((($t)//8) * h // 8) * w + ((($t) % 8) * w // 8)"
+
+  /** Image near-dup dedup via perceptual average-hash: real PNGs →
+    * javax.imageio decode → 8×8 resize → 64-bit aHash → 4×16-bit LSH
+    * bands (the SimHash banding machinery reused on image bits) →
+    * packed-long `bit_count(xor)` hamming ≤ 8 on band survivors. The
+    * oracle rebuilds the resized raster byte-for-byte from the hex
+    * text (never touching PNG bytes), recomputes every hash bit with
+    * the same `p·64 ≥ Σ` rule, re-bands, and re-verifies hamming by
+    * comparing the 64 bit-chars — so codec, resize, hashing, banding,
+    * and the hamming kernel are ALL under one hash-match.
+    */
+  private val mediaAHashDedup = Q(
+    "q_media_ahash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TextDedup
+      val ah = Multimodal
+        .aHash(Multimodal.resize(
+          Multimodal.decodeImages(
+            Multimodal.syntheticPngMedia(Tables(s, dir).documents)), 8, 8))
+        .toDF()
+        .persist() // banding + both pair sides read it
+      val bands = TextDedup.bitBands(
+        ah.select($"media_id".as("doc_id"), $"ahash"), "ahash", bits = 64, nBands = 4)
+      TextDedup
+        .bandPairs(bands)
+        .join(ah.select($"media_id".as("doc_a"),
+          $"ah_hi".as("hi_a"), $"ah_lo".as("lo_a")), "doc_a")
+        .join(ah.select($"media_id".as("doc_b"),
+          $"ah_hi".as("hi_b"), $"ah_lo".as("lo_b")), "doc_b")
+        .select(
+          $"doc_a".as("media_a"),
+          $"doc_b".as("media_b"),
+          (bit_count($"hi_a".bitwiseXOR($"hi_b")) +
+            bit_count($"lo_a".bitwiseXOR($"lo_b"))).cast("long").as("hamming"))
+        .filter($"hamming" <= 8)
+        .orderBy($"media_a", $"media_b")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id,
+            |         hex(encode(text)) AS hx,
+            |         octet_length(encode(text)) AS n
+            |  FROM documents WHERE doc_id % 3 = 0
+            |),
+            |d AS (SELECT media_id, hx, n, 4 + n % 13 AS w, 3 + n % 7 AS h FROM m),
+            |px AS (
+            |  SELECT media_id,
+            |         list_transform(range(0, 64), t -> ${duckByteAt(duckSrcIdx8("t"))}) AS rs
+            |  FROM d
+            |),
+            |sm AS (SELECT media_id, rs, list_sum(rs) AS s FROM px),
+            |hs AS (
+            |  SELECT media_id,
+            |         list_aggregate(list_transform(rs, p ->
+            |           CASE WHEN p * 64 >= s THEN '1' ELSE '0' END), 'string_agg', '') AS hb
+            |  FROM sm
+            |),
+            |bands AS (
+            |  SELECT media_id, hb, b, substr(hb, CAST(b * 16 + 1 AS BIGINT), 16) AS bh
+            |  FROM hs, unnest(range(0, 4)) AS t(b)
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+            |                  a.hb AS ha, b.hb AS hbb
+            |  FROM bands a
+            |  JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.media_id < b.media_id
+            |)
+            |SELECT media_a, media_b,
+            |       CAST(len(list_filter(range(1, 65), i ->
+            |         substr(ha, CAST(i AS BIGINT), 1) <> substr(hbb, CAST(i AS BIGINT), 1)))
+            |         AS BIGINT) AS hamming
+            |FROM cand
+            |WHERE len(list_filter(range(1, 65), i ->
+            |        substr(ha, CAST(i AS BIGINT), 1) <> substr(hbb, CAST(i AS BIGINT), 1))) <= 8
+            |ORDER BY media_a, media_b""".stripMargin),
+  )
+
+  val all: Seq[Q] =
+    Seq(mediaDecodeResize, mediaFeatures, mediaFrames, mediaEmbedTopk, mediaAHashDedup)
 }

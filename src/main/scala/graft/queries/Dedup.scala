@@ -423,6 +423,55 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin),
   )
 
+  /** STREAMING exact dedup under the gate: the corpus arrives twice
+    * (two file sources unioned — the at-least-once-delivery shape that
+    * makes streaming dedup necessary in a real ingest), and stateful
+    * `dropDuplicates` collapses it back to one row per content hash
+    * across micro-batches and sources. Output is (hash, chars) — pure
+    * functions of the TEXT, so the result is deterministic no matter
+    * which physical copy wins the state race — and the oracle is the
+    * batch ground truth, `SELECT DISTINCT`. AvailableNow + memory
+    * sink, the same harness as the replay streaming gates. State is
+    * one entry per distinct content hash; an unbounded real stream
+    * would bound it with `dropDuplicatesWithinWatermark` on an
+    * event-time column (documents carry none).
+    */
+  private val streamExact = Q(
+    "q_stream_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_dedup_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        // the file streaming source lists a DIRECTORY; the glob filter
+        // narrows it to the documents table
+        def src = s.readStream.schema(sch)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val dd = src
+          .union(src)
+          .select(md5($"text").as("h"), length($"text").cast("long").as("chars"))
+          .dropDuplicates("h")
+        val query = dd.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"h")
+    },
+    Some("""SELECT DISTINCT md5(text) AS h,
+           |       CAST(length(text) AS BIGINT) AS chars
+           |FROM documents
+           |ORDER BY h""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, simhashPairs,
-    ngramJaccard, embeddingCosine, embeddingCosineBlocked)
+    ngramJaccard, embeddingCosine, embeddingCosineBlocked, streamExact)
 }

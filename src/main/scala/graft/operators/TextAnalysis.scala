@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
 
 /** Text-analysis operators for a training-data pipeline: language
   * identification (profile-scored), quality features, token counting,
@@ -296,6 +298,59 @@ object TextAnalysis {
       )
       .withColumn("rare_ratio",
         round($"n_rare".cast("double") / $"n_bigrams", 4))
+  }
+
+  /** Repetition quality signals (the Gopher-rules family): for word
+    * n-grams of size 1-3, the fraction of occurrences claimed by the
+    * single most frequent gram (`top_*_frac`) and the fraction that
+    * are repeats of an earlier occurrence (`dup_*_frac` — occurrences
+    * in grams appearing more than once). High values flag the
+    * boilerplate/looping documents a pretraining quality gate drops.
+    * All six ratios are integer/integer (round 4 dp) — engine-exact.
+    *
+    * Scale shape: one explode→groupBy(doc, gram) per n — hash partial
+    * aggregation collapses within-doc repeats map-side, so each
+    * exchange carries per-doc distinct grams; the three per-doc
+    * aggregates then join on doc_id (co-partitioned, AQE-broadcast at
+    * small scale). Linear in corpus size, no all-pairs anywhere.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def gramStats(n: Int, pfx: String): DataFrame = {
+      val ws = $"ws"
+      val grams =
+        if (n == 1) ws
+        else transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+      docs
+        .select($"doc_id", Cols.materialized(split($"text", " ")).as("ws"))
+        .filter(size(ws) >= n)
+        .select($"doc_id", explode(grams).as("gram"))
+        .groupBy($"doc_id", $"gram")
+        .agg(count(lit(1)).as("tf"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"tf").as(s"${pfx}_occ"),
+          max($"tf").as(s"${pfx}_top"),
+          sum(when($"tf" > 1, $"tf").otherwise(0L)).as(s"${pfx}_dup"))
+    }
+    def frac(num: Column, den: Column): Column =
+      round(num.cast("double") / den, 4)
+    gramStats(1, "w")
+      .join(gramStats(2, "b"), Seq("doc_id"), "left")
+      .join(gramStats(3, "t"), Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"w_occ".as("words"),
+        frac($"w_top", $"w_occ").as("top_word_frac"),
+        frac($"w_dup", $"w_occ").as("dup_word_frac"),
+        frac($"b_top", $"b_occ").as("top_bigram_frac"),
+        frac($"b_dup", $"b_occ").as("dup_bigram_frac"),
+        frac($"t_top", $"t_occ").as("top_trigram_frac"),
+        frac($"t_dup", $"t_occ").as("dup_trigram_frac"),
+      )
   }
 
   /** One redaction rule: occurrences of `regex` become `token`, and the

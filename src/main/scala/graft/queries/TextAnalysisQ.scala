@@ -340,7 +340,55 @@ object TextAnalysisQ {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** One gram-stats CTE pair for gram size `n`, prefix `p`: per-doc
+    * occurrence/top/dup counts — the SQL twin of
+    * `TextAnalysis.repetition`'s gramStats.
+    */
+  private def repCtes(n: Int, p: String): String = {
+    val gram =
+      if (n == 1) "w[i]"
+      else (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""${p}g AS (
+       |  SELECT doc_id, $gram AS gram
+       |  FROM ws, unnest(range(1, len(w) - ${n - 2})) AS t(i)
+       |  WHERE len(w) >= $n
+       |),
+       |${p}tf AS (SELECT doc_id, gram, count(*) AS tf FROM ${p}g GROUP BY doc_id, gram),
+       |${p}s AS (
+       |  SELECT doc_id,
+       |         CAST(sum(tf) AS BIGINT) AS ${p}_occ,
+       |         CAST(max(tf) AS BIGINT) AS ${p}_top,
+       |         CAST(sum(CASE WHEN tf > 1 THEN tf ELSE 0 END) AS BIGINT) AS ${p}_dup
+       |  FROM ${p}tf GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** Gopher-family repetition signals, all six ratios oracle-checked. */
+  private val repetition = Q(
+    "q_text_repetition",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.repetition(Tables(s, dir).documents).orderBy($"doc_id")
+    },
+    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |${repCtes(1, "w1")},
+            |${repCtes(2, "b2")},
+            |${repCtes(3, "t3")}
+            |SELECT w.doc_id,
+            |       w.w1_occ AS words,
+            |       round(w.w1_top * 1.0 / w.w1_occ, 4) AS top_word_frac,
+            |       round(w.w1_dup * 1.0 / w.w1_occ, 4) AS dup_word_frac,
+            |       round(b.b2_top * 1.0 / b.b2_occ, 4) AS top_bigram_frac,
+            |       round(b.b2_dup * 1.0 / b.b2_occ, 4) AS dup_bigram_frac,
+            |       round(t.t3_top * 1.0 / t.t3_occ, 4) AS top_trigram_frac,
+            |       round(t.t3_dup * 1.0 / t.t3_occ, 4) AS dup_trigram_frac
+            |FROM w1s w
+            |LEFT JOIN b2s b ON b.doc_id = w.doc_id
+            |LEFT JOIN t3s t ON t.doc_id = w.doc_id
+            |ORDER BY w.doc_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams)
+      rareBigrams, repetition)
 }

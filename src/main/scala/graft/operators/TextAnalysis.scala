@@ -353,6 +353,61 @@ object TextAnalysis {
       )
   }
 
+  /** Sliding-window document chunking (the RAG / long-context prep
+    * stage): window `chunkWords` words, stride `strideWords` (overlap =
+    * chunk − stride). One chunk row per window start while starts
+    * remain in range, so tails shorter than a full window still emit
+    * (a trailing fragment is data, not waste). Pure narrow flatMap —
+    * the chunk list is built in-row and exploded; zero shuffles at any
+    * corpus size. Output: (doc_id, chunk_idx, n_words, chunk_digest).
+    */
+  def chunk(docs: DataFrame, chunkWords: Int, strideWords: Int): DataFrame = {
+    require(chunkWords >= 1 && strideWords >= 1,
+      s"chunk/stride must be >= 1 (got $chunkWords/$strideWords)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = $"ws"
+    // window starts: 0, stride, 2·stride … while start < len
+    val chunks = transform(
+      sequence(lit(0), ((size(ws) - 1) / strideWords).cast("int")),
+      i => slice(ws, i * strideWords + 1, lit(chunkWords)))
+    docs
+      .select($"doc_id", Cols.materialized(split($"text", " ")).as("ws"))
+      .select($"doc_id", posexplode(chunks).as(Seq("chunk_idx", "cw")))
+      .select(
+        $"doc_id",
+        $"chunk_idx".cast("long").as("chunk_idx"),
+        size($"cw").cast("long").as("n_words"),
+        md5(concat_ws(" ", $"cw")).as("chunk_digest"))
+  }
+
+  /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    * batcher): within each `source`, documents are laid end to end in
+    * doc_id order and cut into fixed `budget`-token packs; a document's
+    * pack is where its FIRST token lands (boundary overflow spills into
+    * the next pack — the concat-then-chunk semantics, not bin packing).
+    * One window aggregation partitioned by source — the shuffle is on
+    * the partition key, linear; no stateful scan needed because pack
+    * assignment is a pure function of the running token sum. Output:
+    * (doc_id, source, tokens, pack_id, pack_offset).
+    */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("tokens"))
+      .withColumn("cum", sum($"tokens").over(w))
+      .select(
+        $"doc_id",
+        $"source",
+        $"tokens",
+        (($"cum" - $"tokens") / budget).cast("long").as("pack_id"),
+        (($"cum" - $"tokens") % budget).as("pack_offset"))
+  }
+
   /** One redaction rule: occurrences of `regex` become `token`, and the
     * per-doc match count is reported as column `n_<name>`.
     */

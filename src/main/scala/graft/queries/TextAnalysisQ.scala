@@ -388,7 +388,59 @@ object TextAnalysisQ {
             |ORDER BY w.doc_id""".stripMargin),
   )
 
+  /** 16-word windows, stride 12 (4-word overlap) — boundary content,
+    * tail fragments, and chunk text all under the digest.
+    */
+  private val chunk = Q(
+    "q_text_chunk",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.chunk(Tables(s, dir).documents, chunkWords = 16, strideWords = 12)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |ch AS (
+           |  SELECT doc_id,
+           |         CAST(i AS BIGINT) AS chunk_idx,
+           |         w[i*12 + 1 : i*12 + 16] AS cw
+           |  FROM ws, unnest(range(0, (len(w) - 1) // 12 + 1)) AS t(i)
+           |)
+           |SELECT doc_id, chunk_idx,
+           |       CAST(len(cw) AS BIGINT) AS n_words,
+           |       md5(array_to_string(cw, ' ')) AS chunk_digest
+           |FROM ch
+           |ORDER BY doc_id, chunk_idx""".stripMargin),
+  )
+
+  /** Packing at a 256-token budget: multi-doc packs, mid-doc spills,
+    * and per-source independence all exercised by the corpus's ~50-word
+    * docs.
+    */
+  private val pack = Q(
+    "q_text_pack",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.packSequences(Tables(s, dir).documents, budget = 256)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           |  FROM documents
+           |),
+           |c AS (
+           |  SELECT doc_id, source, tokens,
+           |         sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |                           ROWS UNBOUNDED PRECEDING) - tokens AS bef
+           |  FROM tok
+           |)
+           |SELECT doc_id, source, tokens,
+           |       CAST(bef // 256 AS BIGINT) AS pack_id,
+           |       CAST(bef % 256 AS BIGINT) AS pack_offset
+           |FROM c
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, repetition)
+      rareBigrams, repetition, chunk, pack)
 }

@@ -583,7 +583,48 @@ object Relational {
            |ORDER BY source""".stripMargin),
   )
 
+  /** Ordered conversion funnel signup → view → purchase per user: each
+    * stage's earliest event strictly after the previous stage's.
+    * Every shuffle keys on user_id (one partitioning reused across all
+    * stages); per-user state is one timestamp per stage, never an
+    * event list.
+    */
+  private val eventsFunnel = Q(
+    "q_events_funnel",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Funnel
+        .funnel(Tables(s, dir).events, Seq("signup", "view", "purchase"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH s1 AS (
+           |  SELECT user_id, min(ts) AS t_signup
+           |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+           |),
+           |s2 AS (
+           |  SELECT e.user_id, min(e.ts) AS t_view
+           |  FROM events e JOIN s1 USING (user_id)
+           |  WHERE e.event_type = 'view' AND e.ts > s1.t_signup
+           |  GROUP BY e.user_id
+           |),
+           |s3 AS (
+           |  SELECT e.user_id, min(e.ts) AS t_purchase
+           |  FROM events e JOIN s2 USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_view
+           |  GROUP BY e.user_id
+           |)
+           |SELECT s1.user_id, s1.t_signup, s2.t_view, s3.t_purchase,
+           |       CASE WHEN s3.user_id IS NOT NULL THEN 3
+           |            WHEN s2.user_id IS NOT NULL THEN 2
+           |            ELSE 1 END AS stage
+           |FROM s1
+           |LEFT JOIN s2 ON s2.user_id = s1.user_id
+           |LEFT JOIN s3 ON s3.user_id = s1.user_id
+           |ORDER BY s1.user_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
+    eventsFunnel,
     aggPricingSummary,
     aggRollup,
     windowMinuteSpine,

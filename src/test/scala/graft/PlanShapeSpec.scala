@@ -124,4 +124,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
       s"term filter not below the shuffle:\n$p")
   }
+
+  test("decontamination: the eval-gram side is broadcast; no join " +
+    "materializes corpus x benchmark") {
+    val p = physical(SparkEntry.queries("q_text_decontaminate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination grew an all-pairs join:\n$p")
+  }
+
+  test("rare bigrams: gram-count lookup is an equi-join, never nested-loop") {
+    val p = physical(SparkEntry.queries("q_text_rare_bigrams")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-frequency join degraded to all-pairs:\n$p")
+  }
+
+  test("funnel: every exchange is keyed on the user column, no all-pairs") {
+    val p = physical(SparkEntry.queries("q_events_funnel")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel grew an all-pairs join:\n$p")
+    val keyed = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .forall(_.contains("user_id"))
+    assert(keyed, s"funnel shuffles on a non-user key:\n$p")
+  }
+
+  test("ahash dedup: candidate generation is a band equi-join over the " +
+    "persisted hash table, never image x image") {
+    val p = physical(SparkEntry.queries("q_media_ahash_dedup")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"ahash pair generation is a cartesian product:\n$p")
+  }
 }

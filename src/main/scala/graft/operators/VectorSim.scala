@@ -147,6 +147,124 @@ object VectorSim {
   def kmeans(vecs: DataFrame, initCents: DataFrame, dims: Int, iters: Int): DataFrame =
     kmeansFit(vecs, initCents, dims, iters)._2
 
+  /** Nearest-centroid assignment under SQUARED L2 (the product-
+    * quantization metric): argmin of ‖v−c‖² = n2v + n2c − 2⟨v,c⟩, and
+    * since n2v is constant per vector the ranking key is the INTEGER
+    * `n2c − 2·dot` with cent_id tie-break — a total order computed in
+    * exact integer arithmetic, no sqrt, no float, engine-identical.
+    */
+  def assignToCentroidsL2(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.ArrayDotLong.register(vecs.sparkSession)
+    vecs
+      .crossJoin(broadcast(cents))
+      .withColumn("d2p", col("n2c") - lit(2L) * qdotNative(col("q"), col("qc")))
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2p").asc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("d2p"))
+  }
+
+  /** Lloyd's k-means under L2 — same fixed-iteration deterministic
+    * loop as [[kmeansFit]], with the PQ metric.
+    */
+  def kmeansFitL2(
+      vecs: DataFrame,
+      initCents: DataFrame,
+      dims: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    var cents = initCents
+    var assign = assignToCentroidsL2(vecs, cents)
+    (1 until iters).foreach { _ =>
+      cents = recomputeCentroids(assign, vecs, dims)
+      assign = assignToCentroidsL2(vecs, cents)
+    }
+    (cents, assign)
+  }
+
+  /** Product-quantization codebooks (Jégou et al.: split each vector
+    * into `m` contiguous subvectors of dims/m, k-means each subspace
+    * independently under L2). Returns `(sub, cent_id, qc, n2c)` — the
+    * per-subspace codebooks, unioned. Training is m independent Lloyd
+    * runs over NARROW slices of the one quantized-vector table; each
+    * iteration is a broadcast + a cent_id-keyed shuffle, linear in
+    * corpus size. `initPred` picks deterministic seed vectors (their
+    * subvector becomes subspace `sub`'s seed centroid, so every
+    * subspace trains from the same ids but different data).
+    */
+  def pqTrain(
+      vecs: DataFrame,
+      dims: Int,
+      m: Int,
+      initPred: Column,
+      iters: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must divide into $m subspaces")
+    val d = dims / m
+    (0 until m).map { j =>
+      val sub = vecs
+        .select(col("vec_id"), slice(col("q"), j * d + 1, d).as("q"))
+        .withColumn("n2", qnorm2(col("q")))
+      val init = sub.filter(initPred)
+        .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("n2").as("n2c"))
+      val (cents, _) = kmeansFitL2(sub, init, d, iters)
+      cents.select(lit(j).as("sub"), col("cent_id"), col("qc"), col("n2c"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** PQ encoding: each vector's m subvectors to their nearest subspace
+    * centroids → `(vec_id, sub, code)`. m broadcast-assignment passes
+    * over narrow slices; the coded corpus is m small integers per
+    * vector — the memory compression that makes exhaustive ADC scans
+    * affordable.
+    */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must divide into $m subspaces")
+    val d = dims / m
+    (0 until m).map { j =>
+      val sub = vecs
+        .select(col("vec_id"), slice(col("q"), j * d + 1, d).as("q"))
+        .withColumn("n2", qnorm2(col("q")))
+      assignToCentroidsL2(sub, codebooks.filter(col("sub") === j)
+        .select(col("cent_id"), col("qc"), col("n2c")))
+        .select(col("vec_id"), lit(j).as("sub"), col("cent_id").as("code"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Asymmetric-distance (ADC) scoring: approximate ⟨query, cand⟩ =
+    * Σ_j ⟨query_j, codebook_j(code_j)⟩ — the query side stays EXACT,
+    * only the candidate is compressed, and the decomposition is exact
+    * for the dot product. The per-query lookup tables (queries ×
+    * subspace centroids — tiny) are built once and BROADCAST; scoring
+    * the coded corpus is then a broadcast join + a (query, cand)-keyed
+    * sum of m integers, with partial aggregation collapsing the m
+    * rows map-side. All-integer scores → engine-exact ranking.
+    * Restrict `codes` to an IVF posting list for the IVF-ADC composite.
+    */
+  def pqAdcScores(
+      queries: DataFrame,
+      codes: DataFrame,
+      codebooks: DataFrame,
+      dims: Int,
+      m: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must divide into $m subspaces")
+    graft.functions.ArrayDotLong.register(queries.sparkSession)
+    val d = dims / m
+    val lut = (0 until m).map { j =>
+      queries
+        .select(col("vec_id").as("query_id"), slice(col("q"), j * d + 1, d).as("qs"))
+        .crossJoin(codebooks.filter(col("sub") === j))
+        .select(col("query_id"), col("sub"), col("cent_id").as("code"),
+          qdotNative(col("qs"), col("qc")).as("dot"))
+    }.reduce(_.unionAll(_))
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dot")).as("score_q"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("score_q"))
+  }
+
   /** LSH banding over the signature: (id, band, band_bits) rows. */
   def sigBands(sigs: DataFrame, idCol: String, nBits: Int, nBands: Int): DataFrame = {
     val w = nBits / nBands

@@ -475,5 +475,132 @@ object Similarity {
     Some(ivfKmeansOracleSql(3)),
   )
 
-  val all: Seq[Q] = Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans)
+  /** Integer dot of two d-wide BIGINT lists in DuckDB. */
+  private def dotSql(d: Int, a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${d + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])) AS BIGINT)"
+
+  /** Per-subspace L2 Lloyd CTE chain for PQ training (subspace `j`,
+    * width `d`): assignment ranks by the integer `n2c − 2·dot` (the
+    * constant-shifted squared distance — no sqrt, no float anywhere),
+    * update is the same round(avg) integer mean as the cosine chain.
+    * Emits `s{j}n`, `s{j}c0..`, `s{j}a0..a{iters-1}`.
+    */
+  private def pqSubspaceCtes(j: Int, d: Int, initPred: String, iters: Int): String = {
+    val lo = j * d + 1
+    val hi = (j + 1) * d
+    val sb = new StringBuilder
+    sb ++= s""",
+              |s${j}n AS (
+              |  SELECT vec_id, q[$lo:$hi] AS q,
+              |         ${dotSql(d, s"q[$lo:$hi]", s"q[$lo:$hi]")} AS n2
+              |  FROM qv
+              |),
+              |s${j}c0 AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c FROM s${j}n WHERE $initPred)""".stripMargin
+    for (k <- 0 until iters) {
+      sb ++= s""",
+                |s${j}a$k AS (
+                |  SELECT vec_id, cent_id FROM (
+                |    SELECT vec_id, cent_id,
+                |           row_number() OVER (PARTITION BY vec_id ORDER BY d2p ASC, cent_id) AS rn
+                |    FROM (
+                |      SELECT v.vec_id, c.cent_id,
+                |             c.n2c - 2 * ${dotSql(d, "v.q", "c.qc")} AS d2p
+                |      FROM s${j}n v CROSS JOIN s${j}c$k c))
+                |  WHERE rn = 1)""".stripMargin
+      if (k < iters - 1) {
+        sb ++= s""",
+                  |s${j}c${k + 1} AS (
+                  |  SELECT cent_id, qc, ${dotSql(d, "qc", "qc")} AS n2c
+                  |  FROM (
+                  |    SELECT cent_id, list(CAST(round(a) AS BIGINT) ORDER BY jj) AS qc
+                  |    FROM (
+                  |      SELECT s.cent_id, t.jj, avg(v.q[CAST(t.jj AS INT) + 1]) AS a
+                  |      FROM s${j}a$k s JOIN s${j}n v ON v.vec_id = s.vec_id, unnest(range(0, $d)) AS t(jj)
+                  |      GROUP BY s.cent_id, t.jj)
+                  |    GROUP BY cent_id))""".stripMargin
+      }
+    }
+    sb.toString
+  }
+
+  /** Oracle for q_embed_topk_pq: 4 independent subspace Lloyd chains,
+    * codes from the final assignments, per-query lookup tables against
+    * the final codebooks, ADC = sum of the m looked-up integer dots.
+    */
+  private def pqOracleSql(m: Int, d: Int, iters: Int, initPred: String,
+      queryPred: String): String = {
+    val L = iters - 1
+    val subs = (0 until m).map(j => pqSubspaceCtes(j, d, initPred, iters)).mkString
+    val codes = (0 until m)
+      .map(j => s"SELECT vec_id, $j AS sub, cent_id AS code FROM s${j}a$L")
+      .mkString("\n  UNION ALL ")
+    val lut = (0 until m).map { j =>
+      val lo = j * d
+      s"""SELECT v.vec_id AS query_id, $j AS sub, c.cent_id AS code,
+         |       CAST(list_sum(list_transform(range(1, ${d + 1}),
+         |         i -> v.q[$lo + CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS BIGINT) AS dot
+         |FROM qv v CROSS JOIN s${j}c$L c WHERE $queryPred""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |)$subs,
+       |codes AS (
+       |  $codes
+       |),
+       |lut AS (
+       |  $lut
+       |),
+       |sc AS (
+       |  SELECT l.query_id, co.vec_id AS cand_id, CAST(sum(l.dot) AS BIGINT) AS score_q
+       |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+       |  WHERE l.query_id <> co.vec_id
+       |  GROUP BY l.query_id, co.vec_id
+       |)
+       |SELECT query_id, cand_id, rank, score_q FROM (
+       |  SELECT query_id, cand_id, score_q,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, cand_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Product quantization (PQ/ADC, Jégou et al.): 4 subspaces × 16
+    * dims, 4 centroids each (every-125th-vector init, 2 L2 Lloyd
+    * iterations), corpus stored as 4 small codes per vector, then an
+    * asymmetric-distance scan for a 1-in-50 query sample — the query
+    * side exact, the candidate side decoded through broadcast lookup
+    * tables, scores exact integers. This is the COMPRESSED exhaustive
+    * scan (at 100 TB the coded corpus is ~100× smaller than the
+    * embeddings); feed `pqAdcScores` a posting-list-restricted `codes`
+    * table for the IVF-ADC composite.
+    */
+  private val topkPq = Q(
+    "q_embed_topk_pq",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .persist()
+      val books = VectorSim
+        .pqTrain(e, dims = 64, m = 4, initPred = $"vec_id" % 125 === 1, iters = 2)
+        .persist()
+      val codes = VectorSim.pqEncode(e, books, dims = 64, m = 4)
+      val queries = e.filter($"vec_id" % 50 === 0)
+      VectorSim.pqAdcScores(queries, codes, books, dims = 64, m = 4)
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"score_q".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"cand_id", $"rank", $"score_q")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(pqOracleSql(m = 4, d = 16, iters = 2,
+      initPred = "vec_id % 125 = 1", queryPred = "v.vec_id % 50 = 0")),
+  )
+
+  val all: Seq[Q] =
+    Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkPq)
 }

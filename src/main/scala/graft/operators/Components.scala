@@ -62,35 +62,49 @@ object Components {
       col(dstCol).cast("long").as("dst"))
     // symmetric closure: propagation must flow both directions
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).persist()
-    // eager localCheckpoint: materializes AND cuts lineage (see scaladoc)
-    var labels = sym.select($"src".as("node")).distinct()
-      .withColumn("component", $"node")
-      .localCheckpoint(true)
-
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum($"component".cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-
-    var prevSum = checksum(labels)
-    var converged = prevSum.signum == 0 && labels.isEmpty // empty graph
-    var i = 0
-    while (!converged && i < maxIters) {
-      // a node's candidate labels: its own + every neighbor's current
-      val prop = sym.join(labels, $"dst" === $"node")
-        .select($"src".as("node"), $"component")
-      val next = labels.union(prop)
-        .groupBy($"node").agg(min($"component").as("component"))
+    // Size the loop's shuffles to the EDGE COUNT, not the session-wide
+    // default: every round materializes (localCheckpoint) and re-reads
+    // the label table once per shuffle partition, so a 30-edge dedup
+    // graph on 32 partitions spends the whole loop on empty-partition
+    // overhead — the same keys-per-task sizing rule the streaming gates
+    // apply to state stores. The count also forces `sym`'s cache, which
+    // every round reuses. (Same rows-per-partition target at 10⁹ edges:
+    // the conf scales up instead of down.)
+    val nEdges = sym.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      // eager localCheckpoint: materializes AND cuts lineage (see scaladoc)
+      var labels = sym.select($"src".as("node")).distinct()
+        .withColumn("component", $"node")
         .localCheckpoint(true)
-      val nextSum = checksum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      i += 1
-    }
-    sym.unpersist()
-    require(converged,
-      s"connectedComponents did not converge in $maxIters rounds — " +
-        "a component's diameter exceeds the budget; raise maxIters")
-    labels
+
+      def checksum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum($"component".cast("decimal(38,0)"))).head.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
+
+      var prevSum = checksum(labels)
+      var converged = prevSum.signum == 0 && labels.isEmpty // empty graph
+      var i = 0
+      while (!converged && i < maxIters) {
+        // a node's candidate labels: its own + every neighbor's current
+        val prop = sym.join(labels, $"dst" === $"node")
+          .select($"src".as("node"), $"component")
+        val next = labels.union(prop)
+          .groupBy($"node").agg(min($"component").as("component"))
+          .localCheckpoint(true)
+        val nextSum = checksum(next)
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        i += 1
+      }
+      sym.unpersist()
+      require(converged,
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "a component's diameter exceeds the budget; raise maxIters")
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }

@@ -246,23 +246,30 @@ object VectorSim {
       codes: DataFrame,
       codebooks: DataFrame,
       dims: Int,
-      m: Int): DataFrame = {
+      m: Int): DataFrame =
+    codes
+      .join(broadcast(pqLut(queries, codebooks, dims, m)), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dot")).as("score_q"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("score_q"))
+
+  /** The per-query ADC lookup tables: ⟨query subvector, subspace
+    * centroid⟩ for every (query, sub, centroid) — |Q|·m·k rows, the
+    * tiny table the scan broadcasts. Exposed so composites (IVF-ADC)
+    * can join it against posting-list-restricted candidate codes.
+    */
+  def pqLut(queries: DataFrame, codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
     require(dims % m == 0, s"dims ($dims) must divide into $m subspaces")
     graft.functions.ArrayDotLong.register(queries.sparkSession)
     val d = dims / m
-    val lut = (0 until m).map { j =>
+    (0 until m).map { j =>
       queries
         .select(col("vec_id").as("query_id"), slice(col("q"), j * d + 1, d).as("qs"))
         .crossJoin(codebooks.filter(col("sub") === j))
         .select(col("query_id"), col("sub"), col("cent_id").as("code"),
           qdotNative(col("qs"), col("qc")).as("dot"))
     }.reduce(_.unionAll(_))
-    codes
-      .join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("dot")).as("score_q"))
-      .select(col("query_id"), col("vec_id").as("cand_id"), col("score_q"))
   }
 
   /** LSH banding over the signature: (id, band, band_bits) rows. */

@@ -527,20 +527,28 @@ object Similarity {
     * codes from the final assignments, per-query lookup tables against
     * the final codebooks, ADC = sum of the m looked-up integer dots.
     */
-  private def pqOracleSql(m: Int, d: Int, iters: Int, initPred: String,
-      queryPred: String): String = {
-    val L = iters - 1
-    val subs = (0 until m).map(j => pqSubspaceCtes(j, d, initPred, iters)).mkString
-    val codes = (0 until m)
+  /** The per-subspace final assignments as one (vec_id, sub, code) UNION. */
+  private def pqCodesSql(m: Int, L: Int): String =
+    (0 until m)
       .map(j => s"SELECT vec_id, $j AS sub, cent_id AS code FROM s${j}a$L")
       .mkString("\n  UNION ALL ")
-    val lut = (0 until m).map { j =>
+
+  /** The ADC lookup tables: query subvector · final subspace centroids. */
+  private def pqLutSql(m: Int, d: Int, L: Int, queryPred: String): String =
+    (0 until m).map { j =>
       val lo = j * d
       s"""SELECT v.vec_id AS query_id, $j AS sub, c.cent_id AS code,
          |       CAST(list_sum(list_transform(range(1, ${d + 1}),
          |         i -> v.q[$lo + CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS BIGINT) AS dot
          |FROM qv v CROSS JOIN s${j}c$L c WHERE $queryPred""".stripMargin
     }.mkString("\n  UNION ALL ")
+
+  private def pqOracleSql(m: Int, d: Int, iters: Int, initPred: String,
+      queryPred: String): String = {
+    val L = iters - 1
+    val subs = (0 until m).map(j => pqSubspaceCtes(j, d, initPred, iters)).mkString
+    val codes = pqCodesSql(m, L)
+    val lut = pqLutSql(m, d, L, queryPred)
     s"""WITH qv AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -601,6 +609,112 @@ object Similarity {
       initPred = "vec_id % 125 = 1", queryPred = "v.vec_id % 50 = 0")),
   )
 
+  /** Oracle for q_embed_topk_ivf_pq: the coarse cosine Lloyd chain
+    * (kmeansCtes — emits `n`, `cents1`, `assign1`), the PQ subspace
+    * chains over the same vectors (`qv` aliases `n`), probe the 2
+    * nearest coarse centroids, and ADC-score ONLY the probed posting
+    * lists.
+    */
+  private def ivfPqOracleSql(m: Int, d: Int, iters: Int,
+      pqInitPred: String, queryPred: String): String = {
+    val L = iters - 1
+    s"""${kmeansCtes(iters)},
+       |qv AS (SELECT vec_id, q FROM n)${(0 until m).map(j => pqSubspaceCtes(j, d, pqInitPred, iters)).mkString},
+       |codes AS (
+       |  ${pqCodesSql(m, L)}
+       |),
+       |lut AS (
+       |  ${pqLutSql(m, d, L, queryPred)}
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT d.vec_id, d.cent_id,
+       |           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cent_id) AS rn
+       |    FROM (
+       |      SELECT v.vec_id, c.cent_id, ${cosSql("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+       |      FROM n v CROSS JOIN cents$L c
+       |      WHERE $queryPred) d)
+       |  WHERE rn <= 2
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id
+       |  FROM probes p JOIN assign$L a ON p.cent_id = a.cent_id
+       |  WHERE p.query_id <> a.vec_id
+       |),
+       |sc AS (
+       |  SELECT c.query_id, c.cand_id, CAST(sum(l.dot) AS BIGINT) AS score_q
+       |  FROM cand c
+       |  JOIN codes co ON co.vec_id = c.cand_id
+       |  JOIN lut l ON l.sub = co.sub AND l.code = co.code AND l.query_id = c.query_id
+       |  GROUP BY c.query_id, c.cand_id
+       |)
+       |SELECT query_id, cand_id, rank, score_q FROM (
+       |  SELECT query_id, cand_id, score_q,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, cand_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-ADC (the composite a 100 TB vector search actually runs —
+    * Jégou et al.'s full system): the trained coarse quantizer prunes
+    * the corpus to 2 posting lists per query, and PQ codes + broadcast
+    * lookup tables score ONLY those candidates with exact-integer ADC
+    * sums. Both halves are verified separately by q_embed_topk_ivf_kmeans
+    * and q_embed_topk_pq; this query verifies their COMPOSITION —
+    * posting-list restriction joining against coded candidates — under
+    * one oracle. Scale shape: probe volume per query = corpus/k-probed,
+    * never the corpus; the LUT is |Q|·m·k rows broadcast; every join is
+    * an equi-join.
+    */
+  private val topkIvfPq = Q(
+    "q_embed_topk_ivf_pq",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val initCoarse = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val (cents, assign) = VectorSim.kmeansFit(e, initCoarse, dims = 64, iters = 2)
+      val posting = assign.select($"vec_id".as("cand_id"), $"cent_id")
+      val queries = e.filter($"vec_id" % 50 === 0)
+      val probes = queries
+        .crossJoin(broadcast(cents))
+        .withColumn("cos",
+          VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      val cand = probes.join(posting, "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id")
+      val books = VectorSim
+        .pqTrain(e, dims = 64, m = 4, initPred = $"vec_id" % 125 === 1, iters = 2)
+        .persist()
+      val codes = VectorSim.pqEncode(e, books, dims = 64, m = 4)
+      val lut = VectorSim.pqLut(queries, books, dims = 64, m = 4)
+      cand
+        .join(codes, $"cand_id" === codes("vec_id"))
+        .join(broadcast(lut), Seq("sub", "code", "query_id"))
+        .groupBy($"query_id", $"cand_id")
+        .agg(sum($"dot").as("score_q"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"score_q".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"cand_id", $"rank", $"score_q")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(ivfPqOracleSql(m = 4, d = 16, iters = 2,
+      pqInitPred = "vec_id % 125 = 1", queryPred = "v.vec_id % 50 = 0")),
+  )
+
   val all: Seq[Q] =
-    Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkPq)
+    Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkPq,
+      topkIvfPq)
 }

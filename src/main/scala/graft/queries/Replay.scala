@@ -327,6 +327,7 @@ object Replay {
   private def runStreamToTable(
       s: SparkSession,
       sinkName: String,
+      useTws: Boolean = false,
   )(plan: org.apache.spark.sql.Dataset[graft.model.Tick] => DataFrame): DataFrame = {
     FixtureOracle.ensureDumps(s)
     FixtureLog.write(streamFixtureSpec)
@@ -343,10 +344,18 @@ object Replay {
     // keys / keys-per-task, set per query.)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // transformWithState requires the RocksDB provider (the production
+    // store anyway); restore whatever the session had afterwards
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    if (useTws) s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
-      val ticks = graft.streaming.StreamingReplay.ticksStream(
-        RawLogSource.feedMessagesFromLines(lines.toDF()))
+      val msgs = RawLogSource.feedMessagesFromLines(lines.toDF())
+      val ticks =
+        if (useTws) graft.streaming.StreamingReplay.ticksStreamTWS(msgs)
+        else graft.streaming.StreamingReplay.ticksStream(msgs)
       val query = plan(ticks).writeStream
         .format("memory")
         .queryName(sinkName)
@@ -354,7 +363,13 @@ object Replay {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (useTws) prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
     s.table(sinkName)
   }
 
@@ -369,6 +384,24 @@ object Replay {
     // stream ≡ batch ≡ oracle: the plain-text fixture carries the same
     // logical messages as the zstd one (same spec/seed), so the same
     // structured-dump oracle hash-checks the streaming fold.
+    Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
+  )
+
+  /** The MODERN state API under the gate: the identical fixture fold
+    * through `transformWithState` + `ValueState` on the RocksDB store
+    * (see StreamingReplay.ticksStreamTWS), hash-checked against the
+    * same structured-dump oracle as the flatMapGroupsWithState form —
+    * so both state APIs are verified equal to the reference semantics
+    * every round, not just against each other in a spec.
+    */
+  private val streamReplayTicksTws = Q(
+    "q_stream_replay_ticks_tws",
+    (s, _) => {
+      import s.implicits._
+      runStreamToTable(s, "graft_stream_replay_tws_gate", useTws = true)(_.toDF())
+        .orderBy($"asset", $"line_no", $"msg_idx", $"emit_idx")
+        .select(Tick.referenceColumns.map(col): _*)
+    },
     Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
   )
 
@@ -443,6 +476,7 @@ object Replay {
     replayTicksWithOutcome,
     notebookBboMinutely,
     streamReplayTicks,
+    streamReplayTicksTws,
     streamBboMinutely,
     streamLiveSource,
   )

@@ -623,8 +623,40 @@ object Relational {
            |ORDER BY s1.user_id""".stripMargin),
   )
 
+  /** The skew tool under the gate: two-phase salted aggregation over a
+    * deliberately hot key (l_returnflag — 3 values for 60 k rows, the
+    * AQE-can't-split aggregation-skew case). Values are cast to
+    * DECIMAL before summing so both phases are EXACT integer-scaled
+    * arithmetic — aggregation order (which salting perturbs by
+    * construction) cannot move a bit, which is what makes a salted
+    * plan oracle-comparable at all. Oracle is the plain one-phase
+    * GROUP BY.
+    */
+  private val aggSaltedSkew = Q(
+    "q_agg_salted_skew",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Scale
+        .saltedSumCount(
+          Tables(s, dir).lineitem,
+          $"l_returnflag",
+          $"l_quantity".cast("decimal(20,2)"),
+          buckets = 32)
+        // exact decimal inside both phases; one deterministic cast out
+        .select($"key", $"sum".cast("double").as("sum"), $"cnt")
+        .orderBy($"key")
+    },
+    Some("""SELECT l_returnflag AS key,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum,
+           |       count(l_quantity) AS cnt
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY key""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     eventsFunnel,
+    aggSaltedSkew,
     aggPricingSummary,
     aggRollup,
     windowMinuteSpine,

@@ -440,7 +440,77 @@ object TextAnalysisQ {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** One BPE training round in SQL over `w{k-1}(word, freq, sym)`:
+    * pair counts → 1-row argmax merge → greedy-left application as a
+    * RECURSIVE position walk carrying the accumulated token string
+    * (DuckDB has no list-building fold, so the fold is relational).
+    */
+  private def bpeRoundCtes(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (
+       |  SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM (SELECT freq, string_split(sym, ' ') AS l FROM $prev),
+       |       unnest(range(1, len(l))) AS t(i)
+       |  WHERE len(l) >= 2
+       |  GROUP BY 1, 2
+       |),
+       |m$k AS (SELECT a, b FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+       |f$k(word, freq, l, i, acc) AS (
+       |  SELECT word, freq, l, 1, l[1]
+       |  FROM (SELECT word, freq, string_split(sym, ' ') AS l FROM $prev)
+       |  UNION ALL
+       |  SELECT f.word, f.freq, f.l, f.i + 1,
+       |         CASE WHEN list_extract(string_split(f.acc, ' '), -1) = m.a
+       |                   AND f.l[f.i + 1] = m.b
+       |              THEN CASE WHEN len(string_split(f.acc, ' ')) = 1
+       |                        THEN m.a || m.b
+       |                        ELSE array_to_string(
+       |                               list_slice(string_split(f.acc, ' '), 1,
+       |                                 len(string_split(f.acc, ' ')) - 1), ' ') ||
+       |                             ' ' || m.a || m.b END
+       |              ELSE f.acc || ' ' || f.l[f.i + 1] END
+       |  FROM f$k f, m$k m
+       |  WHERE f.i < len(f.l)
+       |),
+       |w$k AS (SELECT word, freq, acc AS sym FROM f$k WHERE i = len(l))""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundCtes).mkString(",\n")
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT w AS word, count(*) AS freq,
+       |         array_to_string(list_transform(range(1, length(w) + 1),
+       |           i -> substr(w, CAST(i AS BIGINT), 1)), ' ') AS sym
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0
+       |  GROUP BY w
+       |),
+       |$rounds
+       |SELECT word, freq,
+       |       CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_tokens,
+       |       sym AS tokens
+       |FROM w$nMerges
+       |ORDER BY word""".stripMargin
+  }
+
+  /** Tokenizer training under the gate: 4 BPE merges learned from the
+    * corpus word table, the tokenized vocabulary as the result. The
+    * oracle re-learns every merge independently (pair-count argmax in
+    * SQL, recursive-CTE fold for application), so training — not just
+    * tokenization — is hash-verified.
+    */
+  private val bpe = Q(
+    "q_text_bpe",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe
+        .train(Tables(s, dir).documents.select($"text"), nMerges = 4)
+        .orderBy($"word")
+    },
+    Some(bpeOracleSql(4)),
+  )
+
   val all: Seq[Q] =
     Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, repetition, chunk, pack)
+      rareBigrams, repetition, chunk, pack, bpe)
 }

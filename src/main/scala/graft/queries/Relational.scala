@@ -654,9 +654,68 @@ object Relational {
            |ORDER BY key""".stripMargin),
   )
 
+  /** Pivot: per-user event-type counts as columns (the wide-format
+    * export a feature store asks for). Spark's pivot with an EXPLICIT
+    * value list — never the value-discovery pre-query, which is a
+    * driver-side distinct scan at 100 TB; the oracle is the portable
+    * CASE-sum formulation.
+    */
+  private val aggPivot = Q(
+    "q_agg_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id,
+           |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+           |FROM events
+           |GROUP BY user_id
+           |ORDER BY user_id""".stripMargin),
+  )
+
+  /** ntile + cumulative distribution: quartile assignment and exact
+    * percent_rank over per-user event volume — the feature-bucketing
+    * window pair. Total ordering (count desc, user_id) keeps ranks
+    * engine-independent.
+    */
+  private val windowNtile = Q(
+    "q_window_ntile",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy($"n".desc, $"user_id")
+      Tables(s, dir).events
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          $"user_id",
+          $"n",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+           |SELECT user_id, n,
+           |       ntile(4) OVER (ORDER BY n DESC, user_id) AS quartile,
+           |       round(percent_rank() OVER (ORDER BY n DESC, user_id), 4) AS pct_rank
+           |FROM c
+           |ORDER BY user_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     eventsFunnel,
     aggSaltedSkew,
+    aggPivot,
+    windowNtile,
     aggPricingSummary,
     aggRollup,
     windowMinuteSpine,

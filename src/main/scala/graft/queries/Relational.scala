@@ -711,11 +711,85 @@ object Relational {
            |ORDER BY user_id""".stripMargin),
   )
 
+  /** STREAMING session windows under the gate: the event stream (file
+    * source over the events table) sessionized by `session_window`
+    * with a 6-hour gap and a 1-hour watermark, append mode — emitted
+    * sessions are exactly those whose end (last event + gap) closed
+    * below the terminal watermark max(ts) − delay, which the oracle
+    * reproduces relationally (gaps-and-islands + the watermark
+    * filter). Covers the MERGING-window state operator streaming-side;
+    * the batch q_window_sessionize covers the islands formulation.
+    */
+  private val streamSessionize = Q(
+    "q_stream_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_sessionize_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // ≈ state keys / task
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val raw = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ev =
+          if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        val sess = ev
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window($"ts", "6 hours"), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events")
+        val query = sess.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH f AS (
+           |  SELECT user_id, ts,
+           |         -- >= : session_window is half-open [start, last+gap),
+           |         -- so an event exactly gap after the last does NOT merge
+           |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |                   >= INTERVAL 6 HOUR
+           |              THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |),
+           |s AS (
+           |  SELECT user_id, ts,
+           |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+           |                       ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM f
+           |),
+           |agg AS (
+           |  SELECT user_id,
+           |         min(ts) AS session_start,
+           |         max(ts) + INTERVAL 6 HOUR AS session_end,
+           |         count(*) AS n_events
+           |  FROM s GROUP BY user_id, sid
+           |),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+           |SELECT user_id, session_start, session_end, n_events
+           |FROM agg WHERE session_end <= (SELECT w FROM wm)
+           |ORDER BY user_id, session_start""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     eventsFunnel,
     aggSaltedSkew,
     aggPivot,
     windowNtile,
+    streamSessionize,
     aggPricingSummary,
     aggRollup,
     windowMinuteSpine,

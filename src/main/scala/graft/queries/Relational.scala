@@ -784,12 +784,75 @@ object Relational {
            |ORDER BY user_id, session_start""".stripMargin),
   )
 
+  /** STREAM-STREAM interval join under the gate (the attribution
+    * join): the purchase stream inner-joined to the view stream on
+    * user within a 6-hour event-time window, both sides watermarked.
+    * For an INNER join the watermark only bounds state (views older
+    * than buy_ts − 6 h can be dropped; nothing is withheld), so the
+    * complete replay equals the batch join — which is the oracle.
+    * Covers the last big Structured Streaming operator family the
+    * gate didn't: two-sided streaming state with time-bound eviction.
+    */
+  private val streamJoinAttribution = Q(
+    "q_stream_join_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_attr_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src = {
+          val raw = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        val views = src.filter($"event_type" === "view")
+          .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+          .withWatermark("view_ts", "1 hour")
+        val buys = src.filter($"event_type" === "purchase")
+          .select($"user_id".as("buyer_id"), $"ts".as("buy_ts"),
+            $"event_id".as("buy_id"), $"value".as("amount"))
+          .withWatermark("buy_ts", "1 hour")
+        val joined = buys.join(views,
+          $"buyer_id" === $"user_id" &&
+            $"buy_ts" >= $"view_ts" &&
+            $"buy_ts" <= $"view_ts" + expr("INTERVAL 6 HOURS"))
+          .select($"buyer_id".as("user_id"), $"buy_id", $"view_id",
+            $"buy_ts", $"view_ts", round($"amount", 2).as("amount"))
+        val query = joined.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"buy_id", $"view_id")
+    },
+    Some("""SELECT b.user_id, b.buy_id, v.view_id, b.buy_ts, v.view_ts,
+           |       round(b.amount, 2) AS amount
+           |FROM (SELECT user_id, ts AS buy_ts, event_id AS buy_id, value AS amount
+           |      FROM events WHERE event_type = 'purchase') b
+           |JOIN (SELECT user_id, ts AS view_ts, event_id AS view_id
+           |      FROM events WHERE event_type = 'view') v
+           |  ON b.user_id = v.user_id
+           | AND b.buy_ts >= v.view_ts
+           | AND b.buy_ts <= v.view_ts + INTERVAL 6 HOUR
+           |ORDER BY buy_id, view_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     eventsFunnel,
     aggSaltedSkew,
     aggPivot,
     windowNtile,
     streamSessionize,
+    streamJoinAttribution,
     aggPricingSummary,
     aggRollup,
     windowMinuteSpine,

@@ -193,6 +193,37 @@ object VectorSim {
     * subvector becomes subspace `sub`'s seed centroid, so every
     * subspace trains from the same ids but different data).
     */
+  /** All m subspaces' subvectors as ONE table (vec_id, sub, q, n2) —
+    * a narrow in-row explode, so every PQ stage below runs each Lloyd
+    * step as one job over a table m× taller instead of m sequential
+    * job chains (m× less driver-side latency; identical arithmetic).
+    */
+  private def subVectors(vecs: DataFrame, dims: Int, m: Int): DataFrame = {
+    val d = dims / m
+    vecs
+      .select(col("vec_id"), explode(array((0 until m).map { j =>
+        struct(lit(j).as("sub"), slice(col("q"), j * d + 1, d).as("q"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.q").as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+  }
+
+  /** L2 assignment per subspace: (vec_id, sub) → nearest (sub-local)
+    * centroid by the integer key n2c − 2·dot, cent_id tie-break.
+    */
+  private def assignSubL2(subs: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.ArrayDotLong.register(subs.sparkSession)
+    subs
+      .join(broadcast(cents), "sub")
+      .withColumn("d2p", col("n2c") - lit(2L) * qdotNative(col("q"), col("qc")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2p").asc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cent_id"))
+  }
+
   def pqTrain(
       vecs: DataFrame,
       dims: Int,
@@ -201,15 +232,23 @@ object VectorSim {
       iters: Int): DataFrame = {
     require(dims % m == 0, s"dims ($dims) must divide into $m subspaces")
     val d = dims / m
-    (0 until m).map { j =>
-      val sub = vecs
-        .select(col("vec_id"), slice(col("q"), j * d + 1, d).as("q"))
-        .withColumn("n2", qnorm2(col("q")))
-      val init = sub.filter(initPred)
-        .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("n2").as("n2c"))
-      val (cents, _) = kmeansFitL2(sub, init, d, iters)
-      cents.select(lit(j).as("sub"), col("cent_id"), col("qc"), col("n2c"))
-    }.reduce(_.unionAll(_))
+    val subs = subVectors(vecs, dims, m)
+    var cents = subs.filter(initPred)
+      .select(col("sub"), col("vec_id").as("cent_id"), col("q").as("qc"), col("n2").as("n2c"))
+    var assign = assignSubL2(subs, cents)
+    (1 until iters).foreach { _ =>
+      val avgs = (0 until d).map(i =>
+        round(avg(element_at(col("q"), i + 1))).cast("long").as(s"c_$i"))
+      cents = assign
+        .join(subs.select(col("vec_id"), col("sub"), col("q")), Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cent_id"))
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("sub"), col("cent_id"),
+          array((0 until d).map(i => col(s"c_$i")): _*).as("qc"))
+        .withColumn("n2c", qnorm2(col("qc")))
+      assign = assignSubL2(subs, cents)
+    }
+    cents.select(col("sub"), col("cent_id"), col("qc"), col("n2c"))
   }
 
   /** PQ encoding: each vector's m subvectors to their nearest subspace
@@ -220,15 +259,8 @@ object VectorSim {
     */
   def pqEncode(vecs: DataFrame, codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
     require(dims % m == 0, s"dims ($dims) must divide into $m subspaces")
-    val d = dims / m
-    (0 until m).map { j =>
-      val sub = vecs
-        .select(col("vec_id"), slice(col("q"), j * d + 1, d).as("q"))
-        .withColumn("n2", qnorm2(col("q")))
-      assignToCentroidsL2(sub, codebooks.filter(col("sub") === j)
-        .select(col("cent_id"), col("qc"), col("n2c")))
-        .select(col("vec_id"), lit(j).as("sub"), col("cent_id").as("code"))
-    }.reduce(_.unionAll(_))
+    assignSubL2(subVectors(vecs, dims, m), codebooks)
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
   }
 
   /** Asymmetric-distance (ADC) scoring: approximate ⟨query, cand⟩ =
@@ -262,14 +294,11 @@ object VectorSim {
   def pqLut(queries: DataFrame, codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
     require(dims % m == 0, s"dims ($dims) must divide into $m subspaces")
     graft.functions.ArrayDotLong.register(queries.sparkSession)
-    val d = dims / m
-    (0 until m).map { j =>
-      queries
-        .select(col("vec_id").as("query_id"), slice(col("q"), j * d + 1, d).as("qs"))
-        .crossJoin(codebooks.filter(col("sub") === j))
-        .select(col("query_id"), col("sub"), col("cent_id").as("code"),
-          qdotNative(col("qs"), col("qc")).as("dot"))
-    }.reduce(_.unionAll(_))
+    subVectors(queries, dims, m)
+      .select(col("vec_id").as("query_id"), col("sub"), col("q").as("qs"))
+      .join(broadcast(codebooks), "sub")
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"),
+        qdotNative(col("qs"), col("qc")).as("dot"))
   }
 
   /** LSH banding over the signature: (id, band, band_bits) rows. */

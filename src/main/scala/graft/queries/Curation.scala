@@ -334,5 +334,55 @@ object Curation {
             |ORDER BY source""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(curation, curationV2)
+  /** Temperature-0.5 mixture sampling over the corpus's language
+    * distribution (the one skewed grouping in the synthetic docs:
+    * `en` dominates ~2.9×): rare languages get upweighted rates, and
+    * the whole rate table plus the per-row keep/drop decision is
+    * integer-deterministic, so DuckDB recomputes the identical sample
+    * (see [[graft.operators.Mixture]]). Targets half the corpus.
+    */
+  private val sampleMixture = Q(
+    "q_sample_mixture",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val rates = graft.operators.Mixture.temperatureRates(docs, "lang", 250L)
+      graft.operators.Mixture.sample(docs, rates, "lang", "doc_id")
+        .groupBy($"lang")
+        .agg(
+          max($"n_total").as("n_total"),
+          max($"rate_bp").as("rate_bp"),
+          count(lit(1)).as("n_sampled"),
+          sum($"n_chars").as("sampled_chars"),
+        )
+        .orderBy($"lang")
+    },
+    Some("""WITH counts AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+           |w AS (
+           |  SELECT lang, n_total,
+           |         CAST(round(sqrt(n_total) * 1000) AS BIGINT) AS w
+           |  FROM counts
+           |),
+           |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+           |rates AS (
+           |  SELECT lang, n_total,
+           |         least(CAST(10000 AS BIGINT), (w * 2500000) // (sum_w * n_total)) AS rate_bp
+           |  FROM w CROSS JOIN tot
+           |),
+           |samp AS (
+           |  SELECT d.lang, d.n_chars, r.n_total, r.rate_bp
+           |  FROM documents d JOIN rates r USING (lang)
+           |  WHERE (d.doc_id * 7919) % 10000 < r.rate_bp
+           |)
+           |SELECT lang,
+           |       CAST(max(n_total) AS BIGINT) AS n_total,
+           |       CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+           |       count(*) AS n_sampled,
+           |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+           |FROM samp
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(curation, curationV2, sampleMixture)
 }

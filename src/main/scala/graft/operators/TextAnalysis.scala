@@ -432,6 +432,52 @@ object TextAnalysis {
     * regexp_replace are codegen'd built-ins, zero shuffle at any
     * corpus size. Output: doc_id, n_<name> per pattern, redacted.
     */
+  /** CCNet-style boilerplate removal: drop every line whose document
+    * frequency exceeds `maxDfBp` basis points of the corpus (headers,
+    * footers, cookie banners — text repeated across unrelated pages),
+    * then reassemble each document from its surviving lines in order.
+    *
+    * Input: `(doc_id, text)` with '\n'-separated lines. Output:
+    * `(doc_id, n_kept, n_dropped, cleaned)`.
+    *
+    * Scale shape: the df count groups on `md5(line)` so long strings
+    * never shuffle — only 32-byte digests; the common set is bounded
+    * by construction (at most `10000/maxDfBp` lines can each appear in
+    * more than `maxDfBp` bp of docs × total distinct lines per doc),
+    * tiny in practice, so membership is a broadcast left join, never a
+    * corpus×corpus shuffle. The threshold compare is pure integer
+    * (`df * 10000 > n_docs * maxDfBp`) — no float, any engine agrees.
+    * Reassembly is the one doc_id shuffle.
+    */
+  def dropCommonLines(docs: DataFrame, maxDfBp: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lines = docs
+      .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("pos", "line")))
+      .withColumn("h", md5($"line"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val common = lines
+      .select($"doc_id", $"h").distinct() // df counts each doc once
+      .groupBy($"h").agg(count(lit(1)).as("line_df"))
+      .crossJoin(broadcast(nDocs))
+      .filter($"line_df" * 10000L > $"n_docs" * lit(maxDfBp))
+      .select($"h", lit(true).as("is_common"))
+    lines
+      .join(broadcast(common), Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"is_common".isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"is_common".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the nulls the `when` leaves on dropped
+        // lines; struct sorts by its first field, so pos order holds
+        array_join(
+          transform(
+            array_sort(collect_list(when($"is_common".isNull, struct($"pos", $"line")))),
+            x => x.getField("line")),
+          "\n").as("cleaned"),
+      )
+  }
+
   def redact(docs: DataFrame, patterns: Seq[RedactPattern] = defaultPiiPatterns): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -510,7 +510,69 @@ object TextAnalysisQ {
     Some(bpeOracleSql(4)),
   )
 
+  /** Boilerplate-line removal over docs augmented with deterministic
+    * line structure: the flat word-soup corpus is folded into 8-word
+    * lines, and every third/fourth doc gets a shared header/footer
+    * line — the cross-document repetition the operator exists to
+    * strip (the raw corpus has no newlines, so augmentation both
+    * guarantees the df filter fires and exercises the keep side).
+    * Threshold 200 bp = lines in >2% of docs are boilerplate.
+    */
+  private val boilerplate = Q(
+    "q_text_boilerplate",
+    (s, dir) => {
+      import s.implicits._
+      val aug = Tables(s, dir).documents
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .select(
+          $"doc_id",
+          concat_ws("\n",
+            when($"doc_id" % 3 === 0, lit("subscribe to the newsletter")),
+            array_join(
+              transform(
+                sequence(lit(0), expr("(size(ws) + 7) div 8 - 1")),
+                i => array_join(slice($"ws", i * 8 + 1, lit(8)), " ")),
+              "\n"),
+            when($"doc_id" % 4 === 0, lit("all rights reserved worldwide")),
+          ).as("text"))
+      TextAnalysis.dropCommonLines(aug, maxDfBp = 200L).orderBy($"doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |aug AS (
+           |  SELECT doc_id,
+           |         concat_ws(chr(10),
+           |           CASE WHEN doc_id % 3 = 0 THEN 'subscribe to the newsletter' END,
+           |           array_to_string(
+           |             list_transform(range(0, (len(ws) + 7) // 8),
+           |                            i -> array_to_string(ws[i*8+1 : i*8+8], ' ')),
+           |             chr(10)),
+           |           CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved worldwide' END
+           |         ) AS text
+           |  FROM ws
+           |),
+           |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+           |lines AS (
+           |  SELECT doc_id, i AS pos, ls[i] AS line
+           |  FROM ls, unnest(range(1, len(ls) + 1)) AS t(i)
+           |),
+           |nd AS (SELECT count(*) AS n_docs FROM aug),
+           |ldf AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line),
+           |common AS (SELECT line FROM ldf, nd WHERE line_df * 10000 > n_docs * 200),
+           |flagged AS (
+           |  SELECT l.doc_id, l.pos, l.line, c.line IS NOT NULL AS is_common
+           |  FROM lines l LEFT JOIN common c ON l.line = c.line
+           |)
+           |SELECT doc_id,
+           |       CAST(sum(CASE WHEN is_common THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           |       CAST(sum(CASE WHEN is_common THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           |       coalesce(string_agg(CASE WHEN NOT is_common THEN line END,
+           |                           chr(10) ORDER BY pos), '') AS cleaned
+           |FROM flagged
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, repetition, chunk, pack, bpe)
+      rareBigrams, repetition, chunk, pack, bpe, boilerplate)
 }

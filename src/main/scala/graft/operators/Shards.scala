@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic global shuffle + shard assignment — how a curated
+  * corpus becomes training shards: every row gets a content-independent
+  * pseudo-random order key (md5 of its id) and a shard id derived from
+  * that key. Ordering by `(shard, okey)` is a reproducible global
+  * permutation of the corpus, yet no stage ever global-sorts: shard
+  * balance comes from hash uniformity (not a row_number over one
+  * partition — the classic scale-killer this operator avoids), and
+  * each shard sorts locally at write time.
+  */
+object Shards {
+
+  /** Attach `okey` (md5 permutation key) and `shard` (top 24 bits of
+    * the key mod `nShards`). Narrow map, zero shuffle; any engine
+    * recomputes the identical assignment, so a re-run or a downstream
+    * job can re-derive shard membership without reading the shards.
+    */
+  def assign(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    df.withColumn("okey", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        conv(substring(col("okey"), 1, 6), 16, 10).cast("long") % nShards)
+
+  /** Writer shape: one partition per shard, rows in permutation order
+    * within it — `partitionBy`-ready. The single shuffle keys on the
+    * shard id; the sort is local to each shard partition.
+    */
+  def shuffled(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    assign(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("okey"))
+}

@@ -384,5 +384,38 @@ object Curation {
            |ORDER BY lang""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(curation, curationV2, sampleMixture)
+  /** Shard assignment for the corpus: 16 shards from the md5
+    * permutation key (see [[graft.operators.Shards]]), verified by
+    * per-shard doc/char accounting plus the min/max permutation keys
+    * — the latter pin the exact membership boundary, not just counts.
+    */
+  private val shardAssign = Q(
+    "q_shard_assign",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Shards.assign(Tables(s, dir).documents, "doc_id", 16)
+        .groupBy($"shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          min($"okey").as("first_key"),
+          max($"okey").as("last_key"),
+        )
+        .orderBy($"shard")
+    },
+    Some("""WITH sh AS (
+           |  SELECT doc_id, n_chars,
+           |         md5(CAST(doc_id AS VARCHAR)) AS okey,
+           |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 16 AS shard
+           |  FROM documents
+           |)
+           |SELECT shard, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |       min(okey) AS first_key, max(okey) AS last_key
+           |FROM sh
+           |GROUP BY shard
+           |ORDER BY shard""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(curation, curationV2, sampleMixture, shardAssign)
 }

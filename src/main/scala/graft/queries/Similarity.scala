@@ -714,7 +714,123 @@ object Similarity {
       pqInitPred = "vec_id % 125 = 1", queryPred = "v.vec_id % 50 = 0")),
   )
 
+  /** Oracle for q_embed_knn_classify: Lloyd CTEs, IVF probe restricted
+    * to labeled candidates, top-5 vote with (count desc, label asc)
+    * tie-break, joined back to the held-out true label.
+    */
+  private def knnOracleSql(iters: Int): String =
+    kmeansCtes(iters) + s""",
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT d.vec_id, d.cent_id,
+      |           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cent_id) AS rn
+      |    FROM (
+      |      SELECT v.vec_id, c.cent_id, ${cosSql("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+      |      FROM n v CROSS JOIN cents${iters - 1} c
+      |      WHERE v.vec_id % 5 = 0) d)
+      |  WHERE rn <= 2
+      |),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      |  FROM probes p JOIN assign${iters - 1} a ON p.cent_id = a.cent_id
+      |  WHERE a.vec_id % 5 <> 0
+      |),
+      |scored AS (
+      |  SELECT c.query_id, c.cand_id, ${cosSql("na.q", "na.n2", "nb.q", "nb.n2")} AS cosine
+      |  FROM cand c
+      |  JOIN n na ON na.vec_id = c.query_id
+      |  JOIN n nb ON nb.vec_id = c.cand_id
+      |),
+      |top5 AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id,
+      |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      |    FROM scored)
+      |  WHERE rank <= 5
+      |),
+      |votes AS (
+      |  SELECT t.query_id, e.label, count(*) AS n_votes
+      |  FROM top5 t JOIN embeddings e ON e.vec_id = t.cand_id
+      |  GROUP BY t.query_id, e.label
+      |),
+      |pick AS (
+      |  SELECT query_id, label, n_votes FROM (
+      |    SELECT query_id, label, n_votes,
+      |           row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+      |    FROM votes)
+      |  WHERE vr = 1
+      |)
+      |SELECT p.query_id, p.label AS pred_label, CAST(p.n_votes AS BIGINT) AS n_votes,
+      |       e.label AS true_label
+      |FROM pick p JOIN embeddings e ON e.vec_id = p.query_id
+      |ORDER BY p.query_id""".stripMargin
+
+  /** kNN label propagation through the trained IVF index — the
+    * semi-supervised labeling stage of a curation pipeline (classify
+    * unlabeled docs from a small labeled seed set): hold out every 5th
+    * vector's label, probe the 2 nearest k-means centroids, rank the
+    * LABELED points in those posting lists by exact quantized cosine,
+    * and take the top-5 majority vote (ties broken by smaller label).
+    * The true label rides along, so the result row IS the
+    * accuracy-evaluation record. Candidate generation is the same
+    * posting-list equi-join as every ANN path here — never all-pairs;
+    * the vote is a tiny two-level aggregation on (query, label).
+    */
+  private val knnClassify = Q(
+    "q_embed_knn_classify",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val raw = Tables(s, dir).embeddings
+      val e = raw
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val labels = raw.select($"vec_id", $"label")
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val (cents, assignFinal) = VectorSim.kmeansFit(e, init, dims = 64, iters = 3)
+      val posting = assignFinal
+        .select($"vec_id".as("cand_id"), $"cent_id")
+        .filter($"cand_id" % 5 =!= 0) // only labeled points may vote
+      val probes = e.filter($"vec_id" % 5 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("cos",
+          VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      val top5 = probes.join(posting, "cent_id")
+        .select($"query_id", $"cand_id").distinct()
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 5)
+      top5
+        .join(labels.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .groupBy($"query_id", $"label")
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"n_votes".desc, $"label")))
+        .filter($"vr" === 1)
+        .join(
+          labels.withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("label", "true_label"),
+          "query_id")
+        .select($"query_id", $"label".as("pred_label"), $"n_votes", $"true_label")
+        .orderBy($"query_id")
+    },
+    Some(knnOracleSql(3)),
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkPq,
-      topkIvfPq)
+      topkIvfPq, knnClassify)
 }

@@ -149,6 +149,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(keyed, s"funnel shuffles on a non-user key:\n$p")
   }
 
+  test("mixture sampling: rates re-attach via broadcast, corpus stays narrow") {
+    val p = physical(SparkEntry.queries("q_sample_mixture")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mixture grew a cartesian:\n$p")
+  }
+
+  test("boilerplate removal: common-line membership is a broadcast join " +
+    "on the digest, never line x line") {
+    val p = physical(SparkEntry.queries("q_text_boilerplate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"common set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"boilerplate grew a cartesian:\n$p")
+  }
+
+  test("shard assignment: narrow map + one aggregation, no join anywhere") {
+    val p = physical(SparkEntry.queries("q_shard_assign")(spark, dir))
+    assert(!p.contains("Join"), s"shard assignment grew a join:\n$p")
+    // one hash exchange for the groupBy, one range for the final sort
+    assert(countOccurrences(p, "Exchange") <= 2,
+      s"shard assignment shuffles more than agg+sort:\n$p")
+  }
+
+  test("knn classify: candidates come from a posting-list equi-join; the " +
+    "only nested-loop is the tiny centroid-probe broadcast") {
+    val p = physical(SparkEntry.queries("q_embed_knn_classify")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"knn grew a cartesian:\n$p")
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(!bnlj.exists(_.contains("cand_id")),
+      s"candidate generation fell back to all-pairs:\n$p")
+  }
+
   test("ahash dedup: candidate generation is a band equi-join over the " +
     "persisted hash table, never image x image") {
     val p = physical(SparkEntry.queries("q_media_ahash_dedup")(spark, dir))

@@ -234,4 +234,86 @@ object TextDedup {
       .select(col("*"), explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_hash", col(sigCol).substr(col("band") * w + 1, lit(w)))
   }
+
+  /** Every word k-gram of every document WITH its 1-based start
+    * position: (doc_id, pos, gh) where gh = md5 of the k words joined
+    * by a single space. Unlike [[shingleArrays]] this keeps duplicates
+    * and positions — the inverted-index form for SPAN-level (not
+    * document-level) dedup. Narrow: split once per doc behind a
+    * Generate boundary, one md5 per position, no shuffle.
+    *
+    * `sequence(1, size-k+1)` is guarded (Spark's `sequence(1, 0)`
+    * DESCENDS rather than returning empty), so sub-k-word docs emit
+    * zero positions instead of garbage.
+    */
+  def gramPositions(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"gramPositions: k ($k) must be >= 2")
+    val ws = col("ws")
+    docs
+      .select(col("doc_id"), Cols.materialized(split(col("text"), " ")).as("ws"))
+      .select(col("doc_id"), ws,
+        explode(when(size(ws) >= k, sequence(lit(1), size(ws) - (k - 1)))
+          .otherwise(array())).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ",
+          (0 until k).map(j => element_at(ws, col("pos") + j)): _*)).as("gh"))
+  }
+
+  /** Exact repeated-substring detection ACROSS documents, the
+    * span-level complement of the document-level near-dup family
+    * (cf. Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" — there via a single-machine suffix array; here
+    * as the distributed k-gram-inverted-index equivalent): a word
+    * position is *duplicated* when its exact k-gram occurs in at
+    * least `minDocs` distinct documents; maximal runs of consecutive
+    * duplicated positions become spans `(doc_id, start_word,
+    * span_words)` with span_words = run + k − 1, reported when
+    * span_words ≥ `minSpanWords`. A training pipeline cuts these
+    * spans out of the kept copy instead of dropping whole documents.
+    *
+    * Scale shape — every stage is keyed, never all-pairs:
+    *   1. positions: narrow map, O(total words) rows (the same cost
+    *      any shingling pass pays);
+    *   2. duplicated grams: per-doc `distinct` then count ≥ minDocs —
+    *      two hash aggregations on the gram hash, both with map-side
+    *      partial aggregation;
+    *   3. marking: LEFT SEMI join positions→dup-grams on gh. Semi
+    *      join semantics make boilerplate grams (a gram in half the
+    *      corpus) safe: the build side carries ONE row per gram, so a
+    *      hot gram cannot replicate rows the way an inner join on an
+    *      exploded index would;
+    *   4. islands: one shuffle on doc_id, the gaps-and-islands
+    *      row_number trick, O(one doc's marks) memory per task.
+    *
+    * The position table is persisted — it feeds both the dup-gram
+    * aggregation and the marking join (same convention as
+    * minhashVerifiedPairs: Verify/Bench clearCache between queries).
+    */
+  def crossDocRepeatedSpans(
+      docs: DataFrame,
+      k: Int,
+      minSpanWords: Int,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    require(minSpanWords >= k,
+      s"crossDocRepeatedSpans: minSpanWords ($minSpanWords) must be >= k ($k) — " +
+        "a single duplicated position already spans k words")
+    val pos = gramPositions(docs, k).persist()
+    val dupGrams = pos
+      .select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos
+      .join(dupGrams, Seq("gh"), "left_semi")
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("start_word"),
+        (count(lit(1)) + (k - 1)).as("span_words"))
+      .filter(col("span_words") >= minSpanWords)
+      .select(col("doc_id"), col("start_word"), col("span_words"))
+  }
 }

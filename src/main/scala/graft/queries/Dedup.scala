@@ -472,6 +472,59 @@ object Dedup {
            |ORDER BY h""".stripMargin),
   )
 
+  /** Span-level exact dedup (Lee et al.-style repeated substrings,
+    * distributed as a k-gram inverted index — see
+    * `TextDedup.crossDocRepeatedSpans`): maximal runs of word
+    * positions whose exact 8-gram occurs in ≥2 documents, reported
+    * when the run spans ≥12 words, with the span text reconstructed
+    * so the output is directly actionable (cut these spans). Oracle
+    * is the same definition in DuckDB list functions plus the
+    * identical gaps-and-islands window.
+    */
+  private val substringSpans = Q(
+    "q_dedup_substring",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val spans = TextDedup.crossDocRepeatedSpans(docs, k = 8, minSpanWords = 12)
+      val words = docs.select($"doc_id",
+        graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
+      spans
+        .join(words, "doc_id")
+        .select($"doc_id", $"start_word", $"span_words",
+          concat_ws(" ", slice($"ws", $"start_word", $"span_words")).as("span_text"))
+        .orderBy($"doc_id", $"start_word")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |pos AS (
+           |  SELECT doc_id, i AS pos,
+           |         md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS gh
+           |  FROM words, unnest(range(1, len(ws) - 6)) AS t(i)
+           |  WHERE len(ws) >= 8
+           |),
+           |dup AS (
+           |  SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM pos)
+           |  GROUP BY gh HAVING count(*) >= 2
+           |),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM pos WHERE gh IN (SELECT gh FROM dup)
+           |),
+           |spans AS (
+           |  SELECT doc_id, min(pos) AS start_word,
+           |         CAST(count(*) + 7 AS BIGINT) AS span_words
+           |  FROM isl GROUP BY doc_id, island
+           |)
+           |SELECT s.doc_id, s.start_word, s.span_words,
+           |       array_to_string(list_slice(w.ws, s.start_word,
+           |                                  s.start_word + s.span_words - 1), ' ') AS span_text
+           |FROM spans s JOIN words w USING (doc_id)
+           |WHERE s.span_words >= 12
+           |ORDER BY s.doc_id, s.start_word""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, simhashPairs,
-    ngramJaccard, embeddingCosine, embeddingCosineBlocked, streamExact)
+    ngramJaccard, embeddingCosine, embeddingCosineBlocked, streamExact,
+    substringSpans)
 }

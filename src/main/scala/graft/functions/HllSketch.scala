@@ -1,0 +1,167 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog distinct-count sketch as a native Catalyst aggregate
+  * (Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+  * cardinality estimation algorithm"): `hll_distinct(string_col)` →
+  * struct(estimate, nonzero_buckets, register_sum_scaled).
+  *
+  * This is the aggregation-state story at 100 TB: the buffer is a
+  * FIXED 4 KiB register array (p=12 → m=4096) no matter how many
+  * rows flow through it, updates are one digest + one byte-max, and
+  * merges are bytewise max — so partial aggregation collapses each
+  * map task's billions of rows into 4 KiB before the shuffle, and the
+  * exchange moves O(groups × 4 KiB) regardless of input size. Spark's
+  * own `approx_count_distinct` has the same shape; this one exists so
+  * the register math is BIT-REPRODUCIBLE in any engine (the DuckDB
+  * oracle recomputes every register from the same md5 hex and must
+  * hash-match):
+  *
+  *   - hash = md5 of the UTF-8 string (not a JVM-private hash);
+  *   - bucket = first 12 hash bits (3 hex chars), ρ = leading zeros
+  *     of the next 52 bits + 1, capped at 30;
+  *   - the ρ cap makes Σ 2⁻ʳᵉᵍ EXACT in binary64 in any summation
+  *     order (4096 terms, each a power of two ≥ 2⁻³⁰: worst-case sum
+  *     needs 12 + 30 < 53 mantissa bits), which is what lets two
+  *     engines agree on the last bit of the estimate. The sum is in
+  *     fact carried as the INTEGER Σ 2³⁰⁻ʳᵉᵍ (`register_sum_scaled`),
+  *     so cross-engine float agreement reduces to one division and
+  *     one multiply;
+  *   - estimate = α·m²/S, the raw HLL estimator. The small-range
+  *     linear-counting correction (E ≤ 2.5m, zeros > 0) needs ln(),
+  *     whose last bit is libm-specific — so the sketch EXPOSES the
+  *     zero-bucket count (m − nonzero_buckets) and leaves that branch
+  *     to the caller rather than bake a non-reproducible float into
+  *     the aggregate. The cap only biases counts near 2³⁰ distinct
+  *     per bucket (≫ 2³² total), far beyond the estimator's range.
+  *
+  * Nulls are ignored (standard aggregate-function semantics).
+  */
+case class HllSketch(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] {
+
+  import HllSketch._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument (cast explicitly — the " +
+        s"hash is over the string form), got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", DoubleType, nullable = false),
+    StructField("nonzero_buckets", IntegerType, nullable = false),
+    StructField("register_sum_scaled", LongType, nullable = false),
+  ))
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = Name
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  // one digest instance per deserialized expression copy (per task);
+  // MessageDigest is stateful but reset by digest(), never shared
+  // across threads here
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = md5.digest(v.asInstanceOf[UTF8String].getBytes)
+      // top 8 digest bytes big-endian = first 16 hex chars
+      var top = 0L
+      var i = 0
+      while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
+      val bucket = (top >>> 52).toInt // hex chars 1-3
+      val tail = top & ((1L << 52) - 1) // hex chars 4-16
+      val rank =
+        math.min(if (tail == 0L) 53 else java.lang.Long.numberOfLeadingZeros(tail) - 11, 30)
+      if (rank > buffer(bucket)) buffer(bucket) = rank.toByte
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = {
+    var nonzero = 0
+    var sScaled = 0L
+    var i = 0
+    while (i < M) {
+      if (buffer(i) != 0) nonzero += 1
+      sScaled += 1L << (30 - buffer(i))
+      i += 1
+    }
+    // written EXACTLY as the oracle SQL writes it (left-associative),
+    // so both engines run the same IEEE op sequence
+    val estimate = 0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+      (sScaled.toDouble / 1073741824.0)
+    new GenericInternalRow(Array[Any](estimate, nonzero, sScaled))
+  }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketch =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): HllSketch =
+    copy(child = newChild)
+}
+
+object HllSketch {
+  val Name = "hll_distinct"
+
+  /** p = 12 → 4096 registers; standard-error ≈ 1.04/√m ≈ 1.6 %. */
+  val M = 4096
+
+  private val info = new ExpressionInfo(classOf[HllSketch].getName, Name)
+
+  /** Imperative registration, safe to call repeatedly (same pattern as
+    * [[ArrayDotLong.register]]); the analyzer wraps the bare
+    * AggregateFunction in an AggregateExpression at resolution.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(Name))) {
+      registry.registerFunction(
+        FunctionIdentifier(Name),
+        info,
+        (exprs: Seq[Expression]) => HllSketch(exprs.head))
+    }
+  }
+
+  /** Column API over the registered function. */
+  def sketch(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function(Name, c)
+  }
+}

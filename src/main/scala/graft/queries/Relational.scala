@@ -846,7 +846,77 @@ object Relational {
            |ORDER BY buy_id, view_id""".stripMargin),
   )
 
+  /** DuckDB twin of the Spark-side hex→integer parses: `n` hex chars
+    * of `expr` from 1-based `start` as BIGINT (generalizes
+    * Dedup.hex15ToBig).
+    */
+  private def hexToBig(expr: String, start: Int, n: Int): String =
+    s"CAST(list_sum(list_transform(range(0, $n), i -> " +
+      s"CAST(strpos('0123456789abcdef', substr($expr, CAST($start + i AS BIGINT), 1)) - 1 AS BIGINT) * " +
+      s"(CAST(1 AS BIGINT) << CAST((${n - 1} - i) * 4 AS INT)))) AS BIGINT)"
+
+  /** Approximate distinct users per event type through the native
+    * `hll_distinct` sketch aggregate (`functions/HllSketch.scala` —
+    * fixed 4 KiB mergeable state, the cardinality shape that survives
+    * 100 TB), next to the exact count so the output quantifies its own
+    * error. The oracle rebuilds every HLL register from the same md5
+    * hex in SQL — bucket = 12 bits, ρ = 53 − bitlength of the 52-bit
+    * tail capped at 30 — and must agree on estimate, nonzero-bucket
+    * count, and the integer-scaled register sum bit-for-bit.
+    */
+  private val aggHllDistinct = Q(
+    "q_agg_hll_distinct",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.HllSketch.register(s)
+      Tables(s, dir).events
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("n_exact"),
+          call_function(graft.functions.HllSketch.Name,
+            $"user_id".cast("string")).as("hll"))
+        .select(
+          $"event_type",
+          $"n_exact",
+          $"hll.nonzero_buckets".cast("long").as("nonzero_buckets"),
+          $"hll.register_sum_scaled".as("register_sum_scaled"),
+          round($"hll.estimate", 4).as("hll_estimate"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH h AS (
+           |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+           |),
+           |rb AS (
+           |  SELECT event_type,
+           |         ${hexToBig("hx", 1, 3)} AS bucket,
+           |         ${hexToBig("hx", 4, 13)} AS v
+           |  FROM h
+           |),
+           |regs AS (
+           |  SELECT event_type, bucket,
+           |         max(least(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END, 30)) AS r
+           |  FROM rb GROUP BY event_type, bucket
+           |),
+           |agg AS (
+           |  SELECT event_type,
+           |         CAST(count(*) AS BIGINT) AS nonzero_buckets,
+           |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+           |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+           |  FROM regs GROUP BY event_type
+           |)
+           |SELECT event_type,
+           |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+           |        FROM events e WHERE e.event_type = agg.event_type) AS n_exact,
+           |       nonzero_buckets,
+           |       register_sum_scaled,
+           |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+           |             (register_sum_scaled / 1073741824.0), 4) AS hll_estimate
+           |FROM agg
+           |ORDER BY event_type""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
+    aggHllDistinct,
     eventsFunnel,
     aggSaltedSkew,
     aggPivot,

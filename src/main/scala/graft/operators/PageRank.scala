@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over a directed edge list — the importance-scoring pass a
+  * crawl/curation pipeline runs to weight sources (cf. Page et al.,
+  * "The PageRank Citation Ranking"): seed-domain ranking, dedup-keeper
+  * selection by authority, mixture weighting by graph centrality.
+  *
+  * All rank arithmetic is SCALED-INTEGER, like `Mixture`'s sampling
+  * rates: ranks live at `scale` (default 10⁶), neighbor shares are
+  * integer division `r div outdeg`, and the damping update is
+  * `(15·scale)/100 + (85·Σshares)/100` in BIGINT. Integer ops make the
+  * fixpoint bit-reproducible in ANY engine at ANY partitioning — sums
+  * of longs commute, divisions truncate identically — which is what
+  * lets a DuckDB oracle replay the same iterations and hash-match.
+  * The float rank is `rank_scaled / scale` (callers divide at the
+  * end); truncation error per update is < 1/scale per node.
+  *
+  * Scale shape, per iteration (the standard distributed PageRank):
+  *   - shares: ranks ⋈ outdeg on node — two narrow tables, broadcast
+  *     or co-partitioned;
+  *   - contributions: edges ⋈ shares on src (the big equi-join — at
+  *     100 TB this is THE shuffle, on the edge table's natural key),
+  *     then sum by dst with map-side partial aggregation;
+  *   - update: nodes ⟕ contributions, coalesce(0) for in-degree-0
+  *     nodes (they keep the 15% teleport floor).
+  * The rank table is O(|V|) and persisted per round; the loop is
+  * driver-side like `Components.connectedComponents` / Lloyd's, with
+  * the per-round plan fully distributed.
+  */
+object PageRank {
+
+  /** (src, dst) directed edges → (node, rank_scaled) for every node
+    * appearing in any edge, after `iters` damped iterations from a
+    * uniform start of `scale` per node. Dangling nodes (out-degree 0)
+    * contribute nothing (their mass leaks, the common simplification);
+    * in-degree-0 nodes converge to the teleport floor 15%·scale.
+    */
+  def pagerank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long = 1000000L,
+  ): DataFrame = {
+    require(iters >= 1, s"pagerank: iters ($iters) must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .persist()
+    var ranks = nodes.select(col("node"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val shares = ranks
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), expr("r div d").as("share"))
+      val contribs = e
+        .join(shares, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("s"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(15L * scale / 100L) +
+            expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        .persist()
+      // materialize before unpersisting the parent this round reads
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+}

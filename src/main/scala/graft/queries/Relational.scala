@@ -915,8 +915,68 @@ object Relational {
            |ORDER BY event_type""".stripMargin),
   )
 
+  /** PageRank (3 damped iterations, `operators/PageRank.scala`) over
+    * the bipartite part↔supplier graph from lineitem — the authority
+    * scoring a curation pipeline uses to weight sources. Node ids are
+    * disjoint by parity (part = 2k, supplier = 2k+1). Scaled-integer
+    * rank arithmetic makes every iteration bit-reproducible, so the
+    * oracle unrolls the same three updates as CTEs and must agree
+    * exactly on the top 20.
+    */
+  private val graphPagerank = Q(
+    "q_graph_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = Tables(s, dir).lineitem
+        .select(($"l_partkey" * 2).as("pn"), ($"l_suppkey" * 2 + 1).as("sn"))
+        .distinct()
+      val edges = pairs.select($"pn".as("src"), $"sn".as("dst"))
+        .union(pairs.select($"sn", $"pn"))
+      graft.operators.PageRank.pagerank(edges, "src", "dst", iters = 3)
+        .select(
+          $"node",
+          when($"node" % 2 === 0, "part").otherwise("supplier").as("kind"),
+          $"r".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"node")
+        .limit(20)
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node, CAST(sum(r.r // d.d) AS BIGINT) AS s
+           |  FROM edges e
+           |  JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst
+           |),
+           |r$i AS (
+           |  SELECT n.node,
+           |         CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM r0 n LEFT JOIN c$i c ON c.node = n.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS pn, l_suppkey * 2 + 1 AS sn FROM lineitem
+         |),
+         |edges AS (
+         |  SELECT pn AS src, sn AS dst FROM pairs
+         |  UNION ALL SELECT sn, pn FROM pairs
+         |),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+         |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM edges),
+         |$rounds
+         |SELECT node,
+         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+         |       r AS rank_scaled
+         |FROM r3
+         |ORDER BY rank_scaled DESC, node
+         |LIMIT 20""".stripMargin
+    },
+  )
+
   val all: Seq[Q] = Seq(
     aggHllDistinct,
+    graphPagerank,
     eventsFunnel,
     aggSaltedSkew,
     aggPivot,

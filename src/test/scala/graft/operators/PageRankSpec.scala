@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PageRank semantics on hand-computed graphs: the damped integer
+  * update, dangling-node mass leak, the teleport floor, and exact
+  * truncation behavior (the property the oracle relies on).
+  */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    PageRank.pagerank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a symmetric 2-cycle is a fixpoint at the initial mass") {
+    // share = 10^6/1; update = 150000 + 85% of 10^6 = 10^6 exactly
+    assert(ranks(Seq(1L -> 2L, 2L -> 1L), 3) == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("dangling nodes leak mass; in-degree-0 nodes keep the teleport floor") {
+    // a→b, c→b: b is dangling (contributes nothing back)
+    val r2 = ranks(Seq(1L -> 2L, 3L -> 2L), 2)
+    assert(r2(1L) == 150000L && r2(3L) == 150000L)
+    // iter1: b = 150000 + 85·(2·10^6)/100 = 1850000
+    // iter2: b = 150000 + 85·(150000+150000)/100 = 405000
+    assert(r2(2L) == 405000L)
+  }
+
+  test("integer division truncates exactly as documented") {
+    // hub 1 → {2,3,4}, spokes → hub. share(hub) = 10^6 div 3 = 333333;
+    // spoke update = 150000 + (85·333333) div 100 = 150000 + 283333
+    val r1 = ranks(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 1L, 3L -> 1L, 4L -> 1L), 1)
+    assert(r1(2L) == 433333L && r1(3L) == 433333L && r1(4L) == 433333L)
+    assert(r1(1L) == 150000L + 85L * 3000000L / 100L)
+  }
+
+  test("result is independent of edge partitioning") {
+    import spark.implicits._
+    val edges = (1L to 40L).map(i => i -> (i % 7 + 1))
+    val a = PageRank.pagerank(edges.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = PageRank.pagerank(edges.toDF("src", "dst").repartition(13), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}

@@ -974,9 +974,67 @@ object Relational {
     },
   )
 
+  /** Z-order layout zone maps (`operators/Layout.scala`): events
+    * range-normalized on (user_id, minute-of-day), Morton-interleaved,
+    * and binned into 64 quadtree cells (top 6 z-bits — a narrow map,
+    * NO global sort); per-cell min/max on BOTH dimensions are the
+    * zone maps a range predicate on either axis would prune against.
+    * The oracle recomputes the interleave bit-for-bit in SQL.
+    */
+  private val layoutZorder = Q(
+    "q_layout_zorder",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Layout
+      val mod = (hour($"ts") * 60 + minute($"ts")).cast("long")
+      val z = Layout.zvalue(
+        Layout.scaleTo($"user_id", 150, 10),
+        Layout.scaleTo(mod, 1440, 10),
+        bits = 10)
+      Tables(s, dir).events
+        .select($"user_id", mod.as("minute_of_day"),
+          Layout.zcell(z, bits = 10, cellBits = 6).as("cell"))
+        .groupBy($"cell")
+        .agg(
+          count(lit(1)).as("n"),
+          min($"user_id").as("min_user"),
+          max($"user_id").as("max_user"),
+          min($"minute_of_day").as("min_minute"),
+          max($"minute_of_day").as("max_minute"))
+        .orderBy($"cell")
+    },
+    Some("""WITH b AS (
+           |  SELECT user_id,
+           |         date_part('hour', ts) * 60 + date_part('minute', ts) AS minute_of_day,
+           |         (user_id * 1024) // 150 AS ua,
+           |         ((date_part('hour', ts) * 60 + date_part('minute', ts)) * 1024) // 1440 AS mb
+           |  FROM events
+           |),
+           |z AS (
+           |  SELECT user_id, minute_of_day,
+           |         CAST(list_sum(list_transform(range(0, 10), i ->
+           |           ((ua // (CAST(1 AS BIGINT) << CAST(i AS INT))) % 2)
+           |             * (CAST(1 AS BIGINT) << CAST(2 * i AS INT)) +
+           |           ((mb // (CAST(1 AS BIGINT) << CAST(i AS INT))) % 2)
+           |             * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT))
+           |         )) AS BIGINT) AS zv
+           |  FROM b
+           |)
+           |SELECT zv // 16384 AS cell,
+           |       count(*) AS n,
+           |       CAST(min(user_id) AS BIGINT) AS min_user,
+           |       CAST(max(user_id) AS BIGINT) AS max_user,
+           |       CAST(min(minute_of_day) AS BIGINT) AS min_minute,
+           |       CAST(max(minute_of_day) AS BIGINT) AS max_minute
+           |FROM z
+           |GROUP BY cell
+           |ORDER BY cell""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     aggHllDistinct,
     graphPagerank,
+    layoutZorder,
     eventsFunnel,
     aggSaltedSkew,
     aggPivot,

@@ -1031,10 +1031,112 @@ object Relational {
            |ORDER BY cell""".stripMargin),
   )
 
+  /** Top-k per group (k=3 highest-value events per event type) via a
+    * rank window with a total order. Spark plans the `rank <= k`
+    * filter as WindowGroupLimit — each map task keeps only its local
+    * top-k per group BEFORE the shuffle (asserted in PlanShapeSpec),
+    * which is the difference between shuffling k rows per group and
+    * shuffling the corpus at 100 TB.
+    */
+  private val windowTopkPerGroup = Q(
+    "q_window_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+      Tables(s, dir).events
+        .select($"event_type", $"event_id", round($"value", 4).as("value"),
+          row_number().over(w).as("rk"))
+        .filter($"rk" <= 3)
+        .orderBy($"event_type", $"rk")
+    },
+    Some("""SELECT event_type, event_id, round(value, 4) AS value, rk
+           |FROM (
+           |  SELECT event_type, event_id, value,
+           |         row_number() OVER (PARTITION BY event_type
+           |                            ORDER BY value DESC, event_id) AS rk
+           |  FROM events
+           |)
+           |WHERE rk <= 3
+           |ORDER BY event_type, rk""".stripMargin),
+  )
+
+  /** STREAMING distinct-user sketch: the same `hll_distinct` aggregate
+    * under incremental execution — events arrive twice (two unioned
+    * file sources, the at-least-once shape), micro-batches fold into
+    * the 4 KiB register state in the state store, and complete-mode
+    * output must equal the batch sketch of ONE copy: HLL registers
+    * are duplicate-insensitive by construction (bytewise max), which
+    * is exactly why a sketch is the right cardinality state for
+    * at-least-once streams. Oracle: the batch register math.
+    */
+  private val streamHllDistinct = Q(
+    "q_stream_hll_distinct",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.HllSketch.register(s)
+      val sinkName = "graft_stream_hll_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val agg = src.union(src)
+          .groupBy($"event_type")
+          .agg(call_function(graft.functions.HllSketch.Name,
+            $"user_id".cast("string")).as("hll"))
+          .select(
+            $"event_type",
+            $"hll.nonzero_buckets".cast("long").as("nonzero_buckets"),
+            $"hll.register_sum_scaled".as("register_sum_scaled"),
+            round($"hll.estimate", 4).as("hll_estimate"))
+        val query = agg.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"event_type")
+    },
+    Some(s"""WITH h AS (
+           |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+           |),
+           |rb AS (
+           |  SELECT event_type,
+           |         ${hexToBig("hx", 1, 3)} AS bucket,
+           |         ${hexToBig("hx", 4, 13)} AS v
+           |  FROM h
+           |),
+           |regs AS (
+           |  SELECT event_type, bucket,
+           |         max(least(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END, 30)) AS r
+           |  FROM rb GROUP BY event_type, bucket
+           |),
+           |agg AS (
+           |  SELECT event_type,
+           |         CAST(count(*) AS BIGINT) AS nonzero_buckets,
+           |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+           |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+           |  FROM regs GROUP BY event_type
+           |)
+           |SELECT event_type, nonzero_buckets, register_sum_scaled,
+           |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+           |             (register_sum_scaled / 1073741824.0), 4) AS hll_estimate
+           |FROM agg
+           |ORDER BY event_type""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     aggHllDistinct,
     graphPagerank,
     layoutZorder,
+    windowTopkPerGroup,
+    streamHllDistinct,
     eventsFunnel,
     aggSaltedSkew,
     aggPivot,

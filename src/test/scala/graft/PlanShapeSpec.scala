@@ -185,4 +185,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"ahash pair generation is a cartesian product:\n$p")
   }
+
+  test("grouped top-k: the rank filter becomes WindowGroupLimit, so map " +
+    "tasks keep k rows per group before the shuffle") {
+    val p = physical(SparkEntry.queries("q_window_topk_per_group")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter did not push down as a group limit:\n$p")
+  }
+
+  test("substring dedup: dup-gram marking is a semi join, never an " +
+    "index-replicating inner join") {
+    val p = physical(SparkEntry.queries("q_dedup_substring")(spark, dir))
+    assert(p.contains("LeftSemi"), s"marking join is not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"substring dedup grew a cartesian:\n$p")
+  }
+
+  test("z-order zone maps: narrow cell map + one aggregation, no join, " +
+    "no global sort before the agg") {
+    val p = physical(SparkEntry.queries("q_layout_zorder")(spark, dir))
+    assert(!p.contains("Join"), s"zorder stats grew a join:\n$p")
+    // one hash exchange for the groupBy, one range for the final sort
+    assert(countOccurrences(p, "Exchange") <= 2,
+      s"zorder stats shuffle more than agg+sort:\n$p")
+  }
+
+  test("pagerank: per-iteration contributions shuffle on the edge key; " +
+    "no cartesian anywhere in the unrolled plan") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val p = physical(graft.operators.PageRank.pagerank(edges, "src", "dst", 1))
+    assert(!p.contains("CartesianProduct"), s"pagerank grew a cartesian:\n$p")
+  }
 }

@@ -1131,12 +1131,87 @@ object Relational {
            |ORDER BY event_type""".stripMargin),
   )
 
+  /** FULL OUTER join with both-null sides exercised: per-user signup
+    * counts against per-user error counts — users who only signed up,
+    * users who only errored, and users who did both all appear, with
+    * a presence marker making the outer semantics visible in the
+    * output. Aggregate-then-join keeps the shuffled sides at one row
+    * per user (never row×row fanout).
+    */
+  private val joinFullOuter = Q(
+    "q_join_full_outer",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      def side(t: String, as: String) = ev.filter($"event_type" === t)
+        .groupBy($"user_id").agg(count(lit(1)).as(as))
+      side("signup", "n_signup")
+        .join(side("error", "n_error"), Seq("user_id"), "full_outer")
+        .select(
+          $"user_id",
+          coalesce($"n_signup", lit(0L)).as("n_signup"),
+          coalesce($"n_error", lit(0L)).as("n_error"),
+          when($"n_signup".isNull, "error_only")
+            .when($"n_error".isNull, "signup_only")
+            .otherwise("both").as("presence"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH s AS (
+           |  SELECT user_id, count(*) AS n_signup FROM events
+           |  WHERE event_type = 'signup' GROUP BY user_id
+           |),
+           |e AS (
+           |  SELECT user_id, count(*) AS n_error FROM events
+           |  WHERE event_type = 'error' GROUP BY user_id
+           |)
+           |SELECT coalesce(s.user_id, e.user_id) AS user_id,
+           |       CAST(coalesce(s.n_signup, 0) AS BIGINT) AS n_signup,
+           |       CAST(coalesce(e.n_error, 0) AS BIGINT) AS n_error,
+           |       CASE WHEN s.user_id IS NULL THEN 'error_only'
+           |            WHEN e.user_id IS NULL THEN 'signup_only'
+           |            ELSE 'both' END AS presence
+           |FROM s FULL OUTER JOIN e ON s.user_id = e.user_id
+           |ORDER BY user_id""".stripMargin),
+  )
+
+  /** INTERSECT / EXCEPT (distinct set semantics, completing the set-op
+    * family beyond union): users who both viewed and purchased, and
+    * users who clicked but never errored, labeled in one output.
+    */
+  private val setOps = Q(
+    "q_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      def ids(t: String) = ev.filter($"event_type" === t).select($"user_id")
+      ids("view").intersect(ids("purchase"))
+        .select(lit("view_and_buy").as("op"), $"user_id")
+        .union(ids("click").except(ids("error"))
+          .select(lit("click_no_error").as("op"), $"user_id"))
+        .orderBy($"op", $"user_id")
+    },
+    Some("""SELECT 'view_and_buy' AS op, user_id FROM (
+           |  SELECT user_id FROM events WHERE event_type = 'view'
+           |  INTERSECT
+           |  SELECT user_id FROM events WHERE event_type = 'purchase'
+           |)
+           |UNION ALL
+           |SELECT 'click_no_error' AS op, user_id FROM (
+           |  SELECT user_id FROM events WHERE event_type = 'click'
+           |  EXCEPT
+           |  SELECT user_id FROM events WHERE event_type = 'error'
+           |)
+           |ORDER BY op, user_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     aggHllDistinct,
     graphPagerank,
     layoutZorder,
     windowTopkPerGroup,
     streamHllDistinct,
+    joinFullOuter,
+    setOps,
     eventsFunnel,
     aggSaltedSkew,
     aggPivot,

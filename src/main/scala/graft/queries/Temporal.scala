@@ -92,5 +92,51 @@ object Temporal {
            |ORDER BY i.sess_id""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(joinAsof, joinRange)
+  /** SCD2 interval building (`operators/Scd.scala`): each user's event
+    * stream becomes effective-dated state versions — consecutive
+    * same-type events collapse, a type change opens a new version,
+    * the open (current) version has NULL valid_to. This is the
+    * dimension table an as-of join then serves "state at time t"
+    * lookups from. One exchange on user_id carries the lag, the
+    * running version sum, the per-version agg, and the valid_to lead.
+    */
+  private val scd2Intervals = Q(
+    "q_scd2_intervals",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Scd
+        .intervals(Tables(s, dir).events,
+          keyCol = "user_id", stateCol = "event_type",
+          tsCol = "ts", ordCol = "event_id")
+        .orderBy($"user_id", $"version")
+    },
+    Some("""WITH o AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |         CASE WHEN lag(event_type) OVER w IS NULL
+           |                OR lag(event_type) OVER w <> event_type
+           |              THEN 1 ELSE 0 END AS chg
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |),
+           |v AS (
+           |  SELECT user_id, event_type, ts, chg,
+           |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                        ROWS UNBOUNDED PRECEDING) AS version
+           |  FROM o
+           |),
+           |g AS (
+           |  SELECT user_id, CAST(version AS BIGINT) AS version,
+           |         min(event_type) AS state, min(ts) AS valid_from,
+           |         count(*) AS n_obs
+           |  FROM v GROUP BY user_id, version
+           |)
+           |SELECT user_id, version, state, valid_from,
+           |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           |         AS valid_to,
+           |       n_obs
+           |FROM g
+           |ORDER BY user_id, version""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(joinAsof, joinRange, scd2Intervals)
 }

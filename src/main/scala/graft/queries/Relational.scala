@@ -1204,8 +1204,54 @@ object Relational {
            |ORDER BY op, user_id""".stripMargin),
   )
 
+  /** Approximate quantiles from a fixed-bin histogram sketch
+    * (`operators/Sketches.scala`): p50/p90/p99 of extended price from
+    * 256 mergeable integer bin counts — the deterministic counterpart
+    * to approx_percentile, with error bounded by one bin width. The
+    * shuffle moves at most 256 rows per map task; the oracle rebuilds
+    * the same bins, cumulative walk, and upper-edge report in SQL.
+    */
+  private val aggHistogramQuantiles = Q(
+    "q_agg_histogram_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Sketches
+        .histogramQuantiles(Tables(s, dir).lineitem, $"l_extendedprice",
+          lo = 0.0, hi = 110000.0, bins = 256, qs = Seq(0.5, 0.9, 0.99))
+        .select($"q", $"bin", round($"approx_value", 4).as("approx_value"),
+          $"cum_count", $"n")
+        .orderBy($"q")
+    },
+    Some("""WITH b AS (
+           |  SELECT least(greatest(CAST(floor(
+           |           (CAST(l_extendedprice AS DOUBLE) - 0.0) * 256.0 / 110000.0
+           |         ) AS BIGINT), 0), 255) AS bin
+           |  FROM lineitem
+           |),
+           |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+           |c AS (
+           |  SELECT bin, cnt,
+           |         sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+           |         sum(cnt) OVER () AS n
+           |  FROM h
+           |),
+           |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+           |pick AS (
+           |  SELECT q.q, min(c.bin) AS bin
+           |  FROM q JOIN c ON c.cum >= ceil(q.q * c.n)
+           |  GROUP BY q.q
+           |)
+           |SELECT p.q, p.bin,
+           |       round(0.0 + (p.bin + 1) * (110000.0 - 0.0) / 256.0, 4) AS approx_value,
+           |       CAST(c.cum AS BIGINT) AS cum_count,
+           |       CAST(c.n AS BIGINT) AS n
+           |FROM pick p JOIN c ON c.bin = p.bin
+           |ORDER BY q""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     aggHllDistinct,
+    aggHistogramQuantiles,
     graphPagerank,
     layoutZorder,
     windowTopkPerGroup,

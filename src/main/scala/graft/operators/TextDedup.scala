@@ -235,6 +235,19 @@ object TextDedup {
       .withColumn("band_hash", col(sigCol).substr(col("band") * w + 1, lit(w)))
   }
 
+  /** CCNet-style text normalization for FUZZY-EXACT dedup: lowercase,
+    * non-alphanumerics to spaces, runs of spaces collapsed, ends
+    * trimmed. Hashing the normalized form catches the
+    * case/punctuation/whitespace variants of a document that exact
+    * content hashing misses, at exact-dedup cost (narrow codegen'd
+    * string ops + one hash groupBy) — the cheap first rung below
+    * MinHash. Patterns are dialect-portable (plain character classes,
+    * no Java/RE2-specific syntax), same contract as the PII scrub
+    * rules in [[TextAnalysis]].
+    */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Every word k-gram of every document WITH its 1-based start
     * position: (doc_id, pos, gh) where gh = md5 of the k words joined
     * by a single space. Unlike [[shingleArrays]] this keeps duplicates

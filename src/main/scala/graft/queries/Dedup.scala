@@ -524,7 +524,46 @@ object Dedup {
            |ORDER BY s.doc_id, s.start_word""".stripMargin),
   )
 
+  /** Fuzzy-exact dedup on the NORMALIZED form
+    * (`TextDedup.normalized`): the corpus is doubled with perturbed
+    * copies (leading spaces, uppercase, trailing punctuation) that
+    * exact content hashing cannot collapse; normalization must fold
+    * every pair back to one canonical row. DuckDB applies the same
+    * two regexes (with the 'g' flag — its regexp_replace is
+    * first-match by default where Spark's is global).
+    */
+  private val normalizedDedup = Q(
+    "q_dedup_normalized",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+      val perturbed = docs.select(
+        ($"doc_id" + 1000000).as("doc_id"),
+        concat(lit("  "), upper($"text"), lit(" !!")).as("text"))
+      docs.union(perturbed)
+        .groupBy(md5(TextDedup.normalized($"text")).as("norm_hash"))
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"canonical_id")
+    },
+    Some("""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, '  ' || upper(text) || ' !!' FROM documents
+           |),
+           |n AS (
+           |  SELECT doc_id,
+           |         trim(regexp_replace(regexp_replace(lower(text),
+           |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           |  FROM all_docs
+           |)
+           |SELECT md5(norm) AS norm_hash, min(doc_id) AS canonical_id,
+           |       count(*) AS n_copies
+           |FROM n
+           |GROUP BY 1
+           |ORDER BY canonical_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, simhashPairs,
     ngramJaccard, embeddingCosine, embeddingCosineBlocked, streamExact,
-    substringSpans)
+    substringSpans, normalizedDedup)
 }

@@ -572,7 +572,72 @@ object TextAnalysisQ {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Bloom-filter decontamination screen (operators/Bloom): the same
+    * bench/corpus split as `q_text_decontaminate`, but membership is
+    * tested against a FIXED-size bit set (m = 2^18, k = 3 probes)
+    * instead of the exact broadcast of every eval gram — the build
+    * side that stays broadcastable at any benchmark size. Flags are a
+    * deterministic superset of the exact matches (no false negatives;
+    * BloomSpec proves the superset property against the exact join).
+    */
+  private val BloomM = 1 << 18
+  private val BloomK = 3
+
+  private val bloomScreen = Q(
+    "q_text_bloom_screen",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val bench = docs.filter($"doc_id" % 29 === 3)
+      graft.operators.Bloom
+        .decontaminateScreen(
+          docs.filter($"doc_id" % 29 =!= 3), bench, n = 4, m = BloomM, k = BloomK)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH bench AS (SELECT text FROM documents WHERE doc_id % 29 = 3),
+            |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 3),
+            |bws AS (SELECT string_split(text, ' ') AS ws FROM bench),
+            |bg AS (
+            |  SELECT DISTINCT ${gramSql(4)} AS g
+            |  FROM bws, unnest(range(1, len(ws) - 2)) AS t(i)
+            |),
+            |bhx AS (SELECT md5(g) AS hx FROM bg),
+            |bhh AS (SELECT ${Dedup.hex15ToBig("hx", 1)} AS h1,
+            |               ${Dedup.hex15ToBig("hx", 17)} AS h2 FROM bhx),
+            |bpos AS (
+            |  SELECT DISTINCT (h1 + s.s * h2) % $BloomM AS pos
+            |  FROM bhh, unnest(range(0, $BloomK)) AS s(s)
+            |),
+            |cws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+            |cg AS (
+            |  SELECT DISTINCT doc_id, ${gramSql(4)} AS g
+            |  FROM cws, unnest(range(1, len(ws) - 2)) AS t(i)
+            |),
+            |chx AS (SELECT doc_id, g, md5(g) AS hx FROM cg),
+            |chh AS (SELECT doc_id, g, ${Dedup.hex15ToBig("hx", 1)} AS h1,
+            |               ${Dedup.hex15ToBig("hx", 17)} AS h2 FROM chx),
+            |cpos AS (
+            |  SELECT DISTINCT doc_id, g, (h1 + s.s * h2) % $BloomM AS pos
+            |  FROM chh, unnest(range(0, $BloomK)) AS s(s)
+            |),
+            |probe AS (
+            |  SELECT c.doc_id, c.g,
+            |         count(*) AS need,
+            |         CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS got
+            |  FROM cpos c LEFT JOIN bpos b ON b.pos = c.pos
+            |  GROUP BY c.doc_id, c.g
+            |)
+            |SELECT doc_id,
+            |       count(*) AS n_grams,
+            |       CAST(sum(CASE WHEN got = need THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+            |       round(sum(CASE WHEN got = need THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+            |         AS bloom_ratio
+            |FROM probe
+            |GROUP BY doc_id
+            |ORDER BY doc_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, repetition, chunk, pack, bpe, boilerplate)
+      rareBigrams, repetition, chunk, pack, bpe, boilerplate, bloomScreen)
 }

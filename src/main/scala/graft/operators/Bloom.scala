@@ -10,7 +10,7 @@ import graft.functions.Cols
   *
   * `TextAnalysis.decontaminate` broadcasts every distinct eval n-gram;
   * that is exact but its build side grows with the benchmark. The Bloom
-  * screen replaces it with a bit set of FIXED size m: k probe positions
+  * screen replaces it with a bitmap of FIXED size m: k probe positions
   * per gram (Kirsch-Mitzenmacher double hashing over one md5 digest —
   * the same h1/h2 halves the MinHash family uses), a gram is flagged
   * iff all k probed bits are set. Guarantees:
@@ -23,19 +23,23 @@ import graft.functions.Cols
   *     deterministic given the hash family — the oracle reproduces
   *     them bit-for-bit.
   *
-  * Scale shape: the bit set is materialized as a DISTINCT-position
-  * relation — at most m rows (m/8 bytes as a real bitmap; ≤ a few MB
-  * for m = 2^20) no matter how large the reference corpus is, so the
-  * probe join stays a broadcast hash join at any benchmark size. The
-  * candidate side is one narrow map (digest + k probes) over the
-  * corpus scan with map-side-combinable aggregation above it — the
-  * shape that survives 100 TB. Typical deployment: Bloom screen first
-  * (cheap, fixed-size build side), exact `decontaminate` only over the
-  * flagged survivors.
+  * Scale shape: the filter is m/64 packed longs — built by one
+  * bounded aggregation over the reference side (≤ m distinct
+  * positions cross the wire, no matter how many grams the benchmark
+  * has), then embedded as an ARRAY LITERAL in the candidate-side
+  * plan. The membership test is therefore JOIN-FREE: a narrow map
+  * (one digest + k bit probes per gram) the scan stage absorbs, with
+  * the per-document rollup as the only exchange — keyed by doc_id,
+  * never by gram. That is the 100 TB deployment: screen first at
+  * fixed memory, run the exact `decontaminate` join only over the
+  * flagged survivors. Keep m ≲ 2^24 (2 MB of longs) so the literal
+  * stays a reasonable task-binary payload; past that, page the bitmap
+  * into a broadcast variable instead.
   *
   * Reference analogue: the reference engine has no sketch surface; this
   * extends the training-data-pipeline family (SURVEY.md §2 “beyond the
-  * reference” operators) alongside HLL and the histogram sketch.
+  * reference” operators) alongside HLL, the histogram sketch, and the
+  * count-min sketch.
   */
 object Bloom {
 
@@ -44,70 +48,90 @@ object Bloom {
     */
   private val MaxK = 8
 
+  private def checkParams(m: Int, k: Int): Unit = {
+    require(k >= 1 && k <= MaxK, s"Bloom: k ($k) must be in [1, $MaxK]")
+    require(m >= 2, s"Bloom: m ($m) must be >= 2")
+  }
+
   /** Distinct Bloom probe positions of one hashed gram, as an array
     * column: positions `(h1 + s·h2) mod m` for s in [0, k). Both
     * halves are nonnegative, so `%` and `pmod` agree — the oracle uses
-    * plain `%`.
+    * plain `%`. Duplicate positions within a gram are collapsed so
+    * all-probes-hit logic counts each bit once.
     */
   private def probeArray(h1: Column, h2: Column, m: Int, k: Int): Column =
     array_distinct(
       transform(sequence(lit(0), lit(k - 1)),
         s => (h1 + s.cast("long") * h2) % lit(m.toLong)))
 
-  /** `(gram, pos)` probe rows for a gram column: one md5 digest per
-    * gram, k double-hashed probes, duplicates within a gram collapsed
-    * (so downstream all-probes-hit counting is exact).
-    */
-  private def probes(df: DataFrame, gram: Column, m: Int, k: Int): DataFrame = {
-    require(k >= 1 && k <= MaxK, s"Bloom: k ($k) must be in [1, $MaxK]")
-    require(m >= 2, s"Bloom: m ($m) must be >= 2")
+  /** Adds a `__ps` probe-positions array column for `gram`. */
+  private def withProbes(df: DataFrame, gram: Column, m: Int, k: Int): DataFrame =
     df.select(df.columns.map(col) :+ Cols.materialized(md5(gram)).as("__hx"): _*)
       .select(df.columns.map(col) :+
         Cols.materialized(probeArray(
           conv(col("__hx").substr(1, 15), 16, 10).cast("long"),
           conv(col("__hx").substr(17, 15), 16, 10).cast("long"),
           m, k)).as("__ps"): _*)
-      .select(df.columns.map(col) :+ explode(col("__ps")).as("pos"): _*)
+
+  /** The DISTINCT set of bit positions touched by the reference set's
+    * `gram` column, as a relation — at most m rows regardless of
+    * reference size. The distributed half of the filter build; also
+    * handy on its own in tests.
+    */
+  def bits(ref: DataFrame, gram: Column, m: Int, k: Int): DataFrame = {
+    checkParams(m, k)
+    withProbes(ref.select(gram.as("g")).distinct(), col("g"), m, k)
+      .select(explode(col("__ps")).as("pos"))
+      .distinct()
   }
 
-  /** The filter itself, as a relation: the DISTINCT set of bit
-    * positions touched by the reference set's `gram` column. At most
-    * m rows regardless of reference size — always broadcastable.
+  /** Builds the packed bitmap: m/64 longs, bit p of word p/64 set iff
+    * some reference gram probes position p. The collect is bounded by
+    * m positions (the whole point of the filter), not by reference
+    * size — same class of driver-side model-parameter fetch as the
+    * k-means centroid pull.
     */
-  def bits(ref: DataFrame, gram: Column, m: Int, k: Int): DataFrame =
-    probes(ref.select(gram.as("g")).distinct(), col("g"), m, k)
-      .select(col("pos")).distinct()
+  def buildBits(ref: DataFrame, gram: Column, m: Int, k: Int): Array[Long] = {
+    checkParams(m, k)
+    val words = new Array[Long]((m + 63) / 64)
+    bits(ref, gram, m, k).collect().foreach { r =>
+      val p = r.getLong(0)
+      words((p >> 6).toInt) |= 1L << (p & 63)
+    }
+    words
+  }
 
-  /** Screen `(id, gram)` candidate rows against a bit set built by
-    * [[bits]] (same m and k — the caller owns that contract): emits
-    * one row per candidate gram with `hit` = 1 iff ALL probes landed
-    * on set bits. The bit-set join is broadcast by construction.
+  /** Membership test against a packed bitmap built by [[buildBits]]
+    * with the SAME m and k (the caller owns that contract): emits the
+    * candidate rows plus `hit` = 1 iff ALL the gram's probed bits are
+    * set. Join-free narrow map — the bitmap rides in the plan as an
+    * array literal.
     */
   def screenGrams(
       cand: DataFrame,
       id: Column,
       gram: Column,
-      bitSet: DataFrame,
+      bitWords: Array[Long],
       m: Int,
       k: Int,
   ): DataFrame = {
-    val p = probes(cand.select(id.as("id"), gram.as("g")), col("g"), m, k)
-    // single pass: left-join the broadcast bit set, then one
-    // aggregation counts probes and hits together
-    p.join(broadcast(bitSet.select(col("pos"), lit(1L).as("__set"))),
-        Seq("pos"), "left")
-      .groupBy(col("id"), col("g"))
-      .agg(
-        count(lit(1)).as("__need"),
-        sum(coalesce(col("__set"), lit(0L))).as("__got"))
+    checkParams(m, k)
+    require(bitWords.length == (m + 63) / 64,
+      s"Bloom: bitmap has ${bitWords.length} words, expected ${(m + 63) / 64} for m=$m")
+    val wordsLit = typedlit(bitWords.toSeq)
+    val bitSet = (pos: Column) =>
+      element_at(wordsLit, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
+    withProbes(cand.select(id.as("id"), gram.as("g")), col("g"), m, k)
       .select(col("id"), col("g"),
-        when(col("__got") === col("__need"), 1L).otherwise(0L).as("hit"))
+        when(forall(col("__ps"), bitSet), 1L).otherwise(0L).as("hit"))
   }
 
   /** Per-document decontamination screen: word n-gram shingles of
     * `docs` probed against a Bloom filter of `ref`'s shingles.
     * Output per doc: `n_grams`, `n_flagged` (grams the filter cannot
-    * rule out — superset of exact matches), and their ratio.
+    * rule out — superset of exact matches), and their ratio. One
+    * exchange total, keyed by doc_id.
     */
   def decontaminateScreen(
       docs: DataFrame,
@@ -116,9 +140,9 @@ object Bloom {
       m: Int,
       k: Int,
   ): DataFrame = {
-    val bitSet = bits(TextDedup.shingles(ref, n), col("sh"), m, k)
+    val words = buildBits(TextDedup.shingles(ref, n), col("sh"), m, k)
     val grams = TextDedup.shingles(docs, n)
-    screenGrams(grams, col("doc_id"), col("sh"), bitSet, m, k)
+    screenGrams(grams, col("doc_id"), col("sh"), words, m, k)
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_grams"),

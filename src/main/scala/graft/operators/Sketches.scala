@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Cols
+
 /** Fixed-bin histogram sketch + approximate quantiles — the
   * deterministic, mergeable alternative to `approx_percentile`
   * (GK/KLL sketches give tighter errors but their state depends on
@@ -82,4 +84,73 @@ object Sketches {
         col("cum").as("cum_count"),
         col("n"))
   }
+
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-min sketch — the frequency member of the sketch family
+    * (HLL = distinct, histogram = quantiles, CMS = per-key counts).
+    * `depth` hash rows × `width` cells of integer counters; a key's
+    * estimate is the MIN of its `depth` cells, which OVERESTIMATES the
+    * true count by at most the collision mass (never under — the gate
+    * query carries the true count alongside to exhibit `est ≥ true`).
+    * Probes are Kirsch-Mitzenmacher double hashes of one md5 digest —
+    * the same engine-portable family as MinHash/Bloom, so an external
+    * SQL engine reproduces every cell bit-for-bit.
+    *
+    * Scale shape: the sketch state is ≤ depth×width longs regardless
+    * of input size, merges by cell-wise ADDITION (partial aggregation
+    * is the merge — map-side combine caps each task's shuffle output
+    * at depth×width rows), and the estimate lookup is a broadcast join
+    * of the tiny cells relation. This is the 100 TB shape for "how
+    * often does each of these keys occur" when an exact per-key
+    * groupBy's shuffle (cardinality = full key universe) is the
+    * bottleneck and a bounded overestimate is acceptable.
+    */
+  private val CmsMaxDepth = 8
+
+  /** `(k, r, pos)` probe rows, one per occurrence × hash row:
+    * pos = (h1 + r·h2) mod width, 60-bit md5 halves (r ≤ 7 keeps
+    * h1 + r·h2 < 2^63 — wrap-free here and in BIGINT oracle math).
+    */
+  private def cmsProbes(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= CmsMaxDepth,
+      s"cms: depth ($depth) must be in [1, $CmsMaxDepth]")
+    require(width >= 2, s"cms: width ($width) must be >= 2")
+    df.select(key.as("k"))
+      .select(col("k"), Cols.materialized(md5(col("k"))).as("__hx"))
+      .select(col("k"),
+        conv(col("__hx").substr(1, 15), 16, 10).cast("long").as("__h1"),
+        conv(col("__hx").substr(17, 15), 16, 10).cast("long").as("__h2"))
+      .select(col("k"), posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        s => (col("__h1") + s.cast("long") * col("__h2")) % lit(width.toLong))))
+      .toDF("k", "r", "pos")
+  }
+
+  /** The sketch state: `(r, pos, cnt)` — one row per non-empty cell,
+    * ≤ depth×width rows total. Mergeable: cells of a union are the
+    * cell-wise sums (CmsSpec proves it).
+    */
+  def cmsCells(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    cmsProbes(df, key, depth, width)
+      .groupBy(col("r"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `keys` (deduplicated) against a [[cmsCells]]
+    * sketch built with the SAME depth/width (caller owns that
+    * contract): `(k, est)`, est = min over the key's depth cells.
+    * A key the sketch never saw reads 0 only if some probed cell is
+    * empty; otherwise it reads the (deterministic) collision mass —
+    * standard CMS semantics.
+    */
+  def cmsEstimate(
+      cells: DataFrame,
+      keys: DataFrame,
+      key: Column,
+      depth: Int,
+      width: Int,
+  ): DataFrame =
+    cmsProbes(keys.select(key.as("k")).distinct(), col("k"), depth, width)
+      .join(broadcast(cells), Seq("r", "pos"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

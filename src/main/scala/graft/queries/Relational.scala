@@ -1249,7 +1249,51 @@ object Relational {
            |ORDER BY q""".stripMargin),
   )
 
+  /** One-pass column profiler (operators/Profile) over `orders`, with
+    * a derived nullable column (nullif on the modal priority) so the
+    * null-counting leg is exercised, and the timestamp pre-cast to
+    * DATE so min/max stringification is engine-portable. min/max are
+    * computed on native types and stringified after — the profiler
+    * guards against the lexicographic-min-over-stringified-numbers
+    * trap by construction.
+    */
+  private val profileColumns = Q(
+    "q_profile_columns",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir).orders
+        .withColumn("o_priority_nz", nullif($"o_orderpriority", lit("1-URGENT")))
+        .withColumn("o_date", to_date($"o_orderdate"))
+      graft.operators.Profile
+        .profile(o, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date",
+          "o_priority_nz"))
+        .orderBy($"col_name")
+    },
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date",
+        "o_priority_nz")
+      val legs = cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value
+           |FROM o""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CAST(o_orderdate AS DATE) AS o_date,
+         |         nullif(o_orderpriority, '1-URGENT') AS o_priority_nz
+         |  FROM orders
+         |)
+         |$legs
+         |ORDER BY col_name""".stripMargin
+    },
+  )
+
   val all: Seq[Q] = Seq(
+    profileColumns,
     aggHllDistinct,
     aggHistogramQuantiles,
     graphPagerank,

@@ -637,7 +637,66 @@ object TextAnalysisQ {
             |ORDER BY doc_id""".stripMargin),
   )
 
+  private val CmsDepth = 3
+  private val CmsWidth = 1024
+
+  /** Count-min-sketch heavy hitters over corpus words (operators/
+    * Sketches CMS): top 20 words by sketch ESTIMATE, with the exact
+    * count alongside — the gate itself exhibits `est ≥ true_cnt` and
+    * both engines reproduce the collision mass bit-for-bit. depth 3 ×
+    * width 1024 cells: the sketch state is ≤ 3072 longs no matter how
+    * large the corpus, vs the full-vocabulary shuffle an exact top-k
+    * needs.
+    */
+  private val heavyHitters = Q(
+    "q_text_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val words = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("w"))
+      val cells = graft.operators.Sketches
+        .cmsCells(words, $"w", CmsDepth, CmsWidth)
+      val est = graft.operators.Sketches
+        .cmsEstimate(cells, words, $"w", CmsDepth, CmsWidth)
+      val tru = words.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      est.withColumnRenamed("k", "w").join(tru, Seq("w"))
+        .select($"w".as("word"), $"est", $"true_cnt")
+        .orderBy($"est".desc, $"word")
+        .limit(20)
+    },
+    Some(s"""WITH words AS (
+            |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            |),
+            |hx AS (SELECT w, md5(w) AS hx FROM words),
+            |hh AS (
+            |  SELECT w, ${Dedup.hex15ToBig("hx", 1)} AS h1,
+            |         ${Dedup.hex15ToBig("hx", 17)} AS h2
+            |  FROM hx
+            |),
+            |probes AS (
+            |  SELECT w, s.s AS r, (h1 + s.s * h2) % $CmsWidth AS pos
+            |  FROM hh, unnest(range(0, $CmsDepth)) AS s(s)
+            |),
+            |cells AS (
+            |  SELECT r, pos, CAST(count(*) AS BIGINT) AS cnt
+            |  FROM probes GROUP BY r, pos
+            |),
+            |dw AS (SELECT DISTINCT w, r, pos FROM probes),
+            |est AS (
+            |  SELECT dw.w, CAST(min(c.cnt) AS BIGINT) AS est
+            |  FROM dw JOIN cells c ON c.r = dw.r AND c.pos = dw.pos
+            |  GROUP BY dw.w
+            |),
+            |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+            |        FROM words GROUP BY w)
+            |SELECT e.w AS word, e.est, t.true_cnt
+            |FROM est e JOIN tru t ON t.w = e.w
+            |ORDER BY e.est DESC, word
+            |LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, repetition, chunk, pack, bpe, boilerplate, bloomScreen)
+      rareBigrams, repetition, chunk, pack, bpe, boilerplate, bloomScreen,
+      heavyHitters)
 }

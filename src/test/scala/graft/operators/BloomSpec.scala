@@ -7,8 +7,8 @@ import graft.TestSpark
 
 /** Bloom screen semantics: the no-false-negative superset guarantee
   * against the exact join, deterministic false positives at tiny m,
-  * per-gram all-probes-must-hit counting, and the broadcast plan
-  * shape of the probe join.
+  * per-gram all-probes-must-hit counting, the ≤m bound on the bit
+  * relation, and the join-free narrow plan of the bitmap screen.
   */
 class BloomSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -31,10 +31,10 @@ class BloomSpec extends AnyFunSuite {
       .select($"doc_id", $"sh").as[(Long, String)].collect().toSet
     // even at an absurdly small m (guaranteed false positives) every
     // exact match must still be flagged
-    for (m <- Seq(16, 256, 1 << 18)) {
-      val bits = Bloom.bits(TextDedup.shingles(b, 3), $"sh", m, 3)
+    for (m <- Seq(64, 256, 1 << 18)) {
+      val words = Bloom.buildBits(TextDedup.shingles(b, 3), $"sh", m, 3)
       val flagged = Bloom
-        .screenGrams(grams, $"doc_id", $"sh", bits, m, 3)
+        .screenGrams(grams, $"doc_id", $"sh", words, m, 3)
         .filter($"hit" === 1)
         .select($"id", $"g").as[(Long, String)].collect().toSet
       assert(exact.subsetOf(flagged), s"m=$m lost an exact match")
@@ -55,50 +55,50 @@ class BloomSpec extends AnyFunSuite {
     // doc 3 shares the first two; docs 2/4 share none
     assert(wide.map(r => r._1 -> r._3).toMap ==
       Map(1L -> 3L, 2L -> 0L, 3L -> 2L, 4L -> 0L))
-    // tiny m: strictly more flags than wide, and bit-for-bit repeatable
-    val tiny1 = screenAt(16)
-    val tiny2 = screenAt(16)
+    // tiny m: at least as many flags as wide, and bit-for-bit repeatable
+    val tiny1 = screenAt(64)
+    val tiny2 = screenAt(64)
     assert(tiny1 == tiny2)
     assert(tiny1.map(_._3).sum >= wide.map(_._3).sum)
   }
 
-  test("a gram is flagged only when ALL k probes hit") {
-    // bit set built from one gram; a candidate gram sharing SOME probe
-    // positions (forced via m=2 — positions in {0,1}) must still need
-    // all of its own probes set. With m=2 and k=3 every gram probes a
-    // subset of {0,1}; build the bit set from a gram covering only one
-    // position to see partial-hit grams rejected.
-    val b = Seq((1L, "aa bb cc")).toDF("doc_id", "text") // one 3-gram
-    val bits = Bloom.bits(TextDedup.shingles(b, 3), $"sh", 2, 3)
-    val nBits = bits.count()
-    val cand = Seq((1L, "xx yy zz"), (2L, "aa bb cc")).toDF("doc_id", "text")
-    val out = Bloom
-      .screenGrams(TextDedup.shingles(cand, 3), $"doc_id", $"sh", bits, 2, 3)
-      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
-    assert(out(2L) == 1L) // the identical gram always passes
-    if (nBits == 1) {
-      // candidate probing the unset position must fail even if it also
-      // probes the set one — verify via the screen's own accounting
-      val probesOfXx = Bloom
-        .screenGrams(
-          Seq((9L, "xx yy zz")).toDF("doc_id", "text")
-            .transform(TextDedup.shingles(_, 3)),
-          $"doc_id", $"sh", bits, 2, 3)
-        .as[(Long, String, Long)].collect()
-      assert(probesOfXx.forall(r => r._3 == 0L || nBits == 2L))
-    }
+  test("a gram passes only when ALL its probed bits are set") {
+    // build the filter from one gram, then verify a manual per-bit
+    // reconstruction: flip any ONE of a candidate's set bits off and
+    // the candidate must fail
+    val m = 256
+    val b = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val words = Bloom.buildBits(TextDedup.shingles(b, 3), $"sh", m, 3)
+    val cand = TextDedup.shingles(b, 3) // the identical gram
+    val pass = Bloom.screenGrams(cand, $"doc_id", $"sh", words, m, 3)
+      .as[(Long, String, Long)].collect()
+    assert(pass.forall(_._3 == 1L))
+    // clear one set bit: the gram can no longer pass
+    val firstSet = words.indexWhere(_ != 0L)
+    val mutated = words.clone()
+    mutated(firstSet) = mutated(firstSet) & (mutated(firstSet) - 1) // drop lowest set bit
+    val fail = Bloom.screenGrams(cand, $"doc_id", $"sh", mutated, m, 3)
+      .as[(Long, String, Long)].collect()
+    assert(fail.forall(_._3 == 0L))
   }
 
-  test("bit set is bounded by m and the probe join is broadcast") {
+  test("bit relation is bounded by m; the screen is join-free with one doc-keyed exchange") {
     val b = docs.toDF("doc_id", "text") // every doc as "reference"
-    val m = 8
-    val bits = Bloom.bits(TextDedup.shingles(b, 3), $"sh", m, 3)
-    assert(bits.count() <= m)
+    val m = 64
+    assert(Bloom.bits(TextDedup.shingles(b, 3), $"sh", m, 3).count() <= m)
+    val words = Bloom.buildBits(TextDedup.shingles(b, 3), $"sh", m, 3)
     val screened = Bloom.screenGrams(
       TextDedup.shingles(docs.toDF("doc_id", "text"), 3),
-      $"doc_id", $"sh", bits, m, 3)
+      $"doc_id", $"sh", words, m, 3)
     val plan = screened.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected broadcast probe join, got:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"bitmap screen must be a narrow join-free map, got:\n$plan")
+    val rollup = Bloom.decontaminateScreen(
+      docs.toDF("doc_id", "text"), b, n = 3, m = m, k = 3)
+    val rplan = rollup.queryExecution.executedPlan.toString
+    assert(!rplan.contains("Join"),
+      s"decontaminateScreen must stay join-free, got:\n$rplan")
+    assert(rplan.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"expected only the doc_id rollup exchange (plus AQE read), got:\n$rplan")
   }
 }

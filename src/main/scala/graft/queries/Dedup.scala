@@ -563,7 +563,130 @@ object Dedup {
            |ORDER BY canonical_id""".stripMargin),
   )
 
+  /** INCREMENTAL dedup — the daily-batch shape: a new increment is
+    * screened against the historical corpus without ever rescanning
+    * history against itself. The history side of both screens is
+    * exactly what a production pipeline PRECOMPUTES AND STORES (text
+    * hashes, MinHash band table); per batch the work is the
+    * increment's own signatures plus two equi-joins against the
+    * stored index — increment × history, never history², and never
+    * increment × increment (intra-batch dups are the next batch's
+    * history problem, handled by the batch-level canonical pass).
+    *
+    * Fixture: history = docs with id % 5 ≠ 0; the increment is the
+    * rest plus planted exact copies (id%7=1 of history, +1e6) and
+    * appended-tail near-dup revisions (id%11=2, +2e6), so all three
+    * verdicts occur. Verdict priority: exact_dup > near_dup > new.
+    * Near-dups are LSH candidates VERIFIED at Jaccard ≥ 0.8 — short
+    * docs whose tail-append dilutes Jaccard below 0.8 legitimately
+    * read 'new', identically in both engines.
+    */
+  private val incremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+      val hist = docs.filter($"doc_id" % 5 =!= 0)
+      val inc = docs.filter($"doc_id" % 5 === 0)
+        .union(hist.filter($"doc_id" % 7 === 1)
+          .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+        .union(hist.filter($"doc_id" % 11 === 2)
+          .select(($"doc_id" + 2000000).as("doc_id"),
+            concat($"text", lit(" incremental revision pass")).as("text")))
+      // exact screen: increment hashes vs the stored history hash set
+      val exactHits = inc
+        .select($"doc_id", md5($"text").as("h"))
+        .join(hist.select(md5($"text").as("h")), "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_exact"))
+      // near screen: one signature pass over the union (ids disjoint),
+      // then inc-side bands equi-join the HISTORY band table only
+      val au = hist.unionAll(inc)
+      val isInc = (id: org.apache.spark.sql.Column) =>
+        id >= 1000000L || id % 5 === 0
+      val arr = TextDedup.shingleArrays(au, 3).persist()
+      val bands = TextDedup
+        .minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
+        .persist()
+      val cand = bands.filter(isInc($"doc_id"))
+        .select($"doc_id".as("doc_a"), $"band", $"band_hash")
+        .join(bands.filter(!isInc($"doc_id"))
+          .select($"doc_id".as("doc_b"), $"band", $"band_hash"),
+          Seq("band", "band_hash"))
+        .select($"doc_a", $"doc_b").distinct()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      val nearHits = TextDedup.jaccard(cand, sh, cnt)
+        .filter($"jaccard" >= 0.8)
+        .groupBy($"doc_a").agg(count(lit(1)).as("n_near"))
+        .select($"doc_a".as("doc_id"), $"n_near")
+      inc.select($"doc_id")
+        .join(exactHits, Seq("doc_id"), "left")
+        .join(nearHits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when(coalesce($"n_exact", lit(0L)) > 0, "exact_dup")
+            .when(coalesce($"n_near", lit(0L)) > 0, "near_dup")
+            .otherwise("new").as("verdict"),
+          coalesce($"n_exact", lit(0L)).as("n_exact"),
+          coalesce($"n_near", lit(0L)).as("n_near"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+            |inc AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 1000000, text FROM hist WHERE doc_id % 7 = 1
+            |  UNION ALL
+            |  SELECT doc_id + 2000000, text || ' incremental revision pass'
+            |  FROM hist WHERE doc_id % 11 = 2
+            |),
+            |ex AS (
+            |  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+            |  FROM inc i JOIN hist h ON md5(i.text) = md5(h.text)
+            |  GROUP BY i.doc_id
+            |),
+            |au AS (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM inc),
+            |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM au),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+            |),
+            |$minhashOracleCtes,
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.band_hash = b.band_hash
+            |  WHERE (a.doc_id >= 1000000 OR a.doc_id % 5 = 0)
+            |    AND NOT (b.doc_id >= 1000000 OR b.doc_id % 5 = 0)
+            |),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT doc_a, doc_b, count(*) AS i
+            |  FROM cand
+            |  JOIN sh sa ON sa.doc_id = doc_a
+            |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+            |  GROUP BY doc_a, doc_b
+            |),
+            |nn AS (
+            |  SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_near
+            |  FROM inter
+            |  JOIN cnt ca ON ca.doc_id = doc_a
+            |  JOIN cnt cb ON cb.doc_id = doc_b
+            |  WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+            |  GROUP BY doc_a
+            |)
+            |SELECT i.doc_id,
+            |       CASE WHEN coalesce(ex.n_exact, 0) > 0 THEN 'exact_dup'
+            |            WHEN coalesce(nn.n_near, 0) > 0 THEN 'near_dup'
+            |            ELSE 'new' END AS verdict,
+            |       coalesce(ex.n_exact, 0) AS n_exact,
+            |       coalesce(nn.n_near, 0) AS n_near
+            |FROM inc i
+            |LEFT JOIN ex ON ex.doc_id = i.doc_id
+            |LEFT JOIN nn ON nn.doc_id = i.doc_id
+            |ORDER BY i.doc_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, simhashPairs,
     ngramJaccard, embeddingCosine, embeddingCosineBlocked, streamExact,
-    substringSpans, normalizedDedup)
+    substringSpans, normalizedDedup, incremental)
 }

@@ -830,7 +830,119 @@ object Similarity {
     Some(knnOracleSql(3)),
   )
 
+  /** FILTERED vector search — the retrieval shape RAG serving actually
+    * runs: top-k under a metadata predicate (here `label IN (0,1,2)`,
+    * ~30% selectivity). The predicate applies to the POSTING LISTS
+    * BEFORE ranking (pre-filtering), not to the ranked output
+    * (post-filtering) — post-filtering top-k then discarding
+    * non-matching rows can return FEWER than k survivors even when k
+    * matching candidates exist; pre-filtering guarantees the top-k of
+    * the filtered set. Plan-wise the label predicate lands on the
+    * posting-list side of the equi-join, so candidate volume scales
+    * with selectivity — at 100 TB a 1% filter makes the probe 100×
+    * cheaper, it never widens it.
+    */
+  private val topkIvfFiltered = Q(
+    "q_embed_topk_ivf_filtered",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", $"label", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val cents = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      def rankByCos(df: org.apache.spark.sql.DataFrame, part: String) =
+        df.withColumn("cos",
+            VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+          .withColumn("rn",
+            row_number().over(
+              Window.partitionBy(col(part)).orderBy($"cos".desc, $"cent_id")))
+      // the index carries the filter column: posting lists are
+      // (cand_id, cent_id, label)
+      val assign = rankByCos(e.crossJoin(broadcast(cents)), "vec_id")
+        .filter($"rn" === 1)
+        .select($"vec_id".as("cand_id"), $"cent_id", $"label")
+      val probes = rankByCos(
+        e.filter($"vec_id" % 97 === 0).crossJoin(broadcast(cents)), "vec_id")
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      // predicate BELOW the posting-list join: only matching candidates
+      // ever enter the probe
+      val cand = probes
+        .join(assign.filter($"label".isin(0, 1, 2)), "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id").distinct()
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb"),
+          $"label"), "cand_id")
+        .select($"query_id", $"cand_id", $"label",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id, label,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings
+           |),
+           |n AS (
+           |  SELECT vec_id, label, q,
+           |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+           |  FROM q
+           |),
+           |cents AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c FROM n WHERE vec_id % 100 = 1),
+           |alldots AS (
+           |  SELECT v.vec_id, c.cent_id,
+           |         round(CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+           |                 i -> v.q[CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS DOUBLE)
+           |               / (sqrt(v.n2) * sqrt(c.n2c)), 4) AS cos
+           |  FROM n v CROSS JOIN cents c
+           |),
+           |ranked AS (
+           |  SELECT vec_id, cent_id,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+           |  FROM alldots
+           |),
+           |assign AS (
+           |  SELECT r.vec_id AS cand_id, r.cent_id, n.label
+           |  FROM ranked r JOIN n ON n.vec_id = r.vec_id
+           |  WHERE r.rn = 1
+           |),
+           |probes AS (
+           |  SELECT vec_id AS query_id, cent_id FROM ranked
+           |  WHERE rn <= 2 AND vec_id % 97 = 0
+           |),
+           |cand AS (
+           |  SELECT DISTINCT p.query_id, a.cand_id
+           |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+           |  WHERE p.query_id <> a.cand_id AND a.label IN (0, 1, 2)
+           |),
+           |scored AS (
+           |  SELECT c.query_id, c.cand_id, nb.label,
+           |         round(CAST(list_sum(list_transform(range(1, len(na.q) + 1),
+           |                 i -> na.q[CAST(i AS INT)] * nb.q[CAST(i AS INT)])) AS DOUBLE)
+           |               / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+           |  FROM cand c
+           |  JOIN n na ON na.vec_id = c.query_id
+           |  JOIN n nb ON nb.vec_id = c.cand_id
+           |),
+           |final AS (
+           |  SELECT query_id, cand_id, label, cosine,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT query_id, cand_id, label, cosine, rank
+           |FROM final WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkPq,
-      topkIvfPq, knnClassify)
+      topkIvfPq, knnClassify, topkIvfFiltered)
 }

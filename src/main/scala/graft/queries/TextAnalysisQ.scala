@@ -695,8 +695,88 @@ object TextAnalysisQ {
             |LIMIT 20""".stripMargin),
   )
 
+  /** Length-bucketed batch planning (operators/Batching): bucket
+    * boundaries are the corpus's p25/p50/p75 word-count quantiles from
+    * the MERGEABLE histogram sketch (bin width 1 over [0,128) — the
+    * quantiles are exact here, and at 100 TB the same sketch gives
+    * one-bin-width bounds with no global sort), fetched in a bounded
+    * driver pull like k-means centroids. The hash-matched report shows
+    * per-bucket padding efficiency against the unbucketed baseline
+    * (`bucket = -1`) under a 4096-token batch budget.
+    */
+  private val lengthBatching = Q(
+    "q_text_length_batching",
+    (s, dir) => {
+      import s.implicits._
+      val tok = Tables(s, dir).documents
+        .select($"doc_id".as("id"),
+          size(split($"text", " ")).cast("long").as("t"))
+      val hq = graft.operators.Sketches
+        .histogramQuantiles(tok, $"t", lo = 0.0, hi = 128.0, bins = 128,
+          qs = Seq(0.25, 0.5, 0.75))
+        .select($"q", $"approx_value").collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1).toLong).toMap
+      graft.operators.Batching
+        .lengthBucketedPlan(tok, Seq(hq(0.25), hq(0.5), hq(0.75)), 4096L)
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+           |  FROM documents
+           |),
+           |b AS (
+           |  SELECT least(greatest(CAST(floor(
+           |           (CAST(t AS DOUBLE) - 0.0) * 128.0 / 128.0) AS BIGINT), 0), 127) AS bin
+           |  FROM tok
+           |),
+           |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+           |c AS (
+           |  SELECT bin, cnt,
+           |         sum(cnt) OVER (ORDER BY bin) AS cum,
+           |         sum(cnt) OVER () AS n
+           |  FROM h
+           |),
+           |q(q) AS (VALUES (0.25), (0.5), (0.75)),
+           |pick AS (
+           |  SELECT q.q, min(c.bin) AS bin
+           |  FROM q JOIN c ON c.cum >= ceil(q.q * c.n)
+           |  GROUP BY q.q
+           |),
+           |bb AS (
+           |  SELECT max(CASE WHEN q = 0.25 THEN bin + 1 END) AS b1,
+           |         max(CASE WHEN q = 0.5  THEN bin + 1 END) AS b2,
+           |         max(CASE WHEN q = 0.75 THEN bin + 1 END) AS b3
+           |  FROM pick
+           |),
+           |a AS (
+           |  SELECT t,
+           |         CASE WHEN t <= bb.b1 THEN 0
+           |              WHEN t <= bb.b2 THEN 1
+           |              WHEN t <= bb.b3 THEN 2
+           |              ELSE 3 END AS bucket
+           |  FROM tok, bb
+           |),
+           |g AS (
+           |  SELECT CAST(bucket AS BIGINT) AS bucket,
+           |         CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(max(t) AS BIGINT) AS seq_len,
+           |         CAST(sum(t) AS BIGINT) AS total_tokens
+           |  FROM a GROUP BY bucket
+           |  UNION ALL
+           |  SELECT -1, CAST(count(*) AS BIGINT), CAST(max(t) AS BIGINT),
+           |         CAST(sum(t) AS BIGINT)
+           |  FROM tok
+           |)
+           |SELECT bucket, n_docs, seq_len, total_tokens,
+           |       CAST(n_docs * seq_len AS BIGINT) AS padded_tokens,
+           |       CAST(greatest(4096 // seq_len, 1) AS BIGINT) AS batch_docs,
+           |       CAST(ceil(n_docs * 1.0 / greatest(4096 // seq_len, 1)) AS BIGINT) AS n_batches,
+           |       round(total_tokens * 1.0 / (n_docs * seq_len), 4) AS efficiency
+           |FROM g
+           |ORDER BY bucket""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
       rareBigrams, repetition, chunk, pack, bpe, boilerplate, bloomScreen,
-      heavyHitters)
+      heavyHitters, lengthBatching)
 }

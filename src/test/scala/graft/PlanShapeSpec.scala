@@ -216,4 +216,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = physical(graft.operators.PageRank.pagerank(edges, "src", "dst", 1))
     assert(!p.contains("CartesianProduct"), s"pagerank grew a cartesian:\n$p")
   }
+
+  test("filtered ANN: the label predicate sits BELOW the posting-list join " +
+    "(pre-filtering), and candidates never form a corpus-wide cross join") {
+    val p = physical(SparkEntry.queries("q_embed_topk_ivf_filtered")(spark, dir))
+    // the label IN-set must survive into the physical plan (Catalyst
+    // pushes it below the cent_id join since it touches one side only)
+    assert(p.contains("IN (0,1,2)"),
+      s"label predicate missing from the physical plan:\n$p")
+    // the only nested-loop joins allowed are the bounded
+    // centroid-broadcast cross joins (assignment/probing); the
+    // candidate side must be an equi-join on cent_id
+    val cross = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(cross.forall(_.contains("Cross")),
+      s"unexpected non-centroid nested-loop join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"filtered ANN grew a cartesian:\n$p")
+  }
+
+  test("incremental dedup: exact and band screens are equi-joins; no " +
+    "cartesian, no history-side self-join") {
+    val p = physical(SparkEntry.queries("q_dedup_incremental")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup grew an all-pairs join:\n$p")
+  }
 }

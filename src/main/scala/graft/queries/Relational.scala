@@ -1292,8 +1292,107 @@ object Relational {
     },
   )
 
+  /** Salted fact→dim join under the gate (operators/Scale.saltedJoin —
+    * the skew case AQE splitting can't always fix): a planted hot key
+    * (every third order rewritten to supplier 1) floods one reducer in
+    * a plain shuffle join; salting spreads it over 16 (key, salt)
+    * subkeys by replicating each dim row 16× with an explicit salt.
+    * The salt itself is nondeterministic (partition id + row id) but
+    * each fact row still matches EXACTLY ONE replicated dim row, so
+    * the join is multiset-identical to the plain join — which is
+    * precisely what the oracle (plain join + same aggregate) checks.
+    * Quantity sums are integral doubles (< 2^53), exact in any
+    * accumulation order.
+    */
+  private val joinSaltedSkew = Q(
+    "q_join_salted_skew",
+    (s, dir) => {
+      import s.implicits._
+      val fact = Tables(s, dir).lineitem
+        .select(
+          when($"l_orderkey" % 3 === 0, lit(1L)).otherwise($"l_suppkey").as("skey"),
+          $"l_quantity")
+      val dim = Tables(s, dir).supplier
+        .select($"s_suppkey".as("skey"), $"s_nationkey")
+      graft.operators.Scale.saltedJoin(fact, dim, "skey", 16)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("long").as("sum_qty"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""WITH f AS (
+           |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS skey,
+           |         l_quantity
+           |  FROM lineitem
+           |)
+           |SELECT s.s_nationkey,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(f.l_quantity) AS BIGINT) AS sum_qty
+           |FROM f JOIN supplier s ON s.s_suppkey = f.skey
+           |GROUP BY s.s_nationkey
+           |ORDER BY s.s_nationkey""".stripMargin),
+  )
+
+  /** Snapshot diff between two corpus versions — the dataset-release
+    * audit: v2 is v1 with planted deletions (id%17=2), in-place edits
+    * (id%13=4, and not deleted), and additions (+3e6 ids). One
+    * full-outer join on doc_id comparing content hashes classifies
+    * every id as added / removed / changed / unchanged; the report
+    * aggregates counts and total changed bytes per verdict. At scale
+    * this is one key-partitioned join over the two snapshots — hash
+    * comparison makes "changed" content-based, not
+    * modification-time-based.
+    */
+  private val corpusDiff = Q(
+    "q_corpus_diff",
+    (s, dir) => {
+      import s.implicits._
+      val v1 = Tables(s, dir).documents.select($"doc_id", $"text")
+      val v2 = v1.filter($"doc_id" % 17 =!= 2)
+        .select($"doc_id",
+          when($"doc_id" % 13 === 4, concat($"text", lit(" [v2 errata]")))
+            .otherwise($"text").as("text"))
+        .union(v1.filter($"doc_id" % 19 === 6)
+          .select(($"doc_id" + 3000000).as("doc_id"), $"text"))
+      val a = v1.select($"doc_id", md5($"text").as("h1"), length($"text").as("len1"))
+      val b = v2.select($"doc_id", md5($"text").as("h2"), length($"text").as("len2"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(
+          when($"h1".isNull, "added")
+            .when($"h2".isNull, "removed")
+            .when($"h1" === $"h2", "unchanged")
+            .otherwise("changed").as("verdict"),
+          coalesce($"len2", lit(0)).cast("long").as("bytes"))
+        .groupBy($"verdict")
+        .agg(count(lit(1)).as("n_docs"), sum($"bytes").as("total_bytes"))
+        .orderBy($"verdict")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, text FROM documents),
+           |v2 AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 13 = 4 THEN text || ' [v2 errata]'
+           |              ELSE text END AS text
+           |  FROM v1 WHERE doc_id % 17 <> 2
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, text FROM v1 WHERE doc_id % 19 = 6
+           |),
+           |j AS (
+           |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+           |              WHEN b.doc_id IS NULL THEN 'removed'
+           |              WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+           |              ELSE 'changed' END AS verdict,
+           |         coalesce(length(b.text), 0) AS bytes
+           |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+           |)
+           |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(bytes) AS BIGINT) AS total_bytes
+           |FROM j GROUP BY verdict
+           |ORDER BY verdict""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     profileColumns,
+    joinSaltedSkew,
+    corpusDiff,
     aggHllDistinct,
     aggHistogramQuantiles,
     graphPagerank,

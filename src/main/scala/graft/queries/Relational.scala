@@ -1131,6 +1131,59 @@ object Relational {
            |ORDER BY event_type""".stripMargin),
   )
 
+  /** Streaming count-min sketch: the CMS cells accumulate
+    * incrementally over the event stream in complete mode — streaming
+    * frequency tracking with STATE BOUNDED at depth×width cells no
+    * matter how long the stream runs (the same fixed-state argument as
+    * the streaming HLL gate). Contrast deliberately recorded: HLL
+    * registers are max-based and therefore duplicate-insensitive (its
+    * gate doubles the source to prove it); CMS cells are SUMS, so
+    * at-least-once redelivery WOULD inflate them — this gate runs a
+    * single-delivery file source, and exactly-once sinks (or
+    * dedup-before-sketch) are the documented requirement for CMS over
+    * redeliverable streams.
+    */
+  private val streamCmsCells = Q(
+    "q_stream_cms_cells",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_cms_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val cells = graft.operators.Sketches
+          .cmsCells(src.select($"user_id".cast("string").as("k")), $"k",
+            depth = 3, width = 1024)
+        val query = cells.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"r", $"pos")
+    },
+    Some(s"""WITH hx AS (
+            |  SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+            |),
+            |hh AS (
+            |  SELECT ${Dedup.hex15ToBig("hx", 1)} AS h1,
+            |         ${Dedup.hex15ToBig("hx", 17)} AS h2
+            |  FROM hx
+            |)
+            |SELECT s.s AS r, (h1 + s.s * h2) % 1024 AS pos,
+            |       CAST(count(*) AS BIGINT) AS cnt
+            |FROM hh, unnest(range(0, 3)) AS s(s)
+            |GROUP BY r, pos
+            |ORDER BY r, pos""".stripMargin),
+  )
+
   /** FULL OUTER join with both-null sides exercised: per-user signup
     * counts against per-user error counts — users who only signed up,
     * users who only errored, and users who did both all appear, with
@@ -1393,6 +1446,7 @@ object Relational {
     profileColumns,
     joinSaltedSkew,
     corpusDiff,
+    streamCmsCells,
     aggHllDistinct,
     aggHistogramQuantiles,
     graphPagerank,

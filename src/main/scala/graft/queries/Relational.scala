@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -405,6 +406,66 @@ object Relational {
            |CROSS JOIN types t
            |LEFT JOIN agg a ON a.m = s.m AND a.event_type = t.event_type
            |ORDER BY minute, t.event_type""".stripMargin),
+  )
+
+  /** Forward-fill over the minute spine — pandas
+    * `resample().last().ffill()` semantics, the gap-handling step the
+    * notebook's downsample implies (SURVEY A1): empty minutes carry
+    * the most recent observation per series, with an `is_gap` marker
+    * preserving which values are observations vs carries. One window
+    * pass per series (partitionBy type, orderBy minute, running
+    * `last(ignoreNulls)`) — at scale the partition key is the series
+    * id, so fill never crosses series and parallelism = #series.
+    */
+  private val windowGapFill = Q(
+    "q_window_gap_fill",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select(date_trunc("minute", $"ts").as("m"), $"event_type", $"value", $"event_id")
+      val agg = ev.groupBy($"m", $"event_type")
+        .agg(max_by($"value", $"event_id").as("lv"))
+      val spine = ev.agg(min($"m").as("lo"), max($"m").as("hi"))
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 minute"))).as("m"))
+      val types = ev.select($"event_type").distinct()
+      spine
+        .crossJoin(broadcast(types))
+        .join(agg, Seq("m", "event_type"), "left")
+        .withColumn("filled_value",
+          last($"lv", ignoreNulls = true).over(
+            Window.partitionBy($"event_type").orderBy($"m")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(
+          date_format($"m", "yyyy-MM-dd HH:mm:ss").as("minute"),
+          $"event_type",
+          $"filled_value",
+          when($"lv".isNull, 1L).otherwise(0L).as("is_gap"))
+        .orderBy($"minute", $"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT date_trunc('minute', ts) AS m, event_type, value, event_id FROM events
+           |),
+           |agg AS (
+           |  SELECT m, event_type, max_by(value, event_id) AS lv
+           |  FROM ev GROUP BY m, event_type
+           |),
+           |spine AS (
+           |  SELECT unnest(generate_series(min(m), max(m), INTERVAL 1 MINUTE)) AS m FROM ev
+           |),
+           |types AS (SELECT DISTINCT event_type FROM ev),
+           |j AS (
+           |  SELECT s.m, t.event_type, a.lv
+           |  FROM spine s
+           |  CROSS JOIN types t
+           |  LEFT JOIN agg a ON a.m = s.m AND a.event_type = t.event_type
+           |)
+           |SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS minute, event_type,
+           |       last_value(lv IGNORE NULLS) OVER (
+           |         PARTITION BY event_type ORDER BY m
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           |       CAST(CASE WHEN lv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+           |FROM j
+           |ORDER BY minute, event_type""".stripMargin),
   )
 
   /** Rollup (hierarchical subtotals + grand total) — beyond the
@@ -1447,6 +1508,7 @@ object Relational {
     joinSaltedSkew,
     corpusDiff,
     streamCmsCells,
+    windowGapFill,
     aggHllDistinct,
     aggHistogramQuantiles,
     graphPagerank,

@@ -67,6 +67,15 @@ object Batching {
       .select(lit(-1L).as("bucket"),
         col("n_docs"), col("seq_len"), col("total_tokens"))
     byBucket.unionByName(baseline)
+      // a bucket whose docs all have t = 0 would make batchBudget /
+      // seq_len Infinity and efficiency 0/0 = NaN; degenerate token
+      // counts are a broken upstream tokenizer, so fail LOUDLY in the
+      // plan (no extra validation job) instead of emitting garbage rows
+      .withColumn("seq_len",
+        when(col("seq_len") >= 1, col("seq_len"))
+          .otherwise(raise_error(concat(
+            lit("lengthBucketedPlan: bucket "), col("bucket").cast("string"),
+            lit(" has seq_len 0 — token counts must be >= 1")))))
       .select(
         col("bucket"), col("n_docs"), col("seq_len"), col("total_tokens"),
         (col("n_docs") * col("seq_len")).as("padded_tokens"),

@@ -22,27 +22,33 @@ object Profile {
 
   /** Profile the named columns of `df`: one output row per column —
     * `(col_name, n_rows, n_null, n_distinct, min_value, max_value)`.
+    * Duplicate names are profiled once. Column references are
+    * backtick-quoted everywhere, so a legal column name containing a
+    * dot profiles correctly instead of being parsed as a nested-field
+    * access.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols0: Seq[String]): DataFrame = {
+    val cols = cols0.distinct
     require(cols.nonEmpty, "profile: need at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
+    def q(n: String) = col(s"`$n`")
     val aggs = cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"__${c}__nn"),
-        count_distinct(col(c)).as(s"__${c}__nd"),
-        min(col(c)).cast("string").as(s"__${c}__min"),
-        max(col(c)).cast("string").as(s"__${c}__max"))
+        count(q(c)).as(s"__${c}__nn"),
+        count_distinct(q(c)).as(s"__${c}__nd"),
+        min(q(c)).cast("string").as(s"__${c}__min"),
+        max(q(c)).cast("string").as(s"__${c}__max"))
     }
     df.agg(count(lit(1)).as("__n"), aggs: _*)
       .select(explode(array(cols.map { c =>
         struct(
           lit(c).as("col_name"),
           col("__n").as("n_rows"),
-          (col("__n") - col(s"__${c}__nn")).as("n_null"),
-          col(s"__${c}__nd").as("n_distinct"),
-          col(s"__${c}__min").as("min_value"),
-          col(s"__${c}__max").as("max_value"))
+          (col("__n") - q(s"__${c}__nn")).as("n_null"),
+          q(s"__${c}__nd").as("n_distinct"),
+          q(s"__${c}__min").as("min_value"),
+          q(s"__${c}__max").as("max_value"))
       }: _*)).as("p"))
       .select(col("p.*"))
   }

@@ -52,4 +52,27 @@ object Scale {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Enforces the documented scope of an all-pairs exactness baseline
+    * (`q_dedup_embedding_cosine`, `q_embed_topk_brute`): count the
+    * candidate side and REFUSE to build the O(n²) join past
+    * `spark.graft.allPairsMaxRows` (default 100 000). The count is one
+    * linear job over the returned (persisted) input — both join sides
+    * reuse the cached columns, so the guard's scan is not wasted work —
+    * versus the failure it prevents: a silent corpus² nested-loop join
+    * that would run for days on a 10⁹-row table. Oversized inputs get
+    * the blocked/IVF variant named in the error, not a best-effort try.
+    */
+  def requireAllPairsBounded(df: DataFrame, what: String): DataFrame = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.allPairsMaxRows").map(_.toLong).getOrElse(100000L)
+    val cached = df.persist()
+    val n = cached.count()
+    require(n <= cap,
+      s"$what is an all-pairs exactness baseline scoped to <= $cap rows " +
+        s"(spark.graft.allPairsMaxRows); input has $n. Use the blocked " +
+        "form (q_dedup_embedding_cosine_blocked) or the IVF index " +
+        "(q_embed_topk_ivf*) at this scale.")
+    cached
+  }
 }

@@ -116,7 +116,13 @@ object Sketches {
     require(depth >= 1 && depth <= CmsMaxDepth,
       s"cms: depth ($depth) must be in [1, $CmsMaxDepth]")
     require(width >= 2, s"cms: width ($width) must be >= 2")
+    // CMS keys must be non-null: md5(NULL) is NULL, so a null key would
+    // inflate the sketch with unmatchable NULL-pos cells on the build
+    // side and silently estimate 0 on the probe side (the equi-join
+    // never matches NULL). Dropped here — on BOTH paths, since cells
+    // and estimate share this probe builder.
     df.select(key.as("k"))
+      .filter(col("k").isNotNull)
       .select(col("k"), Cols.materialized(md5(col("k"))).as("__hx"))
       .select(col("k"),
         conv(col("__hx").substr(1, 15), 16, 10).cast("long").as("__h1"),

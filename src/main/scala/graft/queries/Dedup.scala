@@ -334,9 +334,15 @@ object Dedup {
       import s.implicits._
       import graft.operators.VectorSim
       graft.functions.ArrayDotLong.register(s)
-      val e = Tables(s, dir).embeddings
-        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
-        .withColumn("n2", VectorSim.qnorm2($"q"))
+      // scope ENFORCED, not advisory: past spark.graft.allPairsMaxRows
+      // the guard throws and names the blocked variant (the persisted
+      // return feeds both join sides, so the guard's count is the same
+      // scan the join would do twice uncached)
+      val e = graft.operators.Scale.requireAllPairsBounded(
+        Tables(s, dir).embeddings
+          .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+          .withColumn("n2", VectorSim.qnorm2($"q")),
+        "q_dedup_embedding_cosine")
       def cos = VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb")
       // the cosine THRESHOLD lives in the join condition: the
       // nested-loop join then evaluates the kernel on its (zero-copy)
@@ -585,7 +591,11 @@ object Dedup {
     "q_dedup_incremental",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+      // membership below is reconstructed as doc_id >= 1e6: guard the
+      // fixture assumption so it breaks loudly, not silently (see Fixture)
+      val docs = Tables(s, dir).documents.select(
+        Fixture.idBelow($"doc_id", 1000000L, "q_dedup_incremental").as("doc_id"),
+        $"text")
       val hist = docs.filter($"doc_id" % 5 =!= 0)
       val inc = docs.filter($"doc_id" % 5 === 0)
         .union(hist.filter($"doc_id" % 7 === 1)

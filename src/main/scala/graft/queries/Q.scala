@@ -19,3 +19,23 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
 )
+
+/** Plan-level fixture-assumption guards. Synthetic-id gate queries
+  * (q_dedup_incremental, q_corpus_diff) plant rows at `doc_id +
+  * offset` and later reconstruct membership as `doc_id >= offset`;
+  * if the documents fixture ever grew ids past the offset, Spark and
+  * the oracle would misclassify IDENTICALLY — the hash gate cannot
+  * detect its own broken assumption. Wrapping the source id here makes
+  * the assumption fail LOUDLY at execution time, inside the plan (no
+  * extra validation job), the moment it is violated.
+  */
+object Fixture {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def idBelow(id: Column, offset: Long, what: String): Column =
+    when(id < offset, id).otherwise(raise_error(concat(
+      lit(s"$what: fixture doc_id "), id.cast("string"),
+      lit(s" >= synthetic-id offset $offset — planted-row membership " +
+        "reconstruction would silently misclassify in BOTH engines"))))
+}

@@ -1460,7 +1460,11 @@ object Relational {
     "q_corpus_diff",
     (s, dir) => {
       import s.implicits._
-      val v1 = Tables(s, dir).documents.select($"doc_id", $"text")
+      // added ids are planted at +3e6: guard the fixture assumption so
+      // it breaks loudly, not silently (see Fixture)
+      val v1 = Tables(s, dir).documents.select(
+        Fixture.idBelow($"doc_id", 3000000L, "q_corpus_diff").as("doc_id"),
+        $"text")
       val v2 = v1.filter($"doc_id" % 17 =!= 2)
         .select($"doc_id",
           when($"doc_id" % 13 === 4, concat($"text", lit(" [v2 errata]")))

@@ -218,6 +218,47 @@ object Replay {
     Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
   )
 
+  /** The fixture feed parsed once and written as an assetId-bucketed
+    * lake (`Sinks.writeBucketedLake`), then replayed SHUFFLE-FREE
+    * through `BookReplay.ticksPreDistributed` — the 100-TB ingest
+    * shape: parse raw logs once, bucket by the fold key, and every
+    * downstream replay/reprocess reads co-located buckets with zero
+    * exchanges. Shared by the gate query and PlanShapeSpec's
+    * zero-Exchange assert so the plan the spec checks IS the gated
+    * plan. Overwrite-mode writes make repeated calls idempotent.
+    */
+  private[graft] def bucketedFixtureTicks(
+      s: SparkSession): org.apache.spark.sql.Dataset[Tick] = {
+    FixtureOracle.ensureDumps(s)
+    val paths = FixtureLog.write(fixtureSpec)
+    val msgs = RawLogSource.feedMessages(RawLogSource.frames(s, paths))
+    val lake = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_fixture_bucketed_lake").getPath
+    graft.sources.Sinks.writeBucketedLake(
+      msgs, "graft_fixture_bucketed", lake, nBuckets = 8)
+    BookReplay.ticksPreDistributed(
+      graft.sources.Sinks.readBucketedLake(s, "graft_fixture_bucketed"))
+  }
+
+  /** B1 over a bucketed lake, under the gate: identical output to
+    * q_replay_fixture_ticks (same oracle, same hash) but the replay
+    * plan contains NO exchange — the bucketed scan satisfies the
+    * co-location contract, so only the in-partition sort and fold
+    * remain. This gates the headline scale claim: the one shuffle a
+    * replay needs can be paid once at ingest and amortized over every
+    * read (`tick_generator.rs:318-362` replays a pre-sorted local file
+    * the same way; the lake is that file's distributed analog).
+    */
+  private val replayBucketed = Q(
+    "q_replay_bucketed",
+    (s, _) => {
+      bucketedFixtureTicks(s)
+        .orderBy(col("file_hour"), col("line_no"), col("msg_idx"), col("emit_idx"))
+        .select(Tick.referenceColumns.map(col): _*)
+    },
+    Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
+  )
+
   /** Same pipeline with the reference's `-m` market filter applied
     * before state (F2, `tick_generator.rs:322-351`).
     */
@@ -471,6 +512,7 @@ object Replay {
     replayFinalBbo,
     replaySnapshotsBbo,
     replayFixtureTicks,
+    replayBucketed,
     replayFixtureFiltered,
     marketsActiveTokens,
     replayTicksWithOutcome,

@@ -31,9 +31,14 @@ object Similarity {
     (s, dir) => {
       import s.implicits._
       graft.functions.ArrayDotLong.register(s)
-      val e = Tables(s, dir).embeddings
-        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
-        .withColumn("n2", VectorSim.qnorm2($"q"))
+      // scope ENFORCED: the candidate side is counted and the O(n·q)
+      // scan refused past spark.graft.allPairsMaxRows (see
+      // Scale.requireAllPairsBounded) — recall baselines stay baselines
+      val e = graft.operators.Scale.requireAllPairsBounded(
+        Tables(s, dir).embeddings
+          .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+          .withColumn("n2", VectorSim.qnorm2($"q")),
+        "q_embed_topk_brute")
       val queries = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na"))
       val joined = queries

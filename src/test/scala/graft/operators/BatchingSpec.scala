@@ -44,6 +44,17 @@ class BatchingSpec extends AnyFunSuite {
     assert(out(1L)._6 == 1L && out(1L)._7 == 1L)
   }
 
+  test("an all-zero-token bucket fails loudly instead of emitting " +
+    "Infinity/NaN rows") {
+    val e = intercept[Exception] {
+      plan(Seq(0L, 0L), bounds = Seq(10L))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("seq_len 0")),
+      s"expected the plan-level guard to fire: $e")
+  }
+
   test("duplicate bounds leave the shadowed bucket empty (absent), like the SQL CASE") {
     val out = plan(Seq(5L, 20L), bounds = Seq(10L, 10L))
     assert(out.contains(0L) && !out.contains(1L) && out(2L)._2 == 1L)

@@ -35,6 +35,17 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("null keys are dropped on both build and probe paths: no " +
+    "unmatchable NULL-pos cells, no silent 0 estimates") {
+    val data = (corpus ++ Seq(null, null)).toDF("w")
+    val cells = Sketches.cmsCells(data, $"w", 3, 1 << 20)
+    assert(cells.filter($"pos".isNull).count() == 0,
+      "null keys leaked NULL-pos cells into the sketch")
+    val est = Sketches.cmsEstimate(cells, data, $"w", 3, 1 << 20)
+      .as[(String, Long)].collect().toMap
+    assert(!est.contains(null) && est("alpha") == 50L)
+  }
+
   test("wide sketch with no cell collisions is exact") {
     val est = estimates(corpus, depth = 3, width = 1 << 20)
     assert(est("alpha") == 50L && est("beta") == 20L && est("gamma") == 5L)

@@ -29,6 +29,17 @@ class ProfileSpec extends AnyFunSuite {
     assert(out("s") == ((4L, 1L, 2L, "a", "b")))
   }
 
+  test("dotted column names resolve exactly (no nested-field parse) " +
+    "and duplicates profile once") {
+    val df = Seq((1L, "x"), (2L, "y"), (2L, null: String))
+      .toDF("id.v2", "s")
+    val out = Profile.profile(df, Seq("id.v2", "s", "s")).collect()
+    assert(out.length == 2, "duplicate column request must profile once")
+    val dotted = out.find(_.getString(0) == "id.v2").get
+    assert((dotted.getLong(1), dotted.getLong(2), dotted.getLong(3),
+      dotted.getString(4), dotted.getString(5)) == ((3L, 0L, 2L, "1", "2")))
+  }
+
   test("rejects unknown columns loudly") {
     val df = Seq((1L, "x")).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {

@@ -34,6 +34,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("requireAllPairsBounded throws on an oversized input and passes " +
+    "a bounded one through unchanged") {
+    val big = spark.range(500).toDF("vec_id")
+    spark.conf.set("spark.graft.allPairsMaxRows", "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Scale.requireAllPairsBounded(big, "test_baseline")
+      }
+      assert(e.getMessage.contains("all-pairs") &&
+        e.getMessage.contains("blocked"),
+        s"guard error should name the scale path: ${e.getMessage}")
+      spark.conf.set("spark.graft.allPairsMaxRows", "1000")
+      assert(Scale.requireAllPairsBounded(big, "test_baseline").count() == 500)
+    } finally {
+      spark.conf.unset("spark.graft.allPairsMaxRows")
+      big.unpersist()
+    }
+  }
+
   test("bucketed tables co-locate: the bucket join plans without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast

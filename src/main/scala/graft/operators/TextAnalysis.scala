@@ -96,6 +96,76 @@ object TextAnalysis {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Model-based quality filtering (the fastText/DCLM-style stage): a
+    * linear classifier over the heuristic quality features, scored
+    * per doc and thresholded into keep/drop. Mechanics over accuracy,
+    * as with [[langId]]: the features and plan shape are what a real
+    * classifier serves through; the shipped weights are illustrative.
+    *
+    * Reproducibility contract (what makes this gate-able where a real
+    * fastText score is not):
+    *   - features are FIXED-POINT integers (‰ ratios via integral
+    *     division, both engines truncate positives identically);
+    *   - the logit is an integer dot product of integer weights —
+    *     exact in any engine;
+    *   - the squashing function is the ALGEBRAIC sigmoid
+    *     σ̃(x) = 0.5 + x / (2(1+|x|)) — same S-shape and [0,1] range
+    *     as the logistic but built from +,×,÷,|·| only, so there is
+    *     no libm exp() whose last bit varies by platform. Written in
+    *     the same operation order on both sides, rounded 4 dp.
+    *
+    * Scale shape: the model's parameters are driver-side constants
+    * compiled into the plan — the degenerate broadcast — so scoring is
+    * a PURE NARROW MAP over the corpus: no shuffle, no join, one pass,
+    * whole-stage-codegen'd end to end. A 10⁶-dim fastText vocabulary
+    * would swap the literal weights for a broadcast map lookup over
+    * exploded words; the per-doc reduction would then be the one
+    * doc_id-keyed aggregation, still join-free on the corpus side.
+    */
+  def modelQuality(
+      docs: DataFrame,
+      wTtr: Long = 2,
+      wStop: Long = 3,
+      wLen: Long = 1,
+      wMwlDev: Long = -1,
+      bias: Long = -1000,
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = $"ws"
+    val base = docs
+      .select($"doc_id", length($"text").as("chars"),
+        graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
+      .select(
+        $"doc_id",
+        $"chars".cast("long").as("chars"),
+        size(ws).cast("long").as("words"),
+        size(array_distinct(ws)).cast("long").as("distinct_words"),
+        size(filter(ws, w => w.isin(defaultStopwords: _*))).cast("long")
+          .as("stop_hits"),
+      )
+    val feats = base.select(
+      $"doc_id",
+      expr("(distinct_words * 1000) div words").as("ttr_m"),
+      expr("(stop_hits * 1000) div words").as("stop_m"),
+      least($"words" * 10, lit(1000L)).as("len_m"),
+      // deviation from a 5.0-char mean word length, in ‰
+      abs(expr("((chars - (words - 1)) * 1000) div words") - 5000L).as("dev_m"),
+    )
+    val logit =
+      lit(wTtr) * $"ttr_m" + lit(wStop) * $"stop_m" +
+        lit(wLen) * $"len_m" + lit(wMwlDev) * $"dev_m" + lit(bias)
+    val x = $"logit_scaled".cast("double") / 1000.0
+    feats
+      .select($"doc_id", $"ttr_m", $"stop_m", $"len_m", $"dev_m",
+        logit.as("logit_scaled"))
+      .select(
+        $"doc_id", $"ttr_m", $"stop_m", $"len_m", $"dev_m", $"logit_scaled",
+        round(lit(0.5) + x / (lit(2.0) * (lit(1.0) + abs(x))), 4).as("score"),
+        when($"logit_scaled" >= 0, "keep").otherwise("drop").as("verdict"),
+      )
+  }
+
   /** Token counts: whitespace tokens, BPE-ish regex tokens
     * (letter runs / digit runs / single non-alphanumerics — the
     * GPT-2-style pretokenizer shape), chars per regex token.

@@ -1406,6 +1406,67 @@ object Relational {
     },
   )
 
+  /** The profiler's 100-TB form under the gate: same columns as
+    * q_profile_columns with the exact-distinct leg swapped for the
+    * native HLL sketch (`Profile.profileHll`) — ONE aggregation, NO
+    * Expand (PlanShapeSpec asserts it), scan read once however many
+    * columns are profiled. The oracle rebuilds every register from
+    * the same md5 hex per column (the q_agg_hll_distinct technique)
+    * and must agree bit-for-bit on the nonzero-bucket count, the
+    * integer-scaled register sum, and the rounded estimate.
+    */
+  private val profileColumnsHll = Q(
+    "q_profile_columns_hll",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir).orders
+        .withColumn("o_priority_nz", nullif($"o_orderpriority", lit("1-URGENT")))
+        .withColumn("o_date", to_date($"o_orderdate"))
+      graft.operators.Profile
+        .profileHll(o, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date",
+          "o_priority_nz"))
+        .orderBy($"col_name")
+    },
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date",
+        "o_priority_nz")
+      val legs = cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows,
+           |       (SELECT CAST(count(*) - count($c) AS BIGINT) FROM o) AS n_null,
+           |       agg.nonzero_buckets,
+           |       agg.register_sum_scaled,
+           |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+           |             (agg.register_sum_scaled / 1073741824.0), 4) AS hll_distinct,
+           |       (SELECT CAST(min($c) AS VARCHAR) FROM o) AS min_value,
+           |       (SELECT CAST(max($c) AS VARCHAR) FROM o) AS max_value
+           |FROM (
+           |  SELECT CAST(count(*) AS BIGINT) AS nonzero_buckets,
+           |         CAST(coalesce(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)), 0) +
+           |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+           |  FROM (
+           |    SELECT bucket,
+           |           max(least(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END, 30)) AS r
+           |    FROM (
+           |      SELECT ${hexToBig("hx", 1, 3)} AS bucket,
+           |             ${hexToBig("hx", 4, 13)} AS v
+           |      FROM (SELECT md5(CAST($c AS VARCHAR)) AS hx
+           |            FROM o WHERE $c IS NOT NULL)
+           |    ) GROUP BY bucket
+           |  )
+           |) agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CAST(o_orderdate AS DATE) AS o_date,
+         |         nullif(o_orderpriority, '1-URGENT') AS o_priority_nz
+         |  FROM orders
+         |)
+         |$legs
+         |ORDER BY col_name""".stripMargin
+    },
+  )
+
   /** Salted fact→dim join under the gate (operators/Scale.saltedJoin —
     * the skew case AQE splitting can't always fix): a planted hot key
     * (every third order rewritten to supplier 1) floods one reducer in
@@ -1509,6 +1570,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     profileColumns,
+    profileColumnsHll,
     joinSaltedSkew,
     corpusDiff,
     streamCmsCells,

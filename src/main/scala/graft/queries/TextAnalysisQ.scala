@@ -70,6 +70,48 @@ object TextAnalysisQ {
             |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Model-based quality scoring under the gate
+    * (TextAnalysis.modelQuality): integer fixed-point features →
+    * integer logit → algebraic sigmoid, so a learned-filter stage is
+    * hash-verified end to end. The oracle repeats the identical
+    * integer feature extraction (// is div for the all-positive
+    * operands) and the identical IEEE operation order for the squash.
+    */
+  private val modelQuality = Q(
+    "q_text_model_quality",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.modelQuality(Tables(s, dir).documents).orderBy($"doc_id")
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id,
+            |         CAST(length(text) AS BIGINT) AS chars,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+            |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_words,
+            |         CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stop_hits
+            |  FROM documents
+            |),
+            |f AS (
+            |  SELECT doc_id,
+            |         (distinct_words * 1000) // words AS ttr_m,
+            |         (stop_hits * 1000) // words AS stop_m,
+            |         least(words * 10, 1000) AS len_m,
+            |         abs(((chars - (words - 1)) * 1000) // words - 5000) AS dev_m
+            |  FROM base
+            |),
+            |l AS (
+            |  SELECT doc_id, ttr_m, stop_m, len_m, dev_m,
+            |         2 * ttr_m + 3 * stop_m + 1 * len_m + (-1) * dev_m + (-1000) AS logit_scaled
+            |  FROM f
+            |)
+            |SELECT doc_id, ttr_m, stop_m, len_m, dev_m, logit_scaled,
+            |       round(0.5 + (CAST(logit_scaled AS DOUBLE) / 1000.0) /
+            |             (2.0 * (1.0 + abs(CAST(logit_scaled AS DOUBLE) / 1000.0))), 4) AS score,
+            |       CASE WHEN logit_scaled >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+            |FROM l
+            |ORDER BY doc_id""".stripMargin),
+  )
+
   private val tokens = Q(
     "q_text_tokens",
     (s, dir) => {
@@ -776,7 +818,7 @@ object TextAnalysisQ {
   )
 
   val all: Seq[Q] =
-    Seq(langId, quality, tokens, fingerprint, redact, bm25, decontaminate,
+    Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
       rareBigrams, repetition, chunk, pack, bpe, boilerplate, bloomScreen,
       heavyHitters, lengthBatching)
 }

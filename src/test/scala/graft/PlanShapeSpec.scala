@@ -40,6 +40,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"winnowing grew a shuffle:\n$p")
   }
 
+  test("model quality scoring is a pure narrow map: zero exchanges, " +
+    "weights compiled into the plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val p = physical(graft.operators.TextAnalysis.modelQuality(docs))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"model scoring grew a shuffle or join:\n$p")
+  }
+
   test("minhash signatures are narrow: zero exchanges from docs to signature") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
@@ -239,6 +248,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cross.forall(_.contains("Cross")),
       s"unexpected non-centroid nested-loop join:\n$p")
     assert(!p.contains("CartesianProduct"), s"filtered ANN grew a cartesian:\n$p")
+  }
+
+  test("HLL profiler plans ONE aggregation with NO Expand (the exact " +
+    "profiler's count_distinct replicates the scan x columns; the " +
+    "sketch must not)") {
+    val p = physical(SparkEntry.queries("q_profile_columns_hll")(spark, dir))
+    assert(!p.contains("Expand"), s"HLL profiler grew an Expand:\n$p")
+    // the exact profiler DOES expand — that contrast is the point
+    val exact = physical(SparkEntry.queries("q_profile_columns")(spark, dir))
+    assert(exact.contains("Expand"),
+      "baseline drifted: exact profiler no longer expands (update this test)")
   }
 
   test("incremental dedup: exact and band screens are equi-joins; no " +

@@ -107,4 +107,115 @@ object Components {
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * ADVERSARIAL-GRAPH form of [[connectedComponents]]: min-label
+    * propagation needs diameter rounds (a 10⁶-node path graph = 10⁶
+    * rounds), the star alternation converges in O(log² n) by
+    * repeatedly collapsing each node's neighborhood onto its minimum.
+    * Use it when the duplicate graph stops being near-clique-shaped;
+    * the per-round plan shape is the same keyed join + aggregation as
+    * the min-label loop, so nothing new is asked of the cluster.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ⁺(u)) — long tails fold toward small ids;
+    *  - small-star(u): every neighbor v ≤ u (they are all < u after
+    *    orientation) re-attaches to m — stars flatten.
+    *
+    * Each phase is ONE groupBy(min) + ONE equi-join on the node key,
+    * shuffles sized by |E|. Lineage is cut with an eager
+    * localCheckpoint per round exactly as in the min-label loop.
+    * Convergence is checked by an (edge-count, Σsrc, Σdst) checksum
+    * on DECIMAL(38,0); because checksum equality is necessary but not
+    * sufficient, the final edge set is then VALIDATED to be a star
+    * forest (no parent is itself a child — a 2-chain would mean a
+    * false fixpoint) before labels are returned, so a wrong stop
+    * fails loudly rather than canonicalizing against a half-collapsed
+    * forest.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 50,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .persist()
+    val nEdges = e0.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      // every node that appears in an edge — the output domain, and
+      // the singleton fallback for nodes whose edges were all self-loops
+      val nodes = e0.select($"src".as("node"))
+        .union(e0.select($"dst".as("node"))).distinct()
+        .localCheckpoint(true)
+
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+          .filter($"src" =!= $"dst")
+        val mins = sym.groupBy($"src").agg(min($"dst").as("mn"))
+          .select($"src".as("u"), least($"src", $"mn").as("m"))
+        sym.filter($"dst" > $"src")
+          .join(mins, $"src" === $"u")
+          .select($"dst".as("src"), $"m".as("dst"))
+          .distinct()
+      }
+
+      def smallStar(e: DataFrame): DataFrame = {
+        val o = e.select(greatest($"src", $"dst").as("src"),
+          least($"src", $"dst").as("dst"))
+          .filter($"src" =!= $"dst")
+        val mins = o.groupBy($"src").agg(min($"dst").as("m"))
+        o.join(mins, "src")
+          .select($"dst".as("node"), $"m")
+          .filter($"node" =!= $"m")
+          .select($"node".as("src"), $"m".as("dst"))
+          .union(mins.select($"src", $"m".as("dst")))
+          .distinct()
+      }
+
+      def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(
+          count(lit(1)).as("n"),
+          sum($"src".cast("decimal(38,0)") + $"dst".cast("decimal(38,0)")).as("s"),
+        ).head
+        (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      }
+
+      var cur = smallStar(largeStar(e0)).localCheckpoint(true)
+      var prev = checksum(cur)
+      var converged = prev._1 == 0L // edge-free graph (all self-loops)
+      var i = 1
+      while (!converged && i < maxIters) {
+        val next = smallStar(largeStar(cur)).localCheckpoint(true)
+        val nextSum = checksum(next)
+        cur = next
+        converged = nextSum == prev
+        prev = nextSum
+        i += 1
+      }
+      require(converged,
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+      // star-forest validation: a parent that is itself a child means
+      // the checksum stopped on a non-fixpoint — refuse to answer
+      val chains = cur.join(
+        cur.select($"src".as("dst"), lit(1).as("__is_child")), "dst")
+        .limit(1).count()
+      require(chains == 0L,
+        "connectedComponentsStar checksum converged on a non-star edge " +
+          "set (a parent is itself a child) — raise maxIters")
+      nodes
+        .join(cur.select($"src".as("node"), $"dst".as("parent")), Seq("node"), "left")
+        .select($"node", coalesce($"parent", $"node").as("component"))
+    } finally {
+      e0.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
 }

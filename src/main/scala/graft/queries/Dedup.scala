@@ -189,6 +189,54 @@ object Dedup {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** The adversarial-graph canonicalization gate: a PATH-graph fixture
+    * (edges chain consecutive doc_ids, broken before every multiple of
+    * 37 → segments of diameter 36) where min-label propagation would
+    * need diameter rounds and `connectedComponents` rightly throws at
+    * its default budget — through the alternating large-star/
+    * small-star loop (`Components.connectedComponentsStar`), which
+    * converges in O(log² n). The oracle is the STRUCTURAL closed form
+    * — a segment's canonical id is `(doc_id // 37) * 37` — i.e. the
+    * ground truth derived from how the fixture was built, fully
+    * independent of any fixpoint computation in either engine.
+    */
+  private val canonicalChain = Q(
+    "q_dedup_canonical_chain",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir).documents.select($"doc_id")
+      val d2 = d.select(($"doc_id" - 1).as("prev_id"))
+      // edge (i, i+1) for every consecutive id pair except across
+      // 37-boundaries; built by self-join so only EXISTING ids chain
+      val edges = d.join(d2, $"doc_id" === $"prev_id")
+        .filter(($"doc_id" + 1) % 37 =!= 0)
+        .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst"))
+      val comp = graft.operators.Components
+        .connectedComponentsStar(edges, "src", "dst")
+      val sizes = comp.groupBy($"component").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, "component")
+        .select($"node".as("doc_id"), $"component".as("canonical_id"), $"n_members")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents),
+           |e AS (
+           |  SELECT a.doc_id AS src, a.doc_id + 1 AS dst
+           |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           |  WHERE (a.doc_id + 1) % 37 <> 0
+           |),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |comp AS (
+           |  SELECT node AS doc_id, (node // 37) * 37 AS canonical_id FROM nodes
+           |),
+           |sizes AS (
+           |  SELECT canonical_id, count(*) AS n_members
+           |  FROM comp GROUP BY canonical_id
+           |)
+           |SELECT c.doc_id, c.canonical_id, s.n_members
+           |FROM comp c JOIN sizes s USING (canonical_id)
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   /** 64-bit SimHash signatures; near-dup pairs via 4×16-bit bands with
     * Hamming distance ≤ 8.
     */
@@ -696,7 +744,7 @@ object Dedup {
             |ORDER BY i.doc_id""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(exact, minhashLsh, canonical, simhashPairs,
+  val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain, simhashPairs,
     ngramJaccard, embeddingCosine, embeddingCosineBlocked, streamExact,
     substringSpans, normalizedDedup, incremental)
 }

@@ -67,4 +67,38 @@ class ComponentsSpec extends AnyFunSuite {
       assert(run(edges, maxIters = 40) == dsu(edges), s"trial $trial: $edges")
     }
   }
+
+  private def runStar(edges: Seq[(Long, Long)], maxIters: Int = 50): Map[Long, Long] = {
+    import spark.implicits._
+    Components
+      .connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star alternation: equals union-find on 30 random graphs") {
+    val rnd = new Random(11)
+    (0 until 30).foreach { trial =>
+      val n = 2 + rnd.nextInt(30)
+      val nEdges = 1 + rnd.nextInt(40)
+      val edges = (0 until nEdges).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(runStar(edges) == dsu(edges), s"trial $trial: $edges")
+    }
+  }
+
+  test("star alternation converges in O(log^2 n) where min-label needs " +
+    "diameter rounds: a 256-node path in <= 10 rounds") {
+    val edges = (0L until 255L).map(i => (i + 1, i))
+    // min-label at the same budget MUST throw (diameter 255 >> 10)...
+    val e = intercept[IllegalArgumentException](run(edges, maxIters = 10))
+    assert(e.getMessage.contains("did not converge"))
+    // ...while the star loop finishes and labels every node 0
+    assert(runStar(edges, maxIters = 10) == (0L to 255L).map(_ -> 0L).toMap)
+  }
+
+  test("star alternation: empty and self-loop-only edge lists") {
+    assert(runStar(Seq.empty).isEmpty)
+    // self-loops: the node exists, alone in its component
+    assert(runStar(Seq((4L, 4L))) == Map(4L -> 4L))
+  }
 }

@@ -96,6 +96,78 @@ object TextAnalysis {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** The fused curation gate: [[quality]] features AND [[langId]]
+    * prediction in ONE pass over the corpus, appended to the input's
+    * columns. Semantically identical to running both operators and
+    * joining on doc_id (spec'd so in TextAnalysisSpec) — `pred_lang`
+    * is null exactly where [[langId]]'s inner profile join would have
+    * dropped the doc (no profile word present).
+    *
+    * Where [[langId]] explodes words, broadcast-joins the profile,
+    * and reduces through two doc-keyed shuffles plus a window, this
+    * form exploits the profile being a DRIVER-SIDE CONSTANT: each
+    * language's score is folded in-row over the word array
+    * (Σ weight × occurrences via `size(filter(ws, _ == word))`), the
+    * argmax/tie-break is a `greatest` + first-match `coalesce` chain,
+    * and the quality ratios read the same materialized array. The
+    * whole gate is therefore a PURE NARROW MAP — zero shuffles, zero
+    * joins at any corpus size (plan-shape-asserted) — versus the
+    * unfused chain's two full passes, three shuffles, and two joins.
+    * The trade is plan-size ∝ profile entries: right for a bounded
+    * heuristic profile like [[defaultProfile]]; a 10⁶-word fastText
+    * vocabulary would switch back to the exploded broadcast-join form
+    * ([[langId]]), which stays the operator for that regime.
+    */
+  def gate(
+      docs: DataFrame,
+      stopwords: Seq[String],
+      profile: Seq[(String, String, Int)],
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = $"ws"
+    val byLang = profile.groupBy(_._1).toSeq.sortBy(_._1)
+    def langScore(entries: Seq[(String, String, Int)]): Column =
+      entries
+        .map { case (_, word, weight) =>
+          size(filter(ws, w => w === word)).cast("long") * weight
+        }
+        .reduce(_ + _)
+    val passThrough = docs.columns.map(col).toSeq
+    val scored = docs
+      .select(passThrough :+ length($"text").as("chars") :+
+        Cols.materialized(split($"text", " ")).as("ws"): _*)
+      .select(passThrough ++ Seq(
+        $"chars",
+        size(ws).as("words"),
+        size(array_distinct(ws)).as("distinct_words"),
+        size(filter(ws, w => w.isin(stopwords: _*))).as("stop_hits")) ++
+        byLang.map { case (lang, entries) => langScore(entries).as(s"sc_$lang") }: _*)
+    val mx = greatest(byLang.map { case (l, _) => col(s"sc_$l") }: _*)
+    scored
+      .withColumn("best_score", mx)
+      .select(passThrough ++ Seq(
+        $"chars",
+        $"words",
+        round(($"chars" - ($"words" - 1)).cast("double") / $"words", 4).as("mean_word_len"),
+        round($"stop_hits".cast("double") / $"words", 4).as("stop_ratio"),
+        round($"distinct_words".cast("double") / $"words", 4).as("ttr"),
+        round(
+          least($"words".cast("double") / 100, lit(1.0)) * 0.4 +
+            ($"distinct_words".cast("double") / $"words") * 0.4 +
+            least($"stop_hits".cast("double") / $"words" * 5, lit(1.0)) * 0.2,
+          4).as("quality"),
+        // first language (alphabetical) hitting the max — langId's
+        // lexicographic tie-break; null when nothing matched (= the
+        // doc langId's inner join would drop)
+        when($"best_score" > 0,
+          coalesce(byLang.map { case (l, _) =>
+            when(col(s"sc_$l") === $"best_score", lit(l))
+          }: _*)).as("pred_lang"),
+        when($"best_score" > 0, $"best_score").as("best_score"),
+      ): _*)
+  }
+
   /** Model-based quality filtering (the fastText/DCLM-style stage): a
     * linear classifier over the heuristic quality features, scored
     * per doc and thresholded into keep/drop. Mechanics over accuracy,

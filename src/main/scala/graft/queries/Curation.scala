@@ -40,15 +40,15 @@ object Curation {
     (s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir).documents
-      val qual = TextAnalysis.quality(docs, TextAnalysis.defaultStopwords)
-        .select($"doc_id", $"words", $"quality")
-        .filter($"quality" >= 0.45)
-      val lang = TextAnalysis.langId(docs, TextAnalysis.defaultProfile)
-        .filter($"pred_lang" === "en")
-        .select($"doc_id")
-      val gated = docs.select($"doc_id", $"text", $"source")
-        .join(qual, "doc_id")
-        .join(lang, "doc_id")
+      // quality + langId gates fused into ONE narrow pass (zero
+      // shuffles, zero joins — see TextAnalysis.gate); spec'd equal to
+      // the two-operator join it replaces
+      val gated = TextAnalysis
+        .gate(docs.select($"doc_id", $"text", $"source"),
+          TextAnalysis.defaultStopwords, TextAnalysis.defaultProfile)
+        .filter($"quality" >= 0.45 && $"pred_lang" === "en")
+        .select($"doc_id", $"text", $"source", $"words", $"quality")
+        .persist() // two consumers: the canonical hash set and kept
       // exact dedup: one canonical (min doc_id) survivor per text hash
       val canonical = gated
         .groupBy(md5($"text").as("h"))
@@ -216,17 +216,20 @@ object Curation {
             .map(p => col(s"n_${p.name}"))
             .reduce(_ + _))
         .select($"doc_id", $"redacted".as("text"), $"n_redactions")
-        .persist() // feeds quality, langid, hashes, shingles, accounting
-      val qual = TextAnalysis.quality(red, TextAnalysis.defaultStopwords)
-        .select($"doc_id", $"words", $"quality")
-        .filter($"quality" >= 0.45)
-      val lang = TextAnalysis.langId(red, TextAnalysis.defaultProfile)
-        .filter($"pred_lang" === "en")
-        .select($"doc_id")
-      val gated = red
+      // quality + langId fused into one narrow pass over the redacted
+      // text (TextAnalysis.gate) — the redaction chain now runs ONCE
+      // inside it (no persist needed: red has a single consumer),
+      // where the unfused form re-scanned `red` three times through
+      // two extra shuffles and two extra joins
+      val gated = TextAnalysis
+        .gate(red, TextAnalysis.defaultStopwords, TextAnalysis.defaultProfile)
+        .filter($"quality" >= 0.45 && $"pred_lang" === "en")
         .join(docs.select($"doc_id", $"source"), "doc_id")
-        .join(qual, "doc_id")
-        .join(lang, "doc_id")
+        .select($"doc_id", $"text", $"source", $"n_redactions", $"words", $"quality")
+        // persisted HERE, post-gate: the regex redaction chain above is
+        // the expensive stage and gated has two consumers (the
+        // canonical hash set and kept) — without the cache it runs twice
+        .persist()
       val exactCanonical = gated
         .groupBy(md5($"text").as("h"))
         .agg(min($"doc_id").as("doc_id"))

@@ -468,6 +468,88 @@ object Relational {
            |ORDER BY minute, event_type""".stripMargin),
   )
 
+  /** STREAMING forward-fill under the gate: the `transformWithState`
+    * carry-forward over the minute spine (graft.streaming.GapFill),
+    * completing the streaming side of the A1 gap family — per-minute
+    * last observations accumulate in per-series MapState (max_by
+    * tie-break, commutative across micro-batch slicings), and an
+    * event-time timer at the spine's high bound emits each series'
+    * filled spine once the terminal watermark passes it. Hash-checked
+    * against the SAME oracle as the batch q_window_gap_fill, so batch
+    * window, streaming state machine, and DuckDB agree row for row.
+    */
+  private val streamGapFill = Q(
+    "q_stream_gap_fill",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_gap_fill_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // ≈ series keys / task
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def fixTs(df: org.apache.spark.sql.DataFrame) =
+          if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else df
+        // spine bounds: the same 1-row aggregate the batch plan runs,
+        // surfaced to the driver because the timer needs a Long
+        val bounds = fixTs(s.read.parquet(s"$dir/events.parquet"))
+          .agg(
+            min(expr("(cast(ts as bigint) div 60) * 60000")).as("lo"),
+            max(expr("(cast(ts as bigint) div 60) * 60000")).as("hi"))
+          .head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val ev = fixTs(s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val query = graft.streaming.GapFill.filledSpine(ev, lo, hi)
+          .writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+      s.table(sinkName).orderBy($"minute", $"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT date_trunc('minute', ts) AS m, event_type, value, event_id FROM events
+           |),
+           |agg AS (
+           |  SELECT m, event_type, max_by(value, event_id) AS lv
+           |  FROM ev GROUP BY m, event_type
+           |),
+           |spine AS (
+           |  SELECT unnest(generate_series(min(m), max(m), INTERVAL 1 MINUTE)) AS m FROM ev
+           |),
+           |types AS (SELECT DISTINCT event_type FROM ev),
+           |j AS (
+           |  SELECT s.m, t.event_type, a.lv
+           |  FROM spine s
+           |  CROSS JOIN types t
+           |  LEFT JOIN agg a ON a.m = s.m AND a.event_type = t.event_type
+           |)
+           |SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS minute, event_type,
+           |       last_value(lv IGNORE NULLS) OVER (
+           |         PARTITION BY event_type ORDER BY m
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           |       CAST(CASE WHEN lv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+           |FROM j
+           |ORDER BY minute, event_type""".stripMargin),
+  )
+
   /** Rollup (hierarchical subtotals + grand total) — beyond the
     * reference's flat aggs, table stakes for an analytics engine.
     * Group columns coalesced to 'ALL' so the output is null-free and
@@ -1575,6 +1657,7 @@ object Relational {
     corpusDiff,
     streamCmsCells,
     windowGapFill,
+    streamGapFill,
     aggHllDistinct,
     aggHistogramQuantiles,
     graphPagerank,

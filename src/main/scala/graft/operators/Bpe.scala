@@ -85,4 +85,40 @@ object Bpe {
       size(syms).cast("long").as("n_tokens"),
       concat_ws(" ", syms).as("tokens"))
   }
+
+  /** Tokenizer APPLICATION — encode a corpus with a trained vocabulary
+    * (the token-counting stage every pretraining mixture runs with the
+    * real tokenizer, not the whitespace proxy): per document, the BPE
+    * token count and an order-canonical digest of its full token
+    * stream.
+    *
+    * Scale shape: tokenization is NOT recomputed per occurrence — the
+    * per-word token split was already learned on the distinct-word
+    * table ([[train]]), so application is one positional explode of
+    * the corpus and ONE equi-join on the word key (the classic
+    * vocab-apply join; sort-merge at vocabulary scale, broadcast when
+    * the vocab fits). The per-doc reduction is a single doc_id-keyed
+    * aggregation; the stream digest orders tokens by word position
+    * inside the row (`array_sort(collect_list(struct(pos, …)))` — the
+    * same in-row canonicalization as dropCommonLines), so no global
+    * sort exists anywhere.
+    */
+  def encode(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter(length($"w") > 0)
+      .join(vocab.select($"word".as("w"), $"n_tokens", $"tokens"), "w")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum($"n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct($"pos", $"tokens"))),
+            x => x.getField("tokens")),
+          " ")).as("token_digest"),
+      )
+  }
 }

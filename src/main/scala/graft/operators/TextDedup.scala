@@ -126,17 +126,52 @@ object TextDedup {
 
   /** Candidate pairs from any equal-key banding table with columns
     * (doc_id, band, band_hash).
+    *
+    * `maxBucket` is the SATURATION GUARD — the LSH form of join-skew
+    * salting: a bucket holding w docs emits w(w−1)/2 pairs, and
+    * corpus-wide shared shingles (boilerplate suffixes, headers — the
+    * things a real corpus is full of) produce buckets whose width
+    * grows WITH THE CORPUS, turning the candidate join quadratic.
+    * Those pairs are overwhelmingly Jaccard-rejected false positives
+    * (the docs share only the boilerplate); genuinely similar pairs
+    * also collide in their content bands, which stay narrow. Buckets
+    * wider than `maxBucket` are therefore dropped whole: the width
+    * count shuffles on the same key as the pair join (linear), the
+    * saturated set is tiny by construction, and membership is a
+    * BROADCAST anti-join — so the cap costs one linear pass and
+    * removes the only super-linear term in the dedup pipeline.
+    * (Observed concretely: redaction tokens shared by every document
+    * made one bucket per band hold a constant fraction of the corpus;
+    * at 10× the bench SF the uncapped candidate join went 100×.)
     */
-  def bandPairs(bands: DataFrame): DataFrame =
-    bands
+  /** Default saturation cap for gate queries: comfortably above any
+    * true duplicate-cluster width in a deduplicated corpus (clusters
+    * get MORE NUMEROUS with corpus growth, not wider), far below the
+    * corpus-fraction widths boilerplate produces.
+    */
+  val DefaultMaxBucket: Int = 50
+
+  def bandPairs(bands: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val capped =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val hot = bands
+          .groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__w"))
+          .filter(col("__w") > maxBucket)
+          .select(col("band"), col("band_hash"))
+        bands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+      }
+    capped
       .as("a")
       .join(
-        bands.as("b"),
+        capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** Exact Jaccard for a candidate pair set, computed against the full
     * shingle table (pairs are small → broadcast-join shaped).

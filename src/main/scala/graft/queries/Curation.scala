@@ -64,7 +64,8 @@ object Curation {
       val sh = arr.select($"doc_id", explode($"shs").as("sh"))
       val cnt = arr.select($"doc_id", size($"shs").as("n"))
       val pairs = TextDedup.bandPairs(
-        TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2))
+        TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2),
+        TextDedup.DefaultMaxBucket)
       val nearDups = TextDedup.jaccard(pairs, sh, cnt)
         .filter($"jaccard" >= 0.8)
         .select($"doc_b".as("doc_id"))
@@ -121,11 +122,7 @@ object Curation {
             |  FROM kws, unnest(range(1, len(ws) - 1)) AS t(i)
             |),
             |${Dedup.minhashOracleCtes},
-            |cand AS (
-            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |  FROM bands a JOIN bands b
-            |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-            |),
+            |${Dedup.cappedCandCtes()},
             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             |inter AS (
             |  SELECT doc_a, doc_b, count(*) AS i
@@ -240,7 +237,8 @@ object Curation {
       val cnt = arr.select($"doc_id", size($"shs").as("n"))
       val pairs = TextDedup.jaccard(
         TextDedup.bandPairs(
-          TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)),
+          TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2),
+          TextDedup.DefaultMaxBucket),
         sh, cnt)
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b")
@@ -286,11 +284,7 @@ object Curation {
             |  FROM kws, unnest(range(1, len(ws) - 1)) AS t(i)
             |),
             |${Dedup.minhashOracleCtes},
-            |cand AS (
-            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |  FROM bands a JOIN bands b
-            |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-            |),
+            |${Dedup.cappedCandCtes()},
             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             |inter AS (
             |  SELECT doc_a, doc_b, count(*) AS i

@@ -95,9 +95,27 @@ object Dedup {
     val bands = TextDedup
       .minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
       .persist()
-    val pairs = TextDedup.bandPairs(bands)
+    val pairs = TextDedup.bandPairs(bands, TextDedup.DefaultMaxBucket)
     TextDedup.jaccard(pairs, sh, cnt).filter($"jaccard" >= threshold)
   }
+
+  /** DuckDB twin of the SATURATION-CAPPED candidate join
+    * (TextDedup.bandPairs with maxBucket): buckets wider than the cap
+    * are dropped whole before pairing. Expects a CTE named `bands`
+    * in scope; emits `hot` and `cand`.
+    */
+  private[queries] def cappedCandCtes(cap: Int = TextDedup.DefaultMaxBucket): String =
+    s"""hot AS (
+       |  SELECT band, band_hash FROM bands
+       |  GROUP BY band, band_hash HAVING count(*) > $cap
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                    WHERE h.band = a.band AND h.band_hash = a.band_hash)
+       |)""".stripMargin
 
   /** DuckDB twin of `minhashVerifiedPairs`: CTE chain ending in
     * `pairs(doc_a, doc_b, jaccard)`. Callers prepend WITH [RECURSIVE]
@@ -110,11 +128,7 @@ object Dedup {
        |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
        |),
        |$minhashOracleCtes,
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-       |),
+       |${cappedCandCtes()},
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT doc_a, doc_b, count(*) AS i

@@ -1488,6 +1488,51 @@ object Relational {
     },
   )
 
+  /** Shared oracle for the HLL profiler (batch and streaming gates):
+    * rebuilds every register from the same md5 hex per column (the
+    * q_agg_hll_distinct technique) and must agree bit-for-bit on the
+    * nonzero-bucket count, the integer-scaled register sum, and the
+    * rounded estimate.
+    */
+  private lazy val profileHllOrdersOracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date",
+      "o_priority_nz")
+    val legs = cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows,
+         |       (SELECT CAST(count(*) - count($c) AS BIGINT) FROM o) AS n_null,
+         |       agg.nonzero_buckets,
+         |       agg.register_sum_scaled,
+         |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+         |             (agg.register_sum_scaled / 1073741824.0), 4) AS hll_distinct,
+         |       (SELECT CAST(min($c) AS VARCHAR) FROM o) AS min_value,
+         |       (SELECT CAST(max($c) AS VARCHAR) FROM o) AS max_value
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS nonzero_buckets,
+         |         CAST(coalesce(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)), 0) +
+         |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+         |  FROM (
+         |    SELECT bucket,
+         |           max(least(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END, 30)) AS r
+         |    FROM (
+         |      SELECT ${hexToBig("hx", 1, 3)} AS bucket,
+         |             ${hexToBig("hx", 4, 13)} AS v
+         |      FROM (SELECT md5(CAST($c AS VARCHAR)) AS hx
+         |            FROM o WHERE $c IS NOT NULL)
+         |    ) GROUP BY bucket
+         |  )
+         |) agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |         CAST(o_orderdate AS DATE) AS o_date,
+       |         nullif(o_orderpriority, '1-URGENT') AS o_priority_nz
+       |  FROM orders
+       |)
+       |$legs
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** The profiler's 100-TB form under the gate: same columns as
     * q_profile_columns with the exact-distinct leg swapped for the
     * native HLL sketch (`Profile.profileHll`) — ONE aggregation, NO
@@ -1509,44 +1554,51 @@ object Relational {
           "o_priority_nz"))
         .orderBy($"col_name")
     },
-    Some {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date",
-        "o_priority_nz")
-      val legs = cols.map { c =>
-        s"""SELECT '$c' AS col_name,
-           |       (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows,
-           |       (SELECT CAST(count(*) - count($c) AS BIGINT) FROM o) AS n_null,
-           |       agg.nonzero_buckets,
-           |       agg.register_sum_scaled,
-           |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
-           |             (agg.register_sum_scaled / 1073741824.0), 4) AS hll_distinct,
-           |       (SELECT CAST(min($c) AS VARCHAR) FROM o) AS min_value,
-           |       (SELECT CAST(max($c) AS VARCHAR) FROM o) AS max_value
-           |FROM (
-           |  SELECT CAST(count(*) AS BIGINT) AS nonzero_buckets,
-           |         CAST(coalesce(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)), 0) +
-           |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
-           |  FROM (
-           |    SELECT bucket,
-           |           max(least(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END, 30)) AS r
-           |    FROM (
-           |      SELECT ${hexToBig("hx", 1, 3)} AS bucket,
-           |             ${hexToBig("hx", 4, 13)} AS v
-           |      FROM (SELECT md5(CAST($c AS VARCHAR)) AS hx
-           |            FROM o WHERE $c IS NOT NULL)
-           |    ) GROUP BY bucket
-           |  )
-           |) agg""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH o AS (
-         |  SELECT o_orderkey, o_custkey, o_orderstatus,
-         |         CAST(o_orderdate AS DATE) AS o_date,
-         |         nullif(o_orderpriority, '1-URGENT') AS o_priority_nz
-         |  FROM orders
-         |)
-         |$legs
-         |ORDER BY col_name""".stripMargin
+    Some(profileHllOrdersOracle),
+  )
+
+  /** The profiler run as a STREAMING aggregation: the identical
+    * `Profile.profileHll` report — HLL registers and all — as a
+    * complete-mode global streaming aggregate over a file-source
+    * replay of the orders table, against the SAME oracle as the batch
+    * gate. This is the data-quality monitor shape for a live feed:
+    * every aggregate in the report (count, HLL sketch, min/max) is
+    * MERGEABLE, so the state store holds one fixed-size row (columns ×
+    * 4 KiB sketches) however many micro-batches arrive, and each
+    * trigger re-emits the refreshed profile. Shuffle partitions
+    * pinned to 1: a global aggregate has exactly one state row, and
+    * every extra partition would be an empty state-store commit per
+    * batch.
+    */
+  private val streamProfileHll = Q(
+    "q_stream_profile_hll",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_profile_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/orders.parquet").schema
+        val o = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "orders.parquet").parquet(dir)
+          .withColumn("o_priority_nz", nullif($"o_orderpriority", lit("1-URGENT")))
+          .withColumn("o_date", to_date($"o_orderdate"))
+        val prof = graft.operators.Profile.profileHll(
+          o, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_date",
+            "o_priority_nz"))
+        val query = prof.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"col_name")
     },
+    Some(profileHllOrdersOracle),
   )
 
   /** Salted fact→dim join under the gate (operators/Scale.saltedJoin —
@@ -1653,6 +1705,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     profileColumns,
     profileColumnsHll,
+    streamProfileHll,
     joinSaltedSkew,
     corpusDiff,
     streamCmsCells,

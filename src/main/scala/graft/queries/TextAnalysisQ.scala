@@ -517,9 +517,13 @@ object TextAnalysisQ {
        |w$k AS (SELECT word, freq, acc AS sym FROM f$k WHERE i = len(l))""".stripMargin
   }
 
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** The shared training CTE chain `w0..w{nMerges}` (see
+    * [[bpeRoundCtes]]) — reused by both the training gate and the
+    * encode gate so the oracle always RE-LEARNS the vocabulary.
+    */
+  private def bpeVocabCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map(bpeRoundCtes).mkString(",\n")
-    s"""WITH RECURSIVE w0 AS (
+    s"""w0 AS (
        |  SELECT w AS word, count(*) AS freq,
        |         array_to_string(list_transform(range(1, length(w) + 1),
        |           i -> substr(w, CAST(i AS BIGINT), 1)), ' ') AS sym
@@ -527,13 +531,38 @@ object TextAnalysisQ {
        |  WHERE length(w) > 0
        |  GROUP BY w
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String =
+    s"""WITH RECURSIVE ${bpeVocabCtes(nMerges)}
        |SELECT word, freq,
        |       CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_tokens,
        |       sym AS tokens
        |FROM w$nMerges
        |ORDER BY word""".stripMargin
-  }
+
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    s"""WITH RECURSIVE ${bpeVocabCtes(nMerges)},
+       |vocab AS (
+       |  SELECT word,
+       |         CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_tokens,
+       |         sym AS tokens
+       |  FROM w$nMerges
+       |),
+       |dw AS (
+       |  SELECT doc_id, i AS pos, ws[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |       unnest(range(1, len(ws) + 1)) AS t(i)
+       |  WHERE length(ws[i]) > 0
+       |)
+       |SELECT doc_id,
+       |       count(*) AS n_words,
+       |       CAST(sum(v.n_tokens) AS BIGINT) AS n_tokens,
+       |       md5(string_agg(v.tokens, ' ' ORDER BY pos)) AS token_digest
+       |FROM dw JOIN vocab v ON v.word = dw.w
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Tokenizer training under the gate: 4 BPE merges learned from the
     * corpus word table, the tokenized vocabulary as the result. The
@@ -550,6 +579,26 @@ object TextAnalysisQ {
         .orderBy($"word")
     },
     Some(bpeOracleSql(4)),
+  )
+
+  /** Tokenizer application under the gate: the corpus re-encoded with
+    * the vocabulary [[bpe]] just trained (Bpe.encode — positional
+    * explode + ONE word-key equi-join, no per-occurrence retraining),
+    * verified per doc down to an order-canonical digest of the full
+    * token stream. The oracle re-learns the merges AND re-encodes, so
+    * train→apply is hash-checked end to end.
+    */
+  private val bpeEncode = Q(
+    "q_text_bpe_encode",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val vocab = graft.operators.Bpe.train(docs.select($"text"), nMerges = 4)
+      graft.operators.Bpe
+        .encode(docs.select($"doc_id", $"text"), vocab)
+        .orderBy($"doc_id")
+    },
+    Some(bpeEncodeOracleSql(4)),
   )
 
   /** Boilerplate-line removal over docs augmented with deterministic
@@ -819,6 +868,6 @@ object TextAnalysisQ {
 
   val all: Seq[Q] =
     Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, repetition, chunk, pack, bpe, boilerplate, bloomScreen,
+      rareBigrams, repetition, chunk, pack, bpe, bpeEncode, boilerplate, bloomScreen,
       heavyHitters, lengthBatching)
 }

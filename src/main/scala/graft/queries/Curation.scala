@@ -381,6 +381,92 @@ object Curation {
            |ORDER BY lang""".stripMargin),
   )
 
+  /** Per-domain document cap under the gate (Mixture.domainCap — the
+    * FineWeb-style dominance guard): at most 15 docs per source,
+    * selected by md5-permutation priority. Verified per kept doc
+    * including its within-group rank, so the oracle pins the exact
+    * selection and order, not just counts. Plan relies on the
+    * WindowGroupLimit rewrite (map-side group truncation before the
+    * exchange) that PlanShapeSpec asserts for the rank pattern.
+    */
+  private val sampleDomainCap = Q(
+    "q_sample_domain_cap",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Mixture
+        .domainCap(Tables(s, dir).documents, "source", "doc_id", 15)
+        .select($"doc_id", $"source", $"rank_in_group")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH r AS (
+           |  SELECT doc_id, source,
+           |         row_number() OVER (
+           |           PARTITION BY source
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank_in_group
+           |  FROM documents
+           |)
+           |SELECT doc_id, source, CAST(rank_in_group AS BIGINT) AS rank_in_group
+           |FROM r WHERE rank_in_group <= 15
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  /** Epoch upsampling under the gate (Mixture.upsample): temperature
+    * rates targeting 2× the corpus, so scarce languages repeat across
+    * epochs (rate > 10⁴ bp) while the dominant one stays sub-1×.
+    * Per-language accounting pins total copies and copy-weighted
+    * chars; max(epoch) additionally pins the deepest epoch reached —
+    * all integer-deterministic, so both engines agree exactly.
+    */
+  private val sampleEpochs = Q(
+    "q_sample_epochs",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val n = docs.count()
+      val rates = graft.operators.Mixture.upsampleRates(docs, "lang", 2L * n)
+      graft.operators.Mixture.upsample(docs, rates, "lang", "doc_id")
+        .groupBy($"lang")
+        .agg(
+          max($"n_total").as("n_total"),
+          max($"rate_bp").as("rate_bp"),
+          count(lit(1)).as("n_sampled"),
+          max($"epoch").as("max_epoch"),
+          sum($"n_chars").as("sampled_chars"),
+        )
+        .orderBy($"lang")
+    },
+    Some("""WITH counts AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |w AS (
+           |  SELECT lang, n_total,
+           |         CAST(round(sqrt(n_total) * 1000) AS BIGINT) AS w
+           |  FROM counts
+           |),
+           |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+           |rates AS (
+           |  SELECT lang, n_total,
+           |         (w * (SELECT 2 * n * 10000 FROM nn)) // (sum_w * n_total) AS rate_bp
+           |  FROM w CROSS JOIN tot
+           |),
+           |samp AS (
+           |  SELECT d.lang, d.n_chars, r.n_total, r.rate_bp,
+           |         rate_bp // 10000 +
+           |           CASE WHEN (d.doc_id * 7919) % 10000 < rate_bp % 10000
+           |                THEN 1 ELSE 0 END AS n_copies
+           |  FROM documents d JOIN rates r USING (lang)
+           |)
+           |SELECT lang,
+           |       CAST(max(n_total) AS BIGINT) AS n_total,
+           |       CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+           |       CAST(sum(n_copies) AS BIGINT) AS n_sampled,
+           |       CAST(max(n_copies) - 1 AS BIGINT) AS max_epoch,
+           |       CAST(sum(n_chars * n_copies) AS BIGINT) AS sampled_chars
+           |FROM samp
+           |WHERE n_copies >= 1
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin),
+  )
+
   /** Shard assignment for the corpus: 16 shards from the md5
     * permutation key (see [[graft.operators.Shards]]), verified by
     * per-shard doc/char accounting plus the min/max permutation keys
@@ -414,5 +500,6 @@ object Curation {
            |ORDER BY shard""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(curation, curationV2, sampleMixture, shardAssign)
+  val all: Seq[Q] = Seq(curation, curationV2, sampleMixture, sampleDomainCap,
+    sampleEpochs, shardAssign)
 }

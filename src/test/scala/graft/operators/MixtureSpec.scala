@@ -56,4 +56,44 @@ class MixtureSpec extends AnyFunSuite {
       .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids1 == ids2 && ids1.nonEmpty)
   }
+
+  test("domainCap keeps exactly cap docs in big groups, all of small ones") {
+    val capped = Mixture.domainCap(corpus(), "grp", "doc_id", 150)
+    val got = capped.groupBy($"grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 150L, "b" -> 150L, "c" -> 100L))
+    // ranks are 1..n contiguous, and the selection is md5-determined:
+    // rerun yields the identical kept set
+    val k1 = capped.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val k2 = Mixture.domainCap(corpus(), "grp", "doc_id", 150)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k1 == k2)
+    val ranks = capped.filter($"grp" === "c")
+      .select($"rank_in_group").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks == (1L to 100L))
+  }
+
+  test("upsample repeats rare groups across epochs and tracks the target") {
+    val df = corpus()
+    val rt = Mixture.upsampleRates(df, "grp", 2800L) // 2x corpus
+    val up = Mixture.upsample(df, rt, "grp", "doc_id")
+    val r = rt.collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    // rare group's rate exceeds one epoch; rates order inversely with
+    // size (rate ∝ 1/sqrt(n), so c = 2×b exactly here)
+    assert(r("c") > 10000L && r("c") > r("b") && r("b") > r("a"))
+    assert(r("c") == r("b") * 2)
+    val got = up.groupBy($"grp").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    for ((g, n) <- Seq("a" -> 900, "b" -> 400, "c" -> 100)) {
+      val want = n * r(g) / 10000.0
+      assert(math.abs(got(g) - want) <= math.max(2, want * 0.02),
+        s"group $g: got ${got(g)}, want ~$want")
+    }
+    // per-row copies: epoch runs 0..n_copies-1 with no gaps
+    val eps = up.filter($"grp" === "c").groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.countDistinct($"epoch").as("k"),
+        org.apache.spark.sql.functions.max($"epoch").as("mx"))
+      .collect()
+    assert(eps.nonEmpty && eps.forall(x => x.getLong(1) == x.getLong(2) + 1))
+  }
 }

@@ -24,6 +24,26 @@ object Shards {
       .withColumn("shard",
         conv(substring(col("okey"), 1, 6), 16, 10).cast("long") % nShards)
 
+  /** Leakage-safe train/eval assignment: the split key is a GROUP id
+    * (canonically the near-duplicate cluster from
+    * [[Components.connectedComponents]]), not the document id — so a
+    * near-dup pair can never straddle train and eval, which is the
+    * eval-contamination failure mode a doc-hash split silently has.
+    * `evalPerMille` of the group-hash space goes to eval. Narrow map
+    * over rows already carrying their group id; the determinism
+    * contract is the same as [[assign]] (any engine re-derives
+    * membership without reading the split).
+    */
+  def splitByGroup(df: DataFrame, groupCol: String, evalPerMille: Int): DataFrame = {
+    require(evalPerMille >= 0 && evalPerMille <= 1000,
+      s"evalPerMille out of range: $evalPerMille")
+    df.withColumn("split",
+      when(
+        conv(substring(md5(col(groupCol).cast("string")), 1, 6), 16, 10)
+          .cast("long") % 1000L < evalPerMille,
+        lit("eval")).otherwise(lit("train")))
+  }
+
   /** Writer shape: one partition per shard, rows in permutation order
     * within it — `partitionBy`-ready. The single shuffle keys on the
     * shard id; the sort is local to each shard partition.

@@ -203,6 +203,83 @@ object Dedup {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Leakage-safe train/eval split under the gate — the composition a
+    * real eval pipeline needs: near-dup clusters
+    * (minhashVerifiedPairs → connected components, singletons = their
+    * own cluster) become the SPLIT UNIT, so no near-duplicate pair can
+    * straddle train and eval (the contamination a per-doc hash split
+    * silently allows — an eval doc's near-twin in train). 10 % of the
+    * cluster-hash space goes to eval (Shards.splitByGroup). The output
+    * carries `n_straddling` — clusters seen in both splits — computed
+    * in-plan, so the zero that PROVES the leakage guarantee is itself
+    * hash-checked by the oracle, which recomputes clusters via its own
+    * recursive fixpoint and the split via the same md5 arithmetic.
+    */
+  private val splitLeakageSafe = Q(
+    "q_split_leakage_safe",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val pairs = minhashVerifiedPairs(s, dir, 0.8).select($"doc_a", $"doc_b")
+      val comp = graft.operators.Components
+        .connectedComponents(pairs, "doc_a", "doc_b")
+      val clustered = docs.select($"doc_id")
+        .join(comp.select($"node".as("doc_id"), $"component"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"component", $"doc_id").as("cluster_id"))
+      val assigned = graft.operators.Shards
+        .splitByGroup(clustered, "cluster_id", evalPerMille = 100)
+      val straddling = assigned
+        .groupBy($"cluster_id")
+        .agg(countDistinct($"split").as("k"))
+        .agg(coalesce(sum(when($"k" > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_straddling"))
+      assigned
+        .groupBy($"split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"cluster_id").as("n_clusters"))
+        .crossJoin(broadcast(straddling))
+        .orderBy($"split")
+    },
+    Some("WITH RECURSIVE " + minhashPairsCtes(0.8) + """,
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION
+           |  SELECT doc_b, doc_a FROM pairs
+           |),
+           |walk(node, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+           |),
+           |comp AS (
+           |  SELECT node AS doc_id, min(comp) AS canonical_id
+           |  FROM walk GROUP BY node
+           |),
+           |clustered AS (
+           |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |),
+           |asg AS (
+           |  SELECT doc_id, cluster_id,
+           |         CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)
+           |                        AS BIGINT) % 1000 < 100
+           |              THEN 'eval' ELSE 'train' END AS split
+           |  FROM clustered
+           |),
+           |str AS (
+           |  SELECT CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |           AS n_straddling
+           |  FROM (SELECT cluster_id, count(DISTINCT split) AS k FROM asg GROUP BY cluster_id)
+           |)
+           |SELECT split, count(*) AS n_docs,
+           |       count(DISTINCT cluster_id) AS n_clusters,
+           |       (SELECT n_straddling FROM str) AS n_straddling
+           |FROM asg
+           |GROUP BY split
+           |ORDER BY split""".stripMargin),
+  )
+
   /** The adversarial-graph canonicalization gate: a PATH-graph fixture
     * (edges chain consecutive doc_ids, broken before every multiple of
     * 37 → segments of diameter 36) where min-label propagation would
@@ -758,7 +835,8 @@ object Dedup {
             |ORDER BY i.doc_id""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain, simhashPairs,
+  val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain,
+    splitLeakageSafe, simhashPairs,
     ngramJaccard, embeddingCosine, embeddingCosineBlocked, streamExact,
     substringSpans, normalizedDedup, incremental)
 }

@@ -277,7 +277,7 @@ object MultimodalQ {
       val bands = TextDedup.bitBands(
         ah.select($"media_id".as("doc_id"), $"ahash"), "ahash", bits = 64, nBands = 4)
       TextDedup
-        .bandPairs(bands)
+        .bandPairs(bands, TextDedup.DefaultMaxBucket)
         .join(ah.select($"media_id".as("doc_a"),
           $"ah_hi".as("hi_a"), $"ah_lo".as("lo_a")), "doc_a")
         .join(ah.select($"media_id".as("doc_b"),
@@ -313,11 +313,15 @@ object MultimodalQ {
             |  SELECT media_id, hb, b, substr(hb, CAST(b * 16 + 1 AS BIGINT), 16) AS bh
             |  FROM hs, unnest(range(0, 4)) AS t(b)
             |),
+            |hot AS (
+            |  SELECT b, bh FROM bands GROUP BY b, bh HAVING count(*) > 50
+            |),
             |cand AS (
             |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
             |                  a.hb AS ha, b.hb AS hbb
             |  FROM bands a
             |  JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.media_id < b.media_id
+            |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.b = a.b AND h.bh = a.bh)
             |)
             |SELECT media_a, media_b,
             |       CAST(len(list_filter(range(1, 65), i ->

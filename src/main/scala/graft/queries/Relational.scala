@@ -1557,6 +1557,59 @@ object Relational {
     Some(profileHllOrdersOracle),
   )
 
+  /** Distribution-drift monitor under the gate (operators/Drift):
+    * per-source L1 gap between the n_chars histograms of two corpus
+    * snapshots (alternating doc_id blocks — `doc_id div 20` parity,
+    * which interleaves within every source since the fixture assigns
+    * source by `doc_id mod 20`; observed drift is then the
+    * sampling/truncation floor, what a stable feed should report).
+    * All-integer per-mille histogram math — see the operator's
+    * scaladoc for why L1 and not PSI/KL.
+    */
+  private val profileDrift = Q(
+    "q_profile_drift",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      graft.operators.Drift
+        .histogramL1(
+          docs.filter(expr("(doc_id div 20) % 2 = 0")),
+          docs.filter(expr("(doc_id div 20) % 2 = 1")),
+          "source", "n_chars", binWidth = 100L, nBins = 8)
+        .orderBy($"source")
+    },
+    Some("""WITH o AS (SELECT source, n_chars FROM documents WHERE (doc_id // 20) % 2 = 0),
+           |n AS (SELECT source, n_chars FROM documents WHERE (doc_id // 20) % 2 = 1),
+           |ho AS (SELECT source, least(n_chars // 100, 7) AS bin, count(*) AS c_old
+           |       FROM o GROUP BY 1, 2),
+           |hn AS (SELECT source, least(n_chars // 100, 7) AS bin, count(*) AS c_new
+           |       FROM n GROUP BY 1, 2),
+           |t_o AS (SELECT source, count(*) AS n_old FROM o GROUP BY source),
+           |t_n AS (SELECT source, count(*) AS n_new FROM n GROUP BY source),
+           |j AS (
+           |  SELECT coalesce(ho.source, hn.source) AS source,
+           |         coalesce(ho.bin, hn.bin) AS bin,
+           |         coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+           |  FROM ho FULL JOIN hn ON ho.source = hn.source AND ho.bin = hn.bin
+           |),
+           |sh AS (
+           |  SELECT j.source, bin,
+           |         CASE WHEN coalesce(n_old, 0) > 0 THEN (c_old * 1000) // n_old ELSE 0 END AS s_old,
+           |         CASE WHEN coalesce(n_new, 0) > 0 THEN (c_new * 1000) // n_new ELSE 0 END AS s_new,
+           |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+           |  FROM j
+           |  LEFT JOIN t_o ON t_o.source = j.source
+           |  LEFT JOIN t_n ON t_n.source = j.source
+           |)
+           |SELECT source,
+           |       CAST(max(n_old) AS BIGINT) AS n_old,
+           |       CAST(max(n_new) AS BIGINT) AS n_new,
+           |       CAST(sum(abs(s_old - s_new)) AS BIGINT) AS l1_pm
+           |FROM sh
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
   /** The profiler run as a STREAMING aggregation: the identical
     * `Profile.profileHll` report — HLL registers and all — as a
     * complete-mode global streaming aggregate over a file-source
@@ -1706,6 +1759,7 @@ object Relational {
     profileColumns,
     profileColumnsHll,
     streamProfileHll,
+    profileDrift,
     joinSaltedSkew,
     corpusDiff,
     streamCmsCells,

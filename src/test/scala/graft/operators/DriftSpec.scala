@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Integer-L1 drift semantics: zero on identical snapshots, 2000 pm
+  * (both distributions fully displaced) on a vanished group, monotone
+  * response to a real shift.
+  */
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: Seq[(String, Long)]) = rows.toDF("g", "v")
+
+  private def l1(old: Seq[(String, Long)], nw: Seq[(String, Long)]): Map[String, (Long, Long, Long)] =
+    Drift.histogramL1(df(old), df(nw), "g", "v", binWidth = 10L, nBins = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("identical snapshots drift zero") {
+    val snap = Seq(("a", 5L), ("a", 15L), ("a", 25L), ("b", 5L))
+    assert(l1(snap, snap) == Map("a" -> ((3L, 3L, 0L)), "b" -> ((1L, 1L, 0L))))
+  }
+
+  test("a group absent from one snapshot is maximal drift, not an error") {
+    val out = l1(Seq(("a", 5L), ("gone", 5L)), Seq(("a", 5L), ("fresh", 25L)))
+    assert(out("gone") == ((1L, 0L, 1000L)))
+    assert(out("fresh") == ((0L, 1L, 1000L)))
+    assert(out("a") == ((1L, 1L, 0L)))
+  }
+
+  test("a full shift of one bin's mass moves l1 by twice its share") {
+    // old: half mass bin0, half bin1; new: all mass bin1
+    val out = l1(
+      Seq(("a", 5L), ("a", 15L)),
+      Seq(("a", 15L), ("a", 16L)))
+    assert(out("a") == ((2L, 2L, 1000L))) // |500-0| + |500-1000|
+  }
+
+  test("overflow values clamp into the top bin") {
+    val out = l1(Seq(("a", 999L)), Seq(("a", 35L))) // both → bin 3
+    assert(out("a")._3 == 0L)
+  }
+}

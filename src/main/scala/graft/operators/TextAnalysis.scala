@@ -620,6 +620,31 @@ object TextAnalysis {
       )
   }
 
+  /** Intra-document repeated-line removal — the WITHIN-doc half of
+    * line-level cleaning ([[dropCommonLines]] is the cross-doc half):
+    * keep each line's FIRST occurrence in order, drop repeats (menus,
+    * looping boilerplate, scraper stutter). The whole computation is
+    * one in-row array program — `filter` with the positional lambda
+    * keeps index i iff `array_position` (first occurrence) equals it —
+    * so the operator is a pure narrow map: zero shuffles at any
+    * corpus size, like [[winnowing]].
+    */
+  def dedupLinesInDoc(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", Cols.materialized(split($"text", "\n")).as("ls"))
+      .select($"doc_id", $"ls",
+        Cols.materialized(
+          filter($"ls", (l, i) => array_position($"ls", l) === (i + 1).cast("long")))
+          .as("kept"))
+      .select(
+        $"doc_id",
+        size($"ls").cast("long").as("n_lines"),
+        size($"kept").cast("long").as("n_kept"),
+        array_join($"kept", "\n").as("cleaned"))
+  }
+
   def redact(docs: DataFrame, patterns: Seq[RedactPattern] = defaultPiiPatterns): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -663,6 +663,56 @@ object TextAnalysisQ {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Intra-doc repeated-line removal under the gate
+    * (TextAnalysis.dedupLinesInDoc): docs folded into 8-word lines
+    * with every even doc's FIRST line re-appended (deterministic
+    * scraper-stutter), dedup keeps first occurrences in order —
+    * verified per doc down to the full cleaned text. Pure narrow
+    * in-row array program, zero shuffles (same plan class as
+    * winnowing).
+    */
+  private val dedupLines = Q(
+    "q_text_dedup_lines",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val aug = docs
+        .select($"doc_id", graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
+        .select($"doc_id", graft.functions.Cols.materialized(transform(
+          sequence(lit(0), expr("(size(ws) + 7) div 8 - 1")),
+          i => array_join(slice($"ws", i * 8 + 1, lit(8)), " "))).as("lines"))
+        .select($"doc_id", array_join(
+          when($"doc_id" % 2 === 0, concat($"lines", slice($"lines", 1, 1)))
+            .otherwise($"lines"),
+          "\n").as("text"))
+      TextAnalysis.dedupLinesInDoc(aug).orderBy($"doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |ln AS (
+           |  SELECT doc_id,
+           |         list_transform(range(0, (len(ws) + 7) // 8),
+           |                        i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS lines
+           |  FROM ws
+           |),
+           |aug AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 2 = 0 THEN list_append(lines, lines[1])
+           |              ELSE lines END AS ls
+           |  FROM ln
+           |),
+           |ded AS (
+           |  SELECT doc_id, ls,
+           |         list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+           |  FROM aug
+           |)
+           |SELECT doc_id,
+           |       CAST(len(ls) AS BIGINT) AS n_lines,
+           |       CAST(len(kept) AS BIGINT) AS n_kept,
+           |       array_to_string(kept, chr(10)) AS cleaned
+           |FROM ded
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   /** Bloom-filter decontamination screen (operators/Bloom): the same
     * bench/corpus split as `q_text_decontaminate`, but membership is
     * tested against a FIXED-size bit set (m = 2^18, k = 3 probes)
@@ -868,6 +918,7 @@ object TextAnalysisQ {
 
   val all: Seq[Q] =
     Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, repetition, chunk, pack, bpe, bpeEncode, boilerplate, bloomScreen,
+      rareBigrams, repetition, chunk, pack, bpe, bpeEncode, boilerplate,
+      dedupLines, bloomScreen,
       heavyHitters, lengthBatching)
 }

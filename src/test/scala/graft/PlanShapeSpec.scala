@@ -208,6 +208,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=k filter did not push down as a group limit:\n$p")
   }
 
+  test("domain cap: the rank<=cap filter plans as a WindowGroupLimit " +
+    "(map-side group truncation before the exchange)") {
+    val p = physical(SparkEntry.queries("q_sample_domain_cap")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"domain cap did not push down as a group limit:\n$p")
+  }
+
+  test("in-doc line dedup is a pure narrow map: zero exchanges before " +
+    "the gate's output sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb\na\nc")).toDF("doc_id", "text")
+    val p = physical(graft.operators.TextAnalysis.dedupLinesInDoc(docs))
+    assert(!p.contains("Exchange"), s"line dedup grew a shuffle:\n$p")
+  }
+
+  test("capped band pairing: saturated-bucket exclusion is a BROADCAST " +
+    "anti-join, never a shuffled one") {
+    import spark.implicits._
+    val bands = Seq((1L, 0, "x"), (2L, 0, "x"), (3L, 0, "y"))
+      .toDF("doc_id", "band", "band_hash")
+    val p = physical(graft.operators.TextDedup.bandPairs(bands, 1))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-bucket exclusion is not a broadcast anti-join:\n$p")
+  }
+
   test("substring dedup: dup-gram marking is a semi join, never an " +
     "index-replicating inner join") {
     val p = physical(SparkEntry.queries("q_dedup_substring")(spark, dir))

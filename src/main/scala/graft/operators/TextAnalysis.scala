@@ -442,6 +442,86 @@ object TextAnalysis {
         round($"n_rare".cast("double") / $"n_bigrams", 4))
   }
 
+  /** Bigram language-model scoring with a TRAIN/SCORE split — the real
+    * CCNet/KenLM-style perplexity gate ([[rareBigrams]] is the cheap
+    * corpus-statistics proxy): a bigram model with add-one smoothing is
+    * fit on a reference slice, every document is scored by its mean
+    * smoothed transition probability, and the corpus is cut into the
+    * classic head / middle / tail terciles by that score (tail = least
+    * reference-like = what CCNet drops or downweights).
+    *
+    * Reproducibility contract: true perplexity exponentiates a mean
+    * log-prob — libm territory. Instead each transition's smoothed
+    * probability is QUANTIZED to parts-per-`scale` by integral
+    * division, p_ppm = ((c12 + 1) · scale) div (c1 + V), and a doc's
+    * score is the tf-weighted integer mean. Monotone in the geometric
+    * mean's ranking for the gate's purpose, and bit-identical in any
+    * engine. Tercile cuts are EXACT integer order statistics, not a
+    * sampled approximation: the smallest score t_k with
+    * 3·|{score ≤ t_k}| ≥ k·n.
+    *
+    * Scale shape: the model is a TABLE, never a driver-side object —
+    * (w1,w2)→c12 and w1→c1 join the corpus's per-doc DISTINCT bigram
+    * table by key (map-side combine collapses repeats before the
+    * exchange; AQE broadcasts the model when it is small, sort-merge
+    * otherwise); V is a 1-row broadcast. The tercile pass runs over the
+    * score HISTOGRAM — ≤ scale+1 integer values regardless of corpus
+    * size — so its single-partition cumulative window is bounded work.
+    * The scored table is persisted across its two consumers (histogram
+    * + final labeling).
+    */
+  def lmScore(docs: DataFrame, ref: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1000, s"scale must be >= 1000 (got $scale)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = $"ws"
+    val grams = transform(
+      sequence(lit(1), size(ws) - 1),
+      i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))
+    def bigrams(df: DataFrame): DataFrame = df
+      .select($"doc_id", Cols.materialized(split($"text", " ")).as("ws"))
+      .filter(size(ws) >= 2)
+      .select($"doc_id", explode(grams).as("g"))
+      .select($"doc_id", $"g.w1".as("w1"), $"g.w2".as("w2"))
+    val c12 = bigrams(ref).groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .persist() // three consumers: c1, V, and the score join
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    // V (the add-one denominator's vocabulary) derived from c12, not a
+    // second pass over ref
+    val v = c12.agg(countDistinct($"w2").as("v"))
+    val dg = bigrams(docs)
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+    val scored = dg
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select($"doc_id", $"tf", $"c12",
+        expr(s"((coalesce(c12, 0) + 1) * $scale) div (coalesce(c1, 0) + v)")
+          .as("p_ppm"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").as("n_bigrams"),
+        sum(when($"c12".isNull, $"tf").otherwise(0L)).as("n_unseen"),
+        expr("sum(tf * p_ppm) div sum(tf)").as("avg_ppm"))
+      .persist()
+    val hist = scored.groupBy($"avg_ppm").agg(count(lit(1)).as("cnt"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    val wcum = Window.orderBy($"avg_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum($"cnt").over(wcum))
+      .crossJoin(broadcast(n))
+      .agg(
+        min(when($"cum" * 3 >= $"n", $"avg_ppm")).as("t1"),
+        min(when($"cum" * 3 >= $"n" * 2, $"avg_ppm")).as("t2"))
+    scored
+      .crossJoin(broadcast(thr))
+      .select($"doc_id", $"n_bigrams", $"n_unseen", $"avg_ppm",
+        when($"avg_ppm" <= $"t1", "tail")
+          .when($"avg_ppm" <= $"t2", "middle")
+          .otherwise("head").as("bucket"))
+  }
+
   /** Repetition quality signals (the Gopher-rules family): for word
     * n-grams of size 1-3, the fraction of occurrences claimed by the
     * single most frequent gram (`top_*_frac`) and the fraction that

@@ -568,6 +568,81 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin),
   )
 
+  /** SemDeDup (Abbas et al. 2023-style semantic dedup): the
+    * keep/drop POLICY layered on the blocked-cosine candidate
+    * machinery. Where `q_dedup_embedding_cosine_blocked` reports the
+    * near-dup pairs, this resolves them: within each trained k-means
+    * cluster, for every pair with cosine ≥ τ the member CLOSER to the
+    * cluster centroid is dropped and the farther one kept — pruning
+    * toward diversity, the paper's rule — with the higher vec_id
+    * dropped on a centroid-cosine tie (total order, engine-exact
+    * since both cosines are the same rounded integers-over-sqrt on
+    * both sides). A vector is dropped if it loses ANY pair.
+    *
+    * Scale shape: identical to the blocked variant — linear Lloyd
+    * training (broadcast centroids), cent_id equi-join pair
+    * generation (per-cluster quadratic, never corpus²), then one
+    * distinct over the (tiny) losing set and a left join back for the
+    * verdict; the losing set is candidate-pair-sized, AQE broadcasts
+    * it. Output: every vector with (cent_id, cos_cent, verdict).
+    */
+  private val semDedup = Q(
+    "q_dedup_semdedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.VectorSim
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      // assignment carries the centroid cosine the drop rule ranks by
+      val assign = VectorSim.kmeans(e, init, dims = 64, iters = 3)
+      val m = assign.join(e, "vec_id").persist()
+      def pcos = VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb")
+      val pairs = m
+        .select($"cent_id", $"vec_id".as("vec_a"), $"cos".as("ca"),
+          $"q".as("qa"), $"n2".as("na"))
+        .join(
+          m.select($"cent_id".as("cent_b"), $"vec_id".as("vec_b"), $"cos".as("cb"),
+            $"q".as("qb"), $"n2".as("nb")),
+          $"cent_id" === $"cent_b" && $"vec_a" < $"vec_b" && pcos >= 0.45)
+      val dropped = pairs
+        .select(
+          when($"ca" > $"cb", $"vec_a")
+            .when($"cb" > $"ca", $"vec_b")
+            .otherwise(greatest($"vec_a", $"vec_b")).as("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", lit(1L))
+      m.join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", $"cent_id", $"cos".as("cos_cent"),
+          when($"is_dropped".isNotNull, "drop").otherwise("keep").as("verdict"))
+        .orderBy($"vec_id")
+    },
+    Some(Similarity.kmeansCtes(3) + s""",
+       |m AS (
+       |  SELECT a.vec_id, a.cent_id, a.cos, v.q, v.n2
+       |  FROM assign2 a JOIN n v ON v.vec_id = a.vec_id
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cos AS ca, b.cos AS cb
+       |  FROM m a JOIN m b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${Similarity.cosSql("a.q", "a.n2", "b.q", "b.n2")} >= 0.45
+       |),
+       |dropped AS (
+       |  SELECT DISTINCT CASE WHEN ca > cb THEN vec_a
+       |                       WHEN cb > ca THEN vec_b
+       |                       ELSE greatest(vec_a, vec_b) END AS vec_id
+       |  FROM pairs
+       |)
+       |SELECT m.vec_id, m.cent_id, m.cos AS cos_cent,
+       |       CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin),
+  )
+
   /** STREAMING exact dedup under the gate: the corpus arrives twice
     * (two file sources unioned — the at-least-once-delivery shape that
     * makes streaming dedup necessary in a real ingest), and stateful
@@ -837,6 +912,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain,
     splitLeakageSafe, simhashPairs,
-    ngramJaccard, embeddingCosine, embeddingCosineBlocked, streamExact,
+    ngramJaccard, embeddingCosine, embeddingCosineBlocked, semDedup, streamExact,
     substringSpans, normalizedDedup, incremental)
 }

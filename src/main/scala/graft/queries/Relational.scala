@@ -616,6 +616,42 @@ object Relational {
            |ORDER BY flag, status""".stripMargin),
   )
 
+  /** CUBE (every grouping combination) — the remaining member of the
+    * rollup / grouping-sets family, over a DIFFERENT fact table
+    * (orders) so the family isn't three reads of the same data. Money
+    * summed as integer cents (o_totalprice is 2-dp by construction)
+    * then presented at 2 dp — no float accumulation order in the
+    * hash. Same Expand-then-one-shuffle plan as rollup: each row fans
+    * into its 4 grouping combinations map-side, partial aggregation
+    * collapses before the single exchange.
+    */
+  private val aggCube = Q(
+    "q_agg_cube",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderstatus", $"o_orderpriority",
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          round(sum($"cents") / 100.0, 2).as("sum_price"),
+          count(lit(1)).as("n"),
+        )
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"sum_price", $"n")
+        .orderBy($"status", $"priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           |       coalesce(o_orderpriority, 'ALL') AS priority,
+           |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price,
+           |       count(*) AS n
+           |FROM orders
+           |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY status, priority""".stripMargin),
+  )
+
   /** Frame-based window functions: 7-row moving average + lag delta
     * per event_type in event_id order. Values quantized to integer
     * cents before the windowed sum so frame aggregation is
@@ -1799,5 +1835,6 @@ object Relational {
     windowSessionize,
     sampleStratified,
     aggGroupingSets,
+    aggCube,
   )
 }

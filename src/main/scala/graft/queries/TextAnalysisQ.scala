@@ -382,6 +382,78 @@ object TextAnalysisQ {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Bigram-LM perplexity-style gate (TextAnalysis.lmScore): the model
+    * trains on the doc_id % 5 = 0 slice (the "reference corpus"), every
+    * document is scored by its integer-quantized mean smoothed
+    * transition probability, and head/middle/tail labels come from
+    * exact integer tercile cuts. The oracle refits the identical model
+    * (// is div for these all-non-negative operands) and reproduces
+    * the cuts from the same score histogram.
+    */
+  private val lmScore = Q(
+    "q_text_lm_score",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      TextAnalysis
+        .lmScore(docs, docs.filter($"doc_id" % 5 === 0))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH rws AS (
+           |  SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 = 0
+           |),
+           |rg AS (
+           |  SELECT ws[i] AS w1, ws[i+1] AS w2
+           |  FROM rws, unnest(range(1, len(ws))) AS t(i)
+           |  WHERE len(ws) >= 2
+           |),
+           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM rg GROUP BY w1, w2),
+           |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+           |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
+           |cws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |cg AS (
+           |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           |  FROM cws, unnest(range(1, len(ws))) AS t(i)
+           |  WHERE len(ws) >= 2
+           |),
+           |dg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+           |       FROM cg GROUP BY doc_id, w1, w2),
+           |p AS (
+           |  SELECT d.doc_id, d.tf, b.c12,
+           |         ((coalesce(b.c12, 0) + 1) * 1000000) // (coalesce(u.c1, 0) + v.v) AS p_ppm
+           |  FROM dg d
+           |  LEFT JOIN c12 b ON d.w1 = b.w1 AND d.w2 = b.w2
+           |  LEFT JOIN c1 u ON d.w1 = u.w1
+           |  CROSS JOIN v
+           |),
+           |sc AS (
+           |  SELECT doc_id,
+           |         CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |         CAST(sum(CASE WHEN c12 IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_unseen,
+           |         CAST(sum(tf * p_ppm) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS avg_ppm
+           |  FROM p GROUP BY doc_id
+           |),
+           |hist AS (SELECT avg_ppm, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY avg_ppm),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+           |cum AS (
+           |  SELECT avg_ppm, CAST(sum(cnt) OVER (
+           |    ORDER BY avg_ppm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           |  ) AS BIGINT) AS cum
+           |  FROM hist
+           |),
+           |thr AS (
+           |  SELECT min(CASE WHEN cum * 3 >= n THEN avg_ppm END) AS t1,
+           |         min(CASE WHEN cum * 3 >= 2 * n THEN avg_ppm END) AS t2
+           |  FROM cum, n
+           |)
+           |SELECT s.doc_id, s.n_bigrams, s.n_unseen, s.avg_ppm,
+           |       CASE WHEN s.avg_ppm <= t.t1 THEN 'tail'
+           |            WHEN s.avg_ppm <= t.t2 THEN 'middle'
+           |            ELSE 'head' END AS bucket
+           |FROM sc s CROSS JOIN thr t
+           |ORDER BY s.doc_id""".stripMargin),
+  )
+
   /** One gram-stats CTE pair for gram size `n`, prefix `p`: per-doc
     * occurrence/top/dup counts — the SQL twin of
     * `TextAnalysis.repetition`'s gramStats.
@@ -918,7 +990,7 @@ object TextAnalysisQ {
 
   val all: Seq[Q] =
     Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, repetition, chunk, pack, bpe, bpeEncode, boilerplate,
+      rareBigrams, lmScore, repetition, chunk, pack, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, lengthBatching)
 }

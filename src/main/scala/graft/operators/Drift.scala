@@ -25,6 +25,55 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** The binned (group, bin, count) histogram the L1 compare consumes:
+    * one hash aggregation, count column named `cntCol`. Every
+    * aggregate is MERGEABLE, so this is also the state a streaming
+    * complete-mode monitor holds — fixed at groups × bins rows however
+    * many micro-batches arrive (see q_stream_drift).
+    */
+  def histogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      binWidth: Long,
+      nBins: Int,
+      cntCol: String,
+  ): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1 (got $binWidth)")
+    require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
+    df.select(col(groupCol).as("g"),
+        expr(s"least(cast(`$valueCol` as bigint) div $binWidth, ${nBins - 1})").as("bin"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as(cntCol))
+  }
+
+  /** The L1 compare over two pre-binned histograms `(g, bin, c_old)` /
+    * `(g, bin, c_new)` — per-group totals are the bin sums (every row
+    * lands in exactly one bin), so no second pass over the raw
+    * snapshots is needed. Output: (g, n_old, n_new, l1_pm).
+    */
+  def histogramL1FromHists(histOld: DataFrame, histNew: DataFrame): DataFrame = {
+    val spark = histOld.sparkSession
+    import spark.implicits._
+    def totals(h: DataFrame, c: String, n: String) =
+      h.groupBy($"g").agg(sum(col(c)).as(n))
+    histOld
+      .join(histNew, Seq("g", "bin"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .join(broadcast(totals(histOld, "c_old", "n_old")), Seq("g"), "left")
+      .join(broadcast(totals(histNew, "c_new", "n_new")), Seq("g"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .withColumn("s_old",
+        when($"n_old" > 0, expr("(c_old * 1000) div n_old")).otherwise(0L))
+      .withColumn("s_new",
+        when($"n_new" > 0, expr("(c_new * 1000) div n_new")).otherwise(0L))
+      .groupBy($"g")
+      .agg(
+        max($"n_old").as("n_old"),
+        max($"n_new").as("n_new"),
+        sum(abs($"s_old" - $"s_new")).as("l1_pm"))
+  }
+
   /** Per-group L1 drift (per-mille) of `valueCol`'s histogram between
     * `oldDf` and `newDf`. Output: (group, n_old, n_new, l1_pm).
     * Groups absent from one snapshot compare against an empty
@@ -38,34 +87,9 @@ object Drift {
       valueCol: String,
       binWidth: Long,
       nBins: Int,
-  ): DataFrame = {
-    require(binWidth >= 1, s"binWidth must be >= 1 (got $binWidth)")
-    require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
-    val spark = oldDf.sparkSession
-    import spark.implicits._
-    def hist(df: DataFrame, side: String) = df
-      .select(col(groupCol).as("g"),
-        expr(s"least(cast(`$valueCol` as bigint) div $binWidth, ${nBins - 1})").as("bin"))
-      .groupBy($"g", $"bin")
-      .agg(count(lit(1)).as(s"c_$side"))
-    def totals(df: DataFrame, side: String) = df
-      .groupBy(col(groupCol).as("g"))
-      .agg(count(lit(1)).as(s"n_$side"))
-    hist(oldDf, "old")
-      .join(hist(newDf, "new"), Seq("g", "bin"), "full_outer")
-      .na.fill(0L, Seq("c_old", "c_new"))
-      .join(broadcast(totals(oldDf, "old")), Seq("g"), "left")
-      .join(broadcast(totals(newDf, "new")), Seq("g"), "left")
-      .na.fill(0L, Seq("n_old", "n_new"))
-      .withColumn("s_old",
-        when($"n_old" > 0, expr("(c_old * 1000) div n_old")).otherwise(0L))
-      .withColumn("s_new",
-        when($"n_new" > 0, expr("(c_new * 1000) div n_new")).otherwise(0L))
-      .groupBy($"g")
-      .agg(
-        max($"n_old").as("n_old"),
-        max($"n_new").as("n_new"),
-        sum(abs($"s_old" - $"s_new")).as("l1_pm"))
+  ): DataFrame =
+    histogramL1FromHists(
+      histogram(oldDf, groupCol, valueCol, binWidth, nBins, "c_old"),
+      histogram(newDf, groupCol, valueCol, binWidth, nBins, "c_new"))
       .withColumnRenamed("g", groupCol)
-  }
 }

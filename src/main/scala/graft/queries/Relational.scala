@@ -1614,7 +1614,11 @@ object Relational {
           "source", "n_chars", binWidth = 100L, nBins = 8)
         .orderBy($"source")
     },
-    Some("""WITH o AS (SELECT source, n_chars FROM documents WHERE (doc_id // 20) % 2 = 0),
+    Some(driftOracle),
+  )
+
+  private lazy val driftOracle: String =
+    """WITH o AS (SELECT source, n_chars FROM documents WHERE (doc_id // 20) % 2 = 0),
            |n AS (SELECT source, n_chars FROM documents WHERE (doc_id // 20) % 2 = 1),
            |ho AS (SELECT source, least(n_chars // 100, 7) AS bin, count(*) AS c_old
            |       FROM o GROUP BY 1, 2),
@@ -1643,7 +1647,54 @@ object Relational {
            |       CAST(sum(abs(s_old - s_new)) AS BIGINT) AS l1_pm
            |FROM sh
            |GROUP BY source
-           |ORDER BY source""".stripMargin),
+           |ORDER BY source""".stripMargin
+
+  /** The drift monitor as a LIVE alarm: the "new" snapshot arrives as
+    * a stream and its binned histogram runs as a complete-mode
+    * streaming aggregation — counts are mergeable, so the state store
+    * holds exactly groups × bins rows (20 × 8 here) no matter how many
+    * micro-batches arrive, and every trigger re-emits the refreshed
+    * histogram. The L1 compare against the static "old" snapshot then
+    * runs batch-side on the sink table through the IDENTICAL
+    * `histogramL1FromHists` core as the batch gate, and the result is
+    * hash-checked against the SAME oracle as `q_profile_drift` —
+    * stream ≡ batch ≡ oracle. Shuffle partitions pinned to 4: state
+    * is 160 rows, and every extra partition is an empty state-store
+    * commit per batch.
+    */
+  private val streamDrift = Q(
+    "q_stream_drift",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_drift_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val newStream = s.readStream.schema(sch)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(expr("(doc_id div 20) % 2 = 1"))
+        val histNew = graft.operators.Drift.histogram(
+          newStream, "source", "n_chars", binWidth = 100L, nBins = 8, cntCol = "c_new")
+        val query = histNew.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val histOld = graft.operators.Drift.histogram(
+        Tables(s, dir).documents.filter(expr("(doc_id div 20) % 2 = 0")),
+        "source", "n_chars", binWidth = 100L, nBins = 8, cntCol = "c_old")
+      graft.operators.Drift
+        .histogramL1FromHists(histOld, s.table(sinkName))
+        .withColumnRenamed("g", "source")
+        .orderBy($"source")
+    },
+    Some(driftOracle),
   )
 
   /** The profiler run as a STREAMING aggregation: the identical
@@ -1796,6 +1847,7 @@ object Relational {
     profileColumnsHll,
     streamProfileHll,
     profileDrift,
+    streamDrift,
     joinSaltedSkew,
     corpusDiff,
     streamCmsCells,

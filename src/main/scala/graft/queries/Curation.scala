@@ -331,6 +331,209 @@ object Curation {
             |ORDER BY source""".stripMargin),
   )
 
+  /** V3 of the pipeline — the round-4 stages composed into the chain,
+    * which now covers every standard pretraining-curation step:
+    *
+    *   PII redaction → heuristic quality + language gate →
+    *   MODEL-BASED quality filter (integer linear classifier) →
+    *   n-gram DECONTAMINATION against a held-out benchmark slice →
+    *   exact dedup → near-dup connected-components canonicalization →
+    *   per-source DOMAIN CAP → per-source accounting.
+    *
+    * Differences from v2: the corpus excludes the benchmark slice
+    * (doc_id % 29 = 3 plays the eval set, as in q_text_decontaminate)
+    * and three stages are appended — the learned-filter stage
+    * (modelQuality's keep verdict over the redacted text), the
+    * contamination drop (any shared 4-gram with the raw bench text),
+    * and the FineWeb-style ≤12-docs-per-source cap (md5-priority
+    * WindowGroupLimit). The oracle recomputes the whole chain, every
+    * stage from its own first principles.
+    *
+    * Scale: each appended stage keeps its audited shape — the
+    * classifier is a pure narrow map, decontamination broadcasts only
+    * the bench gram set, the cap truncates groups map-side before its
+    * one exchange. Latency is additive stage count, like v1/v2.
+    */
+  private val curationV3 = Q(
+    "q_pipeline_curation_v3",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val bench = docs.filter($"doc_id" % 29 === 3)
+        .select($"doc_id".as("bench_id"), $"text")
+      val corpus = docs.filter($"doc_id" % 29 =!= 3)
+      val red = TextAnalysis
+        .redact(TextAnalysisQ.augmented(corpus.select($"doc_id", $"text")))
+        .withColumn("n_redactions",
+          TextAnalysis.defaultPiiPatterns
+            .map(p => col(s"n_${p.name}"))
+            .reduce(_ + _))
+        .select($"doc_id", $"redacted".as("text"), $"n_redactions")
+      val gated = TextAnalysis
+        .gate(red, TextAnalysis.defaultStopwords, TextAnalysis.defaultProfile)
+        .filter($"quality" >= 0.45 && $"pred_lang" === "en")
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+        .select($"doc_id", $"text", $"source", $"n_redactions", $"words", $"quality")
+        .persist() // feeds the classifier AND the semi-join below
+      val mq = TextAnalysis.modelQuality(gated.select($"doc_id", $"text"))
+        .filter($"verdict" === "keep")
+        .select($"doc_id")
+      val mqKept = gated.join(mq, Seq("doc_id"), "left_semi")
+        .persist() // feeds decontamination AND the anti-join below
+      val contaminated = TextAnalysis
+        .decontaminate(mqKept.select($"doc_id", $"text"), bench, n = 4)
+        .select($"doc_id")
+      val clean = mqKept.join(contaminated, Seq("doc_id"), "left_anti")
+        .persist() // feeds the canonical hash set AND kept
+      val exactCanonical = clean
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val kept = clean.join(exactCanonical, Seq("doc_id"), "left_semi").persist()
+      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      val pairs = TextDedup.jaccard(
+        TextDedup.bandPairs(
+          TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2),
+          TextDedup.DefaultMaxBucket),
+        sh, cnt)
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b")
+      val drops = graft.operators.Components
+        .connectedComponents(pairs, "doc_a", "doc_b")
+        .filter($"node" =!= $"component")
+        .select($"node".as("doc_id"))
+      val deduped = kept.join(drops, Seq("doc_id"), "left_anti")
+      val capped = graft.operators.Mixture.domainCap(deduped, "source", "doc_id", 12)
+      capped
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"words").as("total_tokens"),
+          sum($"n_redactions").as("total_redactions"),
+          round(sum(round($"quality" * 10000).cast("long")) /
+            (count(lit(1)) * 10000.0), 4).as("avg_quality"),
+        )
+        .orderBy($"source")
+    },
+    Some(s"""WITH RECURSIVE prof(p_lang, p_word, p_weight) AS (VALUES $profileValues),
+            |corpus3 AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 29 <> 3),
+            |aug AS (${TextAnalysisQ.augSqlOver("corpus3")}),
+            |${TextAnalysisQ.redactCtes},
+            |red AS (
+            |  SELECT doc_id, t AS text,
+            |         ${TextAnalysisQ.redactCountCols.mkString(" + ")} AS n_redactions
+            |  FROM ${TextAnalysisQ.redactFinalCte}
+            |),
+            |${gateCtes("red")},
+            |gated AS (
+            |  SELECT r.doc_id, r.text, d.source, r.n_redactions, q.words, q.quality
+            |  FROM red r
+            |  JOIN documents d ON d.doc_id = r.doc_id
+            |  JOIN qual q ON q.doc_id = r.doc_id AND q.quality >= 0.45
+            |  JOIN pred p ON p.doc_id = r.doc_id AND p.pred_lang = 'en'
+            |),
+            |mbase AS (
+            |  SELECT doc_id,
+            |         CAST(length(text) AS BIGINT) AS chars,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+            |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_words,
+            |         CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS stop_hits
+            |  FROM gated
+            |),
+            |mlogit AS (
+            |  SELECT doc_id,
+            |         2 * ((distinct_words * 1000) // words) +
+            |         3 * ((stop_hits * 1000) // words) +
+            |         1 * least(words * 10, 1000) +
+            |         (-1) * abs(((chars - (words - 1)) * 1000) // words - 5000) +
+            |         (-1000) AS logit_scaled
+            |  FROM mbase
+            |),
+            |mq AS (SELECT doc_id FROM mlogit WHERE logit_scaled >= 0),
+            |mqkept AS (SELECT g.* FROM gated g JOIN mq USING (doc_id)),
+            |bws AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 29 = 3),
+            |bg AS (
+            |  SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+            |  FROM bws, unnest(range(1, len(ws) - 2)) AS t(i)
+            |),
+            |dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM mqkept),
+            |dcg AS (
+            |  SELECT DISTINCT doc_id,
+            |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+            |  FROM dws, unnest(range(1, len(ws) - 2)) AS t(i)
+            |),
+            |cont AS (SELECT DISTINCT doc_id FROM dcg JOIN bg USING (g)),
+            |clean AS (
+            |  SELECT m.* FROM mqkept m
+            |  LEFT JOIN cont c USING (doc_id)
+            |  WHERE c.doc_id IS NULL
+            |),
+            |canonical AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+            |kept AS (SELECT c.* FROM clean c JOIN canonical k ON c.doc_id = k.doc_id),
+            |kws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            |  FROM kws, unnest(range(1, len(ws) - 1)) AS t(i)
+            |),
+            |${Dedup.minhashOracleCtes},
+            |${Dedup.cappedCandCtes()},
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT doc_a, doc_b, count(*) AS i
+            |  FROM cand
+            |  JOIN sh sa ON sa.doc_id = doc_a
+            |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+            |  GROUP BY doc_a, doc_b
+            |),
+            |pairs AS (
+            |  SELECT doc_a, doc_b
+            |  FROM inter
+            |  JOIN cnt ca ON ca.doc_id = doc_a
+            |  JOIN cnt cb ON cb.doc_id = doc_b
+            |  WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+            |),
+            |edges AS (
+            |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |  UNION
+            |  SELECT doc_b, doc_a FROM pairs
+            |),
+            |walk(node, comp) AS (
+            |  SELECT src, src FROM edges
+            |  UNION
+            |  SELECT e.dst, wk.comp FROM walk wk JOIN edges e ON e.src = wk.node
+            |),
+            |drops AS (
+            |  SELECT node AS doc_id FROM (
+            |    SELECT node, min(comp) AS canonical_id FROM walk GROUP BY node)
+            |  WHERE node <> canonical_id
+            |),
+            |curated AS (
+            |  SELECT k.* FROM kept k
+            |  LEFT JOIN drops dr ON k.doc_id = dr.doc_id
+            |  WHERE dr.doc_id IS NULL
+            |),
+            |capped AS (
+            |  SELECT * FROM (
+            |    SELECT c.*,
+            |           row_number() OVER (
+            |             PARTITION BY source
+            |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank_in_group
+            |    FROM curated c)
+            |  WHERE rank_in_group <= 12
+            |)
+            |SELECT source,
+            |       count(*) AS n_docs,
+            |       CAST(sum(words) AS BIGINT) AS total_tokens,
+            |       CAST(sum(n_redactions) AS BIGINT) AS total_redactions,
+            |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) /
+            |             (count(*) * 10000.0), 4) AS avg_quality
+            |FROM capped
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   /** Temperature-0.5 mixture sampling over the corpus's language
     * distribution (the one skewed grouping in the synthetic docs:
     * `en` dominates ~2.9×): rare languages get upweighted rates, and
@@ -500,6 +703,6 @@ object Curation {
            |ORDER BY shard""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(curation, curationV2, sampleMixture, sampleDomainCap,
+  val all: Seq[Q] = Seq(curation, curationV2, curationV3, sampleMixture, sampleDomainCap,
     sampleEpochs, shardAssign)
 }

@@ -170,13 +170,18 @@ object TextAnalysisQ {
     * Spark's regexp_replace default). Generated from the same pattern
     * list as the Spark side, so the two can't drift.
     */
-  /** The synthetic-PII augmentation both redaction queries share. */
-  private[queries] val augSql: String =
+  /** The synthetic-PII augmentation both redaction queries share,
+    * parameterized over the source relation (curation v3 runs it over
+    * a bench-excluded corpus CTE).
+    */
+  private[queries] def augSqlOver(src: String): String =
     "SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)" +
       " || '@mail-' || CAST(doc_id % 7 AS VARCHAR)" +
       " || '.net call +1 (415) 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)" +
       " || ' ssn 123-45-6789 ip 10.1.' || CAST(doc_id % 256 AS VARCHAR)" +
-      " || '.' || CAST(doc_id % 100 AS VARCHAR) || ' end' AS t FROM documents"
+      s" || '.' || CAST(doc_id % 100 AS VARCHAR) || ' end' AS t FROM $src"
+
+  private[queries] val augSql: String = augSqlOver("documents")
 
   /** Redaction CTE stages `s1..sN` over an `aug(doc_id, t)` CTE; the
     * last stage carries every count column plus the running text `t`.

@@ -603,6 +603,59 @@ object TextAnalysis {
         md5(concat_ws(" ", $"cw")).as("chunk_digest"))
   }
 
+  /** Content-defined chunking (the Rabin/CDC family, word-granular):
+    * cut after word i whenever the hash of the w-word window ENDING at
+    * i falls in the cut class (low 16 bits of md5 ≡ 0 mod `divisor`),
+    * plus a final cut at the document end. Expected chunk length ≈
+    * `divisor` words. Unlike [[chunk]]'s fixed stride, boundaries are
+    * functions of CONTENT alone — an insertion reshapes only the
+    * chunks it touches, and every later chunk keeps its digest, which
+    * is what makes chunk-level dedup/delta-storage work across
+    * document revisions.
+    *
+    * Same plan class as [[winnowing]]: the cut set, starts and digests
+    * are all in-row array programs — a pure narrow map, zero shuffles
+    * at any corpus size. Documents shorter than one window emit one
+    * whole-doc chunk. Output: (doc_id, chunk_idx, start_word,
+    * n_words, chunk_digest).
+    */
+  def cdcChunks(docs: DataFrame, w: Int, divisor: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1 (got $w)")
+    require(divisor >= 2, s"divisor must be >= 2 (got $divisor)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = $"ws"
+    def gramAt(i: Column): Column = concat_ws(" ", slice(ws, i - (w - 1), lit(w)))
+    def isCut(i: Column): Column =
+      conv(substring(md5(gramAt(i)), 1, 4), 16, 10).cast("long") % divisor === 0
+    docs
+      .select($"doc_id", Cols.materialized(split($"text", " ")).as("ws"))
+      .select($"doc_id", ws,
+        Cols.materialized(
+          when(size(ws) >= w, filter(sequence(lit(w), size(ws)), i => isCut(i)))
+            .otherwise(array().cast("array<int>"))).as("cuts"))
+      .select($"doc_id", ws,
+        // the document end is always a cut (array_max(empty) is null;
+        // null <> n is null, so the size guard carries the empty case)
+        Cols.materialized(
+          when(size($"cuts") === 0 || array_max($"cuts") =!= size(ws),
+            concat($"cuts", array(size(ws)))).otherwise($"cuts")).as("allcuts"))
+      .select($"doc_id", ws, posexplode(
+        transform(sequence(lit(1), size($"allcuts")), k =>
+          struct(
+            when(k === 1, lit(1))
+              .otherwise(element_at($"allcuts", k - 1) + 1).as("start_word"),
+            element_at($"allcuts", k).as("end_word")))).as(Seq("chunk_idx", "c")))
+      .select(
+        $"doc_id",
+        $"chunk_idx".cast("long").as("chunk_idx"),
+        $"c.start_word".cast("long").as("start_word"),
+        ($"c.end_word" - $"c.start_word" + 1).cast("long").as("n_words"),
+        md5(concat_ws(" ",
+          slice(ws, $"c.start_word", $"c.end_word" - $"c.start_word" + 1)))
+          .as("chunk_digest"))
+  }
+
   /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
     * batcher): within each `source`, documents are laid end to end in
     * doc_id order and cut into fixed `budget`-token packs; a document's

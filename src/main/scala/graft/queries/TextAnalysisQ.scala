@@ -531,6 +531,46 @@ object TextAnalysisQ {
            |ORDER BY doc_id, chunk_idx""".stripMargin),
   )
 
+  /** Content-defined chunking (TextAnalysis.cdcChunks): 4-word hash
+    * windows, divisor 16 (≈16-word expected chunks) — cut positions,
+    * chunk extents and digests all verified per chunk. The oracle
+    * re-derives the cut class from the identical md5-low-16-bits rule.
+    */
+  private val cdcChunk = Q(
+    "q_text_cdc_chunks",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.cdcChunks(Tables(s, dir).documents, w = 4, divisor = 16)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |cuts AS (
+           |  SELECT doc_id, ws,
+           |         list_filter(range(4, len(ws) + 1),
+           |           i -> CAST('0x' || substr(md5(array_to_string(ws[i-3:i], ' ')), 1, 4) AS BIGINT) % 16 = 0) AS cuts
+           |  FROM ws
+           |),
+           |ac AS (
+           |  SELECT doc_id, ws,
+           |         CASE WHEN len(cuts) = 0 OR list_max(cuts) <> len(ws)
+           |              THEN list_append(cuts, len(ws)) ELSE cuts END AS allcuts
+           |  FROM cuts
+           |),
+           |ch AS (
+           |  SELECT doc_id, ws, k,
+           |         CASE WHEN k = 1 THEN 1 ELSE allcuts[k-1] + 1 END AS start_word,
+           |         allcuts[k] AS end_word
+           |  FROM ac, unnest(range(1, len(allcuts) + 1)) AS t(k)
+           |)
+           |SELECT doc_id,
+           |       CAST(k - 1 AS BIGINT) AS chunk_idx,
+           |       CAST(start_word AS BIGINT) AS start_word,
+           |       CAST(end_word - start_word + 1 AS BIGINT) AS n_words,
+           |       md5(array_to_string(ws[start_word:end_word], ' ')) AS chunk_digest
+           |FROM ch
+           |ORDER BY doc_id, chunk_idx""".stripMargin),
+  )
+
   /** Packing at a 256-token budget: multi-doc packs, mid-doc spills,
     * and per-source independence all exercised by the corpus's ~50-word
     * docs.
@@ -995,7 +1035,7 @@ object TextAnalysisQ {
 
   val all: Seq[Q] =
     Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, lmScore, repetition, chunk, pack, bpe, bpeEncode, boilerplate,
+      rareBigrams, lmScore, repetition, chunk, cdcChunk, pack, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, lengthBatching)
 }

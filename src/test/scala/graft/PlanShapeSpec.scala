@@ -40,6 +40,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"winnowing grew a shuffle:\n$p")
   }
 
+  test("content-defined chunking is a pure narrow map: zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val p = physical(graft.operators.TextAnalysis.cdcChunks(docs, 4, 16))
+    assert(!p.contains("Exchange"), s"cdcChunks grew a shuffle:\n$p")
+  }
+
   test("model quality scoring is a pure narrow map: zero exchanges, " +
     "weights compiled into the plan") {
     import spark.implicits._

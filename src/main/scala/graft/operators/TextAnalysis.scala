@@ -470,7 +470,12 @@ object TextAnalysis {
     * The scored table is persisted across its two consumers (histogram
     * + final labeling).
     */
-  def lmScore(docs: DataFrame, ref: DataFrame, scale: Long = 1000000L): DataFrame = {
+  /** The train/score core [[lmScore]] and [[importanceWeights]] share:
+    * fit the add-one-smoothed bigram model on `ref`, score every doc in
+    * `docs`. Output: (doc_id, n_bigrams, n_unseen, avg_ppm) — see
+    * [[lmScore]] for the arithmetic contract.
+    */
+  def bigramModelScore(docs: DataFrame, ref: DataFrame, scale: Long): DataFrame = {
     require(scale >= 1000, s"scale must be >= 1000 (got $scale)")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -491,7 +496,7 @@ object TextAnalysis {
     val v = c12.agg(countDistinct($"w2").as("v"))
     val dg = bigrams(docs)
       .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
-    val scored = dg
+    dg
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))
@@ -503,7 +508,12 @@ object TextAnalysis {
         sum($"tf").as("n_bigrams"),
         sum(when($"c12".isNull, $"tf").otherwise(0L)).as("n_unseen"),
         expr("sum(tf * p_ppm) div sum(tf)").as("avg_ppm"))
-      .persist()
+  }
+
+  def lmScore(docs: DataFrame, ref: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = bigramModelScore(docs, ref, scale).persist()
     val hist = scored.groupBy($"avg_ppm").agg(count(lit(1)).as("cnt"))
     val n = scored.agg(count(lit(1)).as("n"))
     val wcum = Window.orderBy($"avg_ppm")
@@ -520,6 +530,45 @@ object TextAnalysis {
         when($"avg_ppm" <= $"t1", "tail")
           .when($"avg_ppm" <= $"t2", "middle")
           .otherwise("head").as("bucket"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al.'s Data Selection via
+    * Importance Resampling, in the same integer contract as
+    * [[lmScore]]): every document is scored under TWO bigram models —
+    * one fit on the target-domain slice, one fit on the whole corpus —
+    * and weighted by the ratio of the two mean transition
+    * probabilities, quantized to per-mille. ratio > 1000 ⇔ the doc
+    * looks more like the target domain than like the corpus average,
+    * which is the importance-sampling keep signal; `keepRatioPm` is
+    * that threshold. (DSIR proper works in hashed-feature log space
+    * and samples by weight; the ratio-of-quantized-means form keeps
+    * the ranking while staying engine-exact, and the deterministic
+    * threshold stands in for the sampling step.)
+    *
+    * Scale shape: two [[bigramModelScore]] passes — each linear, model
+    * as a table — joined on doc_id. The corpus-model pass trains on
+    * `docs` itself; its per-doc score table is the same size as the
+    * target pass, one co-partitioned join.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      target: DataFrame,
+      scale: Long = 1000000L,
+      keepRatioPm: Long = 1000L,
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val st = bigramModelScore(docs, target, scale)
+      .select($"doc_id", $"n_bigrams", $"avg_ppm".as("ppm_target"))
+    val sc = bigramModelScore(docs, docs, scale)
+      .select($"doc_id", $"avg_ppm".as("ppm_corpus"))
+    st.join(sc, "doc_id")
+      .select($"doc_id", $"n_bigrams", $"ppm_target", $"ppm_corpus",
+        // greatest guards the (at-scale plausible) all-floored-to-zero
+        // corpus score; both engines agree on the substitute
+        expr("(ppm_target * 1000) div greatest(ppm_corpus, 1)").as("ratio_pm"))
+      .withColumn("verdict",
+        when($"ratio_pm" >= keepRatioPm, "keep").otherwise("drop"))
   }
 
   /** Repetition quality signals (the Gopher-rules family): for word

@@ -395,6 +395,52 @@ object TextAnalysisQ {
     * (// is div for these all-non-negative operands) and reproduces
     * the cuts from the same score histogram.
     */
+  /** Corpus-side bigram CTEs every bigram-LM oracle shares: per-doc
+    * distinct bigrams with occurrence counts (`dg`).
+    */
+  private val lmDocsCtes: String =
+    """cws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |cg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM cws, unnest(range(1, len(ws))) AS t(i)
+      |  WHERE len(ws) >= 2
+      |),
+      |dg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+      |       FROM cg GROUP BY doc_id, w1, w2)""".stripMargin
+
+  /** One bigram-model fit + score pass, CTE names prefixed `p`, model
+    * trained on `documents WHERE refFilter`, scoring the shared `dg`
+    * table. Emits `${p}sc(doc_id, n_bigrams, n_unseen, avg_ppm)` —
+    * the SQL twin of `TextAnalysis.bigramModelScore`.
+    */
+  private def lmModelCtes(p: String, refFilter: String): String =
+    s"""${p}rws AS (
+       |  SELECT string_split(text, ' ') AS ws FROM documents WHERE $refFilter
+       |),
+       |${p}rg AS (
+       |  SELECT ws[i] AS w1, ws[i+1] AS w2
+       |  FROM ${p}rws, unnest(range(1, len(ws))) AS t(i)
+       |  WHERE len(ws) >= 2
+       |),
+       |${p}c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM ${p}rg GROUP BY w1, w2),
+       |${p}c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM ${p}c12 GROUP BY w1),
+       |${p}v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM ${p}c12),
+       |${p}p AS (
+       |  SELECT d.doc_id, d.tf, b.c12,
+       |         ((coalesce(b.c12, 0) + 1) * 1000000) // (coalesce(u.c1, 0) + vv.v) AS p_ppm
+       |  FROM dg d
+       |  LEFT JOIN ${p}c12 b ON d.w1 = b.w1 AND d.w2 = b.w2
+       |  LEFT JOIN ${p}c1 u ON d.w1 = u.w1
+       |  CROSS JOIN ${p}v vv
+       |),
+       |${p}sc AS (
+       |  SELECT doc_id,
+       |         CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(CASE WHEN c12 IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_unseen,
+       |         CAST(sum(tf * p_ppm) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS avg_ppm
+       |  FROM ${p}p GROUP BY doc_id
+       |)""".stripMargin
+
   private val lmScore = Q(
     "q_text_lm_score",
     (s, dir) => {
@@ -404,40 +450,8 @@ object TextAnalysisQ {
         .lmScore(docs, docs.filter($"doc_id" % 5 === 0))
         .orderBy($"doc_id")
     },
-    Some("""WITH rws AS (
-           |  SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 = 0
-           |),
-           |rg AS (
-           |  SELECT ws[i] AS w1, ws[i+1] AS w2
-           |  FROM rws, unnest(range(1, len(ws))) AS t(i)
-           |  WHERE len(ws) >= 2
-           |),
-           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM rg GROUP BY w1, w2),
-           |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
-           |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
-           |cws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           |cg AS (
-           |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-           |  FROM cws, unnest(range(1, len(ws))) AS t(i)
-           |  WHERE len(ws) >= 2
-           |),
-           |dg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
-           |       FROM cg GROUP BY doc_id, w1, w2),
-           |p AS (
-           |  SELECT d.doc_id, d.tf, b.c12,
-           |         ((coalesce(b.c12, 0) + 1) * 1000000) // (coalesce(u.c1, 0) + v.v) AS p_ppm
-           |  FROM dg d
-           |  LEFT JOIN c12 b ON d.w1 = b.w1 AND d.w2 = b.w2
-           |  LEFT JOIN c1 u ON d.w1 = u.w1
-           |  CROSS JOIN v
-           |),
-           |sc AS (
-           |  SELECT doc_id,
-           |         CAST(sum(tf) AS BIGINT) AS n_bigrams,
-           |         CAST(sum(CASE WHEN c12 IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_unseen,
-           |         CAST(sum(tf * p_ppm) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS avg_ppm
-           |  FROM p GROUP BY doc_id
-           |),
+    Some(s"""WITH $lmDocsCtes,
+           |${lmModelCtes("", "doc_id % 5 = 0")},
            |hist AS (SELECT avg_ppm, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY avg_ppm),
            |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
            |cum AS (
@@ -457,6 +471,35 @@ object TextAnalysisQ {
            |            ELSE 'head' END AS bucket
            |FROM sc s CROSS JOIN thr t
            |ORDER BY s.doc_id""".stripMargin),
+  )
+
+  /** DSIR-style importance weighting (TextAnalysis.importanceWeights):
+    * the doc_id % 5 = 0 slice plays the target domain, the whole
+    * corpus is the background model, and every doc's per-mille
+    * probability ratio + keep/drop verdict is verified. The oracle
+    * fits BOTH models through the shared CTE generator, so the two
+    * engines can't drift on either side of the ratio.
+    */
+  private val dsir = Q(
+    "q_text_dsir",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      TextAnalysis
+        .importanceWeights(docs, docs.filter($"doc_id" % 5 === 0))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $lmDocsCtes,
+           |${lmModelCtes("t", "doc_id % 5 = 0")},
+           |${lmModelCtes("c", "1 = 1")}
+           |SELECT t.doc_id, t.n_bigrams,
+           |       t.avg_ppm AS ppm_target,
+           |       c.avg_ppm AS ppm_corpus,
+           |       (t.avg_ppm * 1000) // greatest(c.avg_ppm, 1) AS ratio_pm,
+           |       CASE WHEN (t.avg_ppm * 1000) // greatest(c.avg_ppm, 1) >= 1000
+           |            THEN 'keep' ELSE 'drop' END AS verdict
+           |FROM tsc t JOIN csc c USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin),
   )
 
   /** One gram-stats CTE pair for gram size `n`, prefix `p`: per-doc
@@ -1035,7 +1078,7 @@ object TextAnalysisQ {
 
   val all: Seq[Q] =
     Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, lmScore, repetition, chunk, cdcChunk, pack, bpe, bpeEncode, boilerplate,
+      rareBigrams, lmScore, dsir, repetition, chunk, cdcChunk, pack, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, lengthBatching)
 }

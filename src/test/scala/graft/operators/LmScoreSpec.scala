@@ -49,6 +49,19 @@ class LmScoreSpec extends AnyFunSuite {
     assert(lab == Set("tail"))
   }
 
+  test("importance ratio separates target-like from corpus-average docs") {
+    val target = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "z q")).toDF("doc_id", "text")
+    val out = TextAnalysis.importanceWeights(docs, target)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    // doc 1: target 750000 vs corpus 666666 → ratio 1125 → keep
+    assert(out(1L) == ((750000L, 666666L, 1125L, "keep")))
+    // doc 2: target-unseen 500000 vs corpus 666666 → ratio 750 → drop
+    assert(out(2L) == ((500000L, 666666L, 750L, "drop")))
+  }
+
   test("sub-bigram docs are excluded from scoring and the cuts") {
     val ref = Seq((0L, "a b")).toDF("doc_id", "text")
     val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")

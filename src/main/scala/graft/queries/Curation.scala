@@ -534,6 +534,86 @@ object Curation {
             |ORDER BY source""".stripMargin),
   )
 
+  /** The curation GATE run incrementally — quality + language scoring
+    * and exact dedup over a live document feed, proving the batch
+    * pipeline's front half works unchanged as a stream:
+    *
+    *   stream → fused gate (pure narrow map, streaming-safe) →
+    *   quality filter → stateful dropDuplicates on the content hash →
+    *   per-language accounting.
+    *
+    * Determinism under the dedup race: WHICH physical copy of a
+    * duplicated text survives `dropDuplicates` is race-dependent, so
+    * the deduped rows carry only TEXT-PURE columns (content hash,
+    * predicted language, word count, quantized quality) — equal for
+    * every copy, making the final accounting deterministic. This is
+    * the same discipline as q_stream_dedup_exact, extended through
+    * the whole gate. The per-language aggregation runs batch-side on
+    * the sink (one stateful operator in the stream keeps the query
+    * inside Structured Streaming's supported shapes); state is one
+    * entry per distinct content hash, as in any streaming dedup.
+    * Oracle: the batch equivalent — min-id representative per text,
+    * same gate formulas, same accounting.
+    */
+  private val streamCuration = Q(
+    "q_stream_curation",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_curation_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val src = s.readStream.schema(sch)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select($"doc_id", $"text")
+        val gated = TextAnalysis
+          .gate(src, TextAnalysis.defaultStopwords, TextAnalysis.defaultProfile)
+          .filter($"quality" >= 0.45)
+          .select(
+            md5($"text").as("h"),
+            coalesce($"pred_lang", lit("und")).as("lang"),
+            $"words",
+            round($"quality" * 10000).cast("long").as("q_m"))
+          .dropDuplicates("h")
+        val query = gated.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"words").as("total_tokens"),
+          round(sum($"q_m") / (count(lit(1)) * 10000.0), 4).as("avg_quality"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH prof(p_lang, p_word, p_weight) AS (VALUES $profileValues),
+            |rep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            |src AS (SELECT d.doc_id, d.text FROM documents d JOIN rep r ON d.doc_id = r.doc_id),
+            |${gateCtes("src")},
+            |g AS (
+            |  SELECT s.doc_id, q.words, q.quality, p.pred_lang
+            |  FROM src s
+            |  JOIN qual q ON q.doc_id = s.doc_id AND q.quality >= 0.45
+            |  LEFT JOIN pred p ON p.doc_id = s.doc_id
+            |)
+            |SELECT coalesce(pred_lang, 'und') AS lang,
+            |       count(*) AS n_docs,
+            |       CAST(sum(words) AS BIGINT) AS total_tokens,
+            |       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE) /
+            |             (count(*) * 10000.0), 4) AS avg_quality
+            |FROM g
+            |GROUP BY 1
+            |ORDER BY lang""".stripMargin),
+  )
+
   /** Temperature-0.5 mixture sampling over the corpus's language
     * distribution (the one skewed grouping in the synthetic docs:
     * `en` dominates ~2.9×): rare languages get upweighted rates, and
@@ -703,6 +783,6 @@ object Curation {
            |ORDER BY shard""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(curation, curationV2, curationV3, sampleMixture, sampleDomainCap,
-    sampleEpochs, shardAssign)
+  val all: Seq[Q] = Seq(curation, curationV2, curationV3, streamCuration,
+    sampleMixture, sampleDomainCap, sampleEpochs, shardAssign)
 }

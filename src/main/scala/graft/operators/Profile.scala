@@ -99,4 +99,61 @@ object Profile {
       }: _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Robust per-group outlier detection — the row-level alarm next to
+    * the column-level profile and the snapshot-level [[Drift]]: rows
+    * whose value falls outside the Tukey fences [q1 − 1.5·IQR,
+    * q3 + 1.5·IQR] of their GROUP's distribution.
+    *
+    * The quartiles are EXACT integer order statistics, not an
+    * approximate sketch: per group, the value histogram's running
+    * count gives q_p as the smallest value v with cum(v) ≥ ⌈p·n⌉
+    * (integer compare `cum·k ≥ p·k·n`, no floats), and the 1.5
+    * factor is cleared by doubling both fence sides — the whole
+    * predicate is integer arithmetic, engine-exact.
+    *
+    * Scale shape: the histogram aggregation shuffles (group, value)
+    * pairs — bounded by per-group distinct values, with map-side
+    * combine collapsing repeats; the cumulative window partitions by
+    * group (parallelism = #groups, rows = distinct values); the
+    * quartile table is one row per group, broadcast back onto the
+    * row stream. Output: one row per outlier with its group's
+    * quartiles and a low/high verdict.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      col(s"`$idCol`").as("id"),
+      col(s"`$groupCol`").as("g"),
+      col(s"`$valueCol`").cast("long").as("v"))
+    val hist = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("g"))
+    val qs = hist
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(wall))
+      .groupBy(col("g"))
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+    val iqr = col("q3") - col("q1")
+    val low = col("v") * 2 < col("q1") * 2 - iqr * 3
+    val high = col("v") * 2 > col("q3") * 2 + iqr * 3
+    base
+      .join(broadcast(qs), "g")
+      .filter(low || high)
+      .select(
+        col("id").as(idCol),
+        col("g").as(groupCol),
+        col("v").as("value"),
+        col("q1"), col("med"), col("q3"),
+        when(low, "low").otherwise("high").as("verdict"))
+  }
 }

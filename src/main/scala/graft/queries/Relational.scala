@@ -1649,6 +1649,57 @@ object Relational {
            |GROUP BY source
            |ORDER BY source""".stripMargin
 
+  /** Robust outlier detection under the gate (Profile.robustOutliers):
+    * exact per-source Tukey fences over n_chars, with planted
+    * anomalies (doc_id % 97 = 5 scaled ×10, doc_id % 89 = 7 shrunk
+    * ÷10) so the fences do real work. Every outlier row is verified
+    * with its group's exact integer quartiles and verdict.
+    */
+  private val profileOutliers = Q(
+    "q_profile_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Tables(s, dir).documents
+        .select($"doc_id", $"source",
+          when($"doc_id" % 97 === 5, $"n_chars" * 10)
+            .when($"doc_id" % 89 === 7, expr("n_chars div 10"))
+            .otherwise($"n_chars").as("v"))
+      graft.operators.Profile
+        .robustOutliers(planted, "source", "doc_id", "v")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN doc_id % 97 = 5 THEN n_chars * 10
+           |              WHEN doc_id % 89 = 7 THEN n_chars // 10
+           |              ELSE n_chars END AS v
+           |  FROM documents
+           |),
+           |hist AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+           |h2 AS (
+           |  SELECT source, v, cnt,
+           |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           |         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM hist
+           |),
+           |qs AS (
+           |  SELECT source,
+           |         min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+           |         min(CASE WHEN cum * 2 >= n THEN v END) AS med,
+           |         min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+           |  FROM h2 GROUP BY source
+           |)
+           |SELECT b.doc_id, b.source, CAST(b.v AS BIGINT) AS value,
+           |       q.q1, q.med, q.q3,
+           |       CASE WHEN b.v * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3 THEN 'low'
+           |            ELSE 'high' END AS verdict
+           |FROM b JOIN qs q USING (source)
+           |WHERE b.v * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
+           |   OR b.v * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3
+           |ORDER BY b.doc_id""".stripMargin),
+  )
+
   /** The drift monitor as a LIVE alarm: the "new" snapshot arrives as
     * a stream and its binned histogram runs as a complete-mode
     * streaming aggregation — counts are mergeable, so the state store
@@ -1848,6 +1899,7 @@ object Relational {
     streamProfileHll,
     profileDrift,
     streamDrift,
+    profileOutliers,
     joinSaltedSkew,
     corpusDiff,
     streamCmsCells,

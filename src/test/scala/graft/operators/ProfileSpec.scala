@@ -47,4 +47,26 @@ class ProfileSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("robust outliers: exact quartiles and both Tukey fences") {
+    // group A: values 1..11 plus a planted 1000 (high) and -1000 (low).
+    // order statistics over 13 values: q1 = v s.t. cum ≥ ⌈13/4⌉=4 → 3,
+    // med → 6, q3 = cum ≥ ⌈39/4⌉=10 → 9; IQR 6 → fences [-6, 18].
+    val df = ((1 to 11).map(v => (v.toLong, "A", v.toLong)) ++
+      Seq((100L, "A", 1000L), (101L, "A", -1000L), (200L, "B", 5L)))
+      .toDF("doc_id", "g", "v")
+    val out = Profile.robustOutliers(df, "g", "doc_id", "v")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))))
+      .toMap
+    assert(out.keySet == Set(100L, 101L))
+    assert(out(100L) == ((1000L, 3L, 6L, 9L, "high")))
+    assert(out(101L) == ((-1000L, 3L, 6L, 9L, "low")))
+  }
+
+  test("robust outliers: a constant group has zero IQR and flags nothing") {
+    val df = Seq((1L, "C", 7L), (2L, "C", 7L), (3L, "C", 7L))
+      .toDF("doc_id", "g", "v")
+    assert(Profile.robustOutliers(df, "g", "doc_id", "v").count() == 0)
+  }
 }

@@ -393,6 +393,11 @@ object Curation {
       val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).persist()
       val sh = arr.select($"doc_id", explode($"shs").as("sh"))
       val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      // persisted: the components loop's symmetric-closure union reads
+      // the pair table TWICE (Spark unions don't share subplans), and
+      // this jaccard plan is the single most expensive leaf in the
+      // chain — uncached it ran 2× inside the loop's first
+      // materialization (measured +14 s at sf0.1)
       val pairs = TextDedup.jaccard(
         TextDedup.bandPairs(
           TextDedup.minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2),
@@ -400,6 +405,7 @@ object Curation {
         sh, cnt)
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b")
+        .persist()
       val drops = graft.operators.Components
         .connectedComponents(pairs, "doc_a", "doc_b")
         .filter($"node" =!= $"component")

@@ -732,6 +732,64 @@ object TextAnalysis {
         (($"cum" - $"tokens") % budget).as("pack_offset"))
   }
 
+  /** Next-fit-decreasing bin packing (the discrete-batch alternative to
+    * [[packSequences]]'s concat-and-chunk): within each `source`,
+    * documents are sorted by token count DESCENDING (doc_id tie-break)
+    * and greedily placed into the current bin while they fit the
+    * `budget`; a document that would overflow CLOSES the bin and opens
+    * the next. Unlike concat-and-chunk, no document is ever split —
+    * this is the packing used when each training sequence must hold
+    * whole documents (instruction tuning, contrastive batches).
+    * Decreasing order is what gives next-fit its quality: the tail of
+    * small documents backfills bins the large ones opened, so waste is
+    * bounded by the smallest items, not the largest. A document longer
+    * than the budget still gets its own (overflowing) bin — packing
+    * must be total, and dropping is a policy for an upstream filter.
+    *
+    * Scale shape: the ONLY exchange is the hash repartition on
+    * `source`; the decreasing order comes from Spark's spillable
+    * in-partition sorter (no global sort), and the greedy fold is one
+    * pass with O(1) state per task — the secondary-sort shape
+    * [[BookReplay.ticks]] uses, applied to packing. Sequentiality is
+    * per source by construction, so parallelism = number of sources;
+    * for a corpus dominated by ONE giant source, pre-shard it into
+    * `(source, hash(doc_id) % k)` groups — each shard packs
+    * independently at a cost of at most k−1 extra partially-filled
+    * bins per source, which is how the sequential scan stays bounded
+    * at 100 TB.
+    *
+    * Output: `(doc_id, source, tokens, bin_id, bin_fill)` — `bin_id`
+    * dense per source in placement order, `bin_fill` the bin's running
+    * token total AFTER this document lands (so `max(bin_fill) per bin ≤
+    * budget` unless the bin is a single oversized document).
+    */
+  def packBinsNfd(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 1, s"packBinsNfd: budget must be >= 1 (got $budget)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id".cast("long").as("doc_id"), $"source",
+        size(split($"text", " ")).cast("long").as("tokens"))
+      .repartition($"source")
+      .sortWithinPartitions($"source", $"tokens".desc, $"doc_id")
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        // several sources may share a partition (hash partitioning);
+        // one source never spans two, so resetting on source change is
+        // exactly per-source packing
+        var cur: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (docId, source, t) =>
+          if (source != cur) { cur = source; bin = 0L; fill = t }
+          else if (fill + t > budget) { bin += 1; fill = t }
+          else fill += t
+          (docId, source, t, bin, fill)
+        }
+      }
+      .toDF("doc_id", "source", "tokens", "bin_id", "bin_fill")
+  }
+
   /** One redaction rule: occurrences of `regex` become `token`, and the
     * per-doc match count is reported as column `n_<name>`.
     */

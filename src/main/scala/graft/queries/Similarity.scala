@@ -480,6 +480,70 @@ object Similarity {
     Some(ivfKmeansOracleSql(3)),
   )
 
+  /** The train-once / serve-many IVF lifecycle: k-means training runs
+    * EXACTLY as in `q_embed_topk_ivf_kmeans`, but the trained index —
+    * the centroid table and the posting-list assignment — is WRITTEN
+    * to parquet and the probe runs against the RELOADED tables, never
+    * the in-memory lineage. This is the shape a serving pipeline has
+    * at scale: training is one linear job whose output is a few KB of
+    * centroids plus an (id → cent_id) table; every later query batch
+    * reads the index (broadcast-sized centroids, posting lists
+    * partition-pruned by cent_id if the postings are written
+    * `partitionBy("cent_id")`) and pays only the probe. Hash-matching
+    * the same oracle as the in-memory query proves the round trip is
+    * exact — quantized vectors are integer arrays, so parquet
+    * round-trips them bit-for-bit.
+    */
+  private val topkIvfPersist = Q(
+    "q_embed_ivf_persist",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val (cents, assignFinal) = VectorSim.kmeansFit(e, init, dims = 64, iters = 3)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      cents.write.mode("overwrite").parquet(s"$idx/centroids")
+      assignFinal.select($"vec_id".as("cand_id"), $"cent_id")
+        .write.mode("overwrite")
+        // cent_id partitioning = probe-time partition pruning: a
+        // 2-probe query batch opens 2 posting directories, not the lake
+        .partitionBy("cent_id").parquet(s"$idx/postings")
+      val centsL = s.read.parquet(s"$idx/centroids")
+      val postingL = s.read.parquet(s"$idx/postings")
+        // partitionBy restores cent_id as int; the probe joins on it
+        .select($"cand_id", $"cent_id".cast("long").as("cent_id"))
+      val probes = e.filter($"vec_id" % 97 === 0)
+        .crossJoin(broadcast(centsL))
+        .withColumn("cos",
+          VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      val cand = probes.join(postingL, "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id").distinct()
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(ivfKmeansOracleSql(3)),
+  )
+
   /** Integer dot of two d-wide BIGINT lists in DuckDB. */
   private def dotSql(d: Int, a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, ${d + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])) AS BIGINT)"
@@ -948,6 +1012,6 @@ object Similarity {
   )
 
   val all: Seq[Q] =
-    Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkPq,
-      topkIvfPq, knnClassify, topkIvfFiltered)
+    Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
+      topkPq, topkIvfPq, knnClassify, topkIvfFiltered)
 }

@@ -642,6 +642,43 @@ object TextAnalysisQ {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Next-fit-decreasing whole-document packing at a 384-token budget
+    * (docs are ~50 words, so bins hold several documents and every
+    * close/open branch is exercised). The oracle replays the greedy
+    * scan as a recursive CTE over the per-source decreasing rank —
+    * bin id AND running fill are both carried, so the hash verifies
+    * every branch decision, not just the final bin census.
+    */
+  private val packNfd = Q(
+    "q_text_pack_nfd",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.packBinsNfd(Tables(s, dir).documents, budget = 384)
+        .orderBy($"source", $"bin_id", $"tokens".desc, $"doc_id")
+    },
+    Some("""WITH RECURSIVE tok AS (
+           |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           |  FROM documents
+           |),
+           |ord AS (
+           |  SELECT doc_id, source, tokens,
+           |         row_number() OVER (PARTITION BY source ORDER BY tokens DESC, doc_id) AS rn
+           |  FROM tok
+           |),
+           |fit(source, rn, doc_id, tokens, bin_id, bin_fill) AS (
+           |  SELECT source, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+           |  FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.source, o.rn, o.doc_id, o.tokens,
+           |         CASE WHEN f.bin_fill + o.tokens > 384 THEN f.bin_id + 1 ELSE f.bin_id END,
+           |         CASE WHEN f.bin_fill + o.tokens > 384 THEN o.tokens ELSE f.bin_fill + o.tokens END
+           |  FROM fit f JOIN ord o ON o.source = f.source AND o.rn = f.rn + 1
+           |)
+           |SELECT doc_id, source, tokens, bin_id, bin_fill
+           |FROM fit
+           |ORDER BY source, bin_id, tokens DESC, doc_id""".stripMargin),
+  )
+
   /** One BPE training round in SQL over `w{k-1}(word, freq, sym)`:
     * pair counts → 1-row argmax merge → greedy-left application as a
     * RECURSIVE position walk carrying the accumulated token string
@@ -1078,7 +1115,7 @@ object TextAnalysisQ {
 
   val all: Seq[Q] =
     Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
-      rareBigrams, lmScore, dsir, repetition, chunk, cdcChunk, pack, bpe, bpeEncode, boilerplate,
+      rareBigrams, lmScore, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, lengthBatching)
 }

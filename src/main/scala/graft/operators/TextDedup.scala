@@ -201,6 +201,52 @@ object TextDedup {
         round(col("i") / (col("ca.n") + col("cb.n") - col("i")), 4).as("jaccard"))
   }
 
+  /** Prefix-filtered candidate pairs for an EXACT Jaccard-threshold
+    * join (the PPJoin candidate generator): order all shingles
+    * globally by `(document frequency ASC, shingle)` — rarest first —
+    * and emit pairs of documents sharing at least one shingle inside
+    * BOTH prefixes, where a document's prefix is its first
+    * `L = n − ⌈(tPct/100)·n⌉ + 1` shingles under that order.
+    *
+    * Completeness (no false negatives): Jaccard ≥ t forces overlap
+    * `i ≥ ⌈t·n⌉` for both documents; the EARLIEST common shingle in
+    * the global order has the other ≥ i−1 common shingles after it in
+    * each document's sorted set, so its position is ≤ n − i + 1 ≤ L
+    * in both — it lies inside both prefixes. Verification (exact
+    * [[jaccard]] over the full sets) then trims the superset.
+    *
+    * Scale shape: no global rank is ever computed — `(df, sh)` is the
+    * comparison key itself, so each document sorts its own shingle
+    * array IN-ROW after one df equi-join, and the candidate join is
+    * an equi-join on prefix shingles, which rare-first ordering biases
+    * to low document frequency (a df=1 shingle generates zero pairs).
+    * The high-df mass that makes naive inverted-index joins quadratic
+    * is systematically pushed OUT of prefixes.
+    *
+    * @param arr  [[shingleArrays]] output `(doc_id, shs)`
+    * @param tPct Jaccard threshold in percent (1-99); candidates are
+    *             complete for any verify threshold ≥ tPct/100
+    */
+  def prefixFilterCandidates(arr: DataFrame, tPct: Int): DataFrame = {
+    require(tPct >= 1 && tPct <= 99, s"tPct must be in [1,99] (got $tPct)")
+    val sh = arr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfTbl = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // ⌈tPct·n/100⌉ = (tPct·n + 99) div 100 — exact integer arithmetic
+    // (the double division is safe: numerator < 2^53, cast truncates)
+    val need = ((lit(tPct) * size(col("ordered")) + 99) / 100).cast("int")
+    val prefixes = sh.join(dfTbl, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+      .select(col("doc_id"),
+        explode(slice(col("ordered"), lit(1), size(col("ordered")) - need + 1)).as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"))
+    prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** 64-bit SimHash per document as a '0'/'1' string (bit 0 first).
     * Bits come from term-frequency-weighted ±1 sums over `md5(word)`
     * bits — integer arithmetic, aggregation-order-free. `sum >= 0`

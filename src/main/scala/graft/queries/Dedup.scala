@@ -457,6 +457,70 @@ object Dedup {
            |ORDER BY doc_a, doc_b""".stripMargin),
   )
 
+  /** EXACT similarity join by prefix filtering (the PPJoin family) —
+    * the deterministic alternative to MinHash when the answer must be
+    * exact: every pair with Jaccard ≥ 0.7 over 4-gram shingle sets,
+    * no sketching, no probabilistic recall.
+    *
+    * Prefix-filter principle: order all shingles globally by
+    * (document frequency ASC, shingle) — rarest first — and take each
+    * document's first `L = |d| − ⌈0.7·|d|⌉ + 1` shingles under that
+    * order as its PREFIX. Completeness: Jaccard ≥ 0.7 forces overlap
+    * `i ≥ ⌈0.7·|d|⌉` for BOTH documents, so the earliest common
+    * shingle under the order has ≥ i−1 common shingles after it in
+    * each document's sorted set — it sits within the first
+    * `|d| − i + 1 ≤ L` positions of both, i.e. inside both prefixes.
+    * Candidates generated from the prefix index therefore provably
+    * contain every qualifying pair, and exact Jaccard verification
+    * over the full sets trims the rest.
+    * The ORACLE runs the unfiltered full inverted-index join, so the
+    * hash gate proves the completeness property, not just the plumbing.
+    *
+    * Scale shape: the global order needs NO global rank — (df, sh) is
+    * itself the comparison key, so each document sorts its OWN shingle
+    * array in-row after one df equi-join, and no single-partition
+    * window ever appears. The candidate join is an equi-join on prefix
+    * shingles, which are by construction the rarest ~30% of each doc's
+    * grams: a shingle of df=f contributes ≤ f² pairs and prefixes
+    * systematically exclude the high-df mass that makes naive
+    * inverted-index joins quadratic (the frequent-token problem the
+    * df-cap in q_dedup_ngram_jaccard handles by dropping; here rare-
+    * first ordering handles it exactly). Candidate volume tracks true
+    * similarity density at any corpus size.
+    */
+  private val prefixFilter = Q(
+    "q_dedup_prefix_filter",
+    (s, dir) => {
+      import s.implicits._
+      val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 4).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      TextDedup
+        .jaccard(TextDedup.prefixFilterCandidates(arr, 70), sh, cnt)
+        .filter($"jaccard" >= 0.7)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS sh
+           |  FROM words, unnest(range(1, len(ws) - 2)) AS t(i)
+           |),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT doc_a, doc_b,
+           |       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+           |FROM inter
+           |JOIN cnt ca ON ca.doc_id = doc_a
+           |JOIN cnt cb ON cb.doc_id = doc_b
+           |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.7
+           |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
   /** Embedding-cosine near-dup, exact: all-pairs quantized cosine ≥
     * 0.45 over the embeddings table. This is the exactness baseline
     * that quantifies `q_embed_lsh_pairs`' recall — O(n²) by nature, so
@@ -912,6 +976,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain,
     splitLeakageSafe, simhashPairs,
-    ngramJaccard, embeddingCosine, embeddingCosineBlocked, semDedup, streamExact,
+    ngramJaccard, prefixFilter, embeddingCosine, embeddingCosineBlocked, semDedup, streamExact,
     substringSpans, normalizedDedup, incremental)
 }

@@ -173,6 +173,47 @@ object TextDedup {
       .distinct()
   }
 
+  /** CROSS-table LSH candidate pairs (corpus × probe) — the
+    * decontamination / reference-lookup shape, where near-dups are
+    * sought between a huge corpus and a SMALL fixed set (an eval
+    * benchmark, a blocklist) rather than within one table. Emits
+    * every (doc_a ∈ bandsA, doc_b ∈ bandsB) sharing a band bucket;
+    * doc ids must come from disjoint namespaces (a doc present on
+    * both sides would pair with itself).
+    *
+    * Scale shape: the probe side is broadcast — the corpus never
+    * shuffles for the join, so the whole candidate pass is one narrow
+    * scan of corpus bands against an executor-local hash map. The
+    * saturation cap is shared with [[bandPairs]] and counted over the
+    * UNION of both sides: a boilerplate bucket here costs
+    * |corpus bucket| × |probe bucket| pairs — linear in the corpus
+    * per hot bucket (the probe side is fixed), but each such pair
+    * still pays exact-Jaccard verification, so saturated buckets are
+    * dropped whole for the same reason as in the self-join.
+    */
+  def bandPairsAcross(
+      bandsA: DataFrame, bandsB: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (ca, cb) =
+      if (maxBucket == Int.MaxValue) (bandsA, bandsB)
+      else {
+        val hot = bandsA.unionByName(bandsB)
+          .groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__w"))
+          .filter(col("__w") > maxBucket)
+          .select(col("band"), col("band_hash"))
+        (bandsA.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"),
+          bandsB.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"))
+      }
+    ca.as("a")
+      .join(
+        broadcast(cb.as("b")),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Exact Jaccard for a candidate pair set, computed against the full
     * shingle table (pairs are small → broadcast-join shaped).
     * Output: (doc_a, doc_b, jaccard) with jaccard rounded to 4 dp

@@ -354,6 +354,90 @@ object TextAnalysisQ {
             |ORDER BY t.doc_id""".stripMargin),
   )
 
+  /** FUZZY decontamination — the paraphrase-robust counterpart to
+    * `q_text_decontaminate`: a training doc is contaminated when it is
+    * NEAR-duplicate (exact Jaccard ≥ 0.6 over word 3-gram shingles) of
+    * an eval doc, even when no 4-gram survives verbatim. This is the
+    * standard fuzzy-decontamination stage (GPT-3/Llama-style 13-gram
+    * screens miss reworded leaks; MinHash at the document level
+    * catches them).
+    *
+    * Machinery is the audited MinHash(8)+LSH(4×2) family with ONE
+    * structural change: candidates come from
+    * [[graft.operators.TextDedup.bandPairsAcross]] — a corpus × BENCH
+    * band join with the bench side BROADCAST — never a corpus
+    * self-join. At 100 TB the corpus signatures in one narrow pass
+    * and probes an executor-local map of the (tiny, fixed) eval set's
+    * buckets; cost is one corpus scan regardless of corpus size.
+    * `doc_id % 7 = 3` plays the eval slice; saturation cap counted
+    * over both sides' bands. The oracle recomputes the full
+    * single-digest KM double-hashing chain, so the hash gate checks
+    * signatures, banding, the cross-join form, AND the verify step.
+    */
+  private val decontaminateFuzzy = Q(
+    "q_text_decontaminate_fuzzy",
+    (s, dir) => {
+      import s.implicits._
+      val arr = graft.operators.TextDedup
+        .shingleArrays(Tables(s, dir).documents, 3).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      val bands = graft.operators.TextDedup
+        .minhashBands(graft.operators.TextDedup.minhashSignature(arr, 8), 8, 2)
+        .persist()
+      graft.operators.TextDedup
+        .jaccard(
+          graft.operators.TextDedup.bandPairsAcross(
+            bands.filter($"doc_id" % 7 =!= 3),
+            bands.filter($"doc_id" % 7 === 3),
+            graft.operators.TextDedup.DefaultMaxBucket),
+          sh, cnt)
+        .filter($"jaccard" >= 0.6)
+        .groupBy($"doc_a")
+        .agg(count(lit(1)).as("n_bench_hits"), max($"jaccard").as("max_jaccard"))
+        .select($"doc_a".as("doc_id"), $"n_bench_hits", $"max_jaccard")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+            |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+            |),
+            |${Dedup.minhashOracleCtes},
+            |hot AS (
+            |  SELECT band, band_hash FROM bands
+            |  GROUP BY band, band_hash HAVING count(*) > 50
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.band_hash = b.band_hash
+            |  WHERE a.doc_id % 7 <> 3 AND b.doc_id % 7 = 3
+            |    AND NOT EXISTS (SELECT 1 FROM hot h
+            |                    WHERE h.band = a.band AND h.band_hash = a.band_hash)
+            |),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT doc_a, doc_b, count(*) AS i
+            |  FROM cand
+            |  JOIN sh sa ON sa.doc_id = doc_a
+            |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+            |  GROUP BY doc_a, doc_b
+            |),
+            |pairs AS (
+            |  SELECT doc_a, doc_b,
+            |         round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+            |  FROM inter
+            |  JOIN cnt ca ON ca.doc_id = doc_a
+            |  JOIN cnt cb ON cb.doc_id = doc_b
+            |  WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.6
+            |)
+            |SELECT doc_a AS doc_id, count(*) AS n_bench_hits,
+            |       max(jaccard) AS max_jaccard
+            |FROM pairs GROUP BY doc_a
+            |ORDER BY doc_id""".stripMargin),
+  )
+
   /** Corpus rare-bigram scoring with threshold 10 (≈ the bottom 2% of
     * this corpus's bigram-frequency distribution — the "unseen
     * transition" regime a perplexity gate cuts).
@@ -1115,6 +1199,7 @@ object TextAnalysisQ {
 
   val all: Seq[Q] =
     Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
+      decontaminateFuzzy,
       rareBigrams, lmScore, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, lengthBatching)

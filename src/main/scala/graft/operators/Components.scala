@@ -60,16 +60,25 @@ object Components {
     import spark.implicits._
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // symmetric closure: propagation must flow both directions
-    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).persist()
+    // symmetric closure: propagation must flow both directions.
+    // Eagerly CHECKPOINTED, not persisted: a cache substitutes only at
+    // execution time, so every loop action would still re-ANALYZE the
+    // caller's full upstream plan — and a curation chain feeding this
+    // loop through several stacked 2-consumer persist points has an
+    // analyzed tree that doubles at each such point (the analyzer
+    // walks shared subtrees once per occurrence). Measured: the v3
+    // curation chain spent ~50 s of pure driver-side re-analysis
+    // across the loop's actions at sf0.01. The checkpoint makes every
+    // round plan against a leaf.
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint(true)
     // Size the loop's shuffles to the EDGE COUNT, not the session-wide
     // default: every round materializes (localCheckpoint) and re-reads
     // the label table once per shuffle partition, so a 30-edge dedup
     // graph on 32 partitions spends the whole loop on empty-partition
     // overhead — the same keys-per-task sizing rule the streaming gates
-    // apply to state stores. The count also forces `sym`'s cache, which
-    // every round reuses. (Same rows-per-partition target at 10⁹ edges:
-    // the conf scales up instead of down.)
+    // apply to state stores. (Same rows-per-partition target at 10⁹
+    // edges: the conf scales up instead of down.)
     val nEdges = sym.count()
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
@@ -100,7 +109,6 @@ object Components {
         prevSum = nextSum
         i += 1
       }
-      sym.unpersist()
       require(converged,
         s"connectedComponents did not converge in $maxIters rounds — " +
           "a component's diameter exceeds the budget; raise maxIters")
@@ -144,7 +152,9 @@ object Components {
     import spark.implicits._
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .persist()
+      // eager checkpoint, not persist — cuts the caller's plan tree
+      // out of every round's re-analysis (see connectedComponents)
+      .localCheckpoint(true)
     val nEdges = e0.count()
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
@@ -214,7 +224,6 @@ object Components {
         .join(cur.select($"src".as("node"), $"dst".as("parent")), Seq("node"), "left")
         .select($"node", coalesce($"parent", $"node").as("component"))
     } finally {
-      e0.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }

@@ -127,12 +127,19 @@ object TextAnalysis {
     import spark.implicits._
     val ws = $"ws"
     val byLang = profile.groupBy(_._1).toSeq.sortBy(_._1)
-    def langScore(entries: Seq[(String, String, Int)]): Column =
-      entries
-        .map { case (_, word, weight) =>
-          size(filter(ws, w => w === word)).cast("long") * weight
-        }
-        .reduce(_ + _)
+    // One pass per LANGUAGE, not per profile entry: each score is a
+    // single `aggregate` over the word array with an O(1) lookup into
+    // a literal word→weight map — Σ_w weight(w) ≡ Σ_entries
+    // count(w = word)·weight, the same integer. The per-entry
+    // `size(filter(ws, _ === word))` form scanned (and re-allocated)
+    // the array once per profile WORD — |profile| interpreted scans
+    // per document, and an expression tree |profile| wide that every
+    // downstream analysis re-walked.
+    def langScore(entries: Seq[(String, String, Int)]): Column = {
+      val m = typedLit(entries.map { case (_, word, weight) => word -> weight.toLong }.toMap)
+      aggregate(ws, lit(0L), (acc, w) => acc + coalesce(element_at(m, w), lit(0L)))
+    }
+    val stopMap = typedLit(stopwords.map(_ -> 1L).toMap)
     val passThrough = docs.columns.map(col).toSeq
     val scored = docs
       .select(passThrough :+ length($"text").as("chars") :+
@@ -141,7 +148,8 @@ object TextAnalysis {
         $"chars",
         size(ws).as("words"),
         size(array_distinct(ws)).as("distinct_words"),
-        size(filter(ws, w => w.isin(stopwords: _*))).as("stop_hits")) ++
+        aggregate(ws, lit(0L), (acc, w) => acc + coalesce(element_at(stopMap, w), lit(0L)))
+          .as("stop_hits")) ++
         byLang.map { case (lang, entries) => langScore(entries).as(s"sc_$lang") }: _*)
     val mx = greatest(byLang.map { case (l, _) => col(s"sc_$l") }: _*)
     scored

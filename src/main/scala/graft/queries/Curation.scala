@@ -48,7 +48,12 @@ object Curation {
           TextAnalysis.defaultStopwords, TextAnalysis.defaultProfile)
         .filter($"quality" >= 0.45 && $"pred_lang" === "en")
         .select($"doc_id", $"text", $"source", $"words", $"quality")
-        .persist() // two consumers: the canonical hash set and kept
+        // eager localCheckpoint, not persist: gate's wide expression
+        // tree would otherwise be RE-ANALYZED at every occurrence in
+        // the downstream self-joins (a cache only short-circuits
+        // execution, not analysis) — the checkpoint turns the whole
+        // gate stage into a plan leaf
+        .localCheckpoint(true)
       // exact dedup: one canonical (min doc_id) survivor per text hash
       val canonical = gated
         .groupBy(md5($"text").as("h"))
@@ -60,7 +65,7 @@ object Curation {
       val kept = gated.join(canonical, Seq("doc_id"), "left_semi").persist()
       // near-dup removal: MinHash(8)+LSH(4×2) candidates, exact Jaccard
       // ≥ 0.8 verify, greedy drop of the pair's higher id
-      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).persist()
+      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).localCheckpoint(true)
       val sh = arr.select($"doc_id", explode($"shs").as("sh"))
       val cnt = arr.select($"doc_id", size($"shs").as("n"))
       val pairs = TextDedup.bandPairs(
@@ -223,16 +228,19 @@ object Curation {
         .filter($"quality" >= 0.45 && $"pred_lang" === "en")
         .join(docs.select($"doc_id", $"source"), "doc_id")
         .select($"doc_id", $"text", $"source", $"n_redactions", $"words", $"quality")
-        // persisted HERE, post-gate: the regex redaction chain above is
-        // the expensive stage and gated has two consumers (the
-        // canonical hash set and kept) — without the cache it runs twice
-        .persist()
+        // eagerly CHECKPOINTED here, post-gate: the regex redaction
+        // chain + gate is the expensive stage, gated has two consumers,
+        // and everything downstream references it many times through
+        // self-joins — a cache would re-run none of it but would leave
+        // its huge expression tree inside every downstream analysis
+        // (measured: driver-side re-analysis dominated the chain)
+        .localCheckpoint(true)
       val exactCanonical = gated
         .groupBy(md5($"text").as("h"))
         .agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
       val kept = gated.join(exactCanonical, Seq("doc_id"), "left_semi").persist()
-      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).persist()
+      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).localCheckpoint(true)
       val sh = arr.select($"doc_id", explode($"shs").as("sh"))
       val cnt = arr.select($"doc_id", size($"shs").as("n"))
       val pairs = TextDedup.jaccard(
@@ -374,7 +382,9 @@ object Curation {
         .filter($"quality" >= 0.45 && $"pred_lang" === "en")
         .join(docs.select($"doc_id", $"source"), "doc_id")
         .select($"doc_id", $"text", $"source", $"n_redactions", $"words", $"quality")
-        .persist() // feeds the classifier AND the semi-join below
+        // feeds the classifier AND the semi-join below; checkpointed so
+        // the redact+gate tree becomes a leaf (see v2)
+        .localCheckpoint(true)
       val mq = TextAnalysis.modelQuality(gated.select($"doc_id", $"text"))
         .filter($"verdict" === "keep")
         .select($"doc_id")
@@ -390,7 +400,7 @@ object Curation {
         .agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
       val kept = clean.join(exactCanonical, Seq("doc_id"), "left_semi").persist()
-      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).persist()
+      val arr = TextDedup.shingleArrays(kept.select($"doc_id", $"text"), 3).localCheckpoint(true)
       val sh = arr.select($"doc_id", explode($"shs").as("sh"))
       val cnt = arr.select($"doc_id", size($"shs").as("n"))
       // persisted: the components loop's symmetric-closure union reads

@@ -363,6 +363,43 @@ object TextAnalysis {
       .agg(sum($"c_q").as("score_q"), count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document TF-IDF keyword extraction — the metadata-enrichment
+    * stage a retrieval/clustering pipeline runs over the corpus: the
+    * top-k corpus-weighted terms of each document. Cross-engine
+    * determinism follows [[bm25]]: idf is the ratio form
+    * `(N - df + 0.5)/(df + 0.5)` (no transcendentals, so Spark and the
+    * DuckDB oracle compute bit-identical doubles) and the score is
+    * quantized (×100) to BIGINT before ranking.
+    *
+    * Scale shape: the stopword + short-term filter runs BEFORE the
+    * (doc, term) count, so the corpus-token shuffle carries only
+    * surviving postings with map-side combine applied; df is a second
+    * vocabulary-sized aggregate over the already-collapsed (doc, term)
+    * pairs; top-k-per-doc is `row_number <= k`, which Catalyst rewrites
+    * to WindowGroupLimit (map tasks truncate each doc's group to k
+    * before the exchange).
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int, stopwords: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") >= 3 && !$"term".isin(stopwords: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term", $"tf",
+        round($"tf".cast("double") * ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) * 100)
+          .cast("long").as("score_q"))
+      .withColumn("rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"score_q".desc, $"term")))
+      .filter($"rank" <= k)
+  }
+
   /** Test-set decontamination: flag training documents that share any
     * word n-gram with a benchmark/eval set (the standard n-gram-overlap
     * decontamination pass a pretraining pipeline runs before training).

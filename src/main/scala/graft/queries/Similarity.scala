@@ -1011,7 +1011,103 @@ object Similarity {
            |ORDER BY query_id, rank""".stripMargin),
   )
 
+  /** Oracle for q_embed_hard_negatives: Lloyd CTEs, probe the trained
+    * quantizer for every 10th vector, candidates = posting-list members
+    * with a DIFFERENT label, exact-cosine top-3 per anchor.
+    */
+  private def hardNegOracleSql(iters: Int): String =
+    kmeansCtes(iters) + s""",
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id FROM (
+      |    SELECT d.vec_id, d.cent_id,
+      |           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cent_id) AS rn
+      |    FROM (
+      |      SELECT v.vec_id, c.cent_id, ${cosSql("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+      |      FROM n v CROSS JOIN cents${iters - 1} c
+      |      WHERE v.vec_id % 10 = 0) d)
+      |  WHERE rn <= 2
+      |),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, eq.label AS anchor_label,
+      |                  a.vec_id AS neg_id, en.label AS neg_label
+      |  FROM probes p
+      |  JOIN assign${iters - 1} a ON p.cent_id = a.cent_id
+      |  JOIN embeddings eq ON eq.vec_id = p.query_id
+      |  JOIN embeddings en ON en.vec_id = a.vec_id
+      |  WHERE en.label <> eq.label
+      |),
+      |scored AS (
+      |  SELECT c.query_id, c.anchor_label, c.neg_id, c.neg_label,
+      |         ${cosSql("na.q", "na.n2", "nb.q", "nb.n2")} AS cosine
+      |  FROM cand c
+      |  JOIN n na ON na.vec_id = c.query_id
+      |  JOIN n nb ON nb.vec_id = c.neg_id
+      |)
+      |SELECT query_id, anchor_label, neg_id, neg_label, cosine, rank
+      |FROM (
+      |  SELECT query_id, anchor_label, neg_id, neg_label, cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Hard-negative mining — the contrastive-training data-prep stage
+    * (the DPR / Contriever recipe): for each anchor vector, the top-3
+    * most-similar candidates with a DIFFERENT label. Near-miss
+    * negatives are what an embedding trainer needs — random negatives
+    * are too easy to teach anything. Candidates come from the TRAINED
+    * IVF index's posting lists (2 probes), with the label-differs
+    * predicate applied BELOW the ranking join — the same
+    * pre-filtering shape as q_embed_topk_ivf_filtered, so candidate
+    * volume scales with label selectivity and the probe never widens
+    * to all-pairs. At 100 TB this is the serving-side join of a
+    * persisted index (q_embed_ivf_persist) against an anchor batch.
+    */
+  private val hardNegatives = Q(
+    "q_embed_hard_negatives",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", $"label", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val (cents, assignFinal) = VectorSim.kmeansFit(e, init, dims = 64, iters = 3)
+      // posting lists carry the filter column (label), exactly as the
+      // filtered-search index does
+      val posting = assignFinal
+        .join(e.select($"vec_id", $"label"), "vec_id")
+        .select($"vec_id".as("neg_id"), $"cent_id", $"label".as("neg_label"))
+      val probes = e.filter($"vec_id" % 10 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("cos",
+          VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"label".as("anchor_label"), $"cent_id")
+      val cand = probes
+        .join(posting, "cent_id")
+        .filter($"neg_label" =!= $"anchor_label") // below the ranking join
+        .select($"query_id", $"anchor_label", $"neg_id", $"neg_label").distinct()
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("neg_id"), $"q".as("qb"), $"n2".as("nb")), "neg_id")
+        .select($"query_id", $"anchor_label", $"neg_id", $"neg_label",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neg_id")))
+        .filter($"rank" <= 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(hardNegOracleSql(3)),
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
-      topkPq, topkIvfPq, knnClassify, topkIvfFiltered)
+      topkPq, topkIvfPq, knnClassify, topkIvfFiltered, hardNegatives)
 }

@@ -1197,8 +1197,46 @@ object TextAnalysisQ {
            |ORDER BY bucket""".stripMargin),
   )
 
+  /** Top-3 TF-IDF keywords per document — see
+    * [[TextAnalysis.tfidfKeywords]] for the determinism and scale
+    * story. The oracle repeats the identical ratio-idf arithmetic in
+    * the same association order, so the quantized scores hash-match.
+    */
+  private val tfidfKeywords = Q(
+    "q_text_tfidf_keywords",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .tfidfKeywords(Tables(s, dir).documents, k = 3,
+          TextAnalysis.defaultStopwords)
+        .select($"doc_id", $"term", $"tf", $"score_q", $"rank")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  WHERE len(term) >= 3
+           |    AND term NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')
+           |  GROUP BY doc_id, term
+           |),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+           |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           |scored AS (
+           |  SELECT t.doc_id, t.term, t.tf,
+           |         CAST(round(CAST(t.tf AS DOUBLE) * (s.n_docs - d.df + 0.5)
+           |                      / (d.df + 0.5) * 100) AS BIGINT) AS score_q
+           |  FROM tf t JOIN df d USING (term), stats s
+           |)
+           |SELECT doc_id, term, tf, score_q, rank FROM (
+           |  SELECT doc_id, term, tf, score_q,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS rank
+           |  FROM scored)
+           |WHERE rank <= 3
+           |ORDER BY doc_id, rank""".stripMargin),
+  )
+
   val all: Seq[Q] =
-    Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, decontaminate,
+    Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
       decontaminateFuzzy,
       rareBigrams, lmScore, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,

@@ -222,6 +222,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"domain cap did not push down as a group limit:\n$p")
   }
 
+  test("tfidf keywords: top-k-per-doc plans as a WindowGroupLimit and " +
+    "the stopword filter sits below the first exchange") {
+    val p = physical(SparkEntry.queries("q_text_tfidf_keywords")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not push down as a group limit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"tfidf grew a cartesian:\n$p")
+  }
+
+  test("hard negatives: candidates come from a posting-list equi-join, " +
+    "never anchor x corpus") {
+    val p = physical(SparkEntry.queries("q_embed_hard_negatives")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"hard negatives grew a cartesian:\n$p")
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(!bnlj.exists(_.contains("neg_id")),
+      s"candidate generation fell back to all-pairs:\n$p")
+  }
+
   test("in-doc line dedup is a pure narrow map: zero exchanges before " +
     "the gate's output sort") {
     import spark.implicits._

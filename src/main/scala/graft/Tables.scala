@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Lazy accessors for the driver-provided parquet tables under one
   * scale-factor directory (TESTDATA.md). Plain `spark.read.parquet`
@@ -21,17 +21,36 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) does not accept. Read nanos as long and truncate to micros
-    * — the same truncation DuckDB-to-micros comparison applies.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (read as long under nanosAsLong, then
+    * truncated to micros — the same truncation the DuckDB oracle applies)
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    * Normalize BOTH to TimestampType here so every downstream consumer —
+    * watermarks, unix_millis, epoch casts — sees one type. The NTZ→TZ cast
+    * is value-preserving because GraftSession/Verify pin the session
+    * timezone to UTC.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t("events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    Tables.normalizeEventTs(t("events"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Normalize `ts` to a true TimestampType whatever parquet encoding the
+    * driver generated — works on batch AND streaming DataFrames, so the
+    * `readStream.schema(rawSchema)` sites share one code path with
+    * `Tables.events`. NTZ→TZ is value-preserving because GraftSession and
+    * Verify pin the session timezone to UTC.
+    */
+  def normalizeEventTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+    raw.schema(tsCol).dataType match {
+      case LongType => // TIMESTAMP(NANOS) read under nanosAsLong
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => raw
+    }
 }

@@ -22,14 +22,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A throwing query must NOT vanish silently (that's how a 4-query
+    // regression shipped under an all-green scoreboard in round 4):
+    // record every failure in _errors.json and exit non-zero if any
+    // selected registry name ended the run with neither a dump dir nor
+    // an error entry.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg.linesIterator.take(3).mkString(" | ")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +56,20 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Completeness check: every selected query must have produced either
+    // a parquet dump or an error entry — absence means Verify itself has
+    // a hole, and the run should fail loudly rather than under-report.
+    val unaccounted = selected.keySet.filter { name =>
+      !errors.contains(name) && !Files.exists(Paths.get(s"$outDir/$name"))
+    }
+    if (unaccounted.nonEmpty)
+      System.err.println(s"[verify] UNACCOUNTED (no dump, no error): ${unaccounted.mkString(",")}")
     spark.stop()
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: ${errors.keys.mkString(",")}")
+    if (unaccounted.nonEmpty) sys.exit(2)
   }
 }

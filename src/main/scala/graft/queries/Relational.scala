@@ -495,9 +495,7 @@ object Relational {
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def fixTs(df: org.apache.spark.sql.DataFrame) =
-          if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else df
+          graft.Tables.normalizeEventTs(df)
         // spine bounds: the same 1-row aggregate the batch plan runs,
         // surfaced to the driver because the timer needs a Long
         val bounds = fixTs(s.read.parquet(s"$dir/events.parquet"))
@@ -911,12 +909,9 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "8") // ≈ state keys / task
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val raw = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val ev =
-          if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
+        val ev = graft.Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
         val sess = ev
           .withWatermark("ts", "1 hour")
           .groupBy(session_window($"ts", "6 hours"), $"user_id")
@@ -984,13 +979,9 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        def src = {
-          val raw = s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-          if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
-        }
+        def src = graft.Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
         val views = src.filter($"event_type" === "view")
           .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
           .withWatermark("view_ts", "1 hour")

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
@@ -26,12 +24,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * exchange moves O(groups × 4 KiB) regardless of input size. Spark's
   * own `approx_count_distinct` has the same shape; this one exists so
   * the register math is BIT-REPRODUCIBLE in any engine (the DuckDB
-  * oracle recomputes every register from the same md5 hex and must
+  * oracle recomputes every register from the same hash and must
   * hash-match):
   *
-  *   - hash = md5 of the UTF-8 string (not a JVM-private hash);
-  *   - bucket = first 12 hash bits (3 hex chars), ρ = leading zeros
-  *     of the next 52 bits + 1, capped at 30;
+  *   - hash = "fnv63": FNV-1a over the UTF-8 bytes with the
+  *     accumulator kept mod 2⁶³ (so a SQL engine can carry it in a
+  *     signed BIGINT and the 128-bit-widening multiply in HUGEINT),
+  *     then a murmur-style xor-shift/multiply finalizer in the same
+  *     63-bit domain (shifts 31/29/32; odd constants = the fmix64
+  *     constants mod 2⁶³). Raw FNV's leading-bit distribution is NOT
+  *     geometric enough for HLL ranks (sequential keys estimated 12×
+  *     off in simulation); the finalizer restores it (≤ ~3 % at
+  *     n ≥ 10⁴, the theoretical 1.04/√m regime). Chosen over md5 —
+  *     bit-identical in DuckDB via xor/shift/HUGEINT-mod SQL — because
+  *     it runs in a few ns/value with zero allocation, where the
+  *     MessageDigest path was ~100× that and dominated profiler cost;
+  *   - bucket = top 12 of the 63 hash bits, ρ = leading zeros of the
+  *     remaining 51-bit tail + 1, capped at 30;
   *   - the ρ cap makes Σ 2⁻ʳᵉᵍ EXACT in binary64 in any summation
   *     order (4096 terms, each a power of two ≥ 2⁻³⁰: worst-case sum
   *     needs 12 + 30 < 53 mantissa bits), which is what lets two
@@ -76,23 +85,14 @@ case class HllSketch(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
-  // one digest instance per deserialized expression copy (per task);
-  // MessageDigest is stateful but reset by digest(), never shared
-  // across threads here
-  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
-
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val d = md5.digest(v.asInstanceOf[UTF8String].getBytes)
-      // top 8 digest bytes big-endian = first 16 hex chars
-      var top = 0L
-      var i = 0
-      while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
-      val bucket = (top >>> 52).toInt // hex chars 1-3
-      val tail = top & ((1L << 52) - 1) // hex chars 4-16
+      val h = fnv63(v.asInstanceOf[UTF8String].getBytes)
+      val bucket = (h >>> 51).toInt // top 12 of 63 bits
+      val tail = h & ((1L << 51) - 1)
       val rank =
-        math.min(if (tail == 0L) 53 else java.lang.Long.numberOfLeadingZeros(tail) - 11, 30)
+        math.min(if (tail == 0L) 52 else java.lang.Long.numberOfLeadingZeros(tail) - 12, 30)
       if (rank > buffer(bucket)) buffer(bucket) = rank.toByte
     }
     buffer
@@ -142,6 +142,30 @@ object HllSketch {
 
   /** p = 12 → 4096 registers; standard-error ≈ 1.04/√m ≈ 1.6 %. */
   val M = 4096
+
+  private val Mask63 = (1L << 63) - 1
+  private val FnvSeed = 0xcbf29ce484222325L & Mask63 // FNV offset basis mod 2⁶³
+  private val FnvPrime = 0x100000001b3L
+  private val Mix1 = 0xff51afd7ed558ccdL & Mask63 // fmix64 constants mod 2⁶³
+  private val Mix2 = 0xc4ceb9fe1a85ec53L & Mask63
+
+  /** The register hash (see class doc): FNV-1a-63 fold + 63-bit
+    * xor-shift finalizer. Every intermediate stays in [0, 2⁶³), so the
+    * identical sequence of xor / shift / multiply-mod-2⁶³ runs in
+    * DuckDB BIGINT+HUGEINT SQL (`Relational.fnv63Sql`) and must agree
+    * bit-for-bit.
+    */
+  def fnv63(bytes: Array[Byte]): Long = {
+    var h = FnvSeed
+    var i = 0
+    while (i < bytes.length) {
+      h = ((h ^ (bytes(i) & 0xffL)) * FnvPrime) & Mask63
+      i += 1
+    }
+    h ^= (h >>> 31); h = (h * Mix1) & Mask63
+    h ^= (h >>> 29); h = (h * Mix2) & Mask63
+    h ^ (h >>> 32)
+  }
 
   private val info = new ExpressionInfo(classOf[HllSketch].getName, Name)
 

@@ -1025,14 +1025,46 @@ object Relational {
       s"CAST(strpos('0123456789abcdef', substr($expr, CAST($start + i AS BIGINT), 1)) - 1 AS BIGINT) * " +
       s"(CAST(1 AS BIGINT) << CAST((${n - 1} - i) * 4 AS INT)))) AS BIGINT)"
 
+  /** DuckDB twin of `HllSketch.fnv63` (`functions/HllSketch.scala`):
+    * the identical FNV-1a-63 byte fold + 63-bit xor-shift finalizer
+    * over the UTF-8 bytes of `expr`. The accumulator rides in BIGINT
+    * (everything stays < 2⁶³); each multiply widens through HUGEINT
+    * and mods back down, exactly mirroring the JVM's
+    * `(x * p) & Long.MaxValue`. Nested single-element list_transform
+    * lambdas bind each finalizer stage once so the whole hash is ONE
+    * self-contained SQL expression.
+    */
+  private[queries] def fnv63Sql(expr: String): String = {
+    val hex = s"hex(encode($expr))"
+    val fold = "list_reduce(list_prepend(CAST(5472609002491880229 AS BIGINT), " +
+      s"list_transform(range(1, octet_length(encode($expr)) + 1), " +
+      s"i -> CAST(strpos('0123456789ABCDEF', substr($hex, 2*i-1, 1)) - 1 AS BIGINT) * 16 " +
+      s"+ (strpos('0123456789ABCDEF', substr($hex, 2*i, 1)) - 1))), " +
+      "(acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211) % 9223372036854775808 AS BIGINT))"
+    s"list_transform([$fold], h0 -> " +
+      "list_transform([CAST((CAST(xor(h0, h0 >> 31) AS HUGEINT) * 9174307257865047245) % 9223372036854775808 AS BIGINT)], h1 -> " +
+      "list_transform([CAST((CAST(xor(h1, h1 >> 29) AS HUGEINT) * 4958104740799310931) % 9223372036854775808 AS BIGINT)], h2 -> " +
+      "xor(h2, h2 >> 32))[1])[1])[1]"
+  }
+
+  /** bucket / 51-bit tail / capped rank from an fnv63 BIGINT column —
+    * the DuckDB side of the register derivation in `HllSketch.update`.
+    */
+  private def fnv63Bucket(h: String): String = s"$h >> 51"
+  private def fnv63Tail(h: String): String =
+    s"($h & ((CAST(1 AS BIGINT) << 51) - 1))"
+  private def fnv63RankOf(v: String): String =
+    s"least(CASE WHEN $v = 0 THEN 52 ELSE 52 - length(bin($v)) END, 30)"
+
   /** Approximate distinct users per event type through the native
     * `hll_distinct` sketch aggregate (`functions/HllSketch.scala` —
     * fixed 4 KiB mergeable state, the cardinality shape that survives
     * 100 TB), next to the exact count so the output quantifies its own
-    * error. The oracle rebuilds every HLL register from the same md5
-    * hex in SQL — bucket = 12 bits, ρ = 53 − bitlength of the 52-bit
-    * tail capped at 30 — and must agree on estimate, nonzero-bucket
-    * count, and the integer-scaled register sum bit-for-bit.
+    * error. The oracle rebuilds every HLL register from the same fnv63
+    * hash in SQL — bucket = top 12 bits, ρ = 52 − bitlength of the
+    * 51-bit tail capped at 30 — and must agree on estimate,
+    * nonzero-bucket count, and the integer-scaled register sum
+    * bit-for-bit.
     */
   private val aggHllDistinct = Q(
     "q_agg_hll_distinct",
@@ -1054,17 +1086,17 @@ object Relational {
         .orderBy($"event_type")
     },
     Some(s"""WITH h AS (
-           |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+           |  SELECT event_type, ${fnv63Sql("CAST(user_id AS VARCHAR)")} AS h FROM events
            |),
            |rb AS (
            |  SELECT event_type,
-           |         ${hexToBig("hx", 1, 3)} AS bucket,
-           |         ${hexToBig("hx", 4, 13)} AS v
+           |         ${fnv63Bucket("h")} AS bucket,
+           |         ${fnv63Tail("h")} AS v
            |  FROM h
            |),
            |regs AS (
            |  SELECT event_type, bucket,
-           |         max(least(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END, 30)) AS r
+           |         max(${fnv63RankOf("v")}) AS r
            |  FROM rb GROUP BY event_type, bucket
            |),
            |agg AS (
@@ -1274,17 +1306,17 @@ object Relational {
       s.table(sinkName).orderBy($"event_type")
     },
     Some(s"""WITH h AS (
-           |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+           |  SELECT event_type, ${fnv63Sql("CAST(user_id AS VARCHAR)")} AS h FROM events
            |),
            |rb AS (
            |  SELECT event_type,
-           |         ${hexToBig("hx", 1, 3)} AS bucket,
-           |         ${hexToBig("hx", 4, 13)} AS v
+           |         ${fnv63Bucket("h")} AS bucket,
+           |         ${fnv63Tail("h")} AS v
            |  FROM h
            |),
            |regs AS (
            |  SELECT event_type, bucket,
-           |         max(least(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END, 30)) AS r
+           |         max(${fnv63RankOf("v")}) AS r
            |  FROM rb GROUP BY event_type, bucket
            |),
            |agg AS (
@@ -1516,7 +1548,7 @@ object Relational {
   )
 
   /** Shared oracle for the HLL profiler (batch and streaming gates):
-    * rebuilds every register from the same md5 hex per column (the
+    * rebuilds every register from the same fnv63 hash per column (the
     * q_agg_hll_distinct technique) and must agree bit-for-bit on the
     * nonzero-bucket count, the integer-scaled register sum, and the
     * rounded estimate.
@@ -1540,11 +1572,11 @@ object Relational {
          |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
          |  FROM (
          |    SELECT bucket,
-         |           max(least(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END, 30)) AS r
+         |           max(${fnv63RankOf("v")}) AS r
          |    FROM (
-         |      SELECT ${hexToBig("hx", 1, 3)} AS bucket,
-         |             ${hexToBig("hx", 4, 13)} AS v
-         |      FROM (SELECT md5(CAST($c AS VARCHAR)) AS hx
+         |      SELECT ${fnv63Bucket("h")} AS bucket,
+         |             ${fnv63Tail("h")} AS v
+         |      FROM (SELECT ${fnv63Sql(s"CAST($c AS VARCHAR)")} AS h
          |            FROM o WHERE $c IS NOT NULL)
          |    ) GROUP BY bucket
          |  )
@@ -1565,7 +1597,7 @@ object Relational {
     * native HLL sketch (`Profile.profileHll`) — ONE aggregation, NO
     * Expand (PlanShapeSpec asserts it), scan read once however many
     * columns are profiled. The oracle rebuilds every register from
-    * the same md5 hex per column (the q_agg_hll_distinct technique)
+    * the same fnv63 hash per column (the q_agg_hll_distinct technique)
     * and must agree bit-for-bit on the nonzero-bucket count, the
     * integer-scaled register sum, and the rounded estimate.
     */

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -27,18 +25,27 @@ class HllSketchSpec extends AnyFunSuite {
       .head()
   }
 
-  /** The spec's own (bucket, rank) derivation — scalar, no Spark. */
+  /** The spec's own (bucket, rank) derivation — scalar, no Spark, and
+    * deliberately NOT calling HllSketch.fnv63: BigInt arithmetic mod
+    * 2⁶³ re-derives the same hash a third way (the DuckDB oracle being
+    * the second), so a transcription slip in the Long bit-twiddling
+    * can't self-confirm.
+    */
   private def bucketRank(v: String): (Int, Int) = {
-    val d = MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
-    var top = 0L
-    var i = 0
-    while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
-    val tail = top & ((1L << 52) - 1)
-    val rank = math.min(if (tail == 0L) 53 else java.lang.Long.numberOfLeadingZeros(tail) - 11, 30)
-    ((top >>> 52).toInt, rank)
+    val m = BigInt(1) << 63
+    var h = BigInt("14695981039346656037") % m // FNV offset basis mod 2^63
+    v.getBytes("UTF-8").foreach { b =>
+      h = ((h ^ BigInt(b & 0xff)) * BigInt("1099511628211")) % m
+    }
+    h = ((h ^ (h >> 31)) * (BigInt("18397679294719823053") % m)) % m
+    h = ((h ^ (h >> 29)) * (BigInt("14181476777654086739") % m)) % m
+    h = h ^ (h >> 32)
+    val tail = h & ((BigInt(1) << 51) - 1)
+    val rank = math.min(if (tail == 0) 52 else 52 - tail.bitLength, 30)
+    ((h >> 51).toInt, rank)
   }
 
-  test("a single value sets exactly the register the md5 says") {
+  test("a single value sets exactly the register the hash says") {
     val (_, rank) = bucketRank("hello")
     val r = sketchOf(Seq("hello"), 1)
     assert(r.getInt(1) == 1)

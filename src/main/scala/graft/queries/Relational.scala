@@ -365,6 +365,55 @@ object Relational {
            |ORDER BY event_id""".stripMargin),
   )
 
+  /** C2/C3 under the gate: duration-string parse
+    * (`cli/src/main.rs:243-268`) and the `--since` window's
+    * trunc-to-hour −1 min end-cap (`cli/src/main.rs:259-262`), run
+    * through the REAL `cli.TimeArgs` code — argument parsing is
+    * inherently driver-side (it parses CLI flags, not data), so the
+    * Spark side evaluates TimeArgs per duration constant against
+    * `now` = max(events.ts) (one bounded 1-row fetch) and ships the
+    * results as a DataFrame; the oracle re-derives the same windows
+    * and C4 hour keys independently in SQL. A disagreement in parse
+    * semantics, the end-cap, or the hour-bucket format flips the hash.
+    */
+  private val cliTimeArgs = Q(
+    "q_cli_time_args",
+    (s, dir) => {
+      import s.implicits._
+      val nowMicros = Tables(s, dir).events
+        .agg(max(unix_micros($"ts"))).head().getLong(0)
+      val now = java.time.Instant.EPOCH
+        .plus(nowMicros, java.time.temporal.ChronoUnit.MICROS)
+      val rows = Seq("90s", "30m", "12h", "2d", "45m", "7h").map { d =>
+        val dur = graft.cli.TimeArgs.parseDuration(d)
+        val (lo, hi) = graft.cli.TimeArgs.sinceRange(dur, now)
+        (d, dur.toSeconds,
+          java.sql.Timestamp.from(lo), java.sql.Timestamp.from(hi),
+          graft.cli.TimeArgs.hourKey(lo), graft.cli.TimeArgs.hourKey(hi))
+      }
+      rows.toDF("dur", "dur_secs", "window_lo", "window_hi",
+          "hour_key_lo", "hour_key_hi")
+        .orderBy($"dur")
+    },
+    Some("""WITH nw AS (SELECT max(ts) AS now FROM events),
+           |d AS (SELECT unnest(['90s','30m','12h','2d','45m','7h']) AS dur),
+           |p AS (
+           |  SELECT dur,
+           |         CAST(substr(dur, 1, length(dur)-1) AS BIGINT) *
+           |         CASE substr(dur, length(dur), 1)
+           |           WHEN 's' THEN 1 WHEN 'm' THEN 60
+           |           WHEN 'h' THEN 3600 WHEN 'd' THEN 86400 END AS dur_secs
+           |  FROM d
+           |)
+           |SELECT dur, dur_secs,
+           |       now - dur_secs * INTERVAL 1 SECOND AS window_lo,
+           |       date_trunc('hour', now) - INTERVAL 1 MINUTE AS window_hi,
+           |       strftime(now - dur_secs * INTERVAL 1 SECOND, '%Y-%m-%d-%H') AS hour_key_lo,
+           |       strftime(date_trunc('hour', now) - INTERVAL 1 MINUTE, '%Y-%m-%d-%H') AS hour_key_hi
+           |FROM p, nw
+           |ORDER BY dur""".stripMargin),
+  )
+
   /** A1 with pandas gap semantics: `resample('1min').last()` emits a
     * row for EVERY minute in the observed range, value-less minutes as
     * NULL/NaN. Spine = `sequence(min_minute, max_minute, 1 min)`
@@ -1917,6 +1966,7 @@ object Relational {
   )
 
   val all: Seq[Q] = Seq(
+    cliTimeArgs,
     profileColumns,
     profileColumnsHll,
     streamProfileHll,

@@ -508,7 +508,73 @@ object Replay {
     Some(FixtureOracle.referenceTicksSql(FixtureOracle.liveMsgsPath)),
   )
 
+  /** A5 under the gate: the `observe()`-based ingest metrics
+    * (`StreamingReplay.withIngestMetrics` — the streaming analog of
+    * the reference's 15 s msgs/sec log, `collector/src/main.rs:275-290`)
+    * accumulated across micro-batches by a StreamingQueryListener and
+    * oracled against the structured dump: the total parsed-message
+    * count and approx byte volume must equal what DuckDB derives from
+    * the ground truth. Totals are batch-boundary-invariant, so the
+    * gate is deterministic however the file source slices batches.
+    * Closes the last spec-only §2 aggregation item (A5 was previously
+    * listener-spec'd but never driver-verified).
+    */
+  private val streamIngestMetrics = Q(
+    "q_stream_ingest_metrics",
+    (s, _) => {
+      import s.implicits._
+      FixtureOracle.ensureDumps(s)
+      FixtureLog.write(streamFixtureSpec)
+      val sinkName = "graft_stream_ingest_metrics_gate"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val totals =
+        new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val om = e.progress.observedMetrics.get("ingest")
+          if (om != null) {
+            totals.updateAndGet { case (n, b) =>
+              (n + om.getAs[Long]("n_messages"), b + om.getAs[Long]("approx_bytes"))
+            }
+            ()
+          }
+        }
+      }
+      s.streams.addListener(listener)
+      try {
+        val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
+        val msgs = graft.streaming.StreamingReplay.withIngestMetrics(
+          RawLogSource.feedMessagesFromLines(lines.toDF()))
+        val query = msgs.toDF().select($"eventType")
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        // The listener bus is async: progress events can land after
+        // awaitTermination returns. The sink row count is ground truth
+        // for "every batch reported" (observe counts the same rows the
+        // sink receives), so wait until the observed total catches up,
+        // bounded by a deadline.
+        val expected = s.table(sinkName).count()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (totals.get()._1 < expected && System.nanoTime() < deadline)
+          Thread.sleep(50)
+      } finally s.streams.removeListener(listener)
+      val (n, b) = totals.get()
+      Seq((n, b)).toDF("n_messages", "approx_bytes")
+    },
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_messages,
+           |       CAST(sum(length(ts) + length(market) + length(asset)) AS BIGINT) AS approx_bytes
+           |FROM read_parquet('${FixtureOracle.fixtureMsgsPath}/*.parquet')""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
+    streamIngestMetrics,
     replayFinalBbo,
     replaySnapshotsBbo,
     replayFixtureTicks,

@@ -88,7 +88,7 @@ case class HllSketch(
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = fnv63(v.asInstanceOf[UTF8String].getBytes)
+      val h = Fnv63.hash(v.asInstanceOf[UTF8String])
       val bucket = (h >>> 51).toInt // top 12 of 63 bits
       val tail = h & ((1L << 51) - 1)
       val rank =
@@ -142,30 +142,6 @@ object HllSketch {
 
   /** p = 12 → 4096 registers; standard-error ≈ 1.04/√m ≈ 1.6 %. */
   val M = 4096
-
-  private val Mask63 = (1L << 63) - 1
-  private val FnvSeed = 0xcbf29ce484222325L & Mask63 // FNV offset basis mod 2⁶³
-  private val FnvPrime = 0x100000001b3L
-  private val Mix1 = 0xff51afd7ed558ccdL & Mask63 // fmix64 constants mod 2⁶³
-  private val Mix2 = 0xc4ceb9fe1a85ec53L & Mask63
-
-  /** The register hash (see class doc): FNV-1a-63 fold + 63-bit
-    * xor-shift finalizer. Every intermediate stays in [0, 2⁶³), so the
-    * identical sequence of xor / shift / multiply-mod-2⁶³ runs in
-    * DuckDB BIGINT+HUGEINT SQL (`Relational.fnv63Sql`) and must agree
-    * bit-for-bit.
-    */
-  def fnv63(bytes: Array[Byte]): Long = {
-    var h = FnvSeed
-    var i = 0
-    while (i < bytes.length) {
-      h = ((h ^ (bytes(i) & 0xffL)) * FnvPrime) & Mask63
-      i += 1
-    }
-    h ^= (h >>> 31); h = (h * Mix1) & Mask63
-    h ^= (h >>> 29); h = (h * Mix2) & Mask63
-    h ^ (h >>> 32)
-  }
 
   private val info = new ExpressionInfo(classOf[HllSketch].getName, Name)
 

@@ -809,6 +809,52 @@ object Relational {
            |ORDER BY source""".stripMargin),
   )
 
+  /** Deterministic bottom-k (KMV) sampling: order documents by the
+    * cross-engine fnv63 hash of their id (`functions/Fnv63.scala`, a
+    * native codegen'd expression) and keep the k smallest. Unlike
+    * rand()-sampling this is reproducible across engines and runs, and
+    * unlike LIMIT it is uniform; bottom-k sets are MERGEABLE (bottom-k
+    * of a union = bottom-k of the per-shard bottom-ks), which is
+    * exactly how Spark executes it — TakeOrderedAndProject keeps k
+    * rows per task and merges on the driver, no full shuffle, no
+    * global sort. Fixed k-row state per task at any scale. The k-th
+    * smallest hash doubles as the KMV distinct-count estimator
+    * D ≈ (k−1)·2⁶³/h₍ₖ₎ (Bar-Yossef et al., "Counting distinct
+    * elements in a data stream"), riding along as a constant column.
+    * The oracle re-derives hash, sample membership, and estimator.
+    */
+  private val sampleBottomK = Q(
+    "q_sample_bottomk",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.Fnv63Hash.register(s)
+      val k = 100
+      val sampled = Tables(s, dir).documents
+        .select($"doc_id", $"source",
+          call_function(graft.functions.Fnv63Hash.name,
+            $"doc_id".cast("string")).as("h"))
+        .orderBy($"h")
+        .limit(k)
+      val kth = sampled.agg(max($"h").as("kth_hash"), count(lit(1)).as("k"))
+      sampled.crossJoin(broadcast(kth))
+        .select($"h", $"doc_id", $"source", $"kth_hash",
+          round(($"k" - 1).cast("double") * lit(8.0 * (1L << 60)) / $"kth_hash", 4)
+            .as("est_distinct"))
+        .orderBy($"h")
+    },
+    Some(s"""WITH h AS (
+           |  SELECT doc_id, source,
+           |         ${fnv63Sql("CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents
+           |),
+           |s AS (SELECT * FROM h ORDER BY h LIMIT 100),
+           |kth AS (SELECT max(h) AS kth_hash, count(*) AS k FROM s)
+           |SELECT s.h AS h, s.doc_id, s.source, kth.kth_hash,
+           |       round((kth.k - 1) * (8.0 * (CAST(1 AS BIGINT) << 60)) / kth.kth_hash, 4) AS est_distinct
+           |FROM s, kth
+           |ORDER BY h""".stripMargin),
+  )
+
   /** Ordered conversion funnel signup → view → purchase per user: each
     * stage's earliest event strictly after the previous stage's.
     * Every shuffle keys on user_id (one partitioning reused across all
@@ -1967,6 +2013,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     cliTimeArgs,
+    sampleBottomK,
     profileColumns,
     profileColumnsHll,
     streamProfileHll,

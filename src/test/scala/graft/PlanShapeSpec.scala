@@ -316,4 +316,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"incremental dedup grew an all-pairs join:\n$p")
   }
+
+  test("bottom-k sample: orderBy+limit plans as TakeOrderedAndProject " +
+    "(per-task k rows merged on the driver), never a global Sort") {
+    val p = physical(SparkEntry.queries("q_sample_bottomk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k lost the top-k operator:\n$p")
+    // a Sort node would mean a full global sort of the corpus by hash —
+    // the exact thing bottom-k sampling exists to avoid (the final
+    // 100-row presentation sort is also TakeOrderedAndProject)
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && !l.contains("TakeOrdered")),
+      s"bottom-k grew a full sort:\n$p")
+  }
 }

@@ -282,4 +282,49 @@ object Multimodal {
       }
     }
   }
+
+  final case class AudioWindow(
+      media_id: Long,
+      window_idx: Int,
+      energy: Long, // Σ sample² over the window — integer-exact
+  )
+
+  /** Audio windowed energy: the payload of an audio row is interpreted
+    * as 16-bit little-endian signed PCM mono (the raw-WAV convention)
+    * and folded into per-window sum-of-squares energies — the
+    * primitive under VAD/silence-trimming in a speech-data curation
+    * pipeline. Full windows only (a trailing partial window and a
+    * trailing odd byte carry no complete frame and are dropped, like
+    * `sampleFrames`' tail clamp but stricter — energy of a short
+    * window isn't comparable to its neighbors).
+    *
+    * Same scale shape as the other media stages: 1 → n flatMap inside
+    * `mapPartitions`-style typed iteration, no shuffle, integer math
+    * exactly reproducible by the oracle's hex-nibble byte extraction.
+    * A real resampler/codec slots in before this; the windowing,
+    * sign-extension, and energy fold are the load-bearing parts.
+    */
+  def audioEnergy(
+      media: Dataset[Media],
+      windowSamples: Int = 16,
+  ): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").flatMap { m =>
+      val bytes = m.payload
+      val nWindows = bytes.length / 2 / windowSamples
+      (0 until nWindows).map { k =>
+        var e = 0L
+        var j = 0
+        while (j < windowSamples) {
+          val i = (k * windowSamples + j) * 2
+          // little-endian i16: low byte unsigned, high byte sign-extends
+          val s = (bytes(i) & 0xff) | (bytes(i + 1).toInt << 8)
+          e += s.toLong * s
+          j += 1
+        }
+        AudioWindow(m.media_id, k, e)
+      }
+    }
+  }
 }

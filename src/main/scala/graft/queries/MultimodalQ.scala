@@ -333,6 +333,70 @@ object MultimodalQ {
             |ORDER BY media_a, media_b""".stripMargin),
   )
 
+  /** DuckDB hex digit at 1-based position `pos` of the payload hex. */
+  private def duckHexDigit(pos: String): String =
+    s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS BIGINT), 1)) - 1)"
+
+  /** Byte value at 0-based byte offset `b` of the payload. */
+  private def duckPayloadByte(b: String): String =
+    s"(${duckHexDigit(s"2*($b)+1")} * 16 + ${duckHexDigit(s"2*($b)+2")})"
+
+  /** Signed 16-bit little-endian sample at 0-based sample index `i`. */
+  private def duckSampleAt(i: String): String = {
+    val u = s"(${duckPayloadByte(s"2*($i)")} + 256 * ${duckPayloadByte(s"2*($i)+1")})"
+    s"(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+  }
+
+  /** Audio windowed energy + relative silence flag: the audio-kind
+    * payloads as 16-bit LE signed PCM, per-16-sample sum-of-squares
+    * energy (`Multimodal.audioEnergy` — the VAD/silence-trim primitive
+    * of a speech curation pipeline), flagged silent when the window
+    * carries < ¼ of its medium's mean energy (integer cross-multiplied
+    * compare, no float threshold). Sign extension, window boundaries,
+    * the energy fold, and the silence rule are all oracle-checked
+    * against hex-nibble sample reconstruction.
+    */
+  private val mediaAudioEnergy = Q(
+    "q_media_audio_energy",
+    (s, dir) => {
+      import s.implicits._
+      val win = Multimodal
+        .audioEnergy(Multimodal.syntheticMedia(Tables(s, dir).documents))
+        .toDF()
+      val tot = win.groupBy($"media_id")
+        .agg(sum($"energy").as("tot"), count(lit(1)).as("n_win"))
+      win.join(tot, "media_id")
+        .select($"media_id", $"window_idx", $"energy",
+          ($"energy" * 4 * $"n_win" < $"tot").as("is_silence"))
+        .orderBy($"media_id", $"window_idx")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+            |         octet_length(encode(text)) AS nb
+            |  FROM documents WHERE doc_id % 3 = 1
+            |),
+            |w AS (
+            |  SELECT media_id, CAST(g.k AS INT) AS window_idx, hx
+            |  FROM m, UNNEST(generate_series(0, nb // 32 - 1)) AS g(k)
+            |),
+            |e AS (
+            |  SELECT media_id, window_idx,
+            |         CAST(list_sum(list_transform(range(0, 16), j ->
+            |           CAST(${duckSampleAt("window_idx*16+j")} AS BIGINT) *
+            |           ${duckSampleAt("window_idx*16+j")})) AS BIGINT) AS energy
+            |  FROM w
+            |),
+            |t AS (
+            |  SELECT media_id, sum(energy) AS tot, count(*) AS n_win
+            |  FROM e GROUP BY media_id
+            |)
+            |SELECT e.media_id, e.window_idx, e.energy,
+            |       e.energy * 4 * t.n_win < t.tot AS is_silence
+            |FROM e JOIN t USING (media_id)
+            |ORDER BY media_id, window_idx""".stripMargin),
+  )
+
   val all: Seq[Q] =
-    Seq(mediaDecodeResize, mediaFeatures, mediaFrames, mediaEmbedTopk, mediaAHashDedup)
+    Seq(mediaDecodeResize, mediaFeatures, mediaFrames, mediaEmbedTopk,
+      mediaAHashDedup, mediaAudioEnergy)
 }

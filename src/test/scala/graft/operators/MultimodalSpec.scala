@@ -89,4 +89,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idxs == idxs.distinct && idxs.forall(_ % 2 == 0))
     assert(frames.forall(_.frame_payload.length <= 8))
   }
+
+  test("audio energy: i16-LE sign extension, window boundaries, tail drop") {
+    // hand-built payload: 5 samples [1, -1, 256, -32768, 32767] + one
+    // trailing odd byte — windowSamples = 2 -> 2 full windows, sample 5
+    // (incomplete window) and the odd byte dropped
+    val bytes = Array[Byte](
+      0x01, 0x00, // 1
+      0xff.toByte, 0xff.toByte, // -1
+      0x00, 0x01, // 256
+      0x00, 0x80.toByte, // -32768
+      0xff.toByte, 0x7f, // 32767
+      0x42) // trailing odd byte
+    val m = Seq(Multimodal.Media(7L, "audio", bytes,
+      Multimodal.MediaMeta(0, 0, 16000, 1, "wav"))).toDS()
+    val w = Multimodal.audioEnergy(m, windowSamples = 2)
+      .collect().sortBy(_.window_idx)
+    assert(w.map(_.window_idx).toSeq == Seq(0, 1))
+    assert(w(0).energy == 1L * 1 + 1L * 1) // 1² + (−1)²
+    assert(w(1).energy == 256L * 256 + 32768L * 32768) // 256² + (−32768)²
+  }
+
+  test("audio energy: only audio-kind rows produce windows") {
+    val w = Multimodal.audioEnergy(media, windowSamples = 4).collect()
+    assert(w.nonEmpty)
+    assert(w.forall(_.media_id == 1L)) // only the audio doc
+  }
 }

@@ -855,6 +855,45 @@ object Relational {
            |ORDER BY h""".stripMargin),
   )
 
+  /** Weekly retention cohorts — the product-analytics complement of
+    * the funnel: users grouped by first-seen week, activity counted
+    * per (cohort, weeks-since-cohort) cell. Every heavy exchange keys
+    * on user_id (cohort assignment AND the activity dedup reuse the
+    * same partitioning); the final (cohort, offset) aggregation is
+    * cells-sized, not events-sized. The distinct-(user, week) pass
+    * means n_users is a plain count(*), never a count-distinct over
+    * the wide grain.
+    */
+  private val eventsRetention = Q(
+    "q_events_retention",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", date_trunc("week", $"ts").as("w"))
+      val cohort = ev.groupBy($"user_id").agg(min($"w").as("cw"))
+      val act = ev.distinct()
+      act.join(cohort, "user_id")
+        .select($"cw",
+          (datediff($"w", $"cw") / 7).cast("long").as("week_offset"))
+        .groupBy($"cw", $"week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format($"cw", "yyyy-MM-dd").as("cohort_week"),
+          $"week_offset", $"n_users")
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, date_trunc('week', ts) AS w FROM events
+           |),
+           |cohort AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id),
+           |act AS (SELECT DISTINCT user_id, w FROM ev)
+           |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+           |       CAST(date_diff('day', c.cw, a.w) // 7 AS BIGINT) AS week_offset,
+           |       CAST(count(*) AS BIGINT) AS n_users
+           |FROM act a JOIN cohort c USING (user_id)
+           |GROUP BY 1, 2
+           |ORDER BY cohort_week, week_offset""".stripMargin),
+  )
+
   /** Ordered conversion funnel signup → view → purchase per user: each
     * stage's earliest event strictly after the previous stage's.
     * Every shuffle keys on user_id (one partitioning reused across all
@@ -2014,6 +2053,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     cliTimeArgs,
     sampleBottomK,
+    eventsRetention,
     profileColumns,
     profileColumnsHll,
     streamProfileHll,

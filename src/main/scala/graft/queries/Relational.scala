@@ -857,12 +857,16 @@ object Relational {
 
   /** Weekly retention cohorts — the product-analytics complement of
     * the funnel: users grouped by first-seen week, activity counted
-    * per (cohort, weeks-since-cohort) cell. Every heavy exchange keys
-    * on user_id (cohort assignment AND the activity dedup reuse the
-    * same partitioning); the final (cohort, offset) aggregation is
-    * cells-sized, not events-sized. The distinct-(user, week) pass
-    * means n_users is a plain count(*), never a count-distinct over
-    * the wide grain.
+    * per (cohort, weeks-since-cohort) cell. An explicit user_id
+    * repartition feeds everything: HashPartitioning(user_id) satisfies
+    * the (user_id, week) dedup's clustering (subset rule — the dedup
+    * never shuffles on the wide key, plan-asserted), the cohort
+    * min-agg rides the same partitioning, AQE reuses the identical
+    * exchanges at runtime, and the cohort join needs no further
+    * event-sized shuffle (broadcast at this SF; co-partitioned SMJ at
+    * scale). The only other exchange is the cells-sized final
+    * aggregation. The distinct-(user, week) pass means n_users is a
+    * plain count(*), never a count-distinct over the event grain.
     */
   private val eventsRetention = Q(
     "q_events_retention",
@@ -870,6 +874,7 @@ object Relational {
       import s.implicits._
       val ev = Tables(s, dir).events
         .select($"user_id", date_trunc("week", $"ts").as("w"))
+        .repartition($"user_id")
       val cohort = ev.groupBy($"user_id").agg(min($"w").as("cw"))
       val act = ev.distinct()
       act.join(cohort, "user_id")

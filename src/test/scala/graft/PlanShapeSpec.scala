@@ -317,6 +317,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"incremental dedup grew an all-pairs join:\n$p")
   }
 
+  test("retention cohorts: the (user, week) dedup rides on the user_id " +
+    "partitioning (subset rule) — no event-sized shuffle on the wide key") {
+    val p = physical(SparkEntry.queries("q_events_retention")(spark, dir))
+    // the failure mode: distinct() planning its own
+    // hashpartitioning(user_id, w) exchange over the event grain
+    assert(!p.contains("hashpartitioning(user_id#") ||
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+        .forall(l => !(l.contains("user_id#") && l.contains(", w#"))),
+      s"dedup grew its own (user_id, w) shuffle:\n$p")
+    assert(countOccurrences(p, "hashpartitioning(user_id") >= 1,
+      s"expected the explicit user_id exchange:\n$p")
+    // AQE reuses the two identical user_id exchanges at runtime; the
+    // static bound is: user_id repartitions + the cells-sized final
+    // agg — never more than 3 hash exchanges
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 3, s"retention grew extra hash shuffles ($hashEx):\n$p")
+  }
+
   test("bottom-k sample: orderBy+limit plans as TakeOrderedAndProject " +
     "(per-task k rows merged on the driver), never a global Sort") {
     val p = physical(SparkEntry.queries("q_sample_bottomk")(spark, dir))

@@ -60,7 +60,24 @@ object Sketches {
   ): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"histogramQuantiles: quantiles must be in (0, 1]")
-    val h = histogram(df, value, lo, hi, bins)
+    quantilesFromHistogram(histogram(df, value, lo, hi, bins), lo, hi, bins, qs)
+  }
+
+  /** The quantile read-out over a (bin, cnt) histogram relation —
+    * split from [[histogramQuantiles]] so a STREAMING accumulation of
+    * the same histogram (complete-mode groupBy(bin), ≤ bins keys of
+    * state) can share the finish: the sketch accumulates
+    * incrementally; this is a view over its current state. Bins-sized
+    * input, so the window functions here are trivial at any corpus
+    * scale.
+    */
+  def quantilesFromHistogram(
+      h: DataFrame,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      qs: Seq[Double],
+  ): DataFrame = {
     val wCum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -1525,6 +1525,74 @@ object Relational {
             |ORDER BY r, pos""".stripMargin),
   )
 
+  /** Streaming quantiles: the fixed-bin histogram accumulates over
+    * the lineitem stream in complete mode (≤ 256 keys of state however
+    * long the stream runs — the quantile member of the streaming
+    * sketch family next to HLL/CMS/drift), and the quantile read-out
+    * (`Sketches.quantilesFromHistogram`, shared with the batch gate)
+    * runs as a bins-sized batch view over the sink. That decomposition
+    * — incremental sketch accumulation, read-out as a view over the
+    * current state — is the production shape for "p99 so far" over an
+    * unbounded stream; identical bin/pick arithmetic to
+    * q_agg_histogram_quantiles, so one oracle form checks both.
+    */
+  private val streamHistogramQuantiles = Q(
+    "q_stream_histogram_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_hq_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/lineitem.parquet").schema
+        val src = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+        val hist = graft.operators.Sketches
+          .histogram(src, $"l_extendedprice", lo = 0.0, hi = 110000.0, bins = 256)
+        val query = hist.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      graft.operators.Sketches
+        .quantilesFromHistogram(s.table(sinkName),
+          lo = 0.0, hi = 110000.0, bins = 256, qs = Seq(0.5, 0.9, 0.99))
+        .select($"q", $"bin", round($"approx_value", 4).as("approx_value"),
+          $"cum_count", $"n")
+        .orderBy($"q")
+    },
+    Some("""WITH b AS (
+           |  SELECT least(greatest(CAST(floor(
+           |           (CAST(l_extendedprice AS DOUBLE) - 0.0) * 256.0 / 110000.0
+           |         ) AS BIGINT), 0), 255) AS bin
+           |  FROM lineitem
+           |),
+           |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+           |c AS (
+           |  SELECT bin, cnt,
+           |         sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+           |         sum(cnt) OVER () AS n
+           |  FROM h
+           |),
+           |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+           |pick AS (
+           |  SELECT q.q, min(c.bin) AS bin
+           |  FROM q JOIN c ON c.cum >= ceil(q.q * c.n)
+           |  GROUP BY q.q
+           |)
+           |SELECT p.q, p.bin,
+           |       round(0.0 + (p.bin + 1) * (110000.0 - 0.0) / 256.0, 4) AS approx_value,
+           |       CAST(c.cum AS BIGINT) AS cum_count,
+           |       CAST(c.n AS BIGINT) AS n
+           |FROM pick p JOIN c ON c.bin = p.bin
+           |ORDER BY q""".stripMargin),
+  )
+
   /** FULL OUTER join with both-null sides exercised: per-user signup
     * counts against per-user error counts — users who only signed up,
     * users who only errored, and users who did both all appear, with
@@ -2068,6 +2136,7 @@ object Relational {
     joinSaltedSkew,
     corpusDiff,
     streamCmsCells,
+    streamHistogramQuantiles,
     windowGapFill,
     streamGapFill,
     aggHllDistinct,

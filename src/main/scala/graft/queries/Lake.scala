@@ -1,0 +1,102 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-lake layout queries: the storage-side half of the 100-TB
+  * story. Z-ordering (q_layout_zorder) covers intra-file clustering;
+  * these cover the DIRECTORY layer — hive-style partition pruning and
+  * schema evolution — by writing real (tmp) lakes inside the gate
+  * query and reading them back, so the round-trip itself is under the
+  * oracle: the DuckDB side recomputes from the ORIGINAL table, and any
+  * row lost, duplicated, or mis-partitioned by the write/read cycle
+  * breaks the hash.
+  */
+object Lake {
+
+  private def lakeDir(name: String): String =
+    new File(new File(sys.props("java.io.tmpdir"), "graft_lake"), name).getPath
+
+  /** Hive-partitioned write + statically-pruned read: events land as
+    * `event_date=YYYY-MM-DD/` directories (the universal raw-event
+    * lake layout — the reference's hourly files are the same idea one
+    * level down, `collector/src/main.rs:126-135`), and the read-back
+    * filters on a literal date range so Catalyst prunes partitions at
+    * PLANNING time — `PartitionFilters` in the scan, directories never
+    * listed into the plan (plan-asserted in PlanShapeSpec). At 100 TB
+    * this is the difference between scanning a week and scanning
+    * years. The filter bounds are derived from min(ts) driver-side
+    * (one 1-row agg) so the literal pruning path is exercised rather
+    * than a subquery/DPP path.
+    */
+  private val layoutHivePartitioned = Q(
+    "q_layout_hive_partitioned",
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir("events_by_date")
+      val ev = Tables(s, dir).events
+      ev.withColumn("event_date", to_date($"ts"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      val d0 = ev.agg(min(to_date($"ts"))).head().getDate(0).toLocalDate
+      val (lo, hi) = (d0.plusDays(7), d0.plusDays(14))
+      s.read.parquet(path)
+        .filter($"event_date" >= lit(java.sql.Date.valueOf(lo.toString)) &&
+          $"event_date" < lit(java.sql.Date.valueOf(hi.toString)))
+        .groupBy($"event_date")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("sum_value"))
+        .select(date_format($"event_date", "yyyy-MM-dd").as("event_date"),
+          $"n_events", $"sum_value")
+        .orderBy($"event_date")
+    },
+    Some("""WITH md AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+           |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           |       count(*) AS n_events,
+           |       round(sum(value), 2) AS sum_value
+           |FROM events, md
+           |WHERE CAST(ts AS DATE) >= d0 + 7 AND CAST(ts AS DATE) < d0 + 14
+           |GROUP BY 1
+           |ORDER BY event_date""".stripMargin),
+  )
+
+  /** Schema evolution across lake generations: generation 1 wrote
+    * (doc_id, text, n_chars), generation 2 added `lang`. A
+    * `mergeSchema` read unifies them — old rows surface the new column
+    * as NULL, none are dropped — which is how a long-lived corpus lake
+    * absorbs new per-document signals without rewriting petabytes.
+    * The aggregation buckets by the (nullable) evolved column, so both
+    * the null-backfill and the preserved new-generation values are
+    * under the hash.
+    */
+  private val sourceSchemaEvolution = Q(
+    "q_source_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir("docs_evolving")
+      val docs = Tables(s, dir).documents
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text", $"n_chars")
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"text", $"n_chars", $"lang")
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce($"lang", lit("(pre-evolution)")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT coalesce(CASE WHEN doc_id % 2 = 1 THEN lang END,
+           |                '(pre-evolution)') AS lang,
+           |       count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents
+           |GROUP BY 1
+           |ORDER BY lang""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(layoutHivePartitioned, sourceSchemaEvolution)
+}

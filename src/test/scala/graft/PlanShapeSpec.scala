@@ -335,6 +335,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx <= 3, s"retention grew extra hash shuffles ($hashEx):\n$p")
   }
 
+  test("hive-partitioned lake read: the date range lands in " +
+    "PartitionFilters (directory pruning at planning time), not just " +
+    "row-group filters") {
+    val p = physical(SparkEntry.queries("q_layout_hive_partitioned")(spark, dir))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.isDefined, s"no PartitionFilters in scan:\n$p")
+    assert(scanLine.get.contains("event_date"),
+      s"date bounds not pruning partitions:\n${scanLine.get}")
+    assert(!scanLine.get.contains("PartitionFilters: []"),
+      s"partition filter list is empty:\n${scanLine.get}")
+  }
+
   test("bottom-k sample: orderBy+limit plans as TakeOrderedAndProject " +
     "(per-task k rows merged on the driver), never a global Sort") {
     val p = physical(SparkEntry.queries("q_sample_bottomk")(spark, dir))

@@ -100,6 +100,48 @@ object Profile {
       .select(col("p.*"))
   }
 
+  /** Grouped at-scale profiler: [[profileHll]] per group — the
+    * per-subcorpus quality dashboard (per source / language / shard)
+    * every curation run reads before deciding mixture weights. Still
+    * ONE aggregation pass with NO Expand; state is (groups × columns ×
+    * 4 KiB) of mergeable registers and the shuffle keys on the group
+    * column — the natural partitioning when downstream stages (domain
+    * caps, mixture sampling) key on the same column. Output one row
+    * per (group, column).
+    */
+  def profileHllBy(df: DataFrame, groupCol: String, cols0: Seq[String]): DataFrame = {
+    graft.functions.HllSketch.register(df.sparkSession)
+    val cols = cols0.distinct
+    require(cols.nonEmpty, "profileHllBy: need at least one column")
+    val missing = (groupCol +: cols).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profileHllBy: no such columns: ${missing.mkString(", ")}")
+    def q(n: String) = col(s"`$n`")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(q(c)).as(s"__${c}__nn"),
+        call_function(graft.functions.HllSketch.Name, q(c).cast("string"))
+          .as(s"__${c}__hll"),
+        min(q(c)).cast("string").as(s"__${c}__min"),
+        max(q(c)).cast("string").as(s"__${c}__max"))
+    }
+    df.groupBy(q(groupCol))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(q(groupCol), explode(array(cols.map { c =>
+        struct(
+          lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - q(s"__${c}__nn")).as("n_null"),
+          q(s"__${c}__hll").getField("nonzero_buckets").cast("long")
+            .as("nonzero_buckets"),
+          q(s"__${c}__hll").getField("register_sum_scaled")
+            .as("register_sum_scaled"),
+          round(q(s"__${c}__hll").getField("estimate"), 4).as("hll_distinct"),
+          q(s"__${c}__min").as("min_value"),
+          q(s"__${c}__max").as("max_value"))
+      }: _*)).as("p"))
+      .select(q(groupCol), col("p.*"))
+  }
+
   /** Robust per-group outlier detection — the row-level alarm next to
     * the column-level profile and the snapshot-level [[Drift]]: rows
     * whose value falls outside the Tukey fences [q1 − 1.5·IQR,

@@ -1799,6 +1799,71 @@ object Relational {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** Grouped profiler under the gate: `Profile.profileHllBy` over
+    * documents keyed by source — the per-subcorpus quality dashboard
+    * (one aggregation pass, no Expand, state = groups × columns ×
+    * 4 KiB of mergeable registers) a curation run reads before setting
+    * mixture weights. The oracle rebuilds every per-(source, column)
+    * HLL register from the same fnv63 hash and must agree bit-for-bit
+    * on buckets, scaled register sum, and estimate, alongside exact
+    * n_rows/n_null/min/max.
+    */
+  private val profileBySource = Q(
+    "q_profile_by_source",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Profile
+        .profileHllBy(Tables(s, dir).documents, "source",
+          Seq("lang", "n_chars", "doc_id"))
+        .orderBy($"source", $"col_name")
+    },
+    Some {
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val regCtes = cols.map { c =>
+        s"""hx_$c AS (
+           |  SELECT source, ${fnv63Sql(s"CAST($c AS VARCHAR)")} AS h
+           |  FROM documents WHERE $c IS NOT NULL
+           |),
+           |rb_$c AS (
+           |  SELECT source, ${fnv63Bucket("h")} AS bucket, ${fnv63Tail("h")} AS v
+           |  FROM hx_$c
+           |),
+           |regs_$c AS (
+           |  SELECT source, bucket, max(${fnv63RankOf("v")}) AS r
+           |  FROM rb_$c GROUP BY source, bucket
+           |),
+           |a_$c AS (
+           |  SELECT source,
+           |         CAST(count(*) AS BIGINT) AS nonzero_buckets,
+           |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+           |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+           |  FROM regs_$c GROUP BY source
+           |)""".stripMargin
+      }.mkString(",\n")
+      val baseCols = cols.map { c =>
+        s"""CAST(count(*) - count($c) AS BIGINT) AS n_null_$c,
+           |       CAST(min($c) AS VARCHAR) AS min_$c,
+           |       CAST(max($c) AS VARCHAR) AS max_$c""".stripMargin
+      }.mkString(",\n       ")
+      val legs = cols.map { c =>
+        s"""SELECT g.source, '$c' AS col_name, g.n_rows, g.n_null_$c AS n_null,
+           |       a.nonzero_buckets, a.register_sum_scaled,
+           |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+           |             (a.register_sum_scaled / 1073741824.0), 4) AS hll_distinct,
+           |       g.min_$c AS min_value, g.max_$c AS max_value
+           |FROM g JOIN a_$c a USING (source)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $regCtes,
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |       $baseCols
+         |  FROM documents GROUP BY source
+         |)
+         |$legs
+         |ORDER BY source, col_name""".stripMargin
+    },
+  )
+
   /** The profiler's 100-TB form under the gate: same columns as
     * q_profile_columns with the exact-distinct leg swapped for the
     * native HLL sketch (`Profile.profileHll`) — ONE aggregation, NO
@@ -2129,6 +2194,7 @@ object Relational {
     eventsRetention,
     profileColumns,
     profileColumnsHll,
+    profileBySource,
     streamProfileHll,
     profileDrift,
     streamDrift,

@@ -40,6 +40,24 @@ class ProfileSpec extends AnyFunSuite {
       dotted.getString(4), dotted.getString(5)) == ((3L, 0L, 2L, "1", "2")))
   }
 
+  test("grouped profiler: per-group rows; each group's sketch equals " +
+    "an ungrouped profile of that group alone") {
+    val df = Seq(
+      ("web", Some(1L), "x"), ("web", Some(2L), "y"), ("web", None, "y"),
+      ("pdf", Some(7L), "z"),
+    ).toDF("src", "k", "s")
+    val by = Profile.profileHllBy(df, "src", Seq("k", "s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(by.keySet == Set(("web", "k"), ("web", "s"), ("pdf", "k"), ("pdf", "s")))
+    val webAlone = Profile.profileHll(df.filter($"src" === "web"), Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by(("web", "k")) == webAlone("k"))
+    assert(by(("web", "s")) == webAlone("s"))
+    // null accounting inside a group
+    assert(by(("web", "k")).take(2) == Seq(3L, 1L)) // n_rows, n_null
+    assert(by(("pdf", "k")).take(2) == Seq(1L, 0L))
+  }
+
   test("rejects unknown columns loudly") {
     val df = Seq((1L, "x")).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {

@@ -1472,6 +1472,56 @@ object Relational {
            |ORDER BY event_type""".stripMargin),
   )
 
+  /** Streaming bottom-k sample: the KMV sketch
+    * (`functions/BottomK.scala`, `bottomk_hash`) accumulates the k
+    * smallest distinct fnv63 hashes over the document stream in
+    * complete mode — a RUNNING uniform sample + distinct estimator in
+    * O(k) state however long the stream runs. The source is doubled to
+    * prove duplicate-insensitivity (distinct-hash set semantics make
+    * the sketch safe under at-least-once redelivery — same argument
+    * as the streaming HLL gate, opposite of CMS's sum cells). The
+    * oracle rebuilds the exact sorted hash array: DISTINCT fnv63,
+    * ORDER BY, LIMIT k.
+    */
+  private val streamSampleBottomK = Q(
+    "q_stream_sample_bottomk",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.BottomK.register(s)
+      val sinkName = "graft_stream_bottomk_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val sch = s.read.parquet(s"$dir/documents.parquet").schema
+        def src = s.readStream.schema(sch)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val agg = src.union(src)
+          .agg(call_function(graft.functions.BottomK.Name,
+            $"doc_id".cast("string"), lit(100)).as("hs"))
+        val query = agg.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName)
+        .select(posexplode($"hs").as(Seq("rank", "h")))
+        .orderBy($"rank")
+    },
+    Some(s"""WITH h AS (
+           |  SELECT DISTINCT ${fnv63Sql("CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents
+           |),
+           |s AS (SELECT h FROM h ORDER BY h LIMIT 100)
+           |SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS rank, h
+           |FROM s
+           |ORDER BY rank""".stripMargin),
+  )
+
   /** Streaming count-min sketch: the CMS cells accumulate
     * incrementally over the event stream in complete mode — streaming
     * frequency tracking with STATE BOUNDED at depth×width cells no
@@ -2203,6 +2253,7 @@ object Relational {
     corpusDiff,
     streamCmsCells,
     streamHistogramQuantiles,
+    streamSampleBottomK,
     windowGapFill,
     streamGapFill,
     aggHllDistinct,

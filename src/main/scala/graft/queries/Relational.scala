@@ -899,6 +899,43 @@ object Relational {
            |ORDER BY cohort_week, week_offset""".stripMargin),
   )
 
+  /** Deterministic weighted (priority) sampling — the biased
+    * complement of q_sample_bottomk: each document's priority is
+    * fnv63(id) / weight (integer division; weight = n_chars, so
+    * longer documents sample proportionally more often — the
+    * "sample by token mass" shape mixture tuning wants), and the k
+    * smallest priorities win. Same TakeOrderedAndProject execution as
+    * the uniform sampler: per-task k rows, no full sort, reproducible
+    * across engines and runs. Priorities are integer-exact, so the
+    * oracle rebuilds the identical sample — no float tie-break
+    * ambiguity (ties broken by doc_id in both engines).
+    */
+  private val sampleWeighted = Q(
+    "q_sample_weighted",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.Fnv63Hash.register(s)
+      val k = 100
+      Tables(s, dir).documents
+        .filter($"n_chars" > 0)
+        .select($"doc_id", $"source", $"n_chars",
+          // `div`, not `/`: Long / Long would widen to double and lose
+          // bits past the 53-bit mantissa at fnv63's 2⁶³ range
+          expr("fnv63(CAST(doc_id AS STRING)) div n_chars").as("priority"))
+        .orderBy($"priority", $"doc_id")
+        .limit(k)
+    },
+    Some(s"""WITH p AS (
+           |  SELECT doc_id, source, n_chars,
+           |         ${fnv63Sql("CAST(doc_id AS VARCHAR)")} // n_chars AS priority
+           |  FROM documents WHERE n_chars > 0
+           |)
+           |SELECT doc_id, source, n_chars, priority
+           |FROM p
+           |ORDER BY priority, doc_id
+           |LIMIT 100""".stripMargin),
+  )
+
   /** Ordered conversion funnel signup → view → purchase per user: each
     * stage's earliest event strictly after the previous stage's.
     * Every shuffle keys on user_id (one partitioning reused across all
@@ -2241,6 +2278,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     cliTimeArgs,
     sampleBottomK,
+    sampleWeighted,
     eventsRetention,
     profileColumns,
     profileColumnsHll,

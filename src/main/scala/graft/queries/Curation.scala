@@ -799,6 +799,100 @@ object Curation {
            |ORDER BY shard""".stripMargin),
   )
 
+  /** The round-5 pieces composed into one mixture-construction report:
+    *
+    *   fused quality/language gate → per-source token-mass CAPS
+    *   (cap_s = 4 + 36·tokens_s/total — the mixture-weighting rule,
+    *   derived from the data, broadcast back) → WEIGHTED priority
+    *   sampling per source (fnv63(id) div words: longer docs
+    *   proportionally likelier, deterministic, integer-exact) →
+    *   per-source accounting of the sampled mix.
+    *
+    * Scale shape: the gate is the usual narrow pass; caps are a
+    * sources-sized relation broadcast back (the q_sample_mixture
+    * shape); the per-source top-cap is rank-within-partition —
+    * WindowGroupLimit pushes the cap below the full sort at execution.
+    * Everything after the gate touches (doc_id, source, words,
+    * quality) only — the text never shuffles.
+    */
+  private val pipelineWeightedMix = Q(
+    "q_pipeline_weighted_mix",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.Fnv63Hash.register(s)
+      val docs = Tables(s, dir).documents
+      val gated = TextAnalysis
+        .gate(docs.select($"doc_id", $"text", $"source"),
+          TextAnalysis.defaultStopwords, TextAnalysis.defaultProfile)
+        .filter($"quality" >= 0.45 && $"pred_lang" === "en")
+        .select($"doc_id", $"source", $"words", $"quality")
+        .localCheckpoint(true)
+      val tot = gated.agg(sum($"words").as("tw"))
+      val caps = gated.groupBy($"source")
+        .agg(sum($"words").as("sw"), count(lit(1)).as("sn"))
+        .crossJoin(broadcast(tot))
+        .select($"source", $"sw", $"sn",
+          (lit(4) + expr("(sw * 36) div tw")).as("cap"))
+      val pri = gated.withColumn("priority",
+        expr("fnv63(CAST(doc_id AS STRING)) div words"))
+      val rk = pri.withColumn("rk",
+        row_number().over(Window.partitionBy($"source")
+          .orderBy($"priority", $"doc_id")))
+      rk.join(broadcast(caps), "source")
+        .filter($"rk" <= $"cap")
+        .groupBy($"source")
+        .agg(
+          first($"sn").as("n_gated"),
+          first($"sw").as("gated_tokens"),
+          first($"cap").as("cap"),
+          count(lit(1)).as("n_sampled"),
+          sum($"words").as("sampled_tokens"),
+          round(sum(round($"quality" * 10000).cast("long")) /
+            (count(lit(1)) * 10000.0), 4).as("avg_quality"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH prof(p_lang, p_word, p_weight) AS (VALUES $profileValues),
+            |${gateCtes("documents")},
+            |gated AS (
+            |  SELECT d.doc_id, d.source, q.words, q.quality
+            |  FROM documents d
+            |  JOIN qual q ON q.doc_id = d.doc_id AND q.quality >= 0.45
+            |  JOIN pred p ON p.doc_id = d.doc_id AND p.pred_lang = 'en'
+            |),
+            |tot AS (SELECT sum(words) AS tw FROM gated),
+            |caps AS (
+            |  SELECT source, sum(words) AS sw, count(*) AS sn,
+            |         4 + (sum(words) * 36) // (SELECT tw FROM tot) AS cap
+            |  FROM gated GROUP BY source
+            |),
+            |pri AS (
+            |  SELECT g.*,
+            |         ${Relational.fnv63Sql("CAST(doc_id AS VARCHAR)")} // words AS priority
+            |  FROM gated g
+            |),
+            |rk AS (
+            |  SELECT *, row_number() OVER (
+            |    PARTITION BY source ORDER BY priority, doc_id) AS rk
+            |  FROM pri
+            |),
+            |sampled AS (
+            |  SELECT r.* FROM rk r JOIN caps c USING (source) WHERE r.rk <= c.cap
+            |)
+            |SELECT source,
+            |       CAST(c.sn AS BIGINT) AS n_gated,
+            |       CAST(c.sw AS BIGINT) AS gated_tokens,
+            |       CAST(c.cap AS BIGINT) AS cap,
+            |       CAST(count(*) AS BIGINT) AS n_sampled,
+            |       CAST(sum(s.words) AS BIGINT) AS sampled_tokens,
+            |       round(CAST(sum(CAST(round(s.quality * 10000) AS BIGINT)) AS DOUBLE) /
+            |             (count(*) * 10000.0), 4) AS avg_quality
+            |FROM sampled s JOIN caps c USING (source)
+            |GROUP BY source, c.sn, c.sw, c.cap
+            |ORDER BY source""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(curation, curationV2, curationV3, streamCuration,
-    sampleMixture, sampleDomainCap, sampleEpochs, shardAssign)
+    sampleMixture, sampleDomainCap, sampleEpochs, shardAssign,
+    pipelineWeightedMix)
 }

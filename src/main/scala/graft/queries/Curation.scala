@@ -810,8 +810,10 @@ object Curation {
     *
     * Scale shape: the gate is the usual narrow pass; caps are a
     * sources-sized relation broadcast back (the q_sample_mixture
-    * shape); the per-source top-cap is rank-within-partition —
-    * WindowGroupLimit pushes the cap below the full sort at execution.
+    * shape); the per-source top-cap is rank-within-partition with a
+    * LITERAL global bound (cap ≤ 40 by construction) so Catalyst
+    * plans WindowGroupLimit — per-group pruning below the sort — and
+    * the exact data-derived cap applies after the broadcast join.
     * Everything after the gate touches (doc_id, source, words,
     * quality) only — the text never shuffles.
     */
@@ -839,6 +841,12 @@ object Curation {
       val rk = pri.withColumn("rk",
         row_number().over(Window.partitionBy($"source")
           .orderBy($"priority", $"doc_id")))
+        // literal global bound first: cap = 4 + 36·share ≤ 40 by
+        // construction, and a LITERAL rank predicate is what lets
+        // Catalyst plan WindowGroupLimit (per-group top-40 kept below
+        // the sort); the exact per-source cap — a column, invisible to
+        // that rewrite — prunes after the broadcast join
+        .filter($"rk" <= 40)
       rk.join(broadcast(caps), "source")
         .filter($"rk" <= $"cap")
         .groupBy($"source")

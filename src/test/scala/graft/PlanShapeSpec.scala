@@ -335,6 +335,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx <= 3, s"retention grew extra hash shuffles ($hashEx):\n$p")
   }
 
+  test("weighted sample: priority top-k is TakeOrderedAndProject, " +
+    "integer div (not float /) computes the priority") {
+    val p = physical(SparkEntry.queries("q_sample_weighted")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample lost the top-k operator:\n$p")
+    // a float Divide would silently lose bits past 2^53 — the plan
+    // must carry integral division over the hash
+    assert(p.contains(" div n_chars"), s"priority is not integer division:\n$p")
+  }
+
+  test("weighted mix: the per-source cap is pushed below the sort as " +
+    "WindowGroupLimit; caps re-attach by broadcast") {
+    val p = physical(SparkEntry.queries("q_pipeline_weighted_mix")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source cap not pushed below the sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"caps did not re-attach via broadcast:\n$p")
+  }
+
   test("hive-partitioned lake read: the date range lands in " +
     "PartitionFilters (directory pruning at planning time), not just " +
     "row-group filters") {

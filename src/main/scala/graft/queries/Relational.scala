@@ -855,6 +855,37 @@ object Relational {
            |ORDER BY h""".stripMargin),
   )
 
+  /** Hierarchy flattening under the gate: a 10-root forest over the
+    * documents ids (parent = id div 2; ids < 10 are roots, depths up
+    * to ~9 at sf0.01) resolved to (id, root, depth) by
+    * `Hierarchy.flattenForest` — pointer doubling, ⌈log₂ depth⌉
+    * keyed self-joins instead of a depth-long chain or the recursive
+    * CTE Spark lacks. The oracle IS a recursive CTE, so the two
+    * engines reach the same fixpoint by entirely different
+    * algorithms — a disagreement in root resolution or hop counting
+    * anywhere breaks the hash.
+    */
+  private val graphHierarchy = Q(
+    "q_graph_hierarchy",
+    (s, dir) => {
+      import s.implicits._
+      val nodes = Tables(s, dir).documents.select(
+        $"doc_id".as("id"),
+        when($"doc_id" < 10, $"doc_id")
+          .otherwise(expr("doc_id div 2")).as("parent"))
+      graft.operators.Hierarchy.flattenForest(nodes, "id", "parent")
+        .orderBy($"id")
+    },
+    Some("""WITH RECURSIVE walk(id, root, depth) AS (
+           |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 10
+           |  UNION ALL
+           |  SELECT d.doc_id, w.root, w.depth + 1
+           |  FROM documents d JOIN walk w ON w.id = d.doc_id // 2
+           |  WHERE d.doc_id >= 10
+           |)
+           |SELECT id, root, depth FROM walk ORDER BY id""".stripMargin),
+  )
+
   /** Weekly retention cohorts — the product-analytics complement of
     * the funnel: users grouped by first-seen week, activity counted
     * per (cohort, weeks-since-cohort) cell. An explicit user_id
@@ -2280,6 +2311,7 @@ object Relational {
     sampleBottomK,
     sampleWeighted,
     eventsRetention,
+    graphHierarchy,
     profileColumns,
     profileColumnsHll,
     profileBySource,

@@ -756,6 +756,51 @@ object Dedup {
            |ORDER BY h""".stripMargin),
   )
 
+  /** BOUNDED-state streaming dedup — the production form of
+    * q_stream_dedup_exact: `dropDuplicatesWithinWatermark` holds a key
+    * only until the watermark passes its event time + delay, so state
+    * is bounded by the redelivery horizon instead of growing with
+    * every key ever seen (plain `dropDuplicates` state is unbounded —
+    * that gate documents the contrast). The doubled source simulates
+    * exactly the at-least-once redelivery this operator exists for:
+    * duplicates landing within the watermark window dedup, and the
+    * complete replay equals DISTINCT — which is the oracle. Rows emit
+    * on first sight (append mode, no agg barrier), so the sink equals
+    * the batch answer for a deterministic single-pass source.
+    */
+  private val streamDedupWatermarked = Q(
+    "q_stream_dedup_watermarked",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_dedup_wm_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src = graft.Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val dd = src.union(src)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        val query = dd.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+           |FROM events
+           |ORDER BY event_id""".stripMargin),
+  )
+
   /** Span-level exact dedup (Lee et al.-style repeated substrings,
     * distributed as a k-gram inverted index — see
     * `TextDedup.crossDocRepeatedSpans`): maximal runs of word
@@ -977,5 +1022,5 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain,
     splitLeakageSafe, simhashPairs,
     ngramJaccard, prefixFilter, embeddingCosine, embeddingCosineBlocked, semDedup, streamExact,
-    substringSpans, normalizedDedup, incremental)
+    streamDedupWatermarked, substringSpans, normalizedDedup, incremental)
 }

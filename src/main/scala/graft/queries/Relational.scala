@@ -1223,6 +1223,91 @@ object Relational {
            |ORDER BY buy_id, view_id""".stripMargin),
   )
 
+  /** Stream-stream LEFT OUTER join under the gate — the null-emission
+    * semantics the inner attribution gate can't exercise: every
+    * purchase appears, matched to qualifying views or NULL-extended
+    * when none exist. An outer null CANNOT emit eagerly (a future view
+    * might still match); it emits only when the watermark proves no
+    * future right row can satisfy the join condition (view_ts ≤
+    * buy_ts ⇒ a buy finalizes once the watermark passes buy_ts). So
+    * the deterministic replay is: all matches, plus null-extensions
+    * for unmatched buys with buy_ts strictly below the terminal
+    * GLOBAL watermark — which is the MIN over the per-input
+    * watermarks, i.e. least(max view_ts, max buy_ts) − 1 h, NOT
+    * max(ts) − 1 h (empirically pinned: two boundary buys flip if the
+    * oracle uses the overall max). Unmatched buys above that cutoff
+    * stay withheld. This is the state-eviction contract that bounds
+    * outer-join state at any stream length.
+    */
+  private val streamJoinAttributionOuter = Q(
+    "q_stream_join_attribution_outer",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_attr_outer_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src = graft.Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val views = src.filter($"event_type" === "view")
+          .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+          .withWatermark("view_ts", "1 hour")
+        val buys = src.filter($"event_type" === "purchase")
+          .select($"user_id".as("buyer_id"), $"ts".as("buy_ts"),
+            $"event_id".as("buy_id"), $"value".as("amount"))
+          .withWatermark("buy_ts", "1 hour")
+        val joined = buys.join(views,
+          $"buyer_id" === $"user_id" &&
+            $"buy_ts" >= $"view_ts" &&
+            $"buy_ts" <= $"view_ts" + expr("INTERVAL 6 HOURS"),
+          "left_outer")
+          .select($"buyer_id", $"buy_id", $"view_id",
+            $"buy_ts", $"view_ts", round($"amount", 2).as("amount"))
+        val query = joined.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"buy_id", $"view_id")
+    },
+    Some("""WITH b AS (
+           |  SELECT user_id, ts AS buy_ts, event_id AS buy_id, value AS amount
+           |  FROM events WHERE event_type = 'purchase'
+           |),
+           |v AS (
+           |  SELECT user_id AS v_user, ts AS view_ts, event_id AS view_id
+           |  FROM events WHERE event_type = 'view'
+           |),
+           |wm AS (
+           |  SELECT least((SELECT max(view_ts) FROM v),
+           |               (SELECT max(buy_ts) FROM b)) - INTERVAL 1 HOUR AS w
+           |),
+           |j AS (
+           |  SELECT b.user_id AS buyer_id, b.buy_id, v.view_id, b.buy_ts,
+           |         v.view_ts, round(b.amount, 2) AS amount
+           |  FROM b JOIN v
+           |    ON b.user_id = v.v_user
+           |   AND b.buy_ts >= v.view_ts
+           |   AND b.buy_ts <= v.view_ts + INTERVAL 6 HOUR
+           |),
+           |matched AS (SELECT DISTINCT buy_id FROM j)
+           |SELECT * FROM j
+           |UNION ALL
+           |SELECT b.user_id AS buyer_id, b.buy_id, CAST(NULL AS BIGINT) AS view_id,
+           |       b.buy_ts, CAST(NULL AS TIMESTAMP) AS view_ts,
+           |       round(b.amount, 2) AS amount
+           |FROM b LEFT JOIN matched m USING (buy_id), wm
+           |WHERE m.buy_id IS NULL AND b.buy_ts < wm.w
+           |ORDER BY buy_id, view_id""".stripMargin),
+  )
+
   /** DuckDB twin of the Spark-side hex→integer parses: `n` hex chars
     * of `expr` from 1-based `start` as BIGINT (generalizes
     * Dedup.hex15ToBig).
@@ -2340,6 +2425,7 @@ object Relational {
     windowNtile,
     streamSessionize,
     streamJoinAttribution,
+    streamJoinAttributionOuter,
     aggPricingSummary,
     aggRollup,
     windowMinuteSpine,

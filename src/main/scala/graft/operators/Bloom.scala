@@ -127,6 +127,34 @@ object Bloom {
         when(forall(col("__ps"), bitSet), 1L).otherwise(0L).as("hit"))
   }
 
+  /** Semi-join reduction: keep only the rows whose `key` the bitmap
+    * cannot rule out, preserving every column. The 100-TB use is a
+    * non-broadcastable dim join: the bitmap (m bits, built from the
+    * dim keys) rides in the plan as a literal and prunes the fact
+    * side BEFORE its shuffle, so the exchange moves only
+    * plausibly-matching rows; the join itself then removes the bloom's
+    * false positives — the filter changes cost, never the answer.
+    * This is the hand-rolled form of runtime row-group filters, with
+    * the bitmap engine-portable (md5 probes) instead of
+    * implementation-private.
+    */
+  def prefilter(
+      df: DataFrame,
+      key: Column,
+      bitWords: Array[Long],
+      m: Int,
+      k: Int,
+  ): DataFrame = {
+    checkParams(m, k)
+    require(bitWords.length == (m + 63) / 64,
+      s"Bloom: bitmap has ${bitWords.length} words, expected ${(m + 63) / 64} for m=$m")
+    val wordsLit = typedlit(bitWords.toSeq)
+    val bitSet = (pos: Column) =>
+      element_at(wordsLit, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
+    withProbes(df, key, m, k).filter(forall(col("__ps"), bitSet)).drop("__ps")
+  }
+
   /** Per-document decontamination screen: word n-gram shingles of
     * `docs` probed against a Bloom filter of `ref`'s shingles.
     * Output per doc: `n_grams`, `n_flagged` (grams the filter cannot

@@ -1796,6 +1796,46 @@ object Relational {
            |ORDER BY q""".stripMargin),
   )
 
+  /** Bloom semi-join reduction under the gate: lineitem joined to a
+    * selective part dim (p_size = 42, ~2 % of parts) through a
+    * `Bloom.prefilter` of the dim's keys — the shuffle-size cutter for
+    * dims too big to broadcast: the bitmap rides as a plan literal and
+    * prunes the fact side BELOW its exchange (the join is hinted
+    * shuffle-merge to exhibit exactly that plan; with a broadcastable
+    * dim Spark would skip the fact shuffle anyway), and the join
+    * removes the bloom's false positives — the filter changes cost,
+    * never the answer, which is why the oracle is the PLAIN join.
+    * Plan-asserted: the bitmap filter sits below the fact-side
+    * exchange.
+    */
+  private val joinBloomPrefilter = Q(
+    "q_join_bloom_prefilter",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dim = t.part.filter($"p_size" === 42)
+        .select($"p_partkey", $"p_brand")
+      val bits = graft.operators.Bloom.buildBits(
+        dim, $"p_partkey".cast("string"), m = 4096, k = 4)
+      val screened = graft.operators.Bloom.prefilter(
+        t.lineitem.select($"l_partkey", $"l_quantity"),
+        $"l_partkey".cast("string"), bits, m = 4096, k = 4)
+      screened.hint("merge")
+        .join(dim, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand,
+           |       round(sum(l_quantity), 2) AS sum_qty,
+           |       count(*) AS n_items
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey AND p_size = 42
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin),
+  )
+
   /** FULL OUTER join with both-null sides exercised: per-user signup
     * counts against per-user error counts — users who only signed up,
     * users who only errored, and users who did both all appear, with
@@ -2418,6 +2458,7 @@ object Relational {
     windowTopkPerGroup,
     streamHllDistinct,
     joinFullOuter,
+    joinBloomPrefilter,
     setOps,
     eventsFunnel,
     aggSaltedSkew,

@@ -354,6 +354,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"caps did not re-attach via broadcast:\n$p")
   }
 
+  test("bloom join prefilter: the bitmap screen filters the fact side " +
+    "BELOW its exchange (shuffle moves only plausible matches)") {
+    val p = physical(SparkEntry.queries("q_join_bloom_prefilter")(spark, dir))
+    val lines = p.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_partkey"))
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("forall"))
+    assert(exchangeIdx >= 0, s"no fact-side exchange (hint lost?):\n$p")
+    assert(filterIdx > exchangeIdx,
+      s"bloom screen not below the fact exchange:\n$p")
+  }
+
   test("hive-partitioned lake read: the date range lands in " +
     "PartitionFilters (directory pruning at planning time), not just " +
     "row-group filters") {

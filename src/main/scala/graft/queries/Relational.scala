@@ -1796,6 +1796,55 @@ object Relational {
            |ORDER BY q""".stripMargin),
   )
 
+  /** Changelog → snapshot compaction — the lakehouse MERGE/upsert
+    * shape: events as a per-user changelog, latest record wins
+    * (total order (ts, event_id) — the tie-break matters and is under
+    * the hash), `error` rows acting as DELETE tombstones that remove
+    * the key from the snapshot entirely. ONE exchange on the key, the
+    * winner picked by max_by over the version struct (map-side
+    * combinable — each task forwards one candidate per key, which is
+    * what makes compaction of a billion-row changelog a single cheap
+    * shuffle), tombstone filter applied to the winner only. The
+    * n_versions accounting column is the compaction ratio a real
+    * maintenance job reports.
+    */
+  private val upsertCompaction = Q(
+    "q_upsert_compaction",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"user_id")
+        .agg(
+          max_by(struct($"event_type", $"value", $"ts", $"event_id"),
+            struct($"ts", $"event_id")).as("last"),
+          count(lit(1)).as("n_versions"))
+        .filter($"last.event_type" =!= "error")
+        .select($"user_id",
+          $"last.event_type".as("last_type"),
+          round($"last.value", 2).as("value"),
+          date_format($"last.ts", "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          $"last.event_id".as("last_event_id"),
+          $"n_versions")
+        .orderBy($"user_id")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT user_id, event_type, value, ts, event_id,
+           |         row_number() OVER (PARTITION BY user_id
+           |                            ORDER BY ts DESC, event_id DESC) AS rn,
+           |         count(*) OVER (PARTITION BY user_id) AS n_versions
+           |  FROM events
+           |)
+           |SELECT user_id,
+           |       event_type AS last_type,
+           |       round(value, 2) AS value,
+           |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           |       event_id AS last_event_id,
+           |       CAST(n_versions AS BIGINT) AS n_versions
+           |FROM ranked
+           |WHERE rn = 1 AND event_type <> 'error'
+           |ORDER BY user_id""".stripMargin),
+  )
+
   /** Bloom semi-join reduction under the gate: lineitem joined to a
     * selective part dim (p_size = 42, ~2 % of parts) through a
     * `Bloom.prefilter` of the dim's keys — the shuffle-size cutter for
@@ -2459,6 +2508,7 @@ object Relational {
     streamHllDistinct,
     joinFullOuter,
     joinBloomPrefilter,
+    upsertCompaction,
     setOps,
     eventsFunnel,
     aggSaltedSkew,

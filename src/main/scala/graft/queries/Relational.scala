@@ -1095,6 +1095,89 @@ object Relational {
            |ORDER BY user_id""".stripMargin),
   )
 
+  /** DYNAMIC-gap streaming sessionization: `session_window` with a
+    * per-event Column gap (engaged events — click/view — tolerate a
+    * 2-hour silence; everything else 6 hours), the adaptive-timeout
+    * semantics a real engagement pipeline wants. Dynamic gaps change
+    * the MERGE rule from the fixed-gap lag test to interval overlap —
+    * each event contributes [ts, ts+gap(event)) and overlapping
+    * intervals coalesce — so the oracle switches to the running-max
+    * formulation: a new session starts exactly when ts ≥ max over all
+    * earlier events of (ts + gap), and a session's end is its max
+    * (ts + gap). Same append-mode emission cutoff as the fixed-gap
+    * gate. A fixed-gap mistake in either engine (e.g. applying the
+    * lag rule) flips session counts and breaks the hash.
+    */
+  private val streamSessionizeDynamic = Q(
+    "q_stream_sessionize_dynamic",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_sess_dyn_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val ev = graft.Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val gap = when($"event_type".isin("click", "view"), "2 hours")
+          .otherwise("6 hours")
+        val sess = ev
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window($"ts", gap), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events")
+        val query = sess.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH g AS (
+           |  SELECT user_id, ts,
+           |         ts + CASE WHEN event_type IN ('click', 'view')
+           |                   THEN INTERVAL 2 HOUR ELSE INTERVAL 6 HOUR END AS w_end
+           |  FROM events
+           |),
+           |f AS (
+           |  SELECT user_id, ts, w_end,
+           |         CASE WHEN max(w_end) OVER (
+           |                PARTITION BY user_id ORDER BY ts
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           |           OR ts >= max(w_end) OVER (
+           |                PARTITION BY user_id ORDER BY ts
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |         THEN 1 ELSE 0 END AS ns
+           |  FROM g
+           |),
+           |s AS (
+           |  SELECT user_id, ts, w_end,
+           |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+           |                       ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM f
+           |),
+           |agg AS (
+           |  SELECT user_id,
+           |         min(ts) AS session_start,
+           |         max(w_end) AS session_end,
+           |         count(*) AS n_events
+           |  FROM s GROUP BY user_id, sid
+           |),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+           |SELECT user_id, session_start, session_end, n_events
+           |FROM agg WHERE session_end <= (SELECT w FROM wm)
+           |ORDER BY user_id, session_start""".stripMargin),
+  )
+
   /** STREAMING session windows under the gate: the event stream (file
     * source over the events table) sessionized by `session_window`
     * with a 6-hour gap and a 1-hour watermark, append mode — emitted
@@ -2515,6 +2598,7 @@ object Relational {
     aggPivot,
     windowNtile,
     streamSessionize,
+    streamSessionizeDynamic,
     streamJoinAttribution,
     streamJoinAttributionOuter,
     aggPricingSummary,

@@ -127,16 +127,51 @@ object Bloom {
         when(forall(col("__ps"), bitSet), 1L).otherwise(0L).as("hit"))
   }
 
+  /** fnv63-based probe positions — the CHEAP probe family for the
+    * join-prefilter path, where the probe runs once per FACT row and
+    * the md5 digest would dominate (the q_profile_columns_hll lesson):
+    * h1 = fnv63(key), h2 = fnv63(key ++ '#'), both shifted to 60 bits
+    * so k ≤ 8 probes stay overflow-free like the md5 halves. The
+    * text-screen paths keep md5 probes because their ORACLES rebuild
+    * the probe math from md5 hex; the prefilter's oracle is the plain
+    * join (the bloom is invisible to the answer), so nothing
+    * cross-engine pins this hash.
+    */
+  private def withFnvProbes(df: DataFrame, key: Column, m: Int, k: Int): DataFrame = {
+    graft.functions.Fnv63Hash.register(df.sparkSession)
+    val h1 = shiftrightunsigned(
+      call_function(graft.functions.Fnv63Hash.name, key), 3)
+    val h2 = shiftrightunsigned(
+      call_function(graft.functions.Fnv63Hash.name, concat(key, lit("#"))), 3)
+    df.select(df.columns.map(col) :+
+      Cols.materialized(probeArray(h1, h2, m, k)).as("__ps"): _*)
+  }
+
+  /** The distinct bit positions the reference keys touch, fnv63
+    * probes — build side of [[prefilter]]'s bitmap.
+    */
+  def buildBitsFnv(ref: DataFrame, key: Column, m: Int, k: Int): Array[Long] = {
+    checkParams(m, k)
+    val words = new Array[Long]((m + 63) / 64)
+    withFnvProbes(ref.select(key.as("k")), col("k"), m, k)
+      .select(explode(col("__ps")).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        words((p >> 6).toInt) |= 1L << (p & 63)
+      }
+    words
+  }
+
   /** Semi-join reduction: keep only the rows whose `key` the bitmap
-    * cannot rule out, preserving every column. The 100-TB use is a
+    * (built by [[buildBitsFnv]] with the SAME m and k) cannot rule
+    * out, preserving every column. The 100-TB use is a
     * non-broadcastable dim join: the bitmap (m bits, built from the
     * dim keys) rides in the plan as a literal and prunes the fact
     * side BEFORE its shuffle, so the exchange moves only
     * plausibly-matching rows; the join itself then removes the bloom's
     * false positives — the filter changes cost, never the answer.
     * This is the hand-rolled form of runtime row-group filters, with
-    * the bitmap engine-portable (md5 probes) instead of
-    * implementation-private.
+    * fnv63 probes (a few ns per fact row, no digest allocation).
     */
   def prefilter(
       df: DataFrame,
@@ -152,7 +187,7 @@ object Bloom {
     val bitSet = (pos: Column) =>
       element_at(wordsLit, (pos / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
-    withProbes(df, key, m, k).filter(forall(col("__ps"), bitSet)).drop("__ps")
+    withFnvProbes(df, key, m, k).filter(forall(col("__ps"), bitSet)).drop("__ps")
   }
 
   /** Per-document decontamination screen: word n-gram shingles of

@@ -1947,7 +1947,7 @@ object Relational {
       val t = Tables(s, dir)
       val dim = t.part.filter($"p_size" === 42)
         .select($"p_partkey", $"p_brand")
-      val bits = graft.operators.Bloom.buildBits(
+      val bits = graft.operators.Bloom.buildBitsFnv(
         dim, $"p_partkey".cast("string"), m = 4096, k = 4)
       val screened = graft.operators.Bloom.prefilter(
         t.lineitem.select($"l_partkey", $"l_quantity"),

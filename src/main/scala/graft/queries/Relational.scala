@@ -1879,6 +1879,43 @@ object Relational {
            |ORDER BY q""".stripMargin),
   )
 
+  /** Correlated scalar subqueries through the `spark.sql` entry point
+    * — the one API surface the gate didn't yet exercise (every other
+    * query is DataFrame-built): orders costing more than twice their
+    * customer's average, with the comparison done in integer CENTS
+    * (price·n > 2·sum) so no float-average boundary can flip a row
+    * between engines. Catalyst decorrelates the two scalar subqueries
+    * into aggregate+join — same physical shape as the hand-built
+    * joins, which is the point: SQL-first users get the identical
+    * plan quality.
+    */
+  private val sqlCorrelated = Q(
+    "q_sql_correlated",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey,
+               round(o.o_totalprice, 2) AS totalprice
+        FROM orders_v o
+        WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM orders_v i
+               WHERE i.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+                     FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+      """)
+    },
+    Some("""SELECT o.o_orderkey, o.o_custkey,
+           |       round(o.o_totalprice, 2) AS totalprice
+           |FROM orders o
+           |WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+           |      (SELECT count(*) FROM orders i
+           |       WHERE i.o_custkey = o.o_custkey)
+           |      > 2 * (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+           |             FROM orders i WHERE i.o_custkey = o.o_custkey)
+           |ORDER BY o.o_orderkey""".stripMargin),
+  )
+
   /** Changelog → snapshot compaction — the lakehouse MERGE/upsert
     * shape: events as a per-user changelog, latest record wins
     * (total order (ts, event_id) — the tie-break matters and is under
@@ -2592,6 +2629,7 @@ object Relational {
     joinFullOuter,
     joinBloomPrefilter,
     upsertCompaction,
+    sqlCorrelated,
     setOps,
     eventsFunnel,
     aggSaltedSkew,

@@ -1758,6 +1758,95 @@ object Relational {
            |ORDER BY rank""".stripMargin),
   )
 
+  /** KMV set algebra: the overlap of two user sets (clickers vs
+    * buyers) estimated from their bottom-k sketches ALONE — the
+    * Beyer et al. "Distinct-value synopses" construction: K = bottom-k
+    * of the sketch UNION, ρ = |K ∩ A ∩ B| / k ≈ Jaccard. ONE pass
+    * over events builds both sketches as conditional `bottomk_hash`
+    * aggregates (nulls ignored ⇒ `when` carves the two sets from one
+    * scan); the estimator is pure array math on two k-long arrays.
+    * At 100 TB this answers "how much do these two billion-member
+    * audiences overlap" from two kilobyte synopses without ever
+    * joining the raw sets; the exact Jaccard rides alongside from the
+    * same scan so the output quantifies its own error. The compared
+    * entities are (user, day) ACTIVITY pairs — ~1.6 k per side with
+    * ~0.23 true Jaccard at sf0.01 — because plain user sets are
+    * degenerate here (every user eventually does everything, J = 1);
+    * k = 64 ≪ the entity count, so the genuine estimator path (not
+    * the everything-fits case) is what's under the hash.
+    */
+  private val sketchKmvJaccard = Q(
+    "q_sketch_kmv_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.BottomK.register(s)
+      val k = 64
+      val entity = concat($"user_id".cast("string"), lit(":"),
+        date_format($"ts", "yyyy-MM-dd"))
+      val clickU = when($"event_type" === "click", entity)
+      val buyU = when($"event_type" === "purchase", entity)
+      Tables(s, dir).events
+        .agg(
+          call_function(graft.functions.BottomK.Name, clickU, lit(k)).as("ka"),
+          call_function(graft.functions.BottomK.Name, buyU, lit(k)).as("kb"),
+          countDistinct(clickU).as("n_click"),
+          countDistinct(buyU).as("n_buy"),
+          countDistinct(coalesce(clickU, buyU)).as("n_union"))
+        .select(
+          lit(k.toLong).as("k"),
+          $"n_click", $"n_buy",
+          ($"n_click" + $"n_buy" - $"n_union").as("inter_exact"),
+          $"n_union".as("union_exact"),
+          round(($"n_click" + $"n_buy" - $"n_union") / $"n_union".cast("double"), 4)
+            .as("jaccard_exact"),
+          size(array_intersect(
+            slice(array_sort(array_union($"ka", $"kb")), 1, k),
+            array_intersect($"ka", $"kb"))).cast("long").as("kmv_inter"),
+          round(
+            size(array_intersect(
+              slice(array_sort(array_union($"ka", $"kb")), 1, k),
+              array_intersect($"ka", $"kb"))) / lit(k.toDouble), 4)
+            .as("jaccard_est"))
+    },
+    Some(s"""WITH ent AS (
+           |  SELECT event_type,
+           |         user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS e
+           |  FROM events WHERE event_type IN ('click', 'purchase')
+           |),
+           |cu AS (
+           |  SELECT DISTINCT ${fnv63Sql("e")} AS h
+           |  FROM ent WHERE event_type = 'click'
+           |),
+           |bu AS (
+           |  SELECT DISTINCT ${fnv63Sql("e")} AS h
+           |  FROM ent WHERE event_type = 'purchase'
+           |),
+           |ka AS (SELECT h FROM cu ORDER BY h LIMIT 64),
+           |kb AS (SELECT h FROM bu ORDER BY h LIMIT 64),
+           |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           |       ORDER BY h LIMIT 64),
+           |ex AS (
+           |  SELECT (SELECT count(DISTINCT e) FROM ent
+           |          WHERE event_type = 'click') AS n_click,
+           |         (SELECT count(DISTINCT e) FROM ent
+           |          WHERE event_type = 'purchase') AS n_buy,
+           |         (SELECT count(DISTINCT e) FROM ent) AS n_union
+           |),
+           |kmv AS (
+           |  SELECT count(*) AS kmv_inter FROM ku
+           |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+           |)
+           |SELECT CAST(64 AS BIGINT) AS k,
+           |       CAST(n_click AS BIGINT) AS n_click,
+           |       CAST(n_buy AS BIGINT) AS n_buy,
+           |       CAST(n_click + n_buy - n_union AS BIGINT) AS inter_exact,
+           |       CAST(n_union AS BIGINT) AS union_exact,
+           |       round((n_click + n_buy - n_union) / CAST(n_union AS DOUBLE), 4) AS jaccard_exact,
+           |       CAST(kmv_inter AS BIGINT) AS kmv_inter,
+           |       round(kmv_inter / 64.0, 4) AS jaccard_est
+           |FROM ex, kmv""".stripMargin),
+  )
+
   /** Streaming count-min sketch: the CMS cells accumulate
     * incrementally over the event stream in complete mode — streaming
     * frequency tracking with STATE BOUNDED at depth×width cells no
@@ -2618,6 +2707,7 @@ object Relational {
     streamCmsCells,
     streamHistogramQuantiles,
     streamSampleBottomK,
+    sketchKmvJaccard,
     windowGapFill,
     streamGapFill,
     aggHllDistinct,

@@ -1847,6 +1847,41 @@ object Relational {
            |FROM ex, kmv""".stripMargin),
   )
 
+  /** Per-group KMV sampling: `bottomk_hash` as a grouped aggregate —
+    * a uniform, reproducible k-sample PER SUBCORPUS in one pass (the
+    * per-source complement of the global q_sample_bottomk / streaming
+    * q_stream_sample_bottomk): state is k longs per group, partial
+    * aggregation combines map-side per group, and the shuffle carries
+    * ≤ groups × k longs however large the corpus. The oracle rebuilds
+    * every group's exact sorted hash set.
+    */
+  private val sampleBottomKBySource = Q(
+    "q_sample_bottomk_by_source",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.BottomK.register(s)
+      Tables(s, dir).documents
+        .groupBy($"source")
+        .agg(call_function(graft.functions.BottomK.Name,
+          $"doc_id".cast("string"), lit(8)).as("hs"))
+        .select($"source", posexplode($"hs").as(Seq("rank", "h")))
+        .orderBy($"source", $"rank")
+    },
+    Some(s"""WITH h AS (
+           |  SELECT DISTINCT source,
+           |         ${fnv63Sql("CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents
+           |),
+           |r AS (
+           |  SELECT source, h,
+           |         row_number() OVER (PARTITION BY source ORDER BY h) - 1 AS rank
+           |  FROM h
+           |)
+           |SELECT source, CAST(rank AS INT) AS rank, h
+           |FROM r WHERE rank < 8
+           |ORDER BY source, rank""".stripMargin),
+  )
+
   /** Streaming count-min sketch: the CMS cells accumulate
     * incrementally over the event stream in complete mode — streaming
     * frequency tracking with STATE BOUNDED at depth×width cells no
@@ -2708,6 +2743,7 @@ object Relational {
     streamHistogramQuantiles,
     streamSampleBottomK,
     sketchKmvJaccard,
+    sampleBottomKBySource,
     windowGapFill,
     streamGapFill,
     aggHllDistinct,

@@ -289,6 +289,47 @@ object Multimodal {
       energy: Long, // Σ sample² over the window — integer-exact
   )
 
+  final case class FrameDelta(
+      media_id: Long,
+      frame_idx: Int,
+      delta: Long, // L1 byte distance to the previous sampled frame
+      is_cut: Boolean,
+  )
+
+  /** Scene-cut detection over sampled frames — keyframe selection for
+    * video training data: consecutive frames' L1 byte distance
+    * (Σ |bᵢ − bᵢ'| over the overlap, + 255 per unmatched tail byte so
+    * a length change registers as change), a cut wherever the delta
+    * crosses `threshold`. Frame 0 is always a cut (the first keyframe).
+    *
+    * Scale shape: ONE shuffle keyed on media_id (`groupByKey` +
+    * per-video in-memory sort of ITS OWN sampled frames — bounded by
+    * frames-per-video, not corpus size), then a linear pass. Integer
+    * math end to end, so the oracle rebuilds every delta from hex
+    * nibbles.
+    */
+  def sceneCuts(frames: Dataset[Frame], threshold: Long): Dataset[FrameDelta] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.groupByKey(_.media_id).flatMapGroups { (id, it) =>
+      val fs = it.toArray.sortBy(_.frame_idx)
+      fs.indices.map { i =>
+        if (i == 0) FrameDelta(id, fs(0).frame_idx, 0L, is_cut = true)
+        else {
+          val (a, b) = (fs(i - 1).frame_payload, fs(i).frame_payload)
+          val n = math.min(a.length, b.length)
+          var d = 0L
+          var j = 0
+          while (j < n) {
+            d += math.abs((a(j) & 0xff) - (b(j) & 0xff)); j += 1
+          }
+          d += 255L * ((a.length - n) + (b.length - n))
+          FrameDelta(id, fs(i).frame_idx, d, d > threshold)
+        }
+      }
+    }
+  }
+
   /** Audio windowed energy: the payload of an audio row is interpreted
     * as 16-bit little-endian signed PCM mono (the raw-WAV convention)
     * and folded into per-window sum-of-squares energies — the

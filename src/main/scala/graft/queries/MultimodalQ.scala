@@ -396,7 +396,62 @@ object MultimodalQ {
             |ORDER BY media_id, window_idx""".stripMargin),
   )
 
+  /** Scene-cut detection under the gate: consecutive sampled frames'
+    * L1 byte distance (`Multimodal.sceneCuts` — keyframe selection),
+    * unmatched tail bytes penalized at 255 so a length change
+    * registers, frame 0 always a keyframe. Every delta and cut verdict
+    * is rebuilt by the oracle from hex nibbles plus the identical lag
+    * window.
+    */
+  private val mediaSceneCuts = Q(
+    "q_media_scene_cuts",
+    (s, dir) => {
+      import s.implicits._
+      Multimodal
+        .sceneCuts(
+          Multimodal.sampleFrames(
+            Multimodal.syntheticMedia(Tables(s, dir).documents),
+            frameBytes = 16, everyN = 1),
+          threshold = 400L)
+        .toDF()
+        .orderBy($"media_id", $"frame_idx")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+            |         octet_length(encode(text)) AS nb
+            |  FROM documents WHERE doc_id % 3 = 2
+            |),
+            |f AS (
+            |  SELECT media_id, CAST(g.f AS INT) AS frame_idx, hx,
+            |         16 * g.f AS off, least(16, nb - 16 * g.f) AS flen
+            |  FROM m, UNNEST(generate_series(0, greatest(nb // 16, 1) - 1)) AS g(f)
+            |),
+            |d AS (
+            |  SELECT media_id, frame_idx, hx, off, flen,
+            |         lag(off) OVER w AS poff, lag(flen) OVER w AS pflen
+            |  FROM f
+            |  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+            |),
+            |e AS (
+            |  SELECT media_id, frame_idx,
+            |         CASE WHEN poff IS NULL THEN CAST(0 AS BIGINT)
+            |         ELSE CAST(coalesce(list_sum(list_transform(
+            |                range(0, least(flen, pflen)), j ->
+            |                abs(${duckPayloadByte("poff + j")} -
+            |                    ${duckPayloadByte("off + j")}))), 0) AS BIGINT)
+            |              + 255 * ((pflen - least(flen, pflen)) +
+            |                       (flen - least(flen, pflen)))
+            |         END AS delta,
+            |         poff IS NULL AS first
+            |  FROM d
+            |)
+            |SELECT media_id, frame_idx, delta,
+            |       CASE WHEN first THEN TRUE ELSE delta > 400 END AS is_cut
+            |FROM e
+            |ORDER BY media_id, frame_idx""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(mediaDecodeResize, mediaFeatures, mediaFrames, mediaEmbedTopk,
-      mediaAHashDedup, mediaAudioEnergy)
+      mediaAHashDedup, mediaAudioEnergy, mediaSceneCuts)
 }

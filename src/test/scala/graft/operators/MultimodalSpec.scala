@@ -115,4 +115,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w.nonEmpty)
     assert(w.forall(_.media_id == 1L)) // only the audio doc
   }
+
+  test("scene cuts: first frame is a keyframe; L1 deltas and the " +
+    "255-per-byte tail penalty are exact") {
+    val frames = Seq(
+      Multimodal.Frame(5L, 0, Array[Byte](10, 20, 30)),
+      Multimodal.Frame(5L, 1, Array[Byte](10, 25, 28)), // d = 0+5+2 = 7
+      Multimodal.Frame(5L, 2, Array[Byte](10, 25)), // d = 0+0 + 255 (tail)
+    ).toDS()
+    val got = Multimodal.sceneCuts(frames, threshold = 100L)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(d => (d.frame_idx, d.delta, d.is_cut)).toSeq ==
+      Seq((0, 0L, true), (1, 7L, false), (2, 255L, true)))
+  }
 }

@@ -1882,6 +1882,70 @@ object Relational {
            |ORDER BY source, rank""".stripMargin),
   )
 
+  /** Sketch-lake rollup: per-DAY KMV sketches built once (the
+    * synopsis a nightly job would persist — k longs per day), then a
+    * PERIOD distinct estimate answered from the stored sketches alone:
+    * bottom-k of a union = bottom-k of the merged per-day bottom-ks
+    * (the KMV merge law), so flatten + re-limit over the day arrays
+    * IS the period sketch — the raw events are never rescanned. Exact
+    * distinct rides alongside from the same scan to quantify the
+    * error. This is the pre-aggregated-rollup pattern every metrics
+    * warehouse needs for COUNT DISTINCT, where plain per-day counts
+    * can't be summed.
+    */
+  private val sketchKmvRollup = Q(
+    "q_sketch_kmv_rollup",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.BottomK.register(s)
+      val k = 64
+      val ev = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("d"))
+      // the "stored" per-day synopses: one k-array per day
+      val daily = ev.groupBy($"d")
+        .agg(call_function(graft.functions.BottomK.Name,
+          $"user_id".cast("string"), lit(k)).as("hs"))
+      // period query answered from synopses only: merge = flatten +
+      // distinct + re-limit (KMV merge law), estimate from the k-th
+      // smallest; exact rides alongside for the error column
+      val merged = daily
+        .select(explode($"hs").as("h")).distinct()
+        .orderBy($"h").limit(k)
+      val kth = merged.agg(max($"h").as("kth_hash"), count(lit(1)).as("kk"))
+      val exact = ev.agg(countDistinct($"user_id").as("n_exact"))
+      val nDays = daily.agg(count(lit(1)).as("n_days"))
+      kth.crossJoin(exact).crossJoin(nDays)
+        .select(
+          $"n_days",
+          lit(k.toLong).as("k"),
+          $"n_exact",
+          $"kth_hash",
+          round(($"kk" - 1).cast("double") * lit(8.0 * (1L << 60)) / $"kth_hash", 4)
+            .as("est_distinct"))
+    },
+    Some(s"""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+           |),
+           |h AS (
+           |  SELECT DISTINCT d, ${fnv63Sql("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM ev
+           |),
+           |daily AS (
+           |  SELECT d, h FROM (
+           |    SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+           |    FROM h)
+           |  WHERE rn <= 64
+           |),
+           |merged AS (SELECT DISTINCT h FROM daily ORDER BY h LIMIT 64),
+           |kth AS (SELECT max(h) AS kth_hash, count(*) AS kk FROM merged)
+           |SELECT (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM ev) AS n_days,
+           |       CAST(64 AS BIGINT) AS k,
+           |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_exact,
+           |       kth_hash,
+           |       round((kk - 1) * (8.0 * (CAST(1 AS BIGINT) << 60)) / kth_hash, 4) AS est_distinct
+           |FROM kth""".stripMargin),
+  )
+
   /** Streaming count-min sketch: the CMS cells accumulate
     * incrementally over the event stream in complete mode — streaming
     * frequency tracking with STATE BOUNDED at depth×width cells no
@@ -2743,6 +2807,7 @@ object Relational {
     streamHistogramQuantiles,
     streamSampleBottomK,
     sketchKmvJaccard,
+    sketchKmvRollup,
     sampleBottomKBySource,
     windowGapFill,
     streamGapFill,

@@ -40,8 +40,11 @@ object TemporalJoins {
       keys: Seq[String],
       tsCol: String,
       how: String = "inner",
+      direction: String = "backward",
   ): DataFrame = {
     require(how == "inner" || how == "left", s"asOfJoin: unsupported how=$how")
+    require(direction == "backward" || direction == "forward",
+      s"asOfJoin: unsupported direction=$direction")
     // relational join semantics: NULL keys and NULL right timestamps
     // match nothing. Without the key filter the window would group
     // null-key rows together and "join" them; without the ts filter a
@@ -86,9 +89,17 @@ object TemporalJoins {
             "__unit", org.apache.spark.sql.types.IntegerType)))).as("__l"),
         struct(rCols.map(col): _*).as("__r"),
       ): _*)
+    // backward: "latest right at-or-BEFORE" — ascending time, carry
+    // the last right forward. forward: "earliest right at-or-AFTER" —
+    // the mirror image, DESCENDING time with the same carry (walking
+    // back from the future, the last right seen is the next one
+    // ahead). Either way, right-before-left at equal ts keeps the
+    // "at-or-…" tie rule; the single-shuffle shape is unchanged.
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(
+        (if (direction == "backward") col(tsCol).asc else col(tsCol).desc),
+        col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = ru.unionByName(lu)
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))

@@ -51,6 +51,50 @@ object Temporal {
            |ORDER BY t.asset, t.k""".stripMargin),
   )
 
+  /** FORWARD as-of: each trade picks up the EARLIEST same-asset quote
+    * at-or-after it — the "next quote" lookup (slippage / fill
+    * analysis reads the market just after the trade, the mirror of
+    * the backward state lookup). Same single-shuffle union+window
+    * machinery with the time order reversed
+    * (`TemporalJoins.asOfJoin(direction = "forward")`); the oracle
+    * states it as arg-min over the qualifying quotes.
+    */
+  private val joinAsofForward = Q(
+    "q_join_asof_forward",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", pmod($"user_id", lit(16)).as("asset"))
+      val quotes = ev.filter($"event_id" % 5 =!= 0)
+        .select($"asset", $"event_id".as("k"),
+          $"event_id".as("quote_id"),
+          pmod($"event_id" * 31, lit(1000)).as("quote_val"))
+      val trades = ev.filter($"event_id" % 5 === 0)
+        .select($"asset", $"event_id".as("k"),
+          pmod($"event_id" * 7, lit(500)).as("trade_val"))
+      TemporalJoins.asOfJoin(trades, quotes, keys = Seq("asset"),
+          tsCol = "k", direction = "forward")
+        .orderBy($"asset", $"k")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id % 16 AS asset FROM events),
+           |quotes AS (
+           |  SELECT asset, event_id AS k, event_id AS quote_id,
+           |         (event_id * 31) % 1000 AS quote_val
+           |  FROM ev WHERE event_id % 5 <> 0
+           |),
+           |trades AS (
+           |  SELECT asset, event_id AS k, (event_id * 7) % 500 AS trade_val
+           |  FROM ev WHERE event_id % 5 = 0
+           |)
+           |SELECT t.asset, t.k, t.trade_val,
+           |       min_by(q.quote_id, q.k) AS quote_id,
+           |       min_by(q.quote_val, q.k) AS quote_val
+           |FROM trades t JOIN quotes q
+           |  ON q.asset = t.asset AND q.k >= t.k
+           |GROUP BY t.asset, t.k, t.trade_val
+           |ORDER BY t.asset, t.k""".stripMargin),
+  )
+
   /** Interval × point range join: every 503rd event spawns a ±200
     * window; events inside a window aggregate into it. Spark side uses
     * the binned equi-join strategy (bin width 400 ≈ the span, so each
@@ -138,5 +182,5 @@ object Temporal {
            |ORDER BY user_id, version""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(joinAsof, joinRange, scd2Intervals)
+  val all: Seq[Q] = Seq(joinAsof, joinAsofForward, joinRange, scd2Intervals)
 }

@@ -35,6 +35,20 @@ class TemporalJoinsSpec extends AnyFunSuite {
     ))
   }
 
+  test("asOfJoin forward: earliest at-or-after per key; the mirror of " +
+    "backward incl. the equal-ts tie rule") {
+    val out = TemporalJoins.asOfJoin(trades, quotes, Seq("asset"), "ts",
+        direction = "forward")
+      .select($"asset", $"ts", $"tv", $"qv")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", 5L, 1L, 100L),   // next quote at 10
+      ("A", 20L, 2L, 200L),  // quote AT the trade ts matches
+      ("A", 25L, 3L, 300L),  // next quote at 30
+      // B@99 (no later quote) and C (no quotes) drop under inner
+    ))
+  }
+
   test("asOfJoin left: unmatched rows keep null payload") {
     val out = TemporalJoins.asOfJoin(trades, quotes, Seq("asset"), "ts", how = "left")
       .select($"asset", $"ts", $"qv")

@@ -51,6 +51,48 @@ object Temporal {
            |ORDER BY t.asset, t.k""".stripMargin),
   )
 
+  /** LEFT as-of: trades with NO prior same-asset quote survive with
+    * null quote columns — the variant a feature-store lookup needs
+    * (every entity row keeps its place; missing history is a null
+    * feature, not a dropped row). Oracled against DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  private val joinAsofLeft = Q(
+    "q_join_asof_left",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", pmod($"user_id", lit(16)).as("asset"))
+      // quotes restricted to LATE events only (event_id >= 5000), so
+      // early trades genuinely have no prior quote and the null path
+      // carries real rows at sf0.01
+      val quotes = ev.filter($"event_id" % 5 =!= 0 && $"event_id" >= 5000)
+        .select($"asset", $"event_id".as("k"),
+          $"event_id".as("quote_id"),
+          pmod($"event_id" * 31, lit(1000)).as("quote_val"))
+      val trades = ev.filter($"event_id" % 5 === 0)
+        .select($"asset", $"event_id".as("k"),
+          pmod($"event_id" * 7, lit(500)).as("trade_val"))
+      TemporalJoins.asOfJoin(trades, quotes, keys = Seq("asset"),
+          tsCol = "k", how = "left")
+        .orderBy($"asset", $"k")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id % 16 AS asset FROM events),
+           |quotes AS (
+           |  SELECT asset, event_id AS k, event_id AS quote_id,
+           |         (event_id * 31) % 1000 AS quote_val
+           |  FROM ev WHERE event_id % 5 <> 0 AND event_id >= 5000
+           |),
+           |trades AS (
+           |  SELECT asset, event_id AS k, (event_id * 7) % 500 AS trade_val
+           |  FROM ev WHERE event_id % 5 = 0
+           |)
+           |SELECT t.asset, t.k, t.trade_val, q.quote_id, q.quote_val
+           |FROM trades t ASOF LEFT JOIN quotes q
+           |  ON t.asset = q.asset AND q.k <= t.k
+           |ORDER BY t.asset, t.k""".stripMargin),
+  )
+
   /** FORWARD as-of: each trade picks up the EARLIEST same-asset quote
     * at-or-after it — the "next quote" lookup (slippage / fill
     * analysis reads the market just after the trade, the mirror of
@@ -182,5 +224,6 @@ object Temporal {
            |ORDER BY user_id, version""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(joinAsof, joinAsofForward, joinRange, scd2Intervals)
+  val all: Seq[Q] =
+    Seq(joinAsof, joinAsofForward, joinAsofLeft, joinRange, scd2Intervals)
 }

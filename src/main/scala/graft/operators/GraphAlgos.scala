@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting and BFS — the two graph analytics a
+  * curation pipeline asks of a similarity/co-occurrence graph after
+  * components (cluster density → how clique-like the duplicate
+  * clusters are; hop distance → how far contamination spreads from a
+  * seed set). Both are expressed as keyed equi-joins so Catalyst picks
+  * shuffle strategies and AQE sizes them; nothing is collected to the
+  * driver except BFS's per-round frontier count (one long).
+  */
+object GraphAlgos {
+
+  /** Per-node triangle counts over an undirected simple edge list
+    * (one row per edge, `u < v`, no self-loops).
+    *
+    * Classic degree-ordered orientation (Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer"): orient every edge
+    * from its lower endpoint to its higher endpoint in the total order
+    * (degree, id). Wedges are then generated ONLY at each wedge's
+    * lowest-ordered node, so a hub of degree d generates O(d_out²)
+    * wedges where d_out is its OUT-degree in the orientation — and no
+    * node's out-degree exceeds O(√|E|), which is the bound that kills
+    * the last-reducer skew a naive per-node wedge join has. Every step
+    * is an equi-join on a node key: deg join, wedge self-join on the
+    * apex, closure probe on the (lo, hi) pair.
+    *
+    * Each triangle {a,b,c} is found exactly once (at its minimum-order
+    * apex) and credited to all three corners via a 3-way explode.
+    * Returns (node, tri_count) for every node in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+    val deg = e.select($"u".as("node")).union(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    // orientation key: (degree, id) lexicographic, packed into one
+    // struct so the comparison is a single codegen'd predicate
+    val withDeg = e
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    val oriented = withDeg.select(
+      when(struct($"du", $"u") < struct($"dv", $"v"), struct($"u".as("n"), $"du".as("d")))
+        .otherwise(struct($"v".as("n"), $"dv".as("d"))).as("lo"),
+      when(struct($"du", $"u") < struct($"dv", $"v"), struct($"v".as("n"), $"dv".as("d")))
+        .otherwise(struct($"u".as("n"), $"du".as("d"))).as("hi"))
+      .select($"lo.n".as("src"), struct($"hi.d", $"hi.n").as("dk"), $"hi.n".as("dst"))
+    // wedges at the apex: unordered {b, c} pairs of out-neighbors,
+    // ordered by the same (degree, id) key so each wedge appears once
+    val w1 = oriented.select($"src".as("a"), $"dk".as("bk"), $"dst".as("b"))
+    val w2 = oriented.select($"src".as("a"), $"dk".as("ck"), $"dst".as("c"))
+    val wedges = w1.join(w2, Seq("a")).filter($"bk" < $"ck")
+      .select($"a", $"b", $"c")
+    // closure probe: the wedge {b,c} closes iff the oriented edge b→c
+    // exists (b precedes c in orientation order by construction)
+    val closing = oriented.select($"src".as("b"), $"dst".as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+    tris.select(explode(array($"a", $"b", $"c")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("tri_count"))
+  }
+
+  /** Hop distance from a seed node over an undirected edge list:
+    * iterative frontier expansion (the MapReduce BFS). Each round is
+    * one equi-join (frontier × symmetric edges) plus one anti-join
+    * against the visited set — both keyed on the node, linear in the
+    * frontier's incident edges; the only driver-side value per round
+    * is the new frontier's row count. Lineage is cut per round with an
+    * eager localCheckpoint exactly as in [[Components]] (the visited
+    * set references itself through union otherwise). Rounds are
+    * bounded by the graph's eccentricity from the seed, capped at
+    * `maxDepth` — unreached nodes are simply absent from the result,
+    * which is the honest answer (no sentinel distances).
+    */
+  def bfsLevels(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      seed: Long,
+      maxDepth: Int = 20,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).localCheckpoint(true)
+    var visited = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = visited.select($"node")
+    var depth = 0L
+    var frontierSize = 1L
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      val next = frontier.join(sym, $"node" === $"src")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node".as("seen")), $"node" === $"seen", "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select($"node")
+      }
+    }
+    visited
+  }
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Order-statistic / rank-analytic / recursive-SQL surface: exact
+  * interpolated median, deterministic mode, the full rank-function
+  * family, and Spark 4's `WITH RECURSIVE` (UnionLoopExec) — the
+  * SQL-facing analytics a reference user reaches for after the
+  * summary-statistics queries (reference `notebooks/bbo.ipynb`
+  * descriptive cells; `collector/src/main.rs:132-135` scalar surface).
+  */
+object Analytic {
+
+  /** Exact interpolated median (percentile 0.5 over integer cents —
+    * the midpoint of two longs is exactly representable, so the
+    * interpolation is bit-stable across engines) plus a DETERMINISTIC
+    * mode per order priority. Mode ties are real (statuses have near-
+    * uniform counts), so the pick is pinned by (count DESC, status
+    * ASC) — both engines compute the same row_number over the same
+    * total order rather than trusting an engine's arbitrary tie
+    * choice. Two map-side-combinable aggregations over orders plus a
+    * 5-row join: one exchange each at any scale.
+    */
+  private val aggMedianMode = Q(
+    "q_agg_median_mode",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir).orders
+        .select($"o_orderpriority".as("priority"), $"o_orderstatus".as("status"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val med = orders.groupBy($"priority")
+        .agg(
+          round(expr("percentile(cents, 0.5)") / 100.0, 2).as("median_price"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy($"priority").orderBy($"c".desc, $"status")
+      val mode = orders.groupBy($"priority", $"status").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"priority", $"status".as("mode_status"))
+      med.join(mode, "priority")
+        .select($"priority", $"median_price", $"mode_status", $"n")
+        .orderBy($"priority")
+    },
+    Some("""WITH c AS (
+           |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders
+           |),
+           |med AS (
+           |  SELECT priority,
+           |         round(quantile_cont(cents, 0.5) / 100.0, 2) AS median_price,
+           |         count(*) AS n
+           |  FROM c GROUP BY priority
+           |),
+           |cnt AS (SELECT priority, status, count(*) AS cc FROM c GROUP BY 1, 2),
+           |md AS (
+           |  SELECT priority, status AS mode_status
+           |  FROM (SELECT priority, status,
+           |               row_number() OVER (PARTITION BY priority
+           |                                  ORDER BY cc DESC, status) AS rn
+           |        FROM cnt)
+           |  WHERE rn = 1
+           |)
+           |SELECT m.priority, m.median_price, d.mode_status, m.n
+           |FROM med m JOIN md d USING (priority)
+           |ORDER BY priority""".stripMargin),
+  )
+
+  /** The rank-function family — dense_rank / percent_rank / cume_dist
+    * — over lineitem quantities per return flag. Quantities are
+    * heavily tied (50 distinct values across ~200k rows per flag), so
+    * the ranks are computed over the FULL partition and then collapsed
+    * to one row per (flag, qty): tied rows carry identical rank
+    * values by definition, which is what makes the collapsed output
+    * deterministic. One exchange+sort; the distinct rides the same
+    * partitioning.
+    */
+  private val windowRankDense = Q(
+    "q_window_rank_dense",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"flag").orderBy($"qty")
+      Tables(s, dir).lineitem
+        .select($"l_returnflag".as("flag"), $"l_quantity".cast("long").as("qty"))
+        .select($"flag", $"qty",
+          dense_rank().over(w).as("dr"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .distinct()
+        .orderBy($"flag", $"qty")
+    },
+    Some("""SELECT DISTINCT l_returnflag AS flag,
+           |       CAST(l_quantity AS BIGINT) AS qty,
+           |       dense_rank() OVER w AS dr,
+           |       round(percent_rank() OVER w, 4) AS pr,
+           |       round(cume_dist() OVER w, 4) AS cd
+           |FROM lineitem
+           |WINDOW w AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT))
+           |ORDER BY flag, qty""".stripMargin),
+  )
+
+  /** Spark 4 recursive CTE (`WITH RECURSIVE` → UnionLoop /
+    * UnionLoopExec): ancestor chains over the synthetic binary-heap
+    * forest `parent(id) = id div 2` on part keys — each part's full
+    * ancestor set materialized by the recursion, then folded to
+    * (depth, path_sum). Recursion depth is ⌈log₂ maxId⌉ (~11 at
+    * sf0.01), and each iteration is one narrow projection over the
+    * previous frontier, so the loop is log-bounded at any scale —
+    * the declarative twin of `Hierarchy.flattenForest`'s pointer
+    * doubling (which needs only ⌈log₂ depth⌉ JOINS but hand-manages
+    * state; the CTE form is what a SQL user writes). DuckDB runs the
+    * identical recursion as the oracle.
+    */
+  private val sqlRecursiveCte = Q(
+    "q_sql_recursive_cte",
+    (s, dir) => {
+      Tables(s, dir).part.createOrReplaceTempView("part_rcte_v")
+      s.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS id, p_partkey AS a FROM part_rcte_v
+          UNION ALL
+          SELECT id, a div 2 AS a FROM anc WHERE a > 1
+        )
+        SELECT id, CAST(count(*) - 1 AS BIGINT) AS depth,
+               CAST(sum(a) AS BIGINT) AS path_sum
+        FROM anc
+        GROUP BY id
+        ORDER BY id
+      """)
+    },
+    Some("""WITH RECURSIVE anc AS (
+           |  SELECT p_partkey AS id, p_partkey AS a FROM part
+           |  UNION ALL
+           |  SELECT id, a // 2 AS a FROM anc WHERE a > 1
+           |)
+           |SELECT id, CAST(count(*) - 1 AS BIGINT) AS depth,
+           |       CAST(sum(a) AS BIGINT) AS path_sum
+           |FROM anc
+           |GROUP BY id
+           |ORDER BY id""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(aggMedianMode, windowRankDense, sqlRecursiveCte)
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.GraphAlgos
+
+/** Graph analytics over derived co-occurrence graphs (the shapes a
+  * curation pipeline builds from near-dup pairs or co-purchase
+  * baskets): triangle counting with degree-ordered orientation and
+  * frontier BFS. Complements the existing graph family (PageRank,
+  * connected components, hierarchy flattening) with the density and
+  * reachability measures.
+  */
+object Graph {
+
+  /** Top-20 triangle-heavy parts in the co-purchase graph (parts
+    * sharing an order = an edge). `GraphAlgos.triangleCounts` orients
+    * edges by (degree, id) so wedge generation is bounded by
+    * out-degree² ≤ O(|E|) per node — the last-reducer-skew-proof
+    * formulation — and the DuckDB oracle runs the IDENTICAL
+    * orientation + wedge + closure joins, so the count is checked at
+    * the algorithm level, not just totals.
+    */
+  private val graphTriangles = Q(
+    "q_graph_triangles",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      GraphAlgos.triangleCounts(edges, "u", "v")
+        .orderBy($"tri_count".desc, $"node")
+        .limit(20)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS (
+           |  SELECT DISTINCT a.p AS u, b.p AS v
+           |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+           |),
+           |deg AS (
+           |  SELECT node, count(*) AS d FROM (
+           |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+           |  GROUP BY node
+           |),
+           |o AS (
+           |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+           |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+           |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
+           |  FROM e
+           |  JOIN deg du ON du.node = e.u
+           |  JOIN deg dv ON dv.node = e.v
+           |),
+           |t AS (
+           |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+           |  FROM o w1
+           |  JOIN o w2 ON w1.src = w2.src AND (w1.dd, w1.dst) < (w2.dd, w2.dst)
+           |  JOIN o cl ON cl.src = w1.dst AND cl.dst = w2.dst
+           |)
+           |SELECT node, count(*) AS tri_count FROM (
+           |  SELECT a AS node FROM t
+           |  UNION ALL SELECT b FROM t
+           |  UNION ALL SELECT c FROM t)
+           |GROUP BY node
+           |ORDER BY tri_count DESC, node
+           |LIMIT 20""".stripMargin),
+  )
+
+  /** Hop distance from the minimum part id over the SPARSE adjacency
+    * graph (parts on CONSECUTIVE line numbers of the same order — a
+    * path per order, chained across orders through shared parts), via
+    * `GraphAlgos.bfsLevels` frontier expansion. The oracle is a DuckDB
+    * recursive CTE taking min(dist) over all generated paths — a
+    * different formulation of the same reachability semantics, which
+    * is exactly what makes it a strong check of the iterative loop.
+    * The one driver-side value besides per-round frontier counts is
+    * the seed (a 1-row min).
+    */
+  private val graphBfsLevels = Q(
+    "q_graph_bfs_levels",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      val seed = edges.agg(min($"u")).head.getLong(0)
+      GraphAlgos.bfsLevels(edges, "u", "v", seed, maxDepth = 20)
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE li AS (
+           |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p FROM lineitem
+           |),
+           |e0 AS (
+           |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+           |),
+           |sym AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+           |bfs AS (
+           |  SELECT (SELECT min(u) FROM e0) AS node, 0 AS dist
+           |  UNION
+           |  SELECT e.dst, bfs.dist + 1
+           |  FROM bfs JOIN sym e ON e.src = bfs.node
+           |  WHERE bfs.dist < 20
+           |)
+           |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+           |FROM bfs
+           |GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels)
+}

@@ -947,4 +947,80 @@ object TextAnalysis {
             regexp_replace($"redacted", p.regex, p.token)).as("redacted"): _*)
     }
   }
+
+  /** Character-distribution Shannon entropy per document over a fixed
+    * alphabet — the classic random-text / encoding-garbage detector
+    * (low-entropy docs are repeated-char junk, max-entropy docs are
+    * uniform noise; natural text sits in a band). Counting is done
+    * in-row by length-difference (`len(text) − len(replace(text, c))`
+    * per alphabet char), so the whole operator is ONE narrow
+    * projection: zero shuffles, codegen'd end to end, O(|alphabet| ×
+    * len) per row with |alphabet| a small constant. Chars outside the
+    * alphabet are ignored (counted by neither numerator nor total).
+    */
+  def charEntropy(docs: DataFrame, alphabet: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(alphabet.forall(_.length == 1), "alphabet must be single chars")
+    val cnts = transform(typedLit(alphabet),
+      c => length($"text") - length(replace($"text", c, lit(""))))
+    docs
+      .select($"doc_id", graft.functions.Cols.materialized(cnts).as("cnts"))
+      .select($"doc_id", $"cnts",
+        aggregate($"cnts", lit(0L), (a, c) => a + c.cast("long")).as("n_alpha"))
+      .select(
+        $"doc_id",
+        $"n_alpha",
+        round(
+          aggregate($"cnts", lit(0.0d), (a, c) =>
+            a + when(c > 0,
+              -(c.cast("double") / $"n_alpha") *
+                log2(c.cast("double") / $"n_alpha"))
+              .otherwise(lit(0.0d))),
+          4).as("entropy_bits"))
+  }
+
+  /** Gopher-style rule-set quality flags (Rae et al., "Scaling
+    * Language Models: ... Gopher" §A1.1 heuristics, re-expressed for
+    * this corpus): word-count bounds, mean-word-length bounds,
+    * alphabetic-word ratio, and the "contains ≥2 stopwords" rule —
+    * with the stopword list DERIVED from the corpus itself (its top
+    * `nStop` most frequent words, deterministic (count DESC, word)
+    * tie-break) rather than hardcoded English. Two-phase scale shape:
+    * one map-side-combinable word-count aggregation whose top-k is a
+    * bounded driver fetch (`nStop` rows — a model-parameter fetch,
+    * same class as Bloom's bitmap), then ONE narrow in-row pass
+    * computing every metric and flag. Unlike [[quality]]'s composite
+    * score, the output is per-RULE booleans plus the conjunctive keep
+    * — the form curation audits want ("which rule killed this doc").
+    */
+  def gopherFlags(docs: DataFrame, nStop: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = docs
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word")
+      .limit(nStop)
+      .collect().map(_.getString(0)).toSeq
+    val base = docs.select($"doc_id", length($"text").as("chars"),
+      graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
+    val m = base.select(
+      $"doc_id",
+      size($"ws").cast("long").as("n_words"),
+      round(($"chars" - (size($"ws") - 1)).cast("double") / size($"ws"), 4)
+        .as("mean_word_len"),
+      round(size(filter($"ws", w => w.rlike("[a-z]"))).cast("double") / size($"ws"), 4)
+        .as("alpha_ratio"),
+      size(array_intersect(array_distinct($"ws"), typedLit(top))).cast("long")
+        .as("n_stop"))
+    m.select(
+      $"doc_id", $"n_words", $"mean_word_len", $"alpha_ratio", $"n_stop",
+      $"n_words".between(50, 100000).cast("long").as("f_words"),
+      $"mean_word_len".between(3, 10).cast("long").as("f_mwl"),
+      ($"alpha_ratio" >= 0.8).cast("long").as("f_alpha"),
+      ($"n_stop" >= 2).cast("long").as("f_stop"),
+      ($"n_words".between(50, 100000) && $"mean_word_len".between(3, 10) &&
+        $"alpha_ratio" >= 0.8 && $"n_stop" >= 2).cast("long").as("keep"))
+  }
 }

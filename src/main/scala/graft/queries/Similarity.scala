@@ -740,38 +740,8 @@ object Similarity {
     "q_embed_topk_ivf_pq",
     (s, dir) => {
       import s.implicits._
-      graft.functions.ArrayDotLong.register(s)
-      val e = Tables(s, dir).embeddings
-        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
-        .withColumn("n2", VectorSim.qnorm2($"q"))
-        .persist()
-      val initCoarse = e.filter($"vec_id" % 100 === 1)
-        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
-      val (cents, assign) = VectorSim.kmeansFit(e, initCoarse, dims = 64, iters = 2)
-      val posting = assign.select($"vec_id".as("cand_id"), $"cent_id")
-      val queries = e.filter($"vec_id" % 50 === 0)
-      val probes = queries
-        .crossJoin(broadcast(cents))
-        .withColumn("cos",
-          VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
-        .withColumn("rn",
-          row_number().over(
-            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
-        .filter($"rn" <= 2)
-        .select($"vec_id".as("query_id"), $"cent_id")
-      val cand = probes.join(posting, "cent_id")
-        .filter($"query_id" =!= $"cand_id")
-        .select($"query_id", $"cand_id")
-      val books = VectorSim
-        .pqTrain(e, dims = 64, m = 4, initPred = $"vec_id" % 125 === 1, iters = 2)
-        .persist()
-      val codes = VectorSim.pqEncode(e, books, dims = 64, m = 4)
-      val lut = VectorSim.pqLut(queries, books, dims = 64, m = 4)
-      cand
-        .join(codes, $"cand_id" === codes("vec_id"))
-        .join(broadcast(lut), Seq("sub", "code", "query_id"))
-        .groupBy($"query_id", $"cand_id")
-        .agg(sum($"dot").as("score_q"))
+      val (_, adc) = ivfAdcScores(s, dir)
+      adc
         .withColumn("rank",
           row_number().over(
             Window.partitionBy($"query_id").orderBy($"score_q".desc, $"cand_id")))
@@ -782,6 +752,149 @@ object Similarity {
     Some(ivfPqOracleSql(m = 4, d = 16, iters = 2,
       pqInitPred = "vec_id % 125 = 1", queryPred = "v.vec_id % 50 = 0")),
   )
+
+  /** The shared IVF→ADC chain of q_embed_topk_ivf_pq and
+    * q_embed_ivf_rerank: trained coarse quantizer, 2-probe posting
+    * lists, PQ codes + broadcast LUT, integer ADC sums. Returns the
+    * persisted quantized corpus and the (query_id, cand_id, score_q)
+    * candidate-score table.
+    */
+  private def ivfAdcScores(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    graft.functions.ArrayDotLong.register(s)
+    val e = Tables(s, dir).embeddings
+      .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+      .withColumn("n2", VectorSim.qnorm2($"q"))
+      .persist()
+    val initCoarse = e.filter($"vec_id" % 100 === 1)
+      .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+    val (cents, assign) = VectorSim.kmeansFit(e, initCoarse, dims = 64, iters = 2)
+    val posting = assign.select($"vec_id".as("cand_id"), $"cent_id")
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("cos",
+        VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+      .filter($"rn" <= 2)
+      .select($"vec_id".as("query_id"), $"cent_id")
+    val cand = probes.join(posting, "cent_id")
+      .filter($"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id")
+    val books = VectorSim
+      .pqTrain(e, dims = 64, m = 4, initPred = $"vec_id" % 125 === 1, iters = 2)
+      .persist()
+    val codes = VectorSim.pqEncode(e, books, dims = 64, m = 4)
+    val lut = VectorSim.pqLut(queries, books, dims = 64, m = 4)
+    val adc = cand
+      .join(codes, $"cand_id" === codes("vec_id"))
+      .join(broadcast(lut), Seq("sub", "code", "query_id"))
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"dot").as("score_q"))
+    (e, adc)
+  }
+
+  /** Two-stage retrieval — ADC shortlist, exact re-rank (the refine
+    * step of Jégou et al. §IV and every production IVF-PQ deployment):
+    * the quantized ADC score decides the top-10 REFINEMENT set per
+    * query, and only those ≤10 candidates are re-scored with the exact
+    * quantized cosine on the full vectors for the final top-3. At
+    * corpus scale the exact stage touches k·refine_factor vectors per
+    * query — two id-keyed equi-joins against the vector table —
+    * instead of a posting list, which is what makes re-ranked recall
+    * nearly free. The oracle replays ADC shortlist + exact re-rank
+    * end-to-end; a rank-order difference between ADC and exact scoring
+    * (PQ's whole approximation error) would break the hash.
+    */
+  private val ivfRerank = Q(
+    "q_embed_ivf_rerank",
+    (s, dir) => {
+      import s.implicits._
+      val (e, adc) = ivfAdcScores(s, dir)
+      val refine = adc
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"score_q".desc, $"cand_id")))
+        .filter($"rn" <= 10)
+        .select($"query_id", $"cand_id")
+      refine
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"cand_id", $"rank", $"cosine")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(ivfPqRerankOracleSql(m = 4, d = 16, iters = 2,
+      pqInitPred = "vec_id % 125 = 1", queryPred = "v.vec_id % 50 = 0")),
+  )
+
+  /** Oracle for q_embed_ivf_rerank: the ivf-pq chain through the ADC
+    * score table, ADC-rank to the top-10 refinement set, exact
+    * quantized cosine on the original vectors, final top-3.
+    */
+  private def ivfPqRerankOracleSql(m: Int, d: Int, iters: Int,
+      pqInitPred: String, queryPred: String): String = {
+    val L = iters - 1
+    s"""${kmeansCtes(iters)},
+       |qv AS (SELECT vec_id, q FROM n)${(0 until m).map(j => pqSubspaceCtes(j, d, pqInitPred, iters)).mkString},
+       |codes AS (
+       |  ${pqCodesSql(m, L)}
+       |),
+       |lut AS (
+       |  ${pqLutSql(m, d, L, queryPred)}
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT d.vec_id, d.cent_id,
+       |           row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cos DESC, d.cent_id) AS rn
+       |    FROM (
+       |      SELECT v.vec_id, c.cent_id, ${cosSql("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+       |      FROM n v CROSS JOIN cents$L c
+       |      WHERE $queryPred) d)
+       |  WHERE rn <= 2
+       |),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id
+       |  FROM probes p JOIN assign$L a ON p.cent_id = a.cent_id
+       |  WHERE p.query_id <> a.vec_id
+       |),
+       |sc AS (
+       |  SELECT c.query_id, c.cand_id, CAST(sum(l.dot) AS BIGINT) AS score_q
+       |  FROM cand c
+       |  JOIN codes co ON co.vec_id = c.cand_id
+       |  JOIN lut l ON l.sub = co.sub AND l.code = co.code AND l.query_id = c.query_id
+       |  GROUP BY c.query_id, c.cand_id
+       |),
+       |refine AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, cand_id) AS rn
+       |    FROM sc)
+       |  WHERE rn <= 10
+       |),
+       |exact AS (
+       |  SELECT r.query_id, r.cand_id,
+       |         ${cosSql("a.q", "a.n2", "b.q", "b.n2")} AS cosine
+       |  FROM refine r
+       |  JOIN n a ON a.vec_id = r.query_id
+       |  JOIN n b ON b.vec_id = r.cand_id
+       |)
+       |SELECT query_id, cand_id, rank, cosine FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM exact)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Oracle for q_embed_knn_classify: Lloyd CTEs, IVF probe restricted
     * to labeled candidates, top-5 vote with (count desc, label asc)
@@ -1109,5 +1222,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
-      topkPq, topkIvfPq, knnClassify, topkIvfFiltered, hardNegatives)
+      topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives)
 }

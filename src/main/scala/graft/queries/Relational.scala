@@ -2788,7 +2788,74 @@ object Relational {
            |ORDER BY verdict""".stripMargin),
   )
 
+  /** SLIDING event-time windows under the gate (10-minute width,
+    * 5-minute slide, watermarked append mode): each event contributes
+    * to exactly two overlapping windows; windows finalize and emit as
+    * the watermark passes their end — the overlap bookkeeping (state
+    * keyed by (window, type), rows fanned to width/slide windows) is
+    * what this gate pins beyond the tumbling q_stream_bbo_minutely.
+    * The oracle enumerates the same two candidate window starts per
+    * event (trunc-to-slide and trunc-minus-slide) and aggregates —
+    * the closed-form of Spark's window assignment for width = 2·slide.
+    */
+  private val streamSlidingWindow = Q(
+    "q_stream_sliding_window",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_sliding_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = graft.Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val agg = src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round($"value" * 100).cast("long")).as("cents"))
+          .select(
+            date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            $"event_type", $"n",
+            round($"cents" / 100.0, 2).as("val_sum"))
+        val query = agg.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"w_start", $"event_type")
+    },
+    // Append mode emits exactly the windows finalized below the
+    // terminal watermark (max event time − delay): the oracle applies
+    // the same window.end ≤ watermark cut.
+    Some("""WITH e AS (
+           |  SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS t5, event_type,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events
+           |),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+           |x AS (
+           |  SELECT t5 AS w, event_type, cents FROM e
+           |  UNION ALL
+           |  SELECT t5 - INTERVAL 5 MINUTE, event_type, cents FROM e
+           |)
+           |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(cents) / 100.0, 2) AS val_sum
+           |FROM x
+           |GROUP BY w, event_type
+           |HAVING w + INTERVAL 10 MINUTE <= (SELECT wm FROM wm)
+           |ORDER BY w_start, event_type""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
+    streamSlidingWindow,
     cliTimeArgs,
     sampleBottomK,
     sampleWeighted,

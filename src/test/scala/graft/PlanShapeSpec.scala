@@ -390,4 +390,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l => l.contains("Sort ") && !l.contains("TakeOrdered")),
       s"bottom-k grew a full sort:\n$p")
   }
+
+  test("char entropy is a pure narrow map: zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val p = physical(graft.operators.TextAnalysis.charEntropy(
+      docs, ('a' to 'z').map(_.toString) :+ " "))
+    assert(!p.contains("Exchange"), s"charEntropy grew a shuffle:\n$p")
+  }
+
+  test("triangle counting: every join is an equi-join — no cartesian " +
+    "product, no nested-loop join anywhere in the plan") {
+    val p = physical(SparkEntry.queries("q_graph_triangles")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"triangle plan degenerated to an all-pairs join:\n$p")
+  }
+
+  test("source vocab overlap: the bigram intersection is an equi-join " +
+    "on the bigram key, not a source×source cross") {
+    val p = physical(SparkEntry.queries("q_text_vocab_overlap")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"vocab overlap degenerated to a cross join:\n$p")
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Closed-form graphs for triangle counting and BFS: structures where
+  * the right answer is computable by hand, including the shapes that
+  * break naive implementations (shared edges — double counting; hub
+  * wedges — orientation; disconnected components and depth caps —
+  * honest absence).
+  */
+class GraphAlgosSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphAlgos.triangleCounts(edges.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def bfs(edges: Seq[(Long, Long)], seed: Long, maxDepth: Int = 20): Map[Long, Long] =
+    GraphAlgos.bfsLevels(edges.toDF("u", "v"), "u", "v", seed, maxDepth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: every node sits in 3 of the 4 triangles") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("two triangles sharing an edge: shared endpoints counted once per triangle") {
+    // 1-2-3 and 2-3-4 share edge {2,3}
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(g) === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("path graph has no triangles (empty result, not zeros)") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+  }
+
+  test("star + rim: hub orientation does not double count") {
+    // wheel on 4 rim nodes: hub 0 to each of 1..4, rim cycle 1-2-3-4-1
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    // 4 triangles, each hub + adjacent rim pair; rim node in 2 each
+    assert(tri(g) === Map(0L -> 4L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("BFS on a chain: hop distances, unreachable component absent") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    assert(bfs(g, seed = 1L) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("BFS depth cap truncates honestly (no sentinel distances)") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfs(g, seed = 1L, maxDepth = 2) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("BFS takes the shortest of multiple paths") {
+    // 1-2-3-4 chain plus shortcut 1-4
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(bfs(g, seed = 1L) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+}

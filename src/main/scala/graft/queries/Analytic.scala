@@ -143,5 +143,116 @@ object Analytic {
            |ORDER BY id""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(aggMedianMode, windowRankDense, sqlRecursiveCte)
+  /** Correlation / covariance / stddev per group via EXACT integer
+    * moments: the five sums (Σx, Σy, Σxy, Σx², Σy²) are accumulated as
+    * BIGINTs over integer-quantized inputs (quantity as-is, price
+    * rounded to whole dollars — Σy² then stays under 2⁶³ through sf1's
+    * 6M rows), and the statistics are derived from the closed-form
+    * moment identities in ONE identical double expression on both
+    * engines. That is what makes a float statistic hash-stable: the
+    * usual streaming corr/covar aggregates accumulate doubles in
+    * engine- and partition-order-dependent ways, while exact integer
+    * moments are commutative (any partitioning, any merge order — the
+    * same property the sketch family builds on) and the final formula
+    * is one deterministic IEEE evaluation. Map-side combinable, one
+    * exchange of 5 longs per group.
+    */
+  private val aggCorrMoments = Q(
+    "q_agg_corr_moments",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .select($"l_returnflag".as("flag"),
+          $"l_quantity".cast("long").as("x"),
+          round($"l_extendedprice").cast("long").as("y"))
+        .groupBy($"flag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .select($"flag", $"n",
+          expr("round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+            "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+            "sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)")
+            .as("corr_qty_price"),
+          expr("round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1), 4)")
+            .as("covar_qty_price"),
+          expr("round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)), 4)")
+            .as("stddev_qty"))
+        .orderBy($"flag")
+    },
+    Some("""WITH q AS (
+           |  SELECT l_returnflag AS flag,
+           |         CAST(l_quantity AS BIGINT) AS x,
+           |         CAST(round(l_extendedprice) AS BIGINT) AS y
+           |  FROM lineitem
+           |),
+           |m AS (
+           |  SELECT flag, count(*) AS n,
+           |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |         CAST(sum(x * y) AS BIGINT) AS sxy,
+           |         CAST(sum(x * x) AS BIGINT) AS sxx,
+           |         CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM q GROUP BY flag
+           |)
+           |SELECT flag, n,
+           |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+           |             (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+           |              sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+           |         AS corr_qty_price,
+           |       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1), 4)
+           |         AS covar_qty_price,
+           |       round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)), 4)
+           |         AS stddev_qty
+           |FROM m
+           |ORDER BY flag""".stripMargin),
+  )
+
+  /** Value-positional window frames — first_value / nth_value over the
+    * running frame, last_value over a bounded FORWARD frame — the
+    * frame semantics q_window_moving_avg's row-frame average doesn't
+    * touch (forward frames and the nth_value null-until-filled
+    * behavior at the partition head are both under the hash). Integer
+    * cents, unique (event_id) order key → total order, no ties. One
+    * exchange+sort shared by all three windows.
+    */
+  private val windowFrameValues = Q(
+    "q_window_frame_values",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"event_id")
+      Tables(s, dir).events
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("cents"))
+        .select($"event_id", $"event_type",
+          first($"cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_cents"),
+          nth_value($"cents", 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("nth3_cents"),
+          last($"cents").over(w.rowsBetween(Window.currentRow, 2))
+            .as("fwd2_cents"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH c AS (
+           |  SELECT event_id, event_type,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events
+           |)
+           |SELECT event_id, event_type,
+           |       first_value(cents) OVER (PARTITION BY event_type ORDER BY event_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_cents,
+           |       nth_value(cents, 3) OVER (PARTITION BY event_type ORDER BY event_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth3_cents,
+           |       last_value(cents) OVER (PARTITION BY event_type ORDER BY event_id
+           |         ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fwd2_cents
+           |FROM c
+           |ORDER BY event_id""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(aggMedianMode, windowRankDense, sqlRecursiveCte,
+    aggCorrMoments, windowFrameValues)
 }

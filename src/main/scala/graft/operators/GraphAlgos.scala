@@ -104,4 +104,52 @@ object GraphAlgos {
     }
     visited
   }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k,
+    * by iterative peeling — drop all nodes of degree < k, recompute
+    * degrees, repeat to fixpoint (the dense-cluster extractor: on a
+    * near-dup similarity graph the k-core is the template/boilerplate
+    * cluster; low-core nodes are incidental pairs). Each round is ONE
+    * map-side-combinable degree count plus TWO node-keyed semi-joins —
+    * linear in surviving edges, shrinking monotonically — with lineage
+    * cut per round as in [[Components]]. Convergence witness: the
+    * symmetric edge COUNT is strictly decreasing until fixpoint, so
+    * count-unchanged ⟺ no node was peeled ⟺ done; throws past
+    * `maxIters` (an unconverged peel is a silently-too-large core).
+    * Returns (node, core_deg) — each surviving node with its degree
+    * INSIDE the core.
+    */
+  def kCore(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      k: Int,
+      maxIters: Int = 40,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
+    var cur = e.union(e.select($"dst".as("src"), $"src".as("dst"))).localCheckpoint(true)
+    var curCount = cur.count()
+    var converged = curCount == 0
+    var i = 0
+    while (!converged && i < maxIters) {
+      val keep = cur.groupBy($"src").agg(count(lit(1)).as("d"))
+        .filter($"d" >= k).select($"src")
+      val nxt = cur
+        .join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select($"src", $"dst")
+        .localCheckpoint(true)
+      val c = nxt.count()
+      converged = c == curCount
+      cur = nxt
+      curCount = c
+      i += 1
+    }
+    require(converged,
+      s"kCore did not converge in $maxIters rounds; raise maxIters")
+    cur.groupBy($"src").agg(count(lit(1)).as("core_deg"))
+      .select($"src".as("node"), $"core_deg")
+  }
 }

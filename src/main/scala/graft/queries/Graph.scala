@@ -113,5 +113,60 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels)
+  /** 20-core of the sparse adjacency graph (`GraphAlgos.kCore`
+    * iterative peeling to fixpoint): the dense-cluster extractor —
+    * nodes that remain when everything of degree < 20 is repeatedly
+    * stripped, with their in-core degree. The oracle unrolls 24 peel
+    * rounds as chained CTEs (the sf0.01 graph converges in 15;
+    * post-fixpoint rounds are identity, so over-unrolling is safe,
+    * while Spark's loop REQUIRES convergence and would throw loudly
+    * if a dataset ever needed more than its cap).
+    */
+  private val graphKcore = Q(
+    "q_graph_kcore",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      GraphAlgos.kCore(edges, "u", "v", k = 20, maxIters = 40)
+        .orderBy($"node")
+    },
+    Some(kcoreOracleSql(k = 20, rounds = 24)),
+  )
+
+  /** Oracle for q_graph_kcore: the same symmetric edge derivation,
+    * then `rounds` unrolled peel iterations (degree count → keep-set →
+    * two semi-joins), identity once the fixpoint is reached.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p FROM lineitem
+        |),
+        |und AS (
+        |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+        |),
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.src
+         |  JOIN k$i b ON e.dst = b.src
+         |)""".stripMargin
+    }.mkString
+    s"""$head$rs
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$rounds
+       |GROUP BY src
+       |ORDER BY node""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore)
 }

@@ -98,5 +98,74 @@ object Lake {
            |ORDER BY lang""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(layoutHivePartitioned, sourceSchemaEvolution)
+  /** ORC round-trip with predicate pushdown: the SECOND columnar
+    * format a lake interop story needs (parquet everywhere else in
+    * this repo; ORC is what Hive-era lakes hand you). The gate writes
+    * a zlib ORC lake, reads it back with a selective predicate — ORC
+    * carries its own min/max stripe statistics, so the filter pushes
+    * into the scan exactly as with parquet — and aggregates; the
+    * oracle recomputes from the ORIGINAL parquet table, so any value
+    * mangled by the format conversion (type mapping, compression,
+    * stats) breaks the hash.
+    */
+  private val sourceOrcRoundtrip = Q(
+    "q_source_orc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir("lineitem_orc")
+      Tables(s, dir).lineitem
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
+        .write.mode("overwrite").option("compression", "zlib").orc(path)
+      s.read.orc(path)
+        .filter($"l_quantity" >= 30)
+        .groupBy($"l_returnflag".as("flag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice"), 2).as("revenue"))
+        .orderBy($"flag")
+    },
+    Some("""SELECT l_returnflag AS flag, count(*) AS n,
+           |       round(sum(l_extendedprice), 2) AS revenue
+           |FROM lineitem
+           |WHERE l_quantity >= 30
+           |GROUP BY 1
+           |ORDER BY flag""".stripMargin),
+  )
+
+  /** CSV round-trip with an EXPLICIT read schema — the interchange
+    * format that actually moves between teams. Exactness discipline:
+    * the written columns are integers and strings only (money as
+    * cents), because CSV is a TEXT format and float formatting is
+    * where silent corruption lives; the explicit schema on read-back
+    * (never inferSchema — a sampling scan at 100 TB, and types decided
+    * by whatever rows the sample saw) pins the type mapping under the
+    * hash. Reference exports CSV the same way (K3/K4 sinks,
+    * `cli/src/main.rs` csv writers).
+    */
+  private val sourceCsvRoundtrip = Q(
+    "q_source_csv_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir("orders_csv")
+      Tables(s, dir).orders
+        .select($"o_orderkey", $"o_orderpriority",
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("o_orderkey LONG, o_orderpriority STRING, cents LONG")
+        .option("header", "true").csv(path)
+        .groupBy($"o_orderpriority".as("priority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum($"cents") / 100.0, 2).as("total_price"))
+        .orderBy($"priority")
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+           |         AS total_price
+           |FROM orders
+           |GROUP BY 1
+           |ORDER BY priority""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(layoutHivePartitioned, sourceSchemaEvolution,
+    sourceOrcRoundtrip, sourceCsvRoundtrip)
 }

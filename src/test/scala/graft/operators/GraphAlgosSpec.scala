@@ -57,6 +57,25 @@ class GraphAlgosSpec extends AnyFunSuite {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    GraphAlgos.kCore(edges.toDF("u", "v"), "u", "v", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("2-core peels a tail off a triangle, cascading through the chain") {
+    // triangle 1-2-3 with tail 3-4-5: peeling 5 exposes 4, both go
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(g, k = 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("k above the max degree peels everything (empty core)") {
+    assert(core(Seq((1L, 2L), (2L, 3L)), k = 3) === Map.empty)
+  }
+
+  test("already-a-core graph converges in one no-op round") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(core(k4, k = 3) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("BFS takes the shortest of multiple paths") {
     // 1-2-3-4 chain plus shortcut 1-4
     val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))

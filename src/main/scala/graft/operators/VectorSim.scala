@@ -301,6 +301,52 @@ object VectorSim {
         qdotNative(col("qs"), col("qc")).as("dot"))
   }
 
+  /** Dominant principal direction of the (uncentered) quantized
+    * embedding Gram matrix XᵀX by the fixed-iteration power method —
+    * covariance-FREE: each iteration is Xᵀ(Xv), i.e. one narrow pass
+    * computing per-row dots against the broadcast-literal v, then one
+    * per-dimension sum (posexplode → groupBy(pos): map-side combine
+    * collapses every task to ≤ dims rows, so the shuffle moves
+    * dims × tasks longs regardless of corpus size — the d×d covariance
+    * matrix is never materialized, which is what makes PCA viable at
+    * 100 TB where d² fits but n·d does not). The per-iteration driver
+    * fetch is `dims` longs — a bounded model-parameter fetch, the same
+    * class as the BPE argmax.
+    *
+    * Cross-engine determinism: v stays INTEGER (milli-scale) between
+    * iterations, so every Xv dot and every per-dimension sum is exact
+    * order-free integer arithmetic; the only floating point is the
+    * per-iteration renormalization round(s_j·1000/√Σs_j²), computed
+    * with an explicit left-fold norm in BOTH engines (foldLeft here,
+    * list_reduce in the DuckDB oracle) and BigDecimal HALF_UP rounding
+    * (matching SQL round()). The Gram matrix is PSD, so the iterate's
+    * sign never flips and the all-ones start converges to the dominant
+    * eigenvector for any spectrum with λ₁ > λ₂ and ⟨v₀,u₁⟩ ≠ 0.
+    *
+    * Input: (vec_id, q array<long>). Returns the final direction as
+    * milli-scaled longs (|v| ≈ 1000).
+    */
+  def powerIteration(vecs: DataFrame, dims: Int, iters: Int): Seq[Long] = {
+    val spark = vecs.sparkSession
+    graft.functions.ArrayDotLong.register(spark)
+    var v: Seq[Long] = Seq.fill(dims)(1000L)
+    for (_ <- 1 to iters) {
+      val vLit = typedlit(v)
+      val sums = vecs
+        .select(col("q"), qdotNative(col("q"), vLit).as("d"))
+        .select(posexplode(transform(col("q"), x => x * col("d"))))
+        .groupBy(col("pos")).agg(sum(col("col")).as("s"))
+        .orderBy(col("pos"))
+        .collect().map(_.getLong(1)) // `dims` longs: bounded model fetch
+      val norm2 = sums.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      v = sums.map { x =>
+        BigDecimal(x.toDouble * 1000.0 / math.sqrt(norm2))
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      }.toSeq
+    }
+    v
+  }
+
   /** LSH banding over the signature: (id, band, band_bits) rows. */
   def sigBands(sigs: DataFrame, idCol: String, nBits: Int, nBands: Int): DataFrame = {
     val w = nBits / nBands

@@ -253,6 +253,54 @@ object Analytic {
            |ORDER BY event_id""".stripMargin),
   )
 
+  /** Wide→long UNPIVOT (melt) of the lineitem measure columns through
+    * Spark's native `Dataset.unpivot` (ExpandExec — a narrow per-row
+    * fan-out, never a shuffle), then one map-side-combinable
+    * aggregation per measure. This is the schema-normalization step a
+    * metrics lake runs before generic per-measure profiling: 4 wide
+    * columns become (measure, value) rows so ONE downstream pipeline
+    * handles any measure count. Exactness: values are quantized to
+    * integer cents BEFORE the sum (the house float discipline), and
+    * the mean divides the two exact integers identically in both
+    * engines. Oracle is the portable UNION ALL formulation of the same
+    * melt.
+    */
+  private val aggUnpivot = Q(
+    "q_agg_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_discount", $"l_tax")
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "measure", "value")
+        .groupBy($"measure")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("cents"))
+        .select($"measure", $"n",
+          round($"cents" / 100.0, 2).as("total"),
+          round($"cents" / 100.0 / $"n", 4).as("mean"))
+        .orderBy($"measure")
+    },
+    Some("""WITH m AS (
+           |  SELECT 'l_quantity' AS measure,
+           |         CAST(round(l_quantity * 100) AS BIGINT) AS c FROM lineitem
+           |  UNION ALL SELECT 'l_extendedprice',
+           |         CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+           |  UNION ALL SELECT 'l_discount',
+           |         CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+           |  UNION ALL SELECT 'l_tax',
+           |         CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+           |)
+           |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+           |       round(CAST(sum(c) AS BIGINT) / 100.0, 2) AS total,
+           |       round(CAST(sum(c) AS BIGINT) / 100.0 / count(*), 4) AS mean
+           |FROM m GROUP BY measure
+           |ORDER BY measure""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(aggMedianMode, windowRankDense, sqlRecursiveCte,
-    aggCorrMoments, windowFrameValues)
+    aggCorrMoments, windowFrameValues, aggUnpivot)
 }

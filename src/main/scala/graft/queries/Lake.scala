@@ -166,6 +166,54 @@ object Lake {
            |ORDER BY priority""".stripMargin),
   )
 
+  /** Co-located (bucketed) fact↔fact join: both tables are written
+    * `bucketBy(16, orderkey).sortBy(orderkey)`, so the MERGE-hinted
+    * join consumes the bucket layout directly — NO exchange on either
+    * join side (plan-asserted in PlanShapeSpec; the only Exchange in
+    * the whole plan is the final 5-group aggregation). This is the
+    * q_replay_bucketed story applied to the canonical fact-fact case:
+    * at 100 TB neither lineitem nor orders is broadcastable, and
+    * bucketing pays the co-location shuffle ONCE at ingest instead of
+    * on every join. The MERGE hint (not a conf flip) is what keeps the
+    * gate honest at gate-SF where orders would otherwise be broadcast
+    * — hints don't leak session state into other queries. Oracle
+    * recomputes from the ORIGINAL parquet, so a row lost or duplicated
+    * by the bucketed write/read cycle breaks the hash.
+    */
+  private val lakeBucketedJoin = Q(
+    "q_lake_bucketed_join",
+    (s, dir) => {
+      import s.implicits._
+      val wh = lakeDir("bucketed_wh")
+      val t = Tables(s, dir)
+      t.lineitem
+        .select($"l_orderkey",
+          round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+            .cast("long").as("rev_cents"))
+        .write.mode("overwrite").option("path", s"$wh/lineitem")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lake_lineitem")
+      t.orders.select($"o_orderkey", $"o_orderpriority")
+        .write.mode("overwrite").option("path", s"$wh/orders")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_lake_orders")
+      s.table("graft_lake_lineitem")
+        .join(s.table("graft_lake_orders").hint("merge"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority".as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum($"rev_cents").as("cents"))
+        .select($"priority", $"n", round($"cents" / 100.0, 2).as("revenue"))
+        .orderBy($"priority")
+    },
+    Some("""SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+           |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+           |                          AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1
+           |ORDER BY priority""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(layoutHivePartitioned, sourceSchemaEvolution,
-    sourceOrcRoundtrip, sourceCsvRoundtrip)
+    sourceOrcRoundtrip, sourceCsvRoundtrip, lakeBucketedJoin)
 }

@@ -2854,8 +2854,56 @@ object Relational {
            |ORDER BY w_start, event_type""".stripMargin),
   )
 
+  /** Stream-static ENRICHMENT join — the stateless dimension lookup
+    * every live ingest runs (the streaming twin of J1's batch
+    * broadcast join; reference joins live ticks to the markets dim the
+    * same way, `bbo.ipynb` cell 1): a micro-batched event stream inner-
+    * joined to a STATIC customer dim under an explicit `broadcast()`
+    * hint. Stream-static inner joins are stateless — no watermark, no
+    * state store; each micro-batch plans a fresh BroadcastHashJoin, so
+    * at 100 TB/day the per-batch cost is the batch's own rows × a hash
+    * probe, with the dim shipped once per executor. The oracle is the
+    * same join in batch SQL — stream-static equivalence to the batch
+    * join IS the semantics being gated.
+    */
+  private val streamJoinEnrich = Q(
+    "q_stream_join_enrich",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_enrich_gate"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val dim = Tables(s, dir).customer
+          .select($"c_custkey", $"c_mktsegment")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = graft.Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val enriched = src
+          .join(broadcast(dim), $"user_id" === $"c_custkey")
+          .select($"event_id", $"user_id",
+            $"c_mktsegment".as("segment"), $"event_type", $"value")
+        val query = enriched.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           |       e.event_type, e.value
+           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           |ORDER BY e.event_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     streamSlidingWindow,
+    streamJoinEnrich,
     cliTimeArgs,
     sampleBottomK,
     sampleWeighted,

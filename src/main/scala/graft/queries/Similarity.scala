@@ -1220,7 +1220,387 @@ object Similarity {
     Some(hardNegOracleSql(3)),
   )
 
+  /** HYBRID retrieval — reciprocal-rank fusion (RRF, Cormack et al.
+    * SIGIR'09: score = Σ 1/(60 + rank_i)) of a lexical BM25 ranking
+    * and a semantic cosine ranking. This is the retrieval shape a
+    * training-data curation stack actually serves (sparse+dense
+    * candidates fused rank-wise, robust to incomparable score scales).
+    * The two input lists come from the already-scale-audited paths —
+    * BM25's postings move only the query terms, the dense side is one
+    * query row broadcast against the corpus (linear, and swappable for
+    * the IVF path when the corpus outgrows a scan) — and the fusion
+    * itself joins two 50-row lists: free at any corpus size, because
+    * rank lists are bounded by k, not by the corpus. Determinism: RRF
+    * contributions are quantized to BIGINT micro-units BEFORE the sum
+    * (exact integer math both engines); the row_number() adjacent to a
+    * literal rank bound lets WindowGroupLimit prune per-partition
+    * before the final top-k sort. doc_id↔vec_id alignment is the
+    * fixture contract (both are 0..n-1 over the same corpus).
+    */
+  private val rankRrfFusion = Q(
+    "q_rank_rrf_fusion",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val lex = graft.operators.TextAnalysis.bm25(
+          Tables(s, dir).documents,
+          Seq("window", "merge", "stream", "hash"), k1 = 1.2, b = 0.75)
+        .withColumn("rank_lex",
+          row_number().over(Window.orderBy($"score_q".desc, $"doc_id")))
+        .filter($"rank_lex" <= 50)
+        .select($"doc_id", $"rank_lex")
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+      val qv = e.filter($"vec_id" === 0)
+        .select($"q".as("qa"), $"n2".as("na"))
+      val sem = e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id".as("doc_id"),
+          VectorSim.qcosine(
+            VectorSim.qdotNative($"qa", $"q"), $"na", $"n2").as("cosine"))
+        .withColumn("rank_sem",
+          row_number().over(Window.orderBy($"cosine".desc, $"doc_id")))
+        .filter($"rank_sem" <= 50)
+        .select($"doc_id", $"rank_sem")
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"rank_lex", $"rank_sem",
+          (coalesce(round(lit(1000000.0) / (lit(60) + $"rank_lex")).cast("long"), lit(0L)) +
+            coalesce(round(lit(1000000.0) / (lit(60) + $"rank_sem")).cast("long"), lit(0L)))
+            .as("rrf_score"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"rrf_score".desc, $"doc_id")))
+        .filter($"rank" <= 20)
+        .select($"rank", $"doc_id", $"rank_lex", $"rank_sem", $"rrf_score")
+        .orderBy($"rank")
+    },
+    Some("""WITH dl AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+           |),
+           |stats AS (
+           |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+           |         CAST(count(*) AS DOUBLE) AS n_docs
+           |  FROM dl
+           |),
+           |tf AS (
+           |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  WHERE term IN ('window', 'merge', 'stream', 'hash')
+           |  GROUP BY doc_id, term
+           |),
+           |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           |contrib AS (
+           |  SELECT t.doc_id,
+           |         CAST(round(
+           |           (s.n_docs - d.df + 0.5) / (d.df + 0.5)
+           |             * (t.tf * (1.2 + 1))
+           |             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (s.sum_dl / s.n_docs)))
+           |           * 10000) AS BIGINT) AS c_q
+           |  FROM tf t
+           |  JOIN df d USING (term)
+           |  JOIN dl l USING (doc_id), stats s
+           |),
+           |scores AS (
+           |  SELECT doc_id, CAST(sum(c_q) AS BIGINT) AS score_q FROM contrib GROUP BY doc_id
+           |),
+           |lex AS (
+           |  SELECT doc_id, rank_lex FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank_lex
+           |    FROM scores)
+           |  WHERE rank_lex <= 50
+           |),
+           |q AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings
+           |),
+           |n AS (
+           |  SELECT vec_id, q,
+           |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+           |  FROM q
+           |),
+           |qv AS (SELECT q AS qa, n2 AS na FROM n WHERE vec_id = 0),
+           |cos AS (
+           |  SELECT b.vec_id AS doc_id,
+           |         round(CAST(list_sum(list_transform(range(1, len(qa) + 1),
+           |                 i -> qa[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+           |               / (sqrt(na) * sqrt(b.n2)), 4) AS cosine
+           |  FROM n b, qv WHERE b.vec_id <> 0
+           |),
+           |sem AS (
+           |  SELECT doc_id, rank_sem FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_sem
+           |    FROM cos)
+           |  WHERE rank_sem <= 50
+           |),
+           |fused AS (
+           |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem,
+           |         coalesce(CAST(round(1000000.0 / (60 + l.rank_lex)) AS BIGINT), 0)
+           |       + coalesce(CAST(round(1000000.0 / (60 + s.rank_sem)) AS BIGINT), 0) AS rrf_score
+           |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+           |)
+           |SELECT rank, doc_id, rank_lex, rank_sem, rrf_score FROM (
+           |  SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+           |         doc_id, rank_lex, rank_sem, rrf_score
+           |  FROM fused)
+           |WHERE rank <= 20
+           |ORDER BY rank""".stripMargin),
+  )
+
+  /** One DuckDB power-method iteration (see q_embed_pca_power): Xv
+    * dots against v{prev}, per-dimension exact-integer sums, then the
+    * renormalization with an EXPLICIT left-fold norm (list_reduce with
+    * a prepended 0.0 accumulator) so the float shape matches
+    * `VectorSim.powerIteration`'s foldLeft bit-for-bit.
+    */
+  private def pcaIterSql(prev: Int, cur: Int): String =
+    s"""d$cur AS (
+       |  SELECT n.vec_id, n.q,
+       |         list_sum(list_transform(range(1, 65),
+       |           i -> n.q[CAST(i AS INT)] * vv.v[CAST(i AS INT)])) AS d
+       |  FROM nq n, v$prev vv
+       |),
+       |s$cur AS (
+       |  SELECT j, CAST(sum(q[CAST(j AS INT)] * d) AS BIGINT) AS s
+       |  FROM d$cur, unnest(range(1, 65)) AS t(j) GROUP BY j
+       |),
+       |v$cur AS (
+       |  SELECT list(CAST(round(CAST(s AS DOUBLE) * 1000.0 / sqrt(nrm.n2)) AS BIGINT)
+       |              ORDER BY j) AS v
+       |  FROM s$cur, (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list(CAST(s AS DOUBLE) ORDER BY j)), (acc, x) -> acc + x * x) AS n2
+       |       FROM s$cur) nrm
+       |)""".stripMargin
+
+  /** Dominant-component PCA by the covariance-free power method
+    * (`VectorSim.powerIteration` — 4 fixed iterations of Xᵀ(Xv), the
+    * d×d covariance never materialized) and the per-row projection
+    * onto the learned direction: the embedding-analytics primitive
+    * behind whitening, spectral outlier screens, and 1-D curriculum
+    * ordering of a vector corpus. Every iteration's data pass is
+    * narrow + one ≤dims-group aggregation, so corpus size only enters
+    * through the linear scans. The oracle replays the SAME four
+    * iterations as chained CTEs on exact integer state — iterate
+    * divergence of even one milli-unit in any dimension breaks every
+    * downstream projection, so the hash pins the whole trajectory, not
+    * just the final answer.
+    */
+  private val embedPcaPower = Q(
+    "q_embed_pca_power",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", $"label", VectorSim.quantize($"embedding").as("q"))
+        .persist() // 4 iterations + the projection reuse the quantized scan
+      val v = VectorSim.powerIteration(e.select($"vec_id", $"q"), dims = 64, iters = 4)
+      val vLit = typedlit(v)
+      e.select($"vec_id", $"label",
+          VectorSim.qdotNative($"q", vLit).as("proj"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH nq AS (
+            |  SELECT vec_id,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            |  FROM embeddings
+            |),
+            |v0 AS (SELECT list_transform(range(1, 65), i -> CAST(1000 AS BIGINT)) AS v),
+            |${pcaIterSql(0, 1)},
+            |${pcaIterSql(1, 2)},
+            |${pcaIterSql(2, 3)},
+            |${pcaIterSql(3, 4)}
+            |SELECT n.vec_id, e.label,
+            |       CAST(list_sum(list_transform(range(1, 65),
+            |         i -> n.q[CAST(i AS INT)] * vv.v[CAST(i AS INT)])) AS BIGINT) AS proj
+            |FROM nq n JOIN embeddings e USING (vec_id), v4 vv
+            |ORDER BY vec_id""".stripMargin),
+  )
+
+  /** "All-but-the-top" embedding post-processing (Mu & Viswanath,
+    * ICLR'18): remove the dominant principal direction from every
+    * vector — the isotropy correction that measurably improves cosine
+    * retrieval on anisotropic embedding spaces, and a direct consumer
+    * of the power-iteration machinery. r = q − round(⟨q,v⟩·v/‖v‖²):
+    * one narrow pass over the corpus once v (dims longs) is known, so
+    * the whole correction is linear and shuffle-free beyond the
+    * iteration's own ≤dims-group sums. Exactness: ⟨q,v⟩ and ‖v‖² are
+    * exact integers; the single rounded double division per component
+    * has identical expression shape in both engines; residual norms
+    * are exact integer sums. The oracle re-derives v through the SAME
+    * 4-iteration CTE chain, then checks every residual norm — the
+    * projection coefficient being off by one milli-unit anywhere
+    * breaks the hash.
+    */
+  private val embedAllButTop = Q(
+    "q_embed_all_but_top",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .persist()
+      val v = VectorSim.powerIteration(e, dims = 64, iters = 4)
+      val n2v = v.map(x => x * x).sum // exact integer, matches the oracle's
+      val vLit = typedlit(v)
+      e.select($"vec_id", $"q", VectorSim.qdotNative($"q", vLit).as("d"))
+        .select($"vec_id",
+          zip_with($"q", vLit, (x, vj) =>
+            x - round($"d".cast("double") * vj / lit(n2v.toDouble)).cast("long"))
+            .as("r"),
+          VectorSim.qnorm2($"q").as("orig_n2"))
+        .select($"vec_id", VectorSim.qnorm2($"r").as("res_n2"), $"orig_n2")
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH nq AS (
+            |  SELECT vec_id,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            |  FROM embeddings
+            |),
+            |v0 AS (SELECT list_transform(range(1, 65), i -> CAST(1000 AS BIGINT)) AS v),
+            |${pcaIterSql(0, 1)},
+            |${pcaIterSql(1, 2)},
+            |${pcaIterSql(2, 3)},
+            |${pcaIterSql(3, 4)},
+            |nv AS (SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) AS n2v FROM v4),
+            |dd AS (
+            |  SELECT n.vec_id, n.q,
+            |         list_sum(list_transform(range(1, 65),
+            |           i -> n.q[CAST(i AS INT)] * vv.v[CAST(i AS INT)])) AS d
+            |  FROM nq n, v4 vv
+            |),
+            |res AS (
+            |  SELECT dd.vec_id,
+            |         list_transform(range(1, 65), i -> dd.q[CAST(i AS INT)] -
+            |           CAST(round(CAST(dd.d AS DOUBLE) * vv.v[CAST(i AS INT)] / nv.n2v) AS BIGINT)) AS r,
+            |         list_sum(list_transform(dd.q, x -> x * x)) AS orig_n2
+            |  FROM dd, v4 vv, nv
+            |)
+            |SELECT vec_id,
+            |       CAST(list_sum(list_transform(r, x -> x * x)) AS BIGINT) AS res_n2,
+            |       CAST(orig_n2 AS BIGINT) AS orig_n2
+            |FROM res ORDER BY vec_id""".stripMargin),
+  )
+
+  /** One greedy MMR step k (k ≥ 2) for the oracle: the unpicked
+    * shortlist candidate maximizing 7·rel − 3·max_{s∈selected} sim,
+    * ties to the smaller id — exactly `mmrPick`'s argmax on the same
+    * integer scores.
+    */
+  private def mmrStepSql(k: Int): String =
+    s"""pick$k AS (
+       |  SELECT $k AS step, c.vec_id,
+       |         7 * c.rel_q - 3 * (SELECT max(p.sim_q) FROM prs p
+       |                            JOIN acc${k - 1} s ON p.ca = c.vec_id
+       |                                              AND p.cb = s.vec_id) AS mmr_q
+       |  FROM sl c WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${k - 1})
+       |  ORDER BY mmr_q DESC, c.vec_id LIMIT 1
+       |),
+       |acc$k AS (SELECT * FROM acc${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+
+  /** Diversified top-k — Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR'98): greedily pick 8 of a 30-candidate
+    * shortlist, each step maximizing λ·relevance − (1−λ)·max-
+    * similarity-to-already-picked (λ = 0.7 as integer weights 7/3 on
+    * the ×10⁴-quantized cosines — exact argmax, ties to the smaller
+    * id). The curation use is diverse few-shot / eval-set selection
+    * where plain top-k returns 8 near-copies of the same document.
+    * Scale shape: the DISTRIBUTED work is the shortlist (here the
+    * linear scan baseline, swappable for the IVF path) — the greedy
+    * phase touches only shortlist×shortlist (≤ k² bounded pairs,
+    * persisted once) regardless of corpus size, 8 driver-paced tiny
+    * jobs. Oracle: the same 8 argmax steps as chained CTEs; one
+    * different pick anywhere reorders everything after it and breaks
+    * the hash.
+    */
+  private val rankMmrDiversify = Q(
+    "q_rank_mmr_diversify",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+      val qv = e.filter($"vec_id" === 0)
+        .select($"q".as("qa"), $"n2".as("na"))
+      val shortlist = e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id", $"q", $"n2",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"q"), $"na", $"n2").as("rel"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"rel".desc, $"vec_id")))
+        .filter($"rk" <= 30)
+        .select($"vec_id", $"q", $"n2",
+          round($"rel" * 10000).cast("long").as("rel_q"))
+        .persist()
+      val prs = shortlist.as("a").join(shortlist.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("ca"), col("b.vec_id").as("cb"),
+          round(VectorSim.qcosine(
+            VectorSim.qdotNative(col("a.q"), col("b.q")),
+            col("a.n2"), col("b.n2")) * 10000).cast("long").as("sim_q"))
+        .persist()
+      val rel = shortlist.select($"vec_id", $"rel_q")
+      var picked = Vector.empty[(Int, Long, Long)] // (step, id, mmr_q)
+      for (step <- 1 to 8) {
+        val row =
+          if (picked.isEmpty)
+            rel.select($"vec_id", ($"rel_q" * 7).as("mmr_q"))
+              .orderBy($"mmr_q".desc, $"vec_id").limit(1).head()
+          else {
+            val sel = picked.map(_._2)
+            val maxSim = prs.filter($"cb".isin(sel: _*))
+              .groupBy($"ca").agg(max($"sim_q").as("ms"))
+            rel.filter(!$"vec_id".isin(sel: _*))
+              .join(maxSim, $"vec_id" === $"ca")
+              .select($"vec_id", ($"rel_q" * 7 - $"ms" * 3).as("mmr_q"))
+              .orderBy($"mmr_q".desc, $"vec_id").limit(1).head()
+          }
+        picked :+= ((step, row.getLong(0), row.getLong(1)))
+      }
+      picked.toDF("step", "doc_id", "mmr_q").orderBy($"step")
+    },
+    Some(s"""WITH nq AS (
+            |  SELECT vec_id,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            |  FROM embeddings
+            |),
+            |nn AS (
+            |  SELECT vec_id, q,
+            |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+            |  FROM nq
+            |),
+            |qv AS (SELECT q AS qa, n2 AS na FROM nn WHERE vec_id = 0),
+            |cos AS (
+            |  SELECT b.vec_id, b.q, b.n2,
+            |         round(CAST(list_sum(list_transform(range(1, len(qa) + 1),
+            |                 i -> qa[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+            |               / (sqrt(na) * sqrt(b.n2)), 4) AS rel
+            |  FROM nn b, qv WHERE b.vec_id <> 0
+            |),
+            |sl AS (
+            |  SELECT vec_id, q, n2, CAST(round(rel * 10000) AS BIGINT) AS rel_q
+            |  FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rk FROM cos)
+            |  WHERE rk <= 30
+            |),
+            |prs AS (
+            |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+            |         CAST(round(round(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+            |                 i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+            |               / (sqrt(a.n2) * sqrt(b.n2)), 4) * 10000) AS BIGINT) AS sim_q
+            |  FROM sl a JOIN sl b ON a.vec_id <> b.vec_id
+            |),
+            |pick1 AS (
+            |  SELECT 1 AS step, vec_id, 7 * rel_q AS mmr_q
+            |  FROM sl ORDER BY mmr_q DESC, vec_id LIMIT 1
+            |),
+            |acc1 AS (SELECT * FROM pick1),
+            |${(2 to 8).map(mmrStepSql).mkString(",\n")}
+            |SELECT step, CAST(vec_id AS BIGINT) AS doc_id, mmr_q
+            |FROM acc8 ORDER BY step""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
-      topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives)
+      topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives,
+      rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify)
 }

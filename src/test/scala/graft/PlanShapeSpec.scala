@@ -412,4 +412,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"vocab overlap degenerated to a cross join:\n$p")
   }
+
+  test("bucketed lake join: both fact scans consume the bucket layout — " +
+    "a SortMergeJoin with NO exchange on either join input (the only " +
+    "Exchange in the plan is the final 5-group aggregation)") {
+    val p = physical(SparkEntry.queries("q_lake_bucketed_join")(spark, dir))
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    // the agg exchange + the output-order rangepartitioning — and NONE
+    // between the bucketed scans and the join
+    assert(countOccurrences(p, "Exchange") <= 2,
+      s"join input shuffled despite bucketing:\n$p")
+    assert(countOccurrences(p, "Bucketed: true") == 2,
+      s"bucketed layout not consumed on both sides:\n$p")
+  }
+
+  test("unpivot melt is narrow: the wide→long fan-out is Expand/Generate " +
+    "in-task — the only Exchange is the per-measure aggregation") {
+    val p = physical(SparkEntry.queries("q_agg_unpivot")(spark, dir))
+    assert(countOccurrences(p, "Exchange") <= 2, // measure agg + 4-row sort
+      s"melt itself grew a shuffle:\n$p")
+  }
+
+  test("RRF fusion: every literal rank bound collapses to " +
+    "TakeOrderedAndProject (per-task top-k merged on the driver — the " +
+    "corpus never hits a global sort), and the one-row query vector is " +
+    "broadcast, never shuffled against the corpus") {
+    val p = physical(SparkEntry.queries("q_rank_rrf_fusion")(spark, dir))
+    // lexical top-50, semantic top-50, fused top-20: all three rank
+    // cuts must prune BELOW their (single-partition) window
+    assert(countOccurrences(p, "TakeOrderedAndProject") == 3,
+      s"a rank<=k filter did not become a top-k prune:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query vector side not broadcast:\n$p")
+  }
 }

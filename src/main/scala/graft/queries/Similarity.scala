@@ -1495,7 +1495,7 @@ object Similarity {
        |  FROM sl c WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${k - 1})
        |  ORDER BY mmr_q DESC, c.vec_id LIMIT 1
        |),
-       |acc$k AS (SELECT * FROM acc${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+       |acc$k AS MATERIALIZED (SELECT * FROM acc${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
 
   /** Diversified top-k — Maximal Marginal Relevance (Carbonell &
     * Goldstein, SIGIR'98): greedily pick 8 of a 30-candidate
@@ -1577,12 +1577,12 @@ object Similarity {
             |               / (sqrt(na) * sqrt(b.n2)), 4) AS rel
             |  FROM nn b, qv WHERE b.vec_id <> 0
             |),
-            |sl AS (
+            |sl AS MATERIALIZED (
             |  SELECT vec_id, q, n2, CAST(round(rel * 10000) AS BIGINT) AS rel_q
             |  FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rk FROM cos)
             |  WHERE rk <= 30
             |),
-            |prs AS (
+            |prs AS MATERIALIZED (
             |  SELECT a.vec_id AS ca, b.vec_id AS cb,
             |         CAST(round(round(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
             |                 i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
@@ -1593,7 +1593,7 @@ object Similarity {
             |  SELECT 1 AS step, vec_id, 7 * rel_q AS mmr_q
             |  FROM sl ORDER BY mmr_q DESC, vec_id LIMIT 1
             |),
-            |acc1 AS (SELECT * FROM pick1),
+            |acc1 AS MATERIALIZED (SELECT * FROM pick1),
             |${(2 to 8).map(mmrStepSql).mkString(",\n")}
             |SELECT step, CAST(vec_id AS BIGINT) AS doc_id, mmr_q
             |FROM acc8 ORDER BY step""".stripMargin),

@@ -433,6 +433,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"melt itself grew a shuffle:\n$p")
   }
 
+  test("record linkage: candidate pairs come from a block-key equi-join " +
+    "(never record×record), and the levenshtein verify runs on the " +
+    "joined pairs only") {
+    val p = physical(SparkEntry.queries("q_link_records")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"linkage degenerated to an all-pairs comparison:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on the block key:\n$p")
+  }
+
   test("RRF fusion: every literal rank bound collapses to " +
     "TakeOrderedAndProject (per-task top-k merged on the driver — the " +
     "corpus never hits a global sort), and the one-row query vector is " +

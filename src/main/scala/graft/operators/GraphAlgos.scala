@@ -152,4 +152,44 @@ object GraphAlgos {
     cur.groupBy($"src").agg(count(lit(1)).as("core_deg"))
       .select($"src".as("node"), $"core_deg")
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007) for a FIXED
+    * iteration count — the community-detection baseline. Every round,
+    * each node adopts the most frequent label among its neighbors with
+    * a fully pinned tie order (max count, then MIN label), which is
+    * what makes the trajectory engine-independent: asynchronous/
+    * random-order LPA is famously non-deterministic, so this is the
+    * variant an oracle can check. Per round: one labels⋈edges
+    * equi-join, one (node,label) count (map-side combined), one
+    * max-count argmin-label reduction — shuffle volume ∝ |E|, rounds
+    * fixed, iterates localCheckpointed so lineage stays flat.
+    *
+    * Returns (node, lbl) for every node with ≥ 1 edge.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      iters: Int,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+    val bi = e.union(e.select($"v".as("u"), $"u".as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = bi.select($"u".as("node")).distinct()
+      .withColumn("lbl", $"node")
+    for (_ <- 1 to iters) {
+      val counted = bi
+        .join(labels.select($"node".as("v"), $"lbl"), "v")
+        .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
+      val maxc = counted.groupBy($"u").agg(max($"c").as("mc"))
+      labels = counted.join(maxc, "u")
+        .filter($"c" === $"mc")
+        .groupBy($"u").agg(min($"lbl").as("lbl"))
+        .select($"u".as("node"), $"lbl")
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -215,6 +215,58 @@ object FixtureOracle {
          |GROUP BY 1, 2, 3
          |HAVING minute + INTERVAL 1 MINUTE <= (SELECT w FROM wm)""".stripMargin
 
+  /** Trades with prevailing BBO (q_tick_trades_bbo): the same
+    * carry-last-quote-forward window as
+    * `TickAnalytics.tradesWithPrevailingBbo`, over the oracle's own
+    * tick reconstruction — `k * 2 + emit_idx` is the identical total
+    * arrival order as the Spark side's (file_hour, line_no, msg_idx,
+    * emit_idx) struct.
+    */
+  def tradesWithPrevailingBboSql: String =
+    ticksCte(glob(fixtureMsgsPath), "TRUE") +
+      s""",
+         |ordered AS (SELECT *, k * 2 + emit_idx AS ord FROM ticks),
+         |annotated AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN kind = 'BBO' AND side = 'ASK' THEN price END IGNORE NULLS)
+         |      OVER w AS prev_ask_price,
+         |    last_value(CASE WHEN kind = 'BBO' AND side = 'ASK' THEN size END IGNORE NULLS)
+         |      OVER w AS prev_ask_size,
+         |    last_value(CASE WHEN kind = 'BBO' AND side = 'BID' THEN price END IGNORE NULLS)
+         |      OVER w AS prev_bid_price,
+         |    last_value(CASE WHEN kind = 'BBO' AND side = 'BID' THEN size END IGNORE NULLS)
+         |      OVER w AS prev_bid_size
+         |  FROM ordered
+         |  WINDOW w AS (PARTITION BY asset ORDER BY ord
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT timestamp, market, asset, side, price, size,
+         |       prev_ask_price, prev_ask_size, prev_bid_price, prev_bid_size
+         |FROM annotated WHERE kind = 'TRADE'""".stripMargin
+
+  /** Hourly VWAP / volume / order-flow imbalance over trades
+    * (q_tick_vwap): integer cents×centi-size notionals summed exactly,
+    * one float division at the end.
+    */
+  def tickVwapSql: String =
+    ticksCte(glob(fixtureMsgsPath), "TRUE") +
+      s""",
+         |tr AS (
+         |  SELECT strftime(date_trunc('hour', epoch_ms(CAST(timestamp AS BIGINT))),
+         |                  '%Y-%m-%d %H:%M:%S') AS hour,
+         |         asset, side,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         CAST(round(size * 100) AS BIGINT) AS sc
+         |  FROM ticks WHERE kind = 'TRADE'
+         |)
+         |SELECT hour, asset, CAST(count(*) AS BIGINT) AS n_trades,
+         |       round(CAST(sum(pc * sc) AS DOUBLE) / sum(sc) / 100.0, 4) AS vwap,
+         |       round(sum(sc) / 100.0, 2) AS volume,
+         |       round(sum(CASE WHEN side = 'BID' THEN sc ELSE -sc END) / 100.0, 2)
+         |         AS imbalance
+         |FROM tr GROUP BY hour, asset
+         |ORDER BY hour, asset""".stripMargin
+
   /** Markets-dim oracle (q_markets_active_tokens): the F1 activity
     * predicate over generator ground truth (`collector/src/lib.rs:68-72`
     * — note `active` itself is NOT consulted).

@@ -168,5 +168,63 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore)
+  /** One synchronous LPA round for the oracle: neighbor-label counts,
+    * per-node max count, min label among the tied — the same pinned
+    * argmax as `GraphAlgos.labelPropagation`. `it$k` is MATERIALIZED
+    * because it is referenced twice per round (count + argmax) and
+    * chained CTE inlining grows exponentially otherwise.
+    */
+  private def lpIterSql(k: Int): String =
+    s"""it$k AS MATERIALIZED (
+       |  SELECT b.u AS node, l.lbl, count(*) AS c
+       |  FROM bi b JOIN lp${k - 1} l ON l.node = b.v GROUP BY 1, 2
+       |),
+       |mx$k AS (SELECT node, max(c) AS mc FROM it$k GROUP BY node),
+       |lp$k AS MATERIALIZED (
+       |  SELECT t.node, min(t.lbl) AS lbl
+       |  FROM it$k t JOIN mx$k m ON m.node = t.node AND t.c = m.mc
+       |  GROUP BY t.node
+       |)""".stripMargin
+
+  /** Community detection via 3 rounds of synchronous label propagation
+    * over the co-purchase graph (same edges as q_graph_triangles).
+    * Deterministic by construction — pinned tie order every round (see
+    * `GraphAlgos.labelPropagation`), so the oracle replays the exact
+    * trajectory: one node adopting a different label in round 1
+    * cascades into different communities by round 3 and breaks the
+    * hash. Output carries each node's final label and its community's
+    * size.
+    */
+  private val graphLabelProp = Q(
+    "q_graph_label_prop",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      val labels = GraphAlgos.labelPropagation(edges, "u", "v", iters = 3)
+      val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("comm_size"))
+      labels.join(sizes, "lbl")
+        .select($"node", $"lbl", $"comm_size")
+        .orderBy($"node")
+    },
+    Some(s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+            |e AS (
+            |  SELECT DISTINCT a.p AS u, b.p AS v
+            |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+            |),
+            |bi AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            |lp0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi),
+            |${lpIterSql(1)},
+            |${lpIterSql(2)},
+            |${lpIterSql(3)},
+            |sizes AS (SELECT lbl, count(*) AS comm_size FROM lp3 GROUP BY lbl)
+            |SELECT l.node, l.lbl, s.comm_size
+            |FROM lp3 l JOIN sizes s USING (lbl)
+            |ORDER BY l.node""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp)
 }

@@ -214,6 +214,45 @@ object Lake {
            |ORDER BY priority""".stripMargin),
   )
 
+  /** JSON-lines round-trip with an explicit read schema — the raw-log
+    * format itself (the reference's feed capture IS zstd JSONL,
+    * `collector/src/main.rs:126-135`; this gates the plain-JSON lake
+    * interop path next to CSV and ORC). Same exactness discipline as
+    * CSV: integers and strings only in the written lake (money as
+    * cents — JSON number formatting of floats is engine-dependent),
+    * explicit schema on read-back so no inference scan and no sampled
+    * type decisions.
+    */
+  private val sourceJsonRoundtrip = Q(
+    "q_source_json_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir("events_json")
+      Tables(s, dir).events
+        .select($"event_id", $"event_type", $"user_id",
+          round($"value" * 100).cast("long").as("cents"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("event_id LONG, event_type STRING, user_id LONG, cents LONG")
+        .json(path)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"cents").as("c"),
+          countDistinct($"user_id").as("n_users"))
+        .select($"event_type", $"n",
+          round($"c" / 100.0, 2).as("total_value"), $"n_users")
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           |         AS total_value,
+           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM events
+           |GROUP BY 1
+           |ORDER BY event_type""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(layoutHivePartitioned, sourceSchemaEvolution,
-    sourceOrcRoundtrip, sourceCsvRoundtrip, lakeBucketedJoin)
+    sourceOrcRoundtrip, sourceCsvRoundtrip, lakeBucketedJoin,
+    sourceJsonRoundtrip)
 }

@@ -349,6 +349,67 @@ object Replay {
     Some(FixtureOracle.notebookBboMinutelySql),
   )
 
+  /** Every trade annotated with the PREVAILING top-of-book
+    * (`TickAnalytics.tradesWithPrevailingBbo` — the as-of join
+    * specialized to the tick stream, one window pass per asset; the
+    * notebook's 1-minute grid is the approximation of exactly this,
+    * `bbo.ipynb` trade-overlay cell). The oracle reconstructs ticks
+    * independently, then applies the SAME carry-forward window, so
+    * both the book replay and the prevailing-quote semantics are
+    * under one hash. Effective-spread/markout studies start from this
+    * table.
+    */
+  private val tickTradesBbo = Q(
+    "q_tick_trades_bbo",
+    (s, _) => {
+      import s.implicits._
+      FixtureOracle.ensureDumps(s)
+      val paths = FixtureLog.write(fixtureSpec)
+      val ticks = BookReplay.ticks(RawLogSource.feedMessages(RawLogSource.frames(s, paths)))
+      graft.operators.TickAnalytics.tradesWithPrevailingBbo(ticks)
+        .drop("file_hour", "line_no", "msg_idx")
+        .orderBy($"timestamp", $"asset", $"price", $"size")
+    },
+    Some(FixtureOracle.tradesWithPrevailingBboSql),
+  )
+
+  /** Hourly VWAP, traded volume, and order-flow imbalance per asset
+    * (buy = BID-side trades positive) — the canonical trade-bar
+    * aggregation downstream of replay (A2's volume bars carry count+
+    * volume; VWAP adds the price-weighted numerator). Exactness:
+    * integer cents × centi-size notionals summed exactly (order-free),
+    * one float division at the end, mirrored shape in the oracle. One
+    * map-side-combinable aggregation at any scale.
+    */
+  private val tickVwap = Q(
+    "q_tick_vwap",
+    (s, _) => {
+      import s.implicits._
+      FixtureOracle.ensureDumps(s)
+      val paths = FixtureLog.write(fixtureSpec)
+      val ticks = BookReplay.ticks(RawLogSource.feedMessages(RawLogSource.frames(s, paths)))
+      ticks.filter($"kind" === "TRADE")
+        .select(
+          date_format(
+            date_trunc("hour", timestamp_millis($"timestamp".cast("long"))),
+            "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"asset", $"side",
+          round($"price" * 100).cast("long").as("pc"),
+          round($"size" * 100).cast("long").as("sc"))
+        .groupBy($"hour", $"asset")
+        .agg(count(lit(1)).as("n_trades"),
+          sum($"pc" * $"sc").as("notional"),
+          sum($"sc").as("volume_c"),
+          sum(when($"side" === "BID", $"sc").otherwise(-$"sc")).as("imb_c"))
+        .select($"hour", $"asset", $"n_trades",
+          round($"notional".cast("double") / $"volume_c" / 100.0, 4).as("vwap"),
+          round($"volume_c" / 100.0, 2).as("volume"),
+          round($"imb_c" / 100.0, 2).as("imbalance"))
+        .orderBy($"hour", $"asset")
+    },
+    Some(FixtureOracle.tickVwapSql),
+  )
+
   /** Structured Streaming under the correctness gate: the
     * flatMapGroupsWithState fold runs as a REAL streaming query
     * (file source → AvailableNow trigger → memory sink) over
@@ -575,6 +636,8 @@ object Replay {
 
   val all: Seq[Q] = Seq(
     streamIngestMetrics,
+    tickTradesBbo,
+    tickVwap,
     replayFinalBbo,
     replaySnapshotsBbo,
     replayFixtureTicks,

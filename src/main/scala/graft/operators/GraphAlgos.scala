@@ -161,8 +161,13 @@ object GraphAlgos {
     * random-order LPA is famously non-deterministic, so this is the
     * variant an oracle can check. Per round: one labels⋈edges
     * equi-join, one (node,label) count (map-side combined), one
-    * max-count argmin-label reduction — shuffle volume ∝ |E|, rounds
-    * fixed, iterates localCheckpointed so lineage stays flat.
+    * single-aggregation argmax — `max_by(lbl, (c, -lbl))`: struct
+    * ordering gives max count then MIN label in ONE map-side-
+    * combinable pass, no max-count self-join, so each round's plan
+    * references its input exactly once and the whole fixed-round
+    * trajectory pipelines as one job with a shallow lineage (no
+    * per-round checkpoint needed; for high round counts, checkpoint
+    * every ~10 rounds). Shuffle volume ∝ |E| per round.
     *
     * Returns (node, lbl) for every node with ≥ 1 edge.
     */
@@ -180,15 +185,13 @@ object GraphAlgos {
     var labels = bi.select($"u".as("node")).distinct()
       .withColumn("lbl", $"node")
     for (_ <- 1 to iters) {
-      val counted = bi
+      labels = bi
         .join(labels.select($"node".as("v"), $"lbl"), "v")
         .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
-      val maxc = counted.groupBy($"u").agg(max($"c").as("mc"))
-      labels = counted.join(maxc, "u")
-        .filter($"c" === $"mc")
-        .groupBy($"u").agg(min($"lbl").as("lbl"))
+        // (c, -lbl) is unique per (u, lbl) row, so the argmax is total:
+        // max count first, then the SMALLEST label among the tied
+        .groupBy($"u").agg(max_by($"lbl", struct($"c", -$"lbl")).as("lbl"))
         .select($"u".as("node"), $"lbl")
-        .localCheckpoint(true)
     }
     labels
   }

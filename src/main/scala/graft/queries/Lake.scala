@@ -252,7 +252,55 @@ object Lake {
            |ORDER BY event_type""".stripMargin),
   )
 
+  /** Single-partition BACKFILL under dynamic partition overwrite —
+    * the reprocess-one-day-without-touching-years operation every
+    * date-partitioned lake lives by (and the repair path for the
+    * reference's hourly capture when one hour's ingest was bad). The
+    * gate writes the lake with one day's values deliberately
+    * CORRUPTED (doubled), then recomputes only that day and
+    * `mode("overwrite")`-writes it under
+    * partitionOverwriteMode=dynamic: exactly the touched partition is
+    * replaced. The read-back must equal the clean oracle — static
+    * overwrite semantics (wiping the untouched days) or a surviving
+    * corrupted row both break the hash.
+    */
+  private val lakePartitionOverwrite = Q(
+    "q_lake_partition_overwrite",
+    (s, dir) => {
+      import s.implicits._
+      val path = lakeDir("events_backfill")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val ev = Tables(s, dir).events.withColumn("event_date", to_date($"ts"))
+        val d0 = ev.agg(min($"event_date")).head().getDate(0)
+        ev.withColumn("value",
+            when($"event_date" === lit(d0), $"value" * 2).otherwise($"value"))
+          .write.mode("overwrite").partitionBy("event_date").parquet(path)
+        ev.filter($"event_date" === lit(d0))
+          .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(path)
+        .groupBy(date_format($"event_date", "yyyy-MM-dd").as("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round($"value" * 100).cast("long")).as("cents"))
+        .select($"event_date", $"n_events",
+          round($"cents" / 100.0, 2).as("sum_value"))
+        .orderBy($"event_date")
+    },
+    Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           |         AS sum_value
+           |FROM events
+           |GROUP BY 1
+           |ORDER BY event_date""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(layoutHivePartitioned, sourceSchemaEvolution,
     sourceOrcRoundtrip, sourceCsvRoundtrip, lakeBucketedJoin,
-    sourceJsonRoundtrip)
+    sourceJsonRoundtrip, lakePartitionOverwrite)
 }

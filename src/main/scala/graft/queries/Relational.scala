@@ -2901,9 +2901,69 @@ object Relational {
            |ORDER BY e.event_id""".stripMargin),
   )
 
+  /** EXACTLY-ONCE ACROSS RESTART — the streaming guarantee everything
+    * else rides on, exercised for real: half the events land, a
+    * checkpointed file-source→parquet-sink query drains them
+    * (maxFilesPerTrigger=1 forces MULTIPLE micro-batches, so the
+    * offset log advances several times), the query STOPS, the second
+    * half arrives, and a NEW query instance resumes from the same
+    * checkpoint. The sink must hold every event exactly once —
+    * re-processing half 1 after restart duplicates event_ids,
+    * dropping a tracked file loses them, and either breaks the
+    * hash against the plain batch oracle. This is the
+    * crash/redeploy/backfill cycle of the reference's collector
+    * (`collector/src/main.rs` restartable hourly capture) as a gated
+    * semantics, via the offset log + sink commit log.
+    */
+  private val streamCheckpointResume = Q(
+    "q_stream_checkpoint_resume",
+    (s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_ckpt_gate")
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
+      val inDir = new java.io.File(base, "in").getPath
+      val outDir = new java.io.File(base, "out").getPath
+      val ckpt = new java.io.File(base, "ckpt").getPath
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def arrive(pred: org.apache.spark.sql.Column): Unit =
+          s.read.parquet(s"$dir/events.parquet").filter(pred)
+            .repartition(4).write.mode("append").parquet(inDir)
+        def drain(): Unit = {
+          val src = graft.Tables.normalizeEventTs(
+            s.readStream.schema(rawSchema)
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "*.parquet").parquet(inDir))
+          val q = src
+            .select($"event_id", $"user_id", $"event_type",
+              round($"value" * 100).cast("long").as("cents"))
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        arrive($"event_id" % 2 === 0)
+        drain() // first incarnation: 4 micro-batches over half 1
+        arrive($"event_id" % 2 === 1)
+        drain() // restart from the SAME checkpoint: only the new files
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(outDir).orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+           |       CAST(round(value * 100) AS BIGINT) AS cents
+           |FROM events
+           |ORDER BY event_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
     streamSlidingWindow,
     streamJoinEnrich,
+    streamCheckpointResume,
     cliTimeArgs,
     sampleBottomK,
     sampleWeighted,

@@ -224,6 +224,54 @@ object Temporal {
            |ORDER BY user_id, version""".stripMargin),
   )
 
+  /** Time-decayed engagement score per user — the recency-weighted
+    * feature every ranking/freshness pipeline computes (half-life
+    * decay: an event k hours before the corpus max contributes
+    * value·2⁻ᵏ). Exactness discipline: naive Σ value·2⁻ᵏ sums doubles
+    * of wildly different magnitudes — order-DEPENDENT and so
+    * unhashable across engines; instead each term is the exact
+    * integer cents·2^(30−k) (k capped at 30, bounded ≤ ~1e13/term),
+    * the per-user sum is order-free integer math, and ONE final
+    * division by 2³⁰ produces the score. One map-side-combinable
+    * aggregation + a 1-row max broadcast: linear at any scale.
+    */
+  private val eventsDecayedScore = Q(
+    "q_events_decayed_score",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val mx = ev.agg(max($"ts").as("m"))
+      ev.crossJoin(broadcast(mx))
+        .select($"user_id",
+          round($"value" * 100).cast("long").as("cents"),
+          // integer MILLIS on both sides: unix_timestamp truncates
+          // sub-second parts while DuckDB's epoch() keeps them, which
+          // shifts hour-boundary rows into a different decay bucket
+          expr("CAST(least((unix_millis(m) - unix_millis(ts)) div 3600000, " +
+            "CAST(30 AS BIGINT)) AS INT)").as("age_h"))
+        .select($"user_id",
+          expr("cents * shiftleft(CAST(1 AS BIGINT), 30 - age_h)").as("term"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"term").as("scaled"))
+        .select($"user_id", $"n_events",
+          round($"scaled".cast("double") / 1073741824.0, 4).as("decayed_score"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+           |k AS (
+           |  SELECT user_id,
+           |         CAST(round(value * 100) AS BIGINT) AS cents,
+           |         least(CAST((epoch_ms(m) - epoch_ms(ts)) // 3600000 AS BIGINT), 30) AS age_h
+           |  FROM events, mx
+           |)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |       round(CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(30 - age_h AS INT)))
+           |                  AS DOUBLE) / 1073741824.0, 4) AS decayed_score
+           |FROM k GROUP BY user_id
+           |ORDER BY user_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
-    Seq(joinAsof, joinAsofForward, joinAsofLeft, joinRange, scd2Intervals)
+    Seq(joinAsof, joinAsofForward, joinAsofLeft, joinRange, scd2Intervals,
+      eventsDecayedScore)
 }

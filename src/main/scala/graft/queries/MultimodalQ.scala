@@ -451,7 +451,92 @@ object MultimodalQ {
             |ORDER BY media_id, frame_idx""".stripMargin),
   )
 
+  /** Silence-SPAN extraction — the actual trim list a speech-curation
+    * pipeline consumes: consecutive relatively-silent windows (the
+    * q_media_audio_energy rule) merged into maximal runs via
+    * gaps-and-islands (window_idx − row_number is constant within a
+    * run), spans of ≥ 2 windows reported as (start, length). Flag →
+    * interval extraction is the step between per-window VAD and an
+    * editable cut list; one window pass per media after the energy
+    * aggregation, no extra scan of the payload bytes.
+    *
+    * The synthetic text-derived PCM is noise-like — no window ever
+    * falls below the relative threshold naturally — so the gate MUTES
+    * samples 32..79 (windows 2-4) of every audio payload before the
+    * energy pass: a deterministic planted silence both engines
+    * reproduce, guaranteeing the merge logic runs over real
+    * multi-window runs instead of passing vacuously on zero rows.
+    */
+  private val mediaSilenceSpans = Q(
+    "q_media_silence_spans",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val muted = Multimodal.syntheticMedia(Tables(s, dir).documents)
+        .map { m =>
+          if (m.kind != "audio") m
+          else {
+            val p = m.payload.clone()
+            var b = 64 // sample i lives at bytes 2i, 2i+1 → samples 32..79
+            while (b < math.min(160, p.length)) { p(b) = 0; b += 1 }
+            m.copy(payload = p)
+          }
+        }
+      val win = Multimodal.audioEnergy(muted).toDF()
+      val tot = win.groupBy($"media_id")
+        .agg(sum($"energy").as("tot"), count(lit(1)).as("n_win"))
+      win.join(tot, "media_id")
+        .filter($"energy" * 4 * $"n_win" < $"tot")
+        .select($"media_id", $"window_idx")
+        .withColumn("island", $"window_idx" -
+          row_number().over(Window.partitionBy($"media_id").orderBy($"window_idx")))
+        .groupBy($"media_id", $"island")
+        .agg(min($"window_idx").as("start_window"),
+          count(lit(1)).as("n_windows"))
+        .filter($"n_windows" >= 2)
+        .select($"media_id", $"start_window", $"n_windows")
+        .orderBy($"media_id", $"start_window")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+            |         octet_length(encode(text)) AS nb
+            |  FROM documents WHERE doc_id % 3 = 1
+            |),
+            |w AS (
+            |  SELECT media_id, CAST(g.k AS INT) AS window_idx, hx
+            |  FROM m, UNNEST(generate_series(0, nb // 32 - 1)) AS g(k)
+            |),
+            |e AS (
+            |  SELECT media_id, window_idx,
+            |         CAST(list_sum(list_transform(range(0, 16), j ->
+            |           CASE WHEN window_idx*16+j BETWEEN 32 AND 79 THEN 0
+            |                ELSE CAST(${duckSampleAt("window_idx*16+j")} AS BIGINT) *
+            |                     ${duckSampleAt("window_idx*16+j")} END)) AS BIGINT) AS energy
+            |  FROM w
+            |),
+            |t AS (
+            |  SELECT media_id, sum(energy) AS tot, count(*) AS n_win
+            |  FROM e GROUP BY media_id
+            |),
+            |silent AS (
+            |  SELECT e.media_id, e.window_idx
+            |  FROM e JOIN t USING (media_id)
+            |  WHERE e.energy * 4 * t.n_win < t.tot
+            |),
+            |isl AS (
+            |  SELECT media_id, window_idx,
+            |         window_idx - row_number() OVER (PARTITION BY media_id
+            |                                         ORDER BY window_idx) AS island
+            |  FROM silent
+            |)
+            |SELECT media_id, min(window_idx) AS start_window,
+            |       CAST(count(*) AS BIGINT) AS n_windows
+            |FROM isl GROUP BY media_id, island
+            |HAVING count(*) >= 2
+            |ORDER BY media_id, start_window""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(mediaDecodeResize, mediaFeatures, mediaFrames, mediaEmbedTopk,
-      mediaAHashDedup, mediaAudioEnergy, mediaSceneCuts)
+      mediaAHashDedup, mediaAudioEnergy, mediaSceneCuts, mediaSilenceSpans)
 }

@@ -1599,8 +1599,138 @@ object Similarity {
             |FROM acc8 ORDER BY step""".stripMargin),
   )
 
+  /** ANN EVALUATION under the gate — recall@3 of the IVF path against
+    * the exact brute-force ground truth, per query: the number a real
+    * deployment tunes nprobe/centroid-count against, computed inside
+    * the engine rather than eyeballed offline. The IVF side is the
+    * q_embed_topk_ivf pipeline verbatim (2-probe posting-list
+    * retrieval); the ground truth is the guard-bounded brute scan for
+    * the SAME 1-in-97 probe set; recall is the exact intersection
+    * count over 3. Scale shape: the expensive side (brute) is bounded
+    * by the probe sample exactly as in q_embed_topk_brute — recall
+    * measurement is a sampling activity by construction; the IVF side
+    * is the production path.
+    */
+  private val embedIvfRecall = Q(
+    "q_embed_ivf_recall",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val cents = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      def rankByCent(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("cos",
+            VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+          .withColumn("rn",
+            row_number().over(
+              Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+      val assign = rankByCent(e.crossJoin(broadcast(cents)))
+        .filter($"rn" === 1)
+        .select($"vec_id".as("cand_id"), $"cent_id")
+      val probes = rankByCent(
+        e.filter($"vec_id" % 97 === 0).crossJoin(broadcast(cents)))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      def top3(pairs: org.apache.spark.sql.DataFrame) =
+        pairs
+          .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+          .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+          .select($"query_id", $"cand_id",
+            VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+          .filter($"rank" <= 3)
+          .select($"query_id", $"cand_id")
+      val ivfTop = top3(probes.join(assign, "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id").distinct())
+      val bounded = graft.operators.Scale.requireAllPairsBounded(e, "q_embed_ivf_recall")
+      val bruteTop = top3(
+        bounded.filter($"vec_id" % 97 === 0).select($"vec_id".as("query_id"))
+          .crossJoin(bounded.select($"vec_id".as("cand_id")))
+          .filter($"query_id" =!= $"cand_id"))
+      val hits = ivfTop.join(bruteTop, Seq("query_id", "cand_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("h"))
+      e.filter($"vec_id" % 97 === 0).select($"vec_id".as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"h", lit(0L)).as("n_hits"),
+          round(coalesce($"h", lit(0L)) / 3.0, 4).as("recall"))
+        .orderBy($"query_id")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings
+           |),
+           |n AS MATERIALIZED (
+           |  SELECT vec_id, q,
+           |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+           |  FROM q
+           |),
+           |cents AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c FROM n WHERE vec_id % 100 = 1),
+           |ranked AS MATERIALIZED (
+           |  SELECT vec_id, cent_id,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+           |  FROM (
+           |    SELECT v.vec_id, c.cent_id,
+           |           round(CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+           |                   i -> v.q[CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS DOUBLE)
+           |                 / (sqrt(v.n2) * sqrt(c.n2c)), 4) AS cos
+           |    FROM n v CROSS JOIN cents c)
+           |),
+           |assign AS (SELECT vec_id AS cand_id, cent_id FROM ranked WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS query_id, cent_id FROM ranked
+           |  WHERE rn <= 2 AND vec_id % 97 = 0
+           |),
+           |ivf AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT s.query_id, s.cand_id,
+           |           row_number() OVER (PARTITION BY s.query_id
+           |                              ORDER BY s.cosine DESC, s.cand_id) AS rank
+           |    FROM (
+           |      SELECT c.query_id, c.cand_id,
+           |             round(CAST(list_sum(list_transform(range(1, len(na.q) + 1),
+           |                     i -> na.q[CAST(i AS INT)] * nb.q[CAST(i AS INT)])) AS DOUBLE)
+           |                   / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+           |      FROM (SELECT DISTINCT p.query_id, a.cand_id
+           |            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+           |            WHERE p.query_id <> a.cand_id) c
+           |      JOIN n na ON na.vec_id = c.query_id
+           |      JOIN n nb ON nb.vec_id = c.cand_id) s)
+           |  WHERE rank <= 3
+           |),
+           |brute AS (
+           |  SELECT query_id, cand_id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |             round(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |                     i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+           |                   / (sqrt(a.n2) * sqrt(b.n2)), 4) DESC, b.vec_id) AS rank
+           |    FROM n a JOIN n b ON a.vec_id % 97 = 0 AND a.vec_id <> b.vec_id)
+           |  WHERE rank <= 3
+           |),
+           |hits AS (
+           |  SELECT i.query_id, count(*) AS h
+           |  FROM ivf i JOIN brute b ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+           |  GROUP BY 1
+           |)
+           |SELECT qs.query_id,
+           |       CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+           |       round(coalesce(h.h, 0) / 3.0, 4) AS recall
+           |FROM (SELECT vec_id AS query_id FROM n WHERE vec_id % 97 = 0) qs
+           |LEFT JOIN hits h USING (query_id)
+           |ORDER BY query_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
       topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives,
-      rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify)
+      rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify, embedIvfRecall)
 }

@@ -233,5 +233,81 @@ object Graph {
             |ORDER BY l.node""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp)
+  /** Link prediction by neighbor-set Jaccard: for every NON-edge pair
+    * sharing at least one neighbor, |N(u) ∩ N(v)| / |N(u) ∪ N(v)| —
+    * the classic similarity-based recommender over the co-purchase
+    * graph (every-3rd-order subgraph, same derivation as LPA).
+    *
+    * Scale shape: candidate pairs come from a WEDGE equi-join through
+    * the shared neighbor — candidate volume is Σ_w deg(w)², bounded by
+    * capping the wedge-center degree at 200 (hubs connect everything
+    * to everything and carry no similarity signal — the same df-cap
+    * trick as PPJoin's prefix filter; the oracle replays the cap, so
+    * the gate checks the CAPPED semantics at every SF). Degrees join
+    * in on both endpoints, the existing-edge anti-join removes known
+    * links, and the top-20 cut collapses to TakeOrderedAndProject.
+    * Jaccard = c/(du+dv−c) divides exact integers in both engines
+    * before one 4-dp round.
+    */
+  private val graphJaccardLinkpred = Q(
+    "q_graph_jaccard_linkpred",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables(s, dir).lineitem
+        .filter($"l_orderkey" % 3 === 0)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      val adj = edges.select($"u".as("node"), $"v".as("nbr"))
+        .union(edges.select($"v".as("node"), $"u".as("nbr")))
+      val deg = adj.groupBy($"node").agg(count(lit(1)).as("d"))
+      // wedge centers capped: a neighbor seen from > 200 nodes is a hub
+      val centers = adj.join(
+        deg.filter($"d" <= 200).select($"node".as("nbr")), "nbr")
+      val cand = centers.as("x").join(centers.as("y"),
+          $"x.nbr" === $"y.nbr" && $"x.node" < $"y.node")
+        .groupBy($"x.node".as("u"), $"y.node".as("v"))
+        .agg(count(lit(1)).as("common"))
+      cand
+        .join(edges, Seq("u", "v"), "left_anti")
+        .join(deg.select($"node".as("u"), $"d".as("du")), "u")
+        .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
+        .select($"u", $"v", $"common",
+          round($"common" / ($"du" + $"dv" - $"common").cast("double"), 4)
+            .as("jaccard"))
+        .orderBy($"jaccard".desc, $"u", $"v")
+        .limit(20)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           |              FROM lineitem WHERE l_orderkey % 3 = 0),
+           |e AS (
+           |  SELECT DISTINCT a.p AS u, b.p AS v
+           |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+           |),
+           |adj AS (SELECT u AS node, v AS nbr FROM e
+           |        UNION ALL SELECT v, u FROM e),
+           |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+           |centers AS (
+           |  SELECT a.node, a.nbr FROM adj a
+           |  JOIN deg c ON c.node = a.nbr AND c.d <= 200
+           |),
+           |cand AS (
+           |  SELECT x.node AS u, y.node AS v, count(*) AS common
+           |  FROM centers x JOIN centers y
+           |    ON x.nbr = y.nbr AND x.node < y.node
+           |  GROUP BY x.node, y.node
+           |)
+           |SELECT c.u, c.v, c.common,
+           |       round(c.common / CAST(du.d + dv.d - c.common AS DOUBLE), 4) AS jaccard
+           |FROM cand c
+           |JOIN deg du ON du.node = c.u
+           |JOIN deg dv ON dv.node = c.v
+           |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)
+           |ORDER BY jaccard DESC, c.u, c.v
+           |LIMIT 20""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp,
+    graphJaccardLinkpred)
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series analytics over the `events` stream: OHLC candle bars
+  * (the downsample a tick engine serves to every charting client —
+  * `notebooks/bbo.ipynb` cell 3 plots exactly this shape), rolling
+  * z-score anomaly flagging, and a first-order transition matrix over
+  * per-user event sequences.
+  *
+  * Determinism: every float enters as integer cents
+  * (`round(value*100)` as BIGINT); all window/group sums are then
+  * integer — associative, so partial-aggregation order can't flip the
+  * hash — and the few emitted ratios divide identical integers in
+  * both engines before a single terminal `round`.
+  */
+object TimeSeries {
+
+  /** OHLC bars per (hour, event_type): open/close are the first/last
+    * value in (ts, event_id) order, high/low the extremes, volume the
+    * sum. One hash partitioning total: the window partition keys equal
+    * the groupBy keys, so the aggregation reuses the window exchange
+    * (plan-asserted in PlanShapeSpec). At 100 TB this is the shape
+    * that matters — a per-bar sort would be a global sort; here the
+    * sort is within (hour, type) partitions only, and the aggregation
+    * is map-side combinable after the window pass.
+    */
+  private val ohlcBars = Q(
+    "q_agg_ohlc_bars",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window
+        .partitionBy($"hour", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val rows = Tables(s, dir).events
+        .select(
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type", $"ts", $"event_id",
+          round($"value" * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_part", count(lit(1)).over(
+          Window.partitionBy($"hour", $"event_type")))
+      rows
+        .groupBy($"hour", $"event_type")
+        .agg(
+          round(max(when($"rn" === 1, $"cents")) / 100.0, 2).as("open"),
+          round(max($"cents") / 100.0, 2).as("high"),
+          round(min($"cents") / 100.0, 2).as("low"),
+          round(max(when($"rn" === $"n_part", $"cents")) / 100.0, 2).as("close"),
+          round(sum($"cents") / 100.0, 2).as("volume"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some("""WITH c AS (
+           |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           |         event_type, ts, event_id,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events
+           |),
+           |r AS (
+           |  SELECT *,
+           |         row_number() OVER (PARTITION BY hour, event_type ORDER BY ts, event_id) AS rn,
+           |         count(*) OVER (PARTITION BY hour, event_type) AS n_part
+           |  FROM c
+           |)
+           |SELECT hour, event_type,
+           |       round(max(CASE WHEN rn = 1 THEN cents END) / 100.0, 2) AS open,
+           |       round(max(cents) / 100.0, 2) AS high,
+           |       round(min(cents) / 100.0, 2) AS low,
+           |       round(max(CASE WHEN rn = n_part THEN cents END) / 100.0, 2) AS close,
+           |       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS volume,
+           |       count(*) AS n_events
+           |FROM r GROUP BY hour, event_type
+           |ORDER BY hour, event_type""".stripMargin),
+  )
+
+  /** Rolling z-score anomaly flags: per event_type in event_id order,
+    * each value is compared against the trailing-20 window (frame
+    * excludes the current row). The flag decision is EXACT integer
+    * arithmetic — with frame count n, sum S, sum-of-squares Sq (all
+    * integer cents), |c − S/n| > 3·σ_pop rearranges to
+    * (c·n − S)² > 9·(n·Sq − S²) — so the boundary can't wobble
+    * between engines; the reported z = (c·n − S)/√(n·Sq − S²) divides
+    * the same integers in both before one terminal round. One shuffle
+    * (the event_type window partition); the frame is bounded, so
+    * per-row work is O(1) via the running-sum frame implementation —
+    * at 100 TB this is a narrow pass after one key exchange.
+    */
+  private val anomalyZscore = Q(
+    "q_events_anomaly_zscore",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"event_id")
+        .rowsBetween(-20, -1)
+      Tables(s, dir).events
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("c"))
+        .withColumn("n", count($"c").over(w))
+        .withColumn("s", sum($"c").over(w))
+        .withColumn("sq", sum($"c" * $"c").over(w))
+        .filter($"n" === 20 &&
+          ($"c" * $"n" - $"s") * ($"c" * $"n" - $"s") >
+            lit(9L) * ($"n" * $"sq" - $"s" * $"s"))
+        .select($"event_id", $"event_type",
+          round($"c" / 100.0, 2).as("value"),
+          round(($"c" * $"n" - $"s") /
+            sqrt(nullif(($"n" * $"sq" - $"s" * $"s").cast("double"), lit(0.0))), 4)
+            .as("z"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH c AS (
+           |  SELECT event_id, event_type,
+           |         CAST(round(value * 100) AS BIGINT) AS c
+           |  FROM events
+           |),
+           |w AS (
+           |  SELECT event_id, event_type, c,
+           |         count(c) OVER f AS n,
+           |         sum(c) OVER f AS s,
+           |         sum(c * c) OVER f AS sq
+           |  FROM c
+           |  WINDOW f AS (PARTITION BY event_type ORDER BY event_id
+           |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+           |)
+           |SELECT event_id, event_type,
+           |       round(c / 100.0, 2) AS value,
+           |       round((c * n - s) / sqrt(CAST(nullif(n * sq - s * s, 0) AS DOUBLE)), 4) AS z
+           |FROM w
+           |WHERE n = 20 AND (c * n - s) * (c * n - s) > 9 * (n * sq - s * s)
+           |ORDER BY event_id""".stripMargin),
+  )
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next_type | prev_type) with exact counts and one
+    * terminal rounded ratio. One shuffle on user_id (the lag window);
+    * the transition aggregation is map-side combinable over ≤ |types|²
+    * groups, and the per-prev normalization runs over that tiny
+    * aggregate, not the raw events — the 100-TB shape for any n-gram /
+    * journey model over event logs.
+    */
+  private val transitionMatrix = Q(
+    "q_events_transition_matrix",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables(s, dir).events
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round($"n" / sum($"n").over(
+          Window.partitionBy($"prev_type")), 4))
+        .orderBy($"prev_type", $"next_type")
+    },
+    Some("""WITH seq AS (
+           |  SELECT user_id, event_type,
+           |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           |  FROM events
+           |),
+           |pairs AS (
+           |  SELECT prev_type, event_type AS next_type, count(*) AS n
+           |  FROM seq WHERE prev_type IS NOT NULL
+           |  GROUP BY prev_type, event_type
+           |)
+           |SELECT prev_type, next_type, n,
+           |       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
+           |FROM pairs
+           |ORDER BY prev_type, next_type""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(ohlcBars, anomalyZscore, transitionMatrix)
+}

@@ -144,4 +144,41 @@ object TemporalJoins {
       .filter(col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join as a binned equi-join — the
+    * two-sided generalization of [[rangeJoinBinned]] (campaign ×
+    * incident windows, session × outage, ad flight × content
+    * schedule). Each side explodes to the bins its interval touches
+    * and pairs meet on equal bin; a pair that shares k bins would
+    * surface k times, so it is KEPT ONLY in the first bin both occupy
+    * (`bin == max(floor(lLo/W), floor(rLo/W))`) — emit-once without a
+    * distinct, i.e. no second shuffle — then the exact predicate
+    * `lLo ≤ rHi ∧ rLo ≤ lHi` verifies the overlap. Shuffle volume is
+    * rows × (span/W + 1) per side; pick `binWidth` ≈ the typical span
+    * so the blow-up is ≤ 2× and no bin key is hot. Column names must
+    * be disjoint across the two sides.
+    */
+  def intervalOverlapJoinBinned(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      binWidth: Long,
+  ): DataFrame = {
+    require(binWidth > 0, "intervalOverlapJoinBinned: binWidth must be positive")
+    require(!(left.columns ++ right.columns).contains("__bin"),
+      "intervalOverlapJoinBinned: input columns collide with reserved helper name __bin")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "intervalOverlapJoinBinned: side column names must be disjoint")
+    def bins(df: DataFrame, lo: String, hi: String) = df.withColumn(
+      "__bin",
+      explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+    bins(left, lLo, lHi).join(bins(right, rLo, rHi), "__bin")
+      .filter(col("__bin") ===
+        greatest(floor(col(lLo) / binWidth), floor(col(rLo) / binWidth)))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .drop("__bin")
+  }
 }

@@ -1019,8 +1019,68 @@ object Dedup {
             |ORDER BY i.doc_id""".stripMargin),
   )
 
+  /** DIRECTED containment dedup: C(a→b) = |Sh(a) ∩ Sh(b)| / |Sh(a)| —
+    * the asymmetric measure that catches a document EMBEDDED in a
+    * larger one (quote-page ⊂ article, excerpt ⊂ book), which Jaccard
+    * misses by construction: a 100-shingle doc fully contained in a
+    * 10 000-shingle doc has J ≈ 0.01 but C = 1.0. Same scale shape as
+    * q_dedup_ngram_jaccard — distinct 5-gram shingles in-row, the
+    * over-cap stop list broadcast ANTI-joined (tiny by construction),
+    * intersections from one shingle equi-join — but pairs stay
+    * ordered (a,b)≠(b,a) and each direction normalizes by ITS
+    * numerator side. The ≥½ keep decision is the exact integer test
+    * `2·inter ≥ |Sh(a)|`; sizes count ALL shingles (pre-cap), so the
+    * reported containment is the true value, the cap only bounds
+    * candidate generation.
+    */
+  private val containment = Q(
+    "q_dedup_containment",
+    (s, dir) => {
+      import s.implicits._
+      val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 5).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val stopShingles = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > 100)
+        .select("sh")
+      val indexed = sh.join(broadcast(stopShingles), Seq("sh"), "left_anti").persist()
+      val inter = indexed.as("a")
+        .join(indexed.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = arr.select($"doc_id", size($"shs").as("n"))
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("size_a")), "doc_a")
+        .filter($"inter" * 2 >= $"size_a")
+        .select($"doc_a", $"doc_b", $"inter", $"size_a",
+          round($"inter" / $"size_a".cast("double"), 4).as("containment"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS sh
+           |  FROM words, unnest(range(1, len(ws) - 3)) AS t(i)
+           |),
+           |idx AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+           |indexed AS (SELECT s.doc_id, s.sh FROM sh s JOIN idx USING (sh)),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |  FROM indexed a JOIN indexed b
+           |    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2
+           |),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+           |SELECT i.doc_a, i.doc_b, i.inter, c.n AS size_a,
+           |       round(i.inter / CAST(c.n AS DOUBLE), 4) AS containment
+           |FROM inter i JOIN cnt c ON c.doc_id = i.doc_a
+           |WHERE i.inter * 2 >= c.n
+           |ORDER BY i.doc_a, i.doc_b""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain,
     splitLeakageSafe, simhashPairs,
     ngramJaccard, prefixFilter, embeddingCosine, embeddingCosineBlocked, semDedup, streamExact,
-    streamDedupWatermarked, substringSpans, normalizedDedup, incremental)
+    streamDedupWatermarked, substringSpans, normalizedDedup, incremental,
+    containment)
 }

@@ -271,7 +271,46 @@ object Temporal {
            |ORDER BY user_id""".stripMargin),
   )
 
+  /** Interval × interval overlap join (campaign windows × incident
+    * windows): every 101st event spawns a ±150 "campaign", every 173rd
+    * a ±100 "incident"; overlapping pairs report their overlap length.
+    * Spark side uses the binned equi-join (`binWidth` 256 ≈ the spans,
+    * each interval touching ≤ 3 bins, emit-once in the first shared
+    * bin — see `TemporalJoins.intervalOverlapJoinBinned`); the oracle
+    * states the plain two-sided inequality join.
+    */
+  private val joinIntervalOverlap = Q(
+    "q_join_interval_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events.select($"event_id")
+      val a = ev.filter($"event_id" % 101 === 0)
+        .select($"event_id".as("a_id"),
+          ($"event_id" - 150).as("a_lo"), ($"event_id" + 150).as("a_hi"))
+      val b = ev.filter($"event_id" % 173 === 0)
+        .select($"event_id".as("b_id"),
+          ($"event_id" - 100).as("b_lo"), ($"event_id" + 100).as("b_hi"))
+      TemporalJoins
+        .intervalOverlapJoinBinned(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 256L)
+        .select($"a_id", $"b_id",
+          (least($"a_hi", $"b_hi") - greatest($"a_lo", $"b_lo")).as("overlap_len"))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""WITH a AS (
+           |  SELECT event_id AS a_id, event_id - 150 AS a_lo, event_id + 150 AS a_hi
+           |  FROM events WHERE event_id % 101 = 0
+           |),
+           |b AS (
+           |  SELECT event_id AS b_id, event_id - 100 AS b_lo, event_id + 100 AS b_hi
+           |  FROM events WHERE event_id % 173 = 0
+           |)
+           |SELECT a_id, b_id,
+           |       least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_len
+           |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+           |ORDER BY a_id, b_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(joinAsof, joinAsofForward, joinAsofLeft, joinRange, scd2Intervals,
-      eventsDecayedScore)
+      eventsDecayedScore, joinIntervalOverlap)
 }

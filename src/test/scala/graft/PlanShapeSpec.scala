@@ -455,4 +455,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query vector side not broadcast:\n$p")
   }
+
+  test("OHLC bars: window and aggregation share (hour, type) keys — ONE " +
+    "hash partitioning builds the whole bar; only the output order adds " +
+    "a range exchange") {
+    val p = physical(SparkEntry.queries("q_agg_ohlc_bars")(spark, dir))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"bar construction paid more than one hash exchange:\n$p")
+  }
+
+  test("link prediction: wedge candidates come from the shared-neighbor " +
+    "equi-join (never node×node) and the top-20 cut is a " +
+    "TakeOrderedAndProject, not a global sort") {
+    val p = physical(SparkEntry.queries("q_graph_jaccard_linkpred")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"wedge generation degenerated to all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 20 did not prune below a global sort:\n$p")
+  }
+
+  test("interval-overlap join: candidates meet on the bin equi-join " +
+    "(never interval×interval nested loop)") {
+    val p = physical(SparkEntry.queries("q_join_interval_overlap")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"overlap join degenerated to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on __bin:\n$p")
+  }
+
+  test("containment dedup: the over-cap stop list is broadcast " +
+    "anti-joined — the full shingle table never shuffles to apply the " +
+    "df cap") {
+    val p = physical(SparkEntry.queries("q_dedup_containment")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stop-list application is not a broadcast anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"containment degenerated to all-pairs:\n$p")
+  }
+
+  test("SQ8 scalar quantization: the learned model rides as array " +
+    "literals (encode is narrow — no join to a stats table), and the " +
+    "bounded query side is the broadcast side of the ranking join") {
+    val p = physical(SparkEntry.queries("q_embed_scalar_quantize")(spark, dir))
+    // one BNLJ for the <> self-pairing with the tiny query side
+    // broadcast; encode stage contributes no extra join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"ranking join shape changed:\n$p")
+    assert(countOccurrences(p, "Join") <= 2,
+      s"encode stage grew a model join:\n$p")
+  }
+
+  test("repeated-ngram spans: gram df-count and position join are " +
+    "digest equi-joins; no stage is quadratic in corpus size") {
+    val p = physical(SparkEntry.queries("q_text_repeated_ngrams")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"span detection degenerated:\n$p")
+  }
 }

@@ -155,4 +155,36 @@ class TemporalJoinsSpec extends AnyFunSuite {
       TemporalJoins.rangeJoinBinned(pts, "ts", iv, "lo", "hi", 10L))
       .getMessage.contains("__bin"))
   }
+
+  test("intervalOverlapJoinBinned: exact overlap set, each pair EMITTED " +
+    "ONCE even when the pair shares several bins") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // binWidth 10; pair (a1, b1) co-occupies bins 0,1,2 — the emit-once
+    // rule must still produce a single row. a2/b2 touch but only at the
+    // closed endpoints (overlap length 0 — still an overlap); a3 is
+    // disjoint from everything; b3 overlaps nothing.
+    val a = Seq((1L, 0L, 25L), (2L, 40L, 50L), (3L, 90L, 95L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((1L, 5L, 28L), (2L, 50L, 60L), (3L, 200L, 210L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val out = TemporalJoins
+      .intervalOverlapJoinBinned(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 10L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toList
+    assert(out.sorted == List((1L, 1L), (2L, 2L)), s"got $out")
+    assert(out.size == out.toSet.size, s"duplicate emission: $out")
+    // negative bins (interval straddling 0) must not double-emit either
+    val an = Seq((9L, -15L, 5L)).toDF("a_id", "a_lo", "a_hi")
+    val bn = Seq((9L, -3L, 12L)).toDF("b_id", "b_lo", "b_hi")
+    val outN = TemporalJoins
+      .intervalOverlapJoinBinned(an, "a_lo", "a_hi", bn, "b_lo", "b_hi", 10L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toList
+    assert(outN == List((9L, 9L)), s"got $outN")
+    // disjoint side column names enforced
+    val clash = Seq((1L, 0L, 1L)).toDF("a_id", "x", "y")
+    assert(intercept[IllegalArgumentException](
+      TemporalJoins.intervalOverlapJoinBinned(
+        clash, "x", "y", clash, "x", "y", 10L))
+      .getMessage.contains("disjoint"))
+  }
 }

@@ -1078,9 +1078,93 @@ object Dedup {
            |ORDER BY i.doc_a, i.doc_b""".stripMargin),
   )
 
+  /** In-engine LSH quality evaluation: candidate-set precision and
+    * recall of the MinHash(8)+LSH(4×2) band join against exact-Jaccard
+    * ≥ 0.8 ground truth — the number that justifies the band
+    * parameters (recall ≈ 1−(1−s^r)^b = 98.3% at s = 0.8 for r=2,
+    * b=4), measured rather than assumed, the same eval-in-engine
+    * pattern as q_embed_ivf_recall. Predicted = the CAPPED band pairs
+    * exactly as q_dedup_minhash_lsh generates them (pre-verification);
+    * truth = shared-shingle candidates (hot-shingle broadcast-anti
+    * cap, which cannot lose a J ≥ 0.8 pair unless EVERY shared
+    * shingle is in > 100 docs) verified with exact Jaccard from the
+    * FULL shingle table. One full-outer pair join then folds to a
+    * single metrics row; both engines replay both pyramids
+    * end-to-end.
+    */
+  private val lshRecall = Q(
+    "q_dedup_lsh_recall",
+    (s, dir) => {
+      import s.implicits._
+      val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 3).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      val bands = TextDedup
+        .minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
+        .persist()
+      val pred = TextDedup.bandPairs(bands, TextDedup.DefaultMaxBucket)
+        .withColumn("in_pred", lit(1L))
+      val stop = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > 100).select("sh")
+      val indexed = sh.join(broadcast(stop), Seq("sh"), "left_anti").persist()
+      val tcand = indexed.as("a").join(indexed.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val truth = TextDedup.jaccard(tcand, sh, cnt)
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b")
+        .withColumn("in_truth", lit(1L))
+      pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum($"in_pred").as("n_pred"),
+          sum($"in_truth").as("n_truth"),
+          sum($"in_pred" * $"in_truth").as("tp"))
+        .select($"n_pred", $"n_truth", $"tp",
+          round($"tp" / $"n_truth".cast("double"), 4).as("recall"),
+          round($"tp" / $"n_pred".cast("double"), 4).as("precision"))
+    },
+    Some("WITH " + minhashPairsCtes(0.8).replace(
+      """pairs AS (""",
+      """idx2 AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+        |indexed2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN idx2 USING (sh)),
+        |tcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM indexed2 a JOIN indexed2 b
+        |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |),
+        |tinter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM tcand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+        |  GROUP BY doc_a, doc_b
+        |),
+        |truth AS (
+        |  SELECT doc_a, doc_b
+        |  FROM tinter
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+        |),
+        |pairs AS (""".stripMargin) + """,
+           |m AS (
+           |  SELECT doc_a, doc_b, p.in_pred, t.in_truth
+           |  FROM (SELECT doc_a, doc_b, 1 AS in_pred FROM cand) p
+           |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_truth FROM truth) t
+           |    USING (doc_a, doc_b)
+           |)
+           |SELECT CAST(sum(in_pred) AS BIGINT) AS n_pred,
+           |       CAST(sum(in_truth) AS BIGINT) AS n_truth,
+           |       CAST(sum(in_pred * in_truth) AS BIGINT) AS tp,
+           |       round(sum(in_pred * in_truth) / CAST(sum(in_truth) AS DOUBLE), 4) AS recall,
+           |       round(sum(in_pred * in_truth) / CAST(sum(in_pred) AS DOUBLE), 4) AS "precision"
+           |FROM m""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain,
     splitLeakageSafe, simhashPairs,
     ngramJaccard, prefixFilter, embeddingCosine, embeddingCosineBlocked, semDedup, streamExact,
     streamDedupWatermarked, substringSpans, normalizedDedup, incremental,
-    containment)
+    containment, lshRecall)
 }

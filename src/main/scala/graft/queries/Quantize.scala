@@ -136,5 +136,98 @@ object Quantize {
             |ORDER BY query_id, rank""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(scalarQuantize)
+  /** Matryoshka (MRL) two-stage retrieval: shortlist by the FIRST 16
+    * dimensions' cosine (MRL-trained embeddings front-load semantic
+    * mass, so a prefix is itself a usable embedding — Kusupati et al.
+    * 2022), then re-rank the ≤10 survivors with the full 64-dim
+    * cosine for the final top-3. The adaptive-retrieval pattern: the
+    * cheap stage touches every candidate at ¼ the per-pair cost (and
+    * at corpus scale runs under the IVF posting-list machinery
+    * unchanged — prefix vectors index exactly like full ones); the
+    * exact stage touches 10 rows per query via id-keyed equi-joins.
+    * Enforced-bounded here like every all-pairs exactness baseline.
+    * The oracle replays shortlist + re-rank end-to-end, so a
+    * rank-order difference between prefix and full scoring (the whole
+    * approximation the technique trades on) breaks the hash.
+    */
+  private val prefixDims = 16
+
+  private val matryoshkaRerank = Q(
+    "q_embed_matryoshka_rerank",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val e = Scale.requireAllPairsBounded(
+        Tables(s, dir).embeddings
+          .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+          .withColumn("p", slice($"q", 1, prefixDims))
+          .withColumn("n2", VectorSim.qnorm2($"q"))
+          .withColumn("n2p", VectorSim.qnorm2($"p")),
+        "q_embed_matryoshka_rerank")
+      val queries = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"),
+          $"q".as("qa"), $"p".as("pa"), $"n2".as("na"), $"n2p".as("npa"))
+      val shortlist = queries
+        .join(e.select($"vec_id".as("cand_id"), $"p".as("pb"), $"n2p".as("npb")),
+          $"query_id" =!= $"cand_id")
+        .select($"query_id", $"pa", $"na", $"qa", $"cand_id",
+          VectorSim.qcosine(
+            VectorSim.qdotNative($"pa", $"pb"), $"npa", $"npb").as("pcos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cand_id")))
+        .filter($"rn" <= 10)
+        .select($"query_id", $"cand_id")
+      shortlist
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")),
+          "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")),
+          "cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb")
+            .as("cosine"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"cand_id", $"rank", $"cosine")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH q AS (
+            |  SELECT vec_id,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            |  FROM embeddings
+            |),
+            |n AS (
+            |  SELECT vec_id, q, q[1:$prefixDims] AS p,
+            |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2,
+            |         CAST(list_sum(list_transform(q[1:$prefixDims], x -> x * x)) AS DOUBLE) AS n2p
+            |  FROM q
+            |),
+            |short AS (
+            |  SELECT query_id, cand_id FROM (
+            |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+            |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            |             round(CAST(list_sum(list_transform(range(1, ${prefixDims + 1}),
+            |                     i -> a.p[CAST(i AS INT)] * b.p[CAST(i AS INT)])) AS DOUBLE)
+            |                   / (sqrt(a.n2p) * sqrt(b.n2p)), 4) DESC, b.vec_id) AS rn
+            |    FROM n a JOIN n b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+            |  ) WHERE rn <= 10
+            |),
+            |rer AS (
+            |  SELECT s.query_id, s.cand_id,
+            |         round(CAST(list_sum(list_transform(range(1, ${dims + 1}),
+            |                 i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+            |               / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cosine
+            |  FROM short s
+            |  JOIN n a ON a.vec_id = s.query_id
+            |  JOIN n b ON b.vec_id = s.cand_id
+            |)
+            |SELECT query_id, cand_id,
+            |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank,
+            |       cosine
+            |FROM rer
+            |QUALIFY rank <= 3
+            |ORDER BY query_id, rank""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(scalarQuantize, matryoshkaRerank)
 }

@@ -267,6 +267,41 @@ object FixtureOracle {
          |FROM tr GROUP BY hour, asset
          |ORDER BY hour, asset""".stripMargin
 
+  /** Time-weighted average spread oracle (q_tick_twa_spread): the
+    * same carry-forward + lead-duration windows as
+    * `TickAnalytics.timeWeightedSpread`, over the oracle's own tick
+    * reconstruction; integer cents × ms summed exactly.
+    */
+  def tickTwaSpreadSql: String =
+    ticksCte(glob(fixtureMsgsPath), "TRUE") +
+      s""",
+         |ordered AS (SELECT *, k * 2 + emit_idx AS ord FROM ticks),
+         |bbo AS (
+         |  SELECT asset, ord, CAST(timestamp AS BIGINT) AS ts_ms,
+         |    last_value(CASE WHEN side = 'ASK'
+         |                    THEN CAST(round(price * 100) AS BIGINT) END IGNORE NULLS)
+         |      OVER w AS ask_c,
+         |    last_value(CASE WHEN side = 'BID'
+         |                    THEN CAST(round(price * 100) AS BIGINT) END IGNORE NULLS)
+         |      OVER w AS bid_c
+         |  FROM ordered WHERE kind = 'BBO'
+         |  WINDOW w AS (PARTITION BY asset ORDER BY ord
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |teed AS (
+         |  SELECT *, lead(ts_ms) OVER (PARTITION BY asset ORDER BY ord) - ts_ms AS dur
+         |  FROM bbo
+         |)
+         |SELECT asset, CAST(count(*) AS BIGINT) AS n_states,
+         |       CAST(sum(dur) AS BIGINT) AS ms_quoted,
+         |       round(CAST(sum((ask_c - bid_c) * dur) AS DOUBLE) / sum(dur) / 100.0, 4)
+         |         AS twa_spread
+         |FROM teed
+         |WHERE dur IS NOT NULL AND ask_c IS NOT NULL AND bid_c IS NOT NULL
+         |  AND ask_c > 0 AND bid_c > 0
+         |GROUP BY asset
+         |ORDER BY asset""".stripMargin
+
   /** Markets-dim oracle (q_markets_active_tokens): the F1 activity
     * predicate over generator ground truth (`collector/src/lib.rs:68-72`
     * — note `active` itself is NOT consulted).

@@ -313,6 +313,83 @@ object Graph {
            |LIMIT 20""".stripMargin),
   )
 
+  /** Modularity of the LPA communities, computed in-engine — the
+    * eval-in-engine companion to q_graph_label_prop (same pattern as
+    * q_embed_ivf_recall / q_dedup_lsh_recall): Newman's
+    * Q = Σ_c (e_c/m − (d_c/2m)²), the number that says whether the
+    * communities are real structure or noise. EXACT integer form per
+    * community: (4·m·e_c − d_c²) / 4m² — numerator and denominator
+    * are integers in both engines, one terminal 6-dp round. Scale
+    * shape: two label equi-joins tag each edge's endpoints, then
+    * everything folds to ≤|communities| groups (map-side combined);
+    * |E| is the one broadcast scalar.
+    */
+  private val graphModularity = Q(
+    "q_graph_modularity",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables(s, dir).lineitem
+        .filter($"l_orderkey" % 3 === 0)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v")).distinct().persist()
+      val labels = GraphAlgos.labelPropagation(edges, "u", "v", iters = 3)
+        .persist()
+      val m = edges.agg(count(lit(1)).as("m"))
+      val deg = edges.select($"u".as("node")).union(edges.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("d"))
+      val eIn = edges
+        .join(labels.select($"node".as("u"), $"lbl".as("lu")), "u")
+        .join(labels.select($"node".as("v"), $"lbl".as("lv")), "v")
+        .filter($"lu" === $"lv")
+        .groupBy($"lu".as("lbl")).agg(count(lit(1)).as("e_in"))
+      labels.join(deg, "node")
+        .groupBy($"lbl")
+        .agg(count(lit(1)).as("n_members"), sum($"d").as("d_c"))
+        .join(eIn, Seq("lbl"), "left_outer")
+        .withColumn("e_in", coalesce($"e_in", lit(0L)))
+        .crossJoin(broadcast(m))
+        .select($"lbl", $"n_members", $"e_in", $"d_c",
+          // + 0.0 normalizes IEEE −0.0 (an exactly-balanced community
+          // rounds to negative zero in one engine and not the other)
+          (round((lit(4L) * $"m" * $"e_in" - $"d_c" * $"d_c") /
+            (lit(4L) * $"m" * $"m").cast("double"), 6) + lit(0.0)).as("q_contrib"))
+        .orderBy($"lbl")
+    },
+    Some(s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+            |              FROM lineitem WHERE l_orderkey % 3 = 0),
+            |e AS (
+            |  SELECT DISTINCT a.p AS u, b.p AS v
+            |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+            |),
+            |bi AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            |lp0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi),
+            |${lpIterSql(1)},
+            |${lpIterSql(2)},
+            |${lpIterSql(3)},
+            |m AS (SELECT count(*) AS m FROM e),
+            |deg AS (SELECT u AS node, count(*) AS d FROM bi GROUP BY u),
+            |ein AS (
+            |  SELECT la.lbl, count(*) AS e_in
+            |  FROM e
+            |  JOIN lp3 la ON la.node = e.u
+            |  JOIN lp3 lb ON lb.node = e.v AND la.lbl = lb.lbl
+            |  GROUP BY 1
+            |),
+            |dc AS (
+            |  SELECT l.lbl, count(*) AS n_members, sum(d.d) AS d_c
+            |  FROM lp3 l JOIN deg d USING (node)
+            |  GROUP BY 1
+            |)
+            |SELECT dc.lbl, dc.n_members, coalesce(ein.e_in, 0) AS e_in,
+            |       CAST(dc.d_c AS BIGINT) AS d_c,
+            |       round((4 * m.m * coalesce(ein.e_in, 0) - dc.d_c * dc.d_c)
+            |             / CAST(4 * m.m * m.m AS DOUBLE), 6) + 0.0 AS q_contrib
+            |FROM dc LEFT JOIN ein USING (lbl), m
+            |ORDER BY dc.lbl""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp,
-    graphJaccardLinkpred)
+    graphJaccardLinkpred, graphModularity)
 }

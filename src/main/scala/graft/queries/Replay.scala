@@ -634,9 +634,30 @@ object Replay {
            |FROM read_parquet('${FixtureOracle.fixtureMsgsPath}/*.parquet')""".stripMargin),
   )
 
+  /** Time-weighted average quoted spread per asset
+    * (`TickAnalytics.timeWeightedSpread`): each top-of-book state
+    * weighted by how long it prevailed — the liquidity metric
+    * effective-spread studies baseline against. Oracle replays the
+    * identical carry-forward + lead-duration windows over its own
+    * independent tick reconstruction.
+    */
+  private val tickTwaSpread = Q(
+    "q_tick_twa_spread",
+    (s, _) => {
+      import s.implicits._
+      FixtureOracle.ensureDumps(s)
+      val paths = FixtureLog.write(fixtureSpec)
+      val ticks = BookReplay.ticks(RawLogSource.feedMessages(RawLogSource.frames(s, paths)))
+      graft.operators.TickAnalytics.timeWeightedSpread(ticks)
+        .orderBy($"asset")
+    },
+    Some(FixtureOracle.tickTwaSpreadSql),
+  )
+
   val all: Seq[Q] = Seq(
     streamIngestMetrics,
     tickTradesBbo,
+    tickTwaSpread,
     tickVwap,
     replayFinalBbo,
     replaySnapshotsBbo,

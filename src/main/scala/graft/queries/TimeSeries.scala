@@ -173,5 +173,85 @@ object TimeSeries {
            |ORDER BY prev_type, next_type""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(ohlcBars, anomalyZscore, transitionMatrix)
+  /** STREAMING OHLC bars: the q_agg_ohlc_bars semantics as a real
+    * watermarked streaming aggregation (file source → AvailableNow →
+    * memory sink, append mode) — open/close become `min_by`/`max_by`
+    * under an in-window total order, which is the streaming-legal
+    * formulation (no row_number over an unbounded stream; state per
+    * (window, type) is one running (key, value) pair per extreme, so
+    * executor state is FIXED-SIZE per group at any volume). The
+    * ordering key is derived without window.start:
+    * (µs-offset-within-hour)·10⁸ + event_id — a single orderable
+    * BIGINT, exact in both engines. Append mode emits exactly the
+    * windows finalized below the terminal watermark; the oracle
+    * applies the same cutoff.
+    */
+  private val streamOhlcBars = Q(
+    "q_stream_ohlc_bars",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_ohlc_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = graft.Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val keyed = src
+          .withWatermark("ts", "2 hours")
+          .withColumn("cents", round($"value" * 100).cast("long"))
+          .withColumn("k",
+            pmod(unix_micros($"ts"), lit(3600000000L)) * 100000000L + $"event_id")
+        val agg = keyed
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(
+            min_by($"cents", $"k").as("open_c"),
+            max($"cents").as("high_c"),
+            min($"cents").as("low_c"),
+            max_by($"cents", $"k").as("close_c"),
+            sum($"cents").as("vol_c"),
+            count(lit(1)).as("n_events"))
+          .select(
+            date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour"),
+            $"event_type",
+            round($"open_c" / 100.0, 2).as("open"),
+            round($"high_c" / 100.0, 2).as("high"),
+            round($"low_c" / 100.0, 2).as("low"),
+            round($"close_c" / 100.0, 2).as("close"),
+            round($"vol_c" / 100.0, 2).as("volume"),
+            $"n_events")
+        val query = agg.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName).orderBy($"hour", $"event_type")
+    },
+    Some("""WITH e AS (
+           |  SELECT date_trunc('hour', ts) AS h, event_type,
+           |         CAST(round(value * 100) AS BIGINT) AS cents,
+           |         (epoch_us(ts) % 3600000000) * 100000000 + event_id AS k
+           |  FROM events
+           |),
+           |wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events)
+           |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           |       round(arg_min(cents, k) / 100.0, 2) AS open,
+           |       round(max(cents) / 100.0, 2) AS high,
+           |       round(min(cents) / 100.0, 2) AS low,
+           |       round(arg_max(cents, k) / 100.0, 2) AS close,
+           |       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS volume,
+           |       count(*) AS n_events
+           |FROM e
+           |GROUP BY h, event_type
+           |HAVING h + INTERVAL 1 HOUR <= (SELECT wm FROM wm)
+           |ORDER BY hour, event_type""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(ohlcBars, anomalyZscore, transitionMatrix, streamOhlcBars)
 }

@@ -310,7 +310,86 @@ object Temporal {
            |ORDER BY a_id, b_id""".stripMargin),
   )
 
+  /** NEAREST as-of: each trade takes whichever same-asset quote is
+    * closer in key distance — backward on ties (the pandas
+    * `merge_asof(direction='nearest')` rule) — composed from the
+    * backward and forward primitives (two left as-ofs, one equi-join
+    * on the unique trade key, a per-row CASE; the right side's own
+    * key rides along as `quote_id`, so distance needs no extra
+    * payload). Trades with no quote on either side survive with null
+    * quote columns. Reported `dist` makes the tie-break auditable.
+    */
+  private val joinAsofNearest = Q(
+    "q_join_asof_nearest",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", pmod($"user_id", lit(16)).as("asset"))
+      val quotes = ev.filter($"event_id" % 5 =!= 0)
+        .select($"asset", $"event_id".as("k"),
+          $"event_id".as("quote_id"),
+          pmod($"event_id" * 31, lit(1000)).as("quote_val"))
+      val trades = ev.filter($"event_id" % 5 === 0)
+        .select($"asset", $"event_id".as("k"),
+          pmod($"event_id" * 7, lit(500)).as("trade_val"))
+      val b = TemporalJoins.asOfJoin(trades, quotes, keys = Seq("asset"),
+          tsCol = "k", how = "left")
+        .withColumnRenamed("quote_id", "b_id")
+        .withColumnRenamed("quote_val", "b_val")
+      val f = TemporalJoins.asOfJoin(trades, quotes, keys = Seq("asset"),
+          tsCol = "k", how = "left", direction = "forward")
+        .select($"asset", $"k",
+          $"quote_id".as("f_id"), $"quote_val".as("f_val"))
+      val takeBack = $"f_id".isNull ||
+        ($"b_id".isNotNull && ($"k" - $"b_id") <= ($"f_id" - $"k"))
+      b.join(f, Seq("asset", "k"))
+        .select($"asset", $"k", $"trade_val",
+          when(takeBack, $"b_id").otherwise($"f_id").as("quote_id"),
+          when(takeBack, $"b_val").otherwise($"f_val").as("quote_val"),
+          when(takeBack, $"k" - $"b_id").otherwise($"f_id" - $"k").as("dist"))
+        .orderBy($"asset", $"k")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id % 16 AS asset FROM events),
+           |quotes AS (
+           |  SELECT asset, event_id AS k, event_id AS quote_id,
+           |         (event_id * 31) % 1000 AS quote_val
+           |  FROM ev WHERE event_id % 5 <> 0
+           |),
+           |trades AS (
+           |  SELECT asset, event_id AS k, (event_id * 7) % 500 AS trade_val
+           |  FROM ev WHERE event_id % 5 = 0
+           |),
+           |b AS (
+           |  SELECT t.asset, t.k, t.trade_val,
+           |         max_by(q.quote_id, q.k) AS b_id,
+           |         max_by(q.quote_val, q.k) AS b_val
+           |  FROM trades t LEFT JOIN quotes q
+           |    ON q.asset = t.asset AND q.k <= t.k
+           |  GROUP BY t.asset, t.k, t.trade_val
+           |),
+           |f AS (
+           |  SELECT t.asset, t.k,
+           |         min_by(q.quote_id, q.k) AS f_id,
+           |         min_by(q.quote_val, q.k) AS f_val
+           |  FROM trades t LEFT JOIN quotes q
+           |    ON q.asset = t.asset AND q.k >= t.k
+           |  GROUP BY t.asset, t.k
+           |)
+           |SELECT b.asset, b.k, b.trade_val,
+           |       CASE WHEN f.f_id IS NULL OR (b.b_id IS NOT NULL
+           |                  AND (b.k - b.b_id) <= (f.f_id - b.k))
+           |            THEN b.b_id ELSE f.f_id END AS quote_id,
+           |       CASE WHEN f.f_id IS NULL OR (b.b_id IS NOT NULL
+           |                  AND (b.k - b.b_id) <= (f.f_id - b.k))
+           |            THEN b.b_val ELSE f.f_val END AS quote_val,
+           |       CASE WHEN f.f_id IS NULL OR (b.b_id IS NOT NULL
+           |                  AND (b.k - b.b_id) <= (f.f_id - b.k))
+           |            THEN b.k - b.b_id ELSE f.f_id - b.k END AS dist
+           |FROM b JOIN f ON f.asset = b.asset AND f.k = b.k
+           |ORDER BY b.asset, b.k""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(joinAsof, joinAsofForward, joinAsofLeft, joinRange, scd2Intervals,
-      eventsDecayedScore, joinIntervalOverlap)
+      eventsDecayedScore, joinIntervalOverlap, joinAsofNearest)
 }

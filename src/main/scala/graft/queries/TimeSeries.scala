@@ -253,5 +253,120 @@ object TimeSeries {
            |ORDER BY hour, event_type""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(ohlcBars, anomalyZscore, transitionMatrix, streamOhlcBars)
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value grid): per-user stats in one aggregation, scored
+    * 1–5 against EXACT interpolated quintile boundaries computed as a
+    * broadcast scalar row — the scale-right formulation (a global
+    * ntile would be a single-partition sort; comparing against five
+    * broadcast boundaries is a narrow map after one combinable agg —
+    * the same boundaries-not-sort pattern as the length-batching
+    * operator). Output is the segment-level rollup.
+    */
+  private val eventsRfm = Q(
+    "q_events_rfm",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val peru = ev.groupBy($"user_id").agg(
+        max(unix_micros($"ts")).as("umax"),
+        count(lit(1)).as("freq"),
+        sum(when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(0L)).as("mon_c"))
+      val scored = peru
+        .crossJoin(broadcast(ev.agg(max(unix_micros($"ts")).as("gmax"))))
+        .select($"user_id",
+          (($"gmax" - $"umax") / lit(1000000L)).cast("long").as("recency_s"),
+          $"freq", $"mon_c")
+      val bounds = scored.agg(
+        percentile($"recency_s", typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("rb"),
+        percentile($"freq", typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("fb"),
+        percentile($"mon_c", typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("mb"))
+      def score(c: org.apache.spark.sql.Column, b: String) =
+        lit(1L) + (1 to 4).map(i =>
+          when(c > element_at(col(b), i), 1L).otherwise(0L)).reduce(_ + _)
+      scored.crossJoin(broadcast(bounds))
+        .select($"user_id", $"mon_c",
+          score($"recency_s", "rb").as("r_score"),
+          score($"freq", "fb").as("f_score"),
+          score($"mon_c", "mb").as("m_score"))
+        .groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_users"),
+          expr("(sum(mon_c) * 2 + count(1)) div (count(1) * 2)")
+            .as("avg_monetary_c"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    },
+    Some("""WITH peru AS (
+           |  SELECT user_id, max(epoch_us(ts)) AS umax, count(*) AS freq,
+           |         sum(CASE WHEN event_type = 'purchase'
+           |                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS mon_c
+           |  FROM events GROUP BY user_id
+           |),
+           |scored AS (
+           |  SELECT user_id,
+           |         CAST(((SELECT max(epoch_us(ts)) FROM events) - umax) // 1000000 AS BIGINT) AS recency_s,
+           |         freq, mon_c
+           |  FROM peru
+           |),
+           |b AS (
+           |  SELECT quantile_cont(recency_s, [0.2, 0.4, 0.6, 0.8]) AS rb,
+           |         quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+           |         quantile_cont(mon_c, [0.2, 0.4, 0.6, 0.8]) AS mb
+           |  FROM scored
+           |),
+           |sc AS (
+           |  SELECT user_id, mon_c,
+           |         1 + (recency_s > rb[1])::BIGINT + (recency_s > rb[2])::BIGINT
+           |           + (recency_s > rb[3])::BIGINT + (recency_s > rb[4])::BIGINT AS r_score,
+           |         1 + (freq > fb[1])::BIGINT + (freq > fb[2])::BIGINT
+           |           + (freq > fb[3])::BIGINT + (freq > fb[4])::BIGINT AS f_score,
+           |         1 + (mon_c > mb[1])::BIGINT + (mon_c > mb[2])::BIGINT
+           |           + (mon_c > mb[3])::BIGINT + (mon_c > mb[4])::BIGINT AS m_score
+           |  FROM scored, b
+           |)
+           |SELECT r_score, f_score, m_score, count(*) AS n_users,
+           |       (CAST(sum(mon_c) AS BIGINT) * 2 + count(*)) // (count(*) * 2) AS avg_monetary_c
+           |FROM sc GROUP BY 1, 2, 3
+           |ORDER BY 1, 2, 3""".stripMargin),
+  )
+
+  /** Top user journeys: each user's first 8 events in (ts, event_id)
+    * order concatenated to a path string, counted across users. The
+    * 8-event cap bounds per-group state (and output-string width) at
+    * any volume; collection is one combinable aggregation per user
+    * (in-row sort of ≤ group size, then slice), then a tiny path
+    * rollup with a TakeOrdered top-25.
+    */
+  private val eventsPaths = Q(
+    "q_events_paths",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"user_id")
+        .agg(array_join(
+          transform(
+            slice(array_sort(collect_list(
+              struct($"ts", $"event_id", $"event_type"))), 1, 8),
+            x => x("event_type")), ">").as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(25)
+    },
+    Some("""WITH o AS (
+           |  SELECT user_id, event_type,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events
+           |),
+           |p AS (
+           |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+           |  FROM o WHERE rn <= 8 GROUP BY user_id
+           |)
+           |SELECT path, count(*) AS n_users
+           |FROM p GROUP BY path
+           |ORDER BY n_users DESC, path
+           |LIMIT 25""".stripMargin),
+  )
+
+  val all: Seq[Q] = Seq(ohlcBars, anomalyZscore, transitionMatrix, streamOhlcBars,
+    eventsRfm, eventsPaths)
 }

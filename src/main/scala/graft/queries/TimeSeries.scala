@@ -267,13 +267,17 @@ object TimeSeries {
     (s, dir) => {
       import s.implicits._
       val ev = Tables(s, dir).events
+      // single scan of events: the per-user rollup is the only pass over
+      // the raw table; the global max and the quintile boundaries both
+      // derive from the (persisted, n_users-sized) rollup
       val peru = ev.groupBy($"user_id").agg(
         max(unix_micros($"ts")).as("umax"),
         count(lit(1)).as("freq"),
         sum(when($"event_type" === "purchase",
           round($"value" * 100).cast("long")).otherwise(0L)).as("mon_c"))
+        .persist()
       val scored = peru
-        .crossJoin(broadcast(ev.agg(max(unix_micros($"ts")).as("gmax"))))
+        .crossJoin(broadcast(peru.agg(max($"umax").as("gmax"))))
         .select($"user_id",
           (($"gmax" - $"umax") / lit(1000000L)).cast("long").as("recency_s"),
           $"freq", $"mon_c")

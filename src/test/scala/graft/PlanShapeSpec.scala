@@ -511,4 +511,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"span detection degenerated:\n$p")
   }
+
+  test("RFM segmentation: raw events feed ONE per-user rollup (persisted " +
+    "— every downstream consumer is an InMemoryTableScan), the global " +
+    "max and quintile boundaries ride as broadcast scalar rows, and no " +
+    "row-level shuffle join exists anywhere") {
+    val p = physical(SparkEntry.queries("q_events_rfm")(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"per-user rollup not persisted — events would scan 3x:\n$p")
+    // gmax broadcasts under each scored consumer + the boundary row
+    assert(countOccurrences(p, "BroadcastExchange IdentityBroadcastMode") >= 2,
+      s"gmax/boundaries not broadcast as scalar rows:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a scalar comparison became a shuffled join:\n$p")
+  }
+
+  test("user journeys: per-user collect and path rollup are the only " +
+    "two exchanges, and the top-25 cut is a TakeOrderedAndProject, " +
+    "never a global sort") {
+    val p = physical(SparkEntry.queries("q_events_paths")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 25 did not prune below a global sort:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2,
+      s"path extraction paid extra shuffles:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort appeared:\n$p")
+  }
+
+  test("nearest as-of: both direction primitives stay union+window " +
+    "rewrites (one asset exchange each), the merge is an equi-join on " +
+    "the trade key, and nothing degenerates to a per-row scan") {
+    val p = physical(SparkEntry.queries("q_join_asof_nearest")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to an unbounded comparison:\n$p")
+    assert(countOccurrences(p, "Window ") == 2,
+      s"expected exactly the two direction windows:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"no equi-join merging the two directions:\n$p")
+  }
+
+  test("LPA modularity: every iteration is an edge⋈label equi-join — " +
+    "no stage in the whole program is node×node") {
+    val p = physical(SparkEntry.queries("q_graph_modularity")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"modularity degenerated to all-pairs:\n$p")
+  }
+
+  test("matryoshka rerank: the coarse stage's only unbounded pairing is " +
+    "the broadcast query side, and both rank cuts prune per query " +
+    "partition (row_number windows), never a global sort") {
+    val p = physical(SparkEntry.queries("q_embed_matryoshka_rerank")(spark, dir))
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") == 1,
+      s"full-dim stage regrew an all-pairs comparison:\n$p")
+    assert(countOccurrences(p, "Window ") == 2,
+      s"expected coarse + rerank rank windows:\n$p")
+  }
 }

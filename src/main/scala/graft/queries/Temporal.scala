@@ -389,7 +389,86 @@ object Temporal {
            |ORDER BY b.asset, b.k""".stripMargin),
   )
 
+  /** Point-in-time (PIT) dimension join — the lookup SCD2 exists for:
+    * each fact row picks up the dimension version that was valid AT its
+    * own timestamp. Dim = SCD2 intervals built from every 3rd event's
+    * state stream; facts = the rest. The join is the backward as-of
+    * primitive on (user, ts) — correct because SCD2 intervals are
+    * contiguous half-open [valid_from, next valid_from), so "latest
+    * version starting at-or-before ts" IS the valid-at-ts version, and
+    * no valid_to predicate (or range join) is needed. Versions sharing
+    * a valid_from are zero-length and invisible under half-open
+    * semantics; they are dropped pre-join so the as-of tie-break is
+    * deterministic. The oracle cross-checks with the explicit interval
+    * predicate instead — two independent formulations, one hash.
+    */
+  private val joinPointInTime = Q(
+    "q_join_point_in_time",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+      val dim0 = graft.operators.Scd.intervals(
+        ev.filter($"event_id" % 3 === 0),
+        keyCol = "user_id", stateCol = "event_type",
+        tsCol = "ts", ordCol = "event_id")
+      val dim = dim0
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy($"user_id", $"valid_from")
+            .orderBy($"version".desc)))
+        .filter($"__rn" === 1)
+        .select($"user_id", $"valid_from".as("ts"), $"version", $"state")
+      val facts = ev.filter($"event_id" % 3 =!= 0)
+        .select($"user_id", $"ts", $"event_id",
+          $"event_type".as("action"))
+      TemporalJoins.asOfJoin(facts, dim, keys = Seq("user_id"),
+          tsCol = "ts", how = "left")
+        .select($"user_id", $"event_id", $"action", $"state", $"version")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""WITH o AS (
+           |  SELECT user_id, event_id, ts, event_type,
+           |         CASE WHEN lag(event_type) OVER w IS NULL
+           |                OR lag(event_type) OVER w <> event_type
+           |              THEN 1 ELSE 0 END AS chg
+           |  FROM events WHERE event_id % 3 = 0
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |),
+           |v AS (
+           |  SELECT user_id, event_type, ts,
+           |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                        ROWS UNBOUNDED PRECEDING) AS version
+           |  FROM o
+           |),
+           |g AS (
+           |  SELECT user_id, CAST(version AS BIGINT) AS version,
+           |         min(event_type) AS state, min(ts) AS valid_from
+           |  FROM v GROUP BY user_id, version
+           |),
+           |iv AS (
+           |  SELECT user_id, version, state, valid_from,
+           |         lead(valid_from) OVER (PARTITION BY user_id
+           |                                ORDER BY version) AS valid_to
+           |  FROM g
+           |),
+           |dim AS (
+           |  SELECT * FROM iv
+           |  QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
+           |                             ORDER BY version DESC) = 1
+           |),
+           |facts AS (
+           |  SELECT user_id, ts, event_id, event_type AS action
+           |  FROM events WHERE event_id % 3 <> 0
+           |)
+           |SELECT f.user_id, f.event_id, f.action, d.state, d.version
+           |FROM facts f LEFT JOIN dim d
+           |  ON d.user_id = f.user_id AND d.valid_from <= f.ts
+           | AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+           |ORDER BY f.user_id, f.event_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(joinAsof, joinAsofForward, joinAsofLeft, joinRange, scd2Intervals,
-      eventsDecayedScore, joinIntervalOverlap, joinAsofNearest)
+      eventsDecayedScore, joinIntervalOverlap, joinAsofNearest,
+      joinPointInTime)
 }

@@ -371,6 +371,57 @@ object TimeSeries {
            |LIMIT 25""".stripMargin),
   )
 
+  /** Rolling 7-day distinct users per event type — the DAU/WAU-style
+    * metric a window function cannot compute distributed (COUNT
+    * DISTINCT admits no running state a frame can maintain). The
+    * scale-right rewrite: dedup to (type, day, user) once, replicate
+    * each row onto the ≤7 observation days it contributes to
+    * (`explode(sequence(...))` — expansion bounded by the window
+    * length, not the data), and fold with ONE two-phase distinct
+    * aggregation on (type, obs_day). Days outside the observed range
+    * are clipped against a broadcast scalar row.
+    */
+  private val windowRollingDistinct = Q(
+    "q_window_rolling_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val d = ev.select($"event_type", to_date($"ts").as("day"), $"user_id")
+        .distinct()
+      val rng = ev.agg(to_date(min($"ts")).as("lo"), to_date(max($"ts")).as("hi"))
+      d.select($"event_type",
+          explode(sequence($"day", date_add($"day", 6))).as("obs_day"),
+          $"user_id")
+        .crossJoin(broadcast(rng))
+        .filter($"obs_day".between($"lo", $"hi"))
+        .groupBy($"event_type", $"obs_day")
+        .agg(countDistinct($"user_id").as("u7"))
+        .select($"event_type",
+          date_format($"obs_day", "yyyy-MM-dd").as("obs_day"), $"u7")
+        .orderBy($"event_type", $"obs_day")
+    },
+    Some("""WITH d AS (
+           |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+           |  FROM events
+           |),
+           |rng AS (
+           |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+           |  FROM events
+           |),
+           |ex AS (
+           |  SELECT event_type,
+           |         CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
+           |              AS DATE) AS od,
+           |         user_id
+           |  FROM d
+           |)
+           |SELECT event_type, strftime(od, '%Y-%m-%d') AS obs_day,
+           |       count(DISTINCT user_id) AS u7
+           |FROM ex, rng WHERE od BETWEEN lo AND hi
+           |GROUP BY event_type, od
+           |ORDER BY event_type, od""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(ohlcBars, anomalyZscore, transitionMatrix, streamOhlcBars,
-    eventsRfm, eventsPaths)
+    eventsRfm, eventsPaths, windowRollingDistinct)
 }

@@ -1551,6 +1551,80 @@ object Relational {
     },
   )
 
+  /** Personalized PageRank (`PageRank.personalized`, 3 iterations)
+    * from a seed set of every 10th supplier over the same bipartite
+    * part↔supplier graph — ranks become proximity-to-seeds ("more
+    * like these" expansion) instead of global authority. Scaled-
+    * integer updates with seed-only teleport; the oracle unrolls the
+    * same three updates with the seed indicator folded into each CTE
+    * and must agree exactly on the top 20.
+    */
+  private val graphPpr = Q(
+    "q_graph_ppr",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val pairs = t.lineitem
+        .select(($"l_partkey" * 2).as("pn"), ($"l_suppkey" * 2 + 1).as("sn"))
+        .distinct()
+      val edges = pairs.select($"pn".as("src"), $"sn".as("dst"))
+        .union(pairs.select($"sn", $"pn"))
+      val seeds = t.supplier.filter($"s_suppkey" % 10 === 0)
+        .select(($"s_suppkey" * 2 + 1).as("node"))
+      graft.operators.PageRank.personalized(edges, seeds, "src", "dst", iters = 3)
+        .select(
+          $"node",
+          when($"node" % 2 === 0, "part").otherwise("supplier").as("kind"),
+          $"r".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"node")
+        .limit(20)
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node, CAST(sum(r.r // d.d) AS BIGINT) AS s
+           |  FROM edges e
+           |  JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst
+           |),
+           |r$i AS (
+           |  SELECT n.node, n.is_seed,
+           |         CAST(n.is_seed * 150000 +
+           |              (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM r0 n LEFT JOIN c$i c ON c.node = n.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS pn, l_suppkey * 2 + 1 AS sn FROM lineitem
+         |),
+         |edges AS (
+         |  SELECT pn AS src, sn AS dst FROM pairs
+         |  UNION ALL SELECT sn, pn FROM pairs
+         |),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+         |seeds AS (
+         |  SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+         |  WHERE s_suppkey % 10 = 0
+         |),
+         |r0 AS (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_seed,
+         |         CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1000000 END AS BIGINT) AS r
+         |  FROM (SELECT DISTINCT src AS node FROM edges
+         |        UNION SELECT DISTINCT dst FROM edges) n
+         |  LEFT JOIN seeds s ON s.node = n.node
+         |),
+         |$rounds
+         |SELECT node,
+         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+         |       r AS rank_scaled
+         |FROM r3
+         |ORDER BY rank_scaled DESC, node
+         |LIMIT 20""".stripMargin
+    },
+  )
+
   /** Z-order layout zone maps (`operators/Layout.scala`): events
     * range-normalized on (user_id, minute-of-day), Morton-interleaved,
     * and binned into 64 quadtree cells (top 6 z-bits — a narrow map,
@@ -2989,6 +3063,7 @@ object Relational {
     aggHllDistinct,
     aggHistogramQuantiles,
     graphPagerank,
+    graphPpr,
     layoutZorder,
     windowTopkPerGroup,
     streamHllDistinct,

@@ -1729,8 +1729,39 @@ object Similarity {
            |ORDER BY query_id""".stripMargin),
   )
 
+  /** Out-of-distribution scoring: the curation stage that flags the
+    * embeddings FARTHEST from every trained centroid — junk, encoding
+    * failures, or domain drift that no centroid represents. Reuses the
+    * k-means machinery verbatim (train = the already-oracled Lloyd
+    * loop); the OOD score is each vector's best-centroid cosine, and
+    * the output is the bottom-30 — a TakeOrdered prune, so the corpus
+    * never hits a global sort. At 100 TB the assignment is the same
+    * broadcast-centroids narrow pass the IVF index already pays.
+    */
+  private val embedOod = Q(
+    "q_embed_ood",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      VectorSim.kmeans(e, init, dims = 64, iters = 3)
+        .orderBy($"cos".asc, $"vec_id")
+        .limit(30)
+        .select($"vec_id", $"cent_id", $"cos")
+    },
+    Some(kmeansCtes(3) + """
+      |SELECT vec_id, cent_id, cos FROM assign2
+      |ORDER BY cos, vec_id
+      |LIMIT 30""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
       topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives,
-      rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify, embedIvfRecall)
+      rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify, embedIvfRecall,
+      embedOod)
 }

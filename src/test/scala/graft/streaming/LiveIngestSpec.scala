@@ -131,58 +131,85 @@ class LiveIngestSpec extends AnyFunSuite {
         side = null, price = null, size = null,
         asks = asks, bids = bids, changes = changes)
 
-    val input = MemoryStream[FeedMsg]
-    // NOTE: with ProcessingTimeTimeout the engine keeps running no-data
-    // batches to fire pending timeouts (shouldRunAnotherBatch == true),
-    // so `processAllAvailable` can never observe "no new data" — poll
-    // the sink row count instead, and give the spin a real cadence.
-    val query = StreamingReplay
-      .ticksStream(input.toDS(), stateTtl = Some("2 seconds"))
-      .writeStream.format("memory").queryName("ttl_evict_test")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
-      .start()
-    def awaitRows(n: Long): Unit = {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (s.table("ttl_evict_test").count() < n) {
-        assert(System.nanoTime() < deadline, s"timed out waiting for $n sink rows")
-        assert(query.exception.isEmpty, s"query died: ${query.exception}")
-        Thread.sleep(50)
+    // The live asset's survival leg depends on wall-clock: the diff
+    // batch must be PROCESSED within B1's 2 s TTL of its snapshot. A
+    // co-tenant stall (observed up to ~8 s on this host) legitimately
+    // evicts B1 too — that is the TTL doing its job, not a bug. Detect
+    // exactly that race (B1 evicted AND the window measurably blew past
+    // the TTL) and retry; a B1 eviction WITHOUT a stall still fails.
+    def attempt(round: Int): Either[String, Unit] = {
+      val sink = s"ttl_evict_test_$round"
+      val input = MemoryStream[FeedMsg]
+      // NOTE: with ProcessingTimeTimeout the engine keeps running
+      // no-data batches to fire pending timeouts (shouldRunAnotherBatch
+      // == true), so `processAllAvailable` can never observe "no new
+      // data" — poll the sink row count instead, with a real cadence.
+      val query = StreamingReplay
+        .ticksStream(input.toDS(), stateTtl = Some("2 seconds"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (s.table(sink).count() < n) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $n sink rows")
+          assert(query.exception.isEmpty, s"query died: ${query.exception}")
+          Thread.sleep(50)
+        }
+      }
+
+      // batch 1: A1 (soon dead) gets a populated book
+      input.addData(m(0, "A1", "book",
+        asks = Seq(Level("0.60", "10")), bids = Seq(Level("0.50", "20"))))
+      awaitRows(2)
+      // let A1's TTL lapse (spin batches fire the timeout and REMOVE
+      // A1's book, emitting nothing), then land the live snapshot
+      Thread.sleep(6000)
+      val t0 = System.nanoTime()
+      input.addData(m(1, "B1", "book",
+        asks = Seq(Level("0.70", "1")), bids = Seq(Level("0.30", "2"))))
+      awaitRows(4)
+      // immediately (inside B1's fresh TTL): a diff for each asset.
+      // A1 folds against a FRESH empty book (bid side (0,0) — the old
+      // 0.50 bid is gone); B1 folds against its surviving book.
+      input.addData(
+        m(2, "A1", "price_change", changes = Seq(Change("0.55", "5", "SELL"))),
+        m(3, "B1", "price_change", changes = Seq(Change("0.30", "0", "BUY"))))
+      awaitRows(8)
+      query.stop()
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+
+      val out = s.table(sink).as[graft.model.Tick]
+        .collect().toSeq.sortBy(t => (t.line_no, t.emit_idx))
+        .map(t => (t.asset, t.kind, t.side, t.price, t.size))
+      val b1Evicted = out.lift(6).contains(("B1", "BBO", "ASK", 0.0, 0.0))
+      if (b1Evicted && elapsedMs > 1800)
+        Left(s"host stall: snapshot->diff window took $elapsedMs ms, " +
+          "past the 2 s TTL — B1's eviction is correct TTL behavior")
+      else {
+        assert(out == Seq(
+          ("A1", "BBO", "ASK", 0.60, 10.0),
+          ("A1", "BBO", "BID", 0.50, 20.0),
+          ("B1", "BBO", "ASK", 0.70, 1.0),
+          ("B1", "BBO", "BID", 0.30, 2.0),
+          ("A1", "BBO", "ASK", 0.55, 5.0),
+          ("A1", "BBO", "BID", 0.0, 0.0), // evicted: pre-TTL 0.50 bid NOT visible
+          ("B1", "BBO", "ASK", 0.7, 1.0),
+          ("B1", "BBO", "BID", 0.0, 0.0), // survived: diff deleted the live bid
+        ))
+        Right(())
       }
     }
-
-    // batch 1: A1 (soon dead) gets a populated book
-    input.addData(m(0, "A1", "book",
-      asks = Seq(Level("0.60", "10")), bids = Seq(Level("0.50", "20"))))
-    awaitRows(2)
-    // let A1's TTL lapse (spin batches fire the timeout and REMOVE A1's
-    // book, emitting nothing), then land the live asset's snapshot
-    Thread.sleep(6000)
-    input.addData(m(1, "B1", "book",
-      asks = Seq(Level("0.70", "1")), bids = Seq(Level("0.30", "2"))))
-    awaitRows(4)
-    // immediately (inside B1's fresh TTL): a diff for each asset.
-    // A1 folds against a FRESH empty book (bid side (0,0) — the old
-    // 0.50 bid is gone); B1 folds against its surviving book.
-    input.addData(
-      m(2, "A1", "price_change", changes = Seq(Change("0.55", "5", "SELL"))),
-      m(3, "B1", "price_change", changes = Seq(Change("0.30", "0", "BUY"))))
-    awaitRows(8)
-    query.stop()
-
-    val out = s.table("ttl_evict_test").as[graft.model.Tick]
-      .collect().toSeq.sortBy(t => (t.line_no, t.emit_idx))
-      .map(t => (t.asset, t.kind, t.side, t.price, t.size))
-    assert(out == Seq(
-      ("A1", "BBO", "ASK", 0.60, 10.0),
-      ("A1", "BBO", "BID", 0.50, 20.0),
-      ("B1", "BBO", "ASK", 0.70, 1.0),
-      ("B1", "BBO", "BID", 0.30, 2.0),
-      ("A1", "BBO", "ASK", 0.55, 5.0),
-      ("A1", "BBO", "BID", 0.0, 0.0), // evicted: pre-TTL 0.50 bid NOT visible
-      ("B1", "BBO", "ASK", 0.70, 1.0),
-      ("B1", "BBO", "BID", 0.0, 0.0), // survived: diff deleted the live bid
-    ))
+    var round = 1
+    var done = false
+    while (!done) {
+      attempt(round) match {
+        case Right(())              => done = true
+        case Left(msg) if round < 3 => info(s"retrying ($msg)"); round += 1
+        case Left(msg)              => fail(s"3 stalled attempts: $msg")
+      }
+    }
   }
 
   test("fileHour bucket is UTC regardless of session timezone; " +

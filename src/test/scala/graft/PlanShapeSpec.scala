@@ -559,6 +559,46 @@ class PlanShapeSpec extends AnyFunSuite {
       s"modularity degenerated to all-pairs:\n$p")
   }
 
+  test("point-in-time join: SCD2 build and the as-of lookup share ONE " +
+    "key partitioning each (the dedup window and valid_to lead ride the " +
+    "SCD exchange); no per-row interval scan anywhere") {
+    val p = physical(SparkEntry.queries("q_join_point_in_time")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"PIT lookup degenerated to an interval scan:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2,
+      s"SCD build or as-of paid extra shuffles:\n$p")
+  }
+
+  test("rolling distinct: the day replication is a bounded Generate " +
+    "(never an Expand or a join to a spine), the range clip is a " +
+    "broadcast scalar row, and the distinct count is the standard " +
+    "two-phase rewrite — three hash exchanges total") {
+    val p = physical(SparkEntry.queries("q_window_rolling_distinct")(spark, dir))
+    assert(p.contains("Generate explode(sequence"),
+      s"day replication is not a bounded generator:\n$p")
+    assert(!p.contains("Expand"), s"distinct-count grew an Expand:\n$p")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 3,
+      s"expected dedup + partial-distinct + final exchanges only:\n$p")
+  }
+
+  test("personalized PageRank: every iteration is an edge equi-join " +
+    "(never node×node) and the top-20 cut is a TakeOrderedAndProject") {
+    val p = physical(SparkEntry.queries("q_graph_ppr")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"an iteration degenerated to all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 20 did not prune below a global sort:\n$p")
+  }
+
+  test("embedding OOD: the bottom-30 cut is a TakeOrderedAndProject " +
+    "over the centroid assignment — the corpus never hits a global sort") {
+    val p = physical(SparkEntry.queries("q_embed_ood")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 30 did not prune below a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"assignment degenerated past the broadcast-centroids pass:\n$p")
+  }
+
   test("matryoshka rerank: the coarse stage's only unbounded pairing is " +
     "the broadcast query side, and both rank cuts prune per query " +
     "partition (row_number windows), never a global sort") {

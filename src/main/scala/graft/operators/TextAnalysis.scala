@@ -515,6 +515,82 @@ object TextAnalysis {
     * The scored table is persisted across its two consumers (histogram
     * + final labeling).
     */
+  /** Trigram "stupid backoff" scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the scoring rule built
+    * FOR distributed count tables: no normalization pass, no discount
+    * estimation, a fixed 0.4 penalty per backoff level; what web-scale
+    * pipelines use when a KenLM fit is too expensive). Per doc trigram
+    * (w1,w2,w3):
+    *
+    *   S = c123/c12           if the trigram is in the model
+    *     | 0.4 · c23/c2       else if the (w2,w3) bigram is
+    *     | 0.4² · c3/N        else (0 when w3 itself is unseen)
+    *
+    * Integer contract (same discipline as [[bigramModelScore]]):
+    * probabilities quantize to parts-per-`scale` with `div`, the 0.4
+    * factors are ·2 div 5 (·4 div 25 at two levels), and the doc score
+    * is the tf-weighted integer mean — bit-identical in any engine.
+    *
+    * Scale shape: EVERY count table — c123 and all four marginals plus
+    * the scalar N — derives from one persisted trigram rollup of the
+    * reference (marginals are combinable sums of c123, so the model
+    * fit is a single pass over ref, single shuffle, then small
+    * rollups). Scoring is key equi-joins of the per-doc DISTINCT
+    * trigram table against the model tables; AQE broadcasts the
+    * marginals when small. The derived-marginal convention (bigram
+    * counts = trigram-prefix/suffix occurrence sums) guarantees
+    * c123 ≤ c12 and c23 ≤ c2, so every score stays in [0, scale].
+    * Output: (doc_id, n_trigrams, n_hit3, n_hit2, avg_ppm).
+    */
+  def stupidBackoffScore(
+      docs: DataFrame, ref: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1000, s"scale must be >= 1000 (got $scale)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = $"ws"
+    val grams = transform(
+      sequence(lit(1), size(ws) - 2),
+      i => struct(
+        element_at(ws, i).as("w1"),
+        element_at(ws, i + 1).as("w2"),
+        element_at(ws, i + 2).as("w3")))
+    def trigrams(df: DataFrame): DataFrame = df
+      .select($"doc_id", Cols.materialized(split($"text", " ")).as("ws"))
+      .filter(size(ws) >= 3)
+      .select($"doc_id", explode(grams).as("g"))
+      .select($"doc_id", $"g.w1".as("w1"), $"g.w2".as("w2"), $"g.w3".as("w3"))
+    val c123 = trigrams(ref).groupBy($"w1", $"w2", $"w3")
+      .agg(count(lit(1)).as("c123"))
+      .persist() // six consumers: the four marginals, N, the score join
+    val c12 = c123.groupBy($"w1", $"w2").agg(sum($"c123").as("c12"))
+    val c23 = c123.groupBy($"w2", $"w3").agg(sum($"c123").as("c23"))
+    val c2 = c123.groupBy($"w2").agg(sum($"c123").as("c2"))
+    val c3 = c123.groupBy($"w3").agg(sum($"c123").as("c3"))
+    val n = c123.agg(sum($"c123").as("n"))
+    val dg = trigrams(docs)
+      .groupBy($"doc_id", $"w1", $"w2", $"w3").agg(count(lit(1)).as("tf"))
+    dg
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"tf", $"c123", $"c23",
+        expr(s"""CASE
+          WHEN c123 IS NOT NULL THEN ($scale * c123) div c12
+          WHEN c23 IS NOT NULL THEN (2 * (($scale * c23) div c2)) div 5
+          ELSE (4 * (($scale * coalesce(c3, 0)) div n)) div 25
+        END""").as("p_ppm"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").as("n_trigrams"),
+        sum(when($"c123".isNotNull, $"tf").otherwise(0L)).as("n_hit3"),
+        sum(when($"c123".isNull && $"c23".isNotNull, $"tf").otherwise(0L))
+          .as("n_hit2"),
+        expr("sum(tf * p_ppm) div sum(tf)").as("avg_ppm"))
+  }
+
   /** The train/score core [[lmScore]] and [[importanceWeights]] share:
     * fit the add-one-smoothed bigram model on `ref`, score every doc in
     * `docs`. Output: (doc_id, n_bigrams, n_unseen, avg_ppm) — see

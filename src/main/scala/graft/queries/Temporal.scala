@@ -389,6 +389,58 @@ object Temporal {
            |ORDER BY b.asset, b.k""".stripMargin),
   )
 
+  /** As-of with tolerance (pandas `merge_asof(tolerance=...)`, kdb
+    * `wj` windows): a backward match older than the staleness bound is
+    * DISCARDED, not used — the guard every live pricing join needs so
+    * a halted instrument's last quote doesn't price today's trade.
+    * Composed as backward as-of + a null-out projection on key
+    * distance: correct because any quote older than the nearest-behind
+    * one is farther, so "nearest-behind within tolerance" ≡
+    * "nearest-behind, nulled if stale" — no second join, no range
+    * scan. The oracle instead puts the tolerance INSIDE its join
+    * predicate (`q.k BETWEEN t.k - 24 AND t.k`) — independent
+    * formulation, same hash.
+    */
+  private val joinAsofTolerance = Q(
+    "q_join_asof_tolerance",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", pmod($"user_id", lit(16)).as("asset"))
+      val quotes = ev.filter($"event_id" % 5 =!= 0)
+        .select($"asset", $"event_id".as("k"),
+          $"event_id".as("quote_id"),
+          pmod($"event_id" * 31, lit(1000)).as("quote_val"))
+      val trades = ev.filter($"event_id" % 5 === 0)
+        .select($"asset", $"event_id".as("k"),
+          pmod($"event_id" * 7, lit(500)).as("trade_val"))
+      val fresh = $"quote_id".isNotNull && ($"k" - $"quote_id") <= 24
+      TemporalJoins.asOfJoin(trades, quotes, keys = Seq("asset"),
+          tsCol = "k", how = "left")
+        .select($"asset", $"k", $"trade_val",
+          when(fresh, $"quote_id").as("quote_id"),
+          when(fresh, $"quote_val").as("quote_val"))
+        .orderBy($"asset", $"k")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id % 16 AS asset FROM events),
+           |quotes AS (
+           |  SELECT asset, event_id AS k, event_id AS quote_id,
+           |         (event_id * 31) % 1000 AS quote_val
+           |  FROM ev WHERE event_id % 5 <> 0
+           |),
+           |trades AS (
+           |  SELECT asset, event_id AS k, (event_id * 7) % 500 AS trade_val
+           |  FROM ev WHERE event_id % 5 = 0
+           |)
+           |SELECT t.asset, t.k, t.trade_val,
+           |       max_by(q.quote_id, q.k) AS quote_id,
+           |       max_by(q.quote_val, q.k) AS quote_val
+           |FROM trades t LEFT JOIN quotes q
+           |  ON q.asset = t.asset AND q.k BETWEEN t.k - 24 AND t.k
+           |GROUP BY t.asset, t.k, t.trade_val
+           |ORDER BY t.asset, t.k""".stripMargin),
+  )
+
   /** Point-in-time (PIT) dimension join — the lookup SCD2 exists for:
     * each fact row picks up the dimension version that was valid AT its
     * own timestamp. Dim = SCD2 intervals built from every 3rd event's
@@ -470,5 +522,5 @@ object Temporal {
   val all: Seq[Q] =
     Seq(joinAsof, joinAsofForward, joinAsofLeft, joinRange, scd2Intervals,
       eventsDecayedScore, joinIntervalOverlap, joinAsofNearest,
-      joinPointInTime)
+      joinAsofTolerance, joinPointInTime)
 }

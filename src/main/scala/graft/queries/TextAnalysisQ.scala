@@ -525,6 +525,65 @@ object TextAnalysisQ {
        |  FROM ${p}p GROUP BY doc_id
        |)""".stripMargin
 
+  /** Trigram stupid-backoff scoring (`TextAnalysis.stupidBackoffScore`
+    * — Brants et al.'s web-scale no-normalization rule): model = one
+    * trigram rollup of the every-5th-doc reference slice, all marginals
+    * derived from it; scoring = key equi-joins, backoff arithmetic in
+    * exact ppm integers (0.4 ≡ ·2 div 5). The oracle rebuilds the same
+    * tables and must agree doc-for-doc on counts AND scores.
+    */
+  private val lmBackoff = Q(
+    "q_text_lm_backoff",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      TextAnalysis
+        .stupidBackoffScore(docs, docs.filter($"doc_id" % 5 === 0))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |tg AS (
+           |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+           |  FROM tws, unnest(range(1, len(ws) - 1)) AS t(i)
+           |  WHERE len(ws) >= 3
+           |),
+           |dg AS (
+           |  SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf
+           |  FROM tg GROUP BY doc_id, w1, w2, w3
+           |),
+           |c123 AS (
+           |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+           |  FROM tg WHERE doc_id % 5 = 0 GROUP BY w1, w2, w3
+           |),
+           |c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM c123 GROUP BY w1, w2),
+           |c23 AS (SELECT w2, w3, CAST(sum(c123) AS BIGINT) AS c23 FROM c123 GROUP BY w2, w3),
+           |c2 AS (SELECT w2, CAST(sum(c123) AS BIGINT) AS c2 FROM c123 GROUP BY w2),
+           |c3 AS (SELECT w3, CAST(sum(c123) AS BIGINT) AS c3 FROM c123 GROUP BY w3),
+           |n AS (SELECT CAST(sum(c123) AS BIGINT) AS n FROM c123),
+           |p AS (
+           |  SELECT d.doc_id, d.tf, t.c123, b.c23,
+           |         CASE
+           |           WHEN t.c123 IS NOT NULL THEN (1000000 * t.c123) // p2.c12
+           |           WHEN b.c23 IS NOT NULL THEN (2 * ((1000000 * b.c23) // u.c2)) // 5
+           |           ELSE (4 * ((1000000 * coalesce(s3.c3, 0)) // nn.n)) // 25
+           |         END AS p_ppm
+           |  FROM dg d
+           |  LEFT JOIN c123 t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+           |  LEFT JOIN c12 p2 ON d.w1 = p2.w1 AND d.w2 = p2.w2
+           |  LEFT JOIN c23 b ON d.w2 = b.w2 AND d.w3 = b.w3
+           |  LEFT JOIN c2 u ON d.w2 = u.w2
+           |  LEFT JOIN c3 s3 ON d.w3 = s3.w3
+           |  CROSS JOIN n nn
+           |)
+           |SELECT doc_id,
+           |       CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           |       CAST(sum(CASE WHEN c123 IS NOT NULL THEN tf ELSE 0 END) AS BIGINT) AS n_hit3,
+           |       CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NOT NULL THEN tf ELSE 0 END) AS BIGINT) AS n_hit2,
+           |       CAST(sum(tf * p_ppm) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS avg_ppm
+           |FROM p GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   private val lmScore = Q(
     "q_text_lm_score",
     (s, dir) => {
@@ -1238,7 +1297,7 @@ object TextAnalysisQ {
   val all: Seq[Q] =
     Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
       decontaminateFuzzy,
-      rareBigrams, lmScore, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
+      rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, lengthBatching)
 }

@@ -599,6 +599,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"assignment degenerated past the broadcast-centroids pass:\n$p")
   }
 
+  test("stupid backoff: the trigram model is a persisted table with " +
+    "combinable marginal rollups — scoring never leaves key equi-joins") {
+    val p = physical(SparkEntry.queries("q_text_lm_backoff")(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"c123 not persisted — ref would re-tokenize per marginal:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop") ||
+      countOccurrences(p, "BroadcastNestedLoopJoin") == 1, // the 1-row N
+      s"a model join degenerated:\n$p")
+  }
+
+  test("as-of with tolerance: still the single union+window rewrite — " +
+    "the staleness bound adds a projection, not a join") {
+    val p = physical(SparkEntry.queries("q_join_asof_tolerance")(spark, dir))
+    assert(countOccurrences(p, "Window ") == 1 && !p.contains("Join"),
+      s"tolerance grew a join or second window:\n$p")
+  }
+
   test("matryoshka rerank: the coarse stage's only unbounded pairing is " +
     "the broadcast query side, and both rank cuts prune per query " +
     "partition (row_number windows), never a global sort") {

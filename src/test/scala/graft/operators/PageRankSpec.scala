@@ -39,6 +39,30 @@ class PageRankSpec extends AnyFunSuite {
     assert(r1(1L) == 150000L + 85L * 3000000L / 100L)
   }
 
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    PageRank.personalized(edges.toDF("src", "dst"),
+        seeds.toDF("node"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("personalized: seed-only teleport on a 2-cycle, hand-unrolled") {
+    // seeds={1}: r0 = (10^6, 0)
+    // i1: r1 = 150000 + 85·0/100 = 150000;      r2 = 0 + 85·10^6/100 = 850000
+    // i2: r1 = 150000 + 85·850000/100 = 872500; r2 = 0 + 85·150000/100 = 127500
+    // i3: r1 = 150000 + 85·127500/100 = 258375; r2 = 0 + 85·872500/100 = 741625
+    assert(ppr(Seq(1L -> 2L, 2L -> 1L), Seq(1L), 3) ==
+      Map(1L -> 258375L, 2L -> 741625L))
+  }
+
+  test("personalized: mass never reaches a component disconnected from " +
+    "the seeds — its ranks are exactly zero, not the teleport floor") {
+    val r = ppr(Seq(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L), Seq(1L), 3)
+    assert(r(3L) == 0L && r(4L) == 0L)
+    assert(r(1L) == 258375L && r(2L) == 741625L) // same as the 2-cycle alone
+  }
+
   test("result is independent of edge partitioning") {
     import spark.implicits._
     val edges = (1L to 40L).map(i => i -> (i % 7 + 1))

@@ -1425,10 +1425,10 @@ object Relational {
   /** bucket / 51-bit tail / capped rank from an fnv63 BIGINT column —
     * the DuckDB side of the register derivation in `HllSketch.update`.
     */
-  private def fnv63Bucket(h: String): String = s"$h >> 51"
-  private def fnv63Tail(h: String): String =
+  private[queries] def fnv63Bucket(h: String): String = s"$h >> 51"
+  private[queries] def fnv63Tail(h: String): String =
     s"($h & ((CAST(1 AS BIGINT) << 51) - 1))"
-  private def fnv63RankOf(v: String): String =
+  private[queries] def fnv63RankOf(v: String): String =
     s"least(CASE WHEN $v = 0 THEN 52 ELSE 52 - length(bin($v)) END, 30)"
 
   /** Approximate distinct users per event type through the native

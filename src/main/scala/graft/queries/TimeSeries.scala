@@ -422,6 +422,80 @@ object TimeSeries {
            |ORDER BY event_type, od""".stripMargin),
   )
 
+  /** The 100-TB path for rolling distinct: the same trailing-7-day
+    * metric through the native `hll_distinct` sketch instead of the
+    * exact rewrite. Sketches absorb duplicates, so the per-day dedup
+    * shuffle disappears ENTIRELY — raw events expand onto their ≤7
+    * observation days and fold in ONE aggregation whose partial state
+    * is a fixed 4 KiB register array per (type, day); the exchange
+    * moves O(groups × 4 KiB) no matter how many events flow in
+    * (vs the exact form's full (type, day, user) row stream). Output
+    * exposes the register-exact fields so the DuckDB oracle must
+    * reproduce every register, not just land near the estimate.
+    */
+  private val windowRollingDistinctHll = Q(
+    "q_window_rolling_distinct_hll",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val rng = ev.agg(to_date(min($"ts")).as("lo"), to_date(max($"ts")).as("hi"))
+      ev.select($"event_type",
+          explode(sequence(to_date($"ts"), date_add(to_date($"ts"), 6)))
+            .as("obs_day"),
+          $"user_id")
+        .crossJoin(broadcast(rng))
+        .filter($"obs_day".between($"lo", $"hi"))
+        .groupBy($"event_type", $"obs_day")
+        .agg(graft.functions.HllSketch.sketch(s, $"user_id".cast("string")).as("hll"))
+        .select($"event_type",
+          date_format($"obs_day", "yyyy-MM-dd").as("obs_day"),
+          $"hll.nonzero_buckets".as("nonzero_buckets"),
+          $"hll.register_sum_scaled".as("register_sum_scaled"),
+          round($"hll.estimate", 4).as("u7_estimate"))
+        .orderBy($"event_type", $"obs_day")
+    },
+    Some(s"""WITH h AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |         ${Relational.fnv63Sql("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM events
+           |),
+           |rng AS (
+           |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+           |  FROM events
+           |),
+           |ex AS (
+           |  SELECT event_type,
+           |         CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
+           |              AS DATE) AS od,
+           |         h
+           |  FROM h
+           |),
+           |rb AS (
+           |  SELECT event_type, od,
+           |         ${Relational.fnv63Bucket("h")} AS bucket,
+           |         ${Relational.fnv63Tail("h")} AS v
+           |  FROM ex, rng WHERE od BETWEEN lo AND hi
+           |),
+           |regs AS (
+           |  SELECT event_type, od, bucket,
+           |         max(${Relational.fnv63RankOf("v")}) AS r
+           |  FROM rb GROUP BY event_type, od, bucket
+           |),
+           |agg AS (
+           |  SELECT event_type, od,
+           |         CAST(count(*) AS BIGINT) AS nonzero_buckets,
+           |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+           |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+           |  FROM regs GROUP BY event_type, od
+           |)
+           |SELECT event_type, strftime(od, '%Y-%m-%d') AS obs_day,
+           |       nonzero_buckets, register_sum_scaled,
+           |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+           |             (register_sum_scaled / 1073741824.0), 4) AS u7_estimate
+           |FROM agg
+           |ORDER BY event_type, od""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(ohlcBars, anomalyZscore, transitionMatrix, streamOhlcBars,
-    eventsRfm, eventsPaths, windowRollingDistinct)
+    eventsRfm, eventsPaths, windowRollingDistinct, windowRollingDistinctHll)
 }

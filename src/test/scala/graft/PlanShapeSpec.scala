@@ -581,6 +581,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected dedup + partial-distinct + final exchanges only:\n$p")
   }
 
+  test("rolling distinct via HLL: the dedup shuffle is GONE — one hash " +
+    "exchange total, carrying fixed 4 KiB sketch states per (type, day)") {
+    val p = physical(SparkEntry.queries("q_window_rolling_distinct_hll")(spark, dir))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"sketch rollup paid more than the single aggregation exchange:\n$p")
+    assert(p.contains("partial_hll_distinct"),
+      s"no map-side partial sketch before the exchange:\n$p")
+    assert(!p.contains("Expand"), s"an Expand appeared:\n$p")
+  }
+
   test("personalized PageRank: every iteration is an edge equi-join " +
     "(never node×node) and the top-20 cut is a TakeOrderedAndProject") {
     val p = physical(SparkEntry.queries("q_graph_ppr")(spark, dir))

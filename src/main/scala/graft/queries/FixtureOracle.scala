@@ -312,4 +312,31 @@ object FixtureOracle {
        |FROM read_parquet('${glob(fixtureMarketsPath)}')
        |WHERE enable_order_book AND accepting_orders AND NOT archived AND NOT closed
        |ORDER BY condition_id, token_id""".stripMargin
+
+  /** F7 oracle (q_markets_token_ids): the bare token-id projection the
+    * collector subscribes with (`collector/src/lib.rs:74-79`) — active
+    * markets' token ids, nothing else.
+    */
+  def marketsTokenIdsSql: String =
+    s"""SELECT token_id
+       |FROM read_parquet('${glob(fixtureMarketsPath)}')
+       |WHERE enable_order_book AND accepting_orders AND NOT archived AND NOT closed
+       |ORDER BY token_id""".stripMargin
+
+  /** O3 oracle (q_cli_file_choice): earliest/latest hour-file selection
+    * (`cli/src/main.rs:180-185`) with each chosen file's known feed
+    * message count, from the structured dump's file_hour key.
+    */
+  def fileChoiceSql: String =
+    s"""WITH h AS (
+       |  SELECT file_hour, count(*) AS n
+       |  FROM read_parquet('${glob(fixtureMsgsPath)}')
+       |  GROUP BY file_hour
+       |),
+       |b AS (SELECT min(file_hour) AS lo, max(file_hour) AS hi FROM h)
+       |SELECT m.mode, f.file_hour, CAST(f.n AS BIGINT) AS n_feed_msgs
+       |FROM (VALUES ('earliest'), ('latest')) m(mode)
+       |JOIN b ON TRUE
+       |JOIN h f ON f.file_hour = CASE m.mode WHEN 'earliest' THEN b.lo ELSE b.hi END
+       |ORDER BY m.mode""".stripMargin
 }

@@ -654,8 +654,82 @@ object Replay {
     Some(FixtureOracle.tickTwaSpreadSql),
   )
 
+  /** K2 under the gate (VERDICT r5 #3): the fixture frames pushed
+    * through the rotating zstd-JSONL sink (`Sinks.writeFramesJsonlZst`,
+    * hourly rotation per `collector/src/main.rs:137-183`), then the
+    * WRITTEN files re-scanned, re-parsed, and replayed from scratch.
+    * Hash-matching the same independent DuckDB oracle as
+    * q_replay_fixture_ticks proves the sink's output is
+    * byte-format-compatible with the collector's log: every frame
+    * variant (feed, dimension, operational, keepalive) survives the
+    * round trip in arrival order, or the re-assigned line numbers —
+    * and with them the fold's total order — would drift and break the
+    * hash.
+    */
+  private val sinkJsonlRoundtrip = Q(
+    "q_sink_jsonl_roundtrip",
+    (s, _) => {
+      FixtureOracle.ensureDumps(s)
+      val paths = FixtureLog.write(fixtureSpec)
+      val outDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_sink_jsonl_roundtrip").getPath
+      graft.sources.Sinks.writeFramesJsonlZst(
+        RawLogSource.frames(s, paths), outDir)
+      val rewritten = RawLogSource.discover(outDir)
+      require(rewritten.size == paths.size,
+        s"jsonl sink round-trip: wrote ${rewritten.size} hour files, expected ${paths.size}")
+      BookReplay.referenceTicks(
+        RawLogSource.feedMessages(RawLogSource.frames(s, rewritten)))
+    },
+    Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
+  )
+
+  /** F7 under the gate: the bare token→id projection the collector
+    * derives its subscription list from (`collector/src/lib.rs:74-79`)
+    * — active markets only, token ids only.
+    */
+  private val marketsTokenIds = Q(
+    "q_markets_token_ids",
+    (s, _) => {
+      import s.implicits._
+      FixtureOracle.ensureDumps(s)
+      val paths = FixtureLog.write(fixtureSpec)
+      val frames = RawLogSource.frames(s, paths.take(1))
+      MarketsDim
+        .tokenDim(MarketsDim.activeMarkets(MarketsDim.markets(frames)))
+        .select($"token_id")
+        .orderBy($"token_id")
+    },
+    Some(FixtureOracle.marketsTokenIdsSql),
+  )
+
+  /** O3 under the gate: earliest-vs-latest hour-file selection over the
+    * sorted discovery listing (`cli/src/main.rs:180-185` — a requested
+    * range reads the earliest file, no range reads the latest), proven
+    * non-vacuously by counting each chosen file's parsed feed messages.
+    */
+  private val cliFileChoice = Q(
+    "q_cli_file_choice",
+    (s, _) => {
+      import s.implicits._
+      FixtureOracle.ensureDumps(s)
+      FixtureLog.write(fixtureSpec)
+      val files = RawLogSource.discover(fixtureSpec.dir)
+      def countIn(path: String): Long =
+        RawLogSource.feedMessages(RawLogSource.frames(s, Seq(path))).count()
+      Seq(
+        ("earliest", RawLogSource.fileHourOf(files.head), countIn(files.head)),
+        ("latest", RawLogSource.fileHourOf(files.last), countIn(files.last)),
+      ).toDF("mode", "file_hour", "n_feed_msgs").orderBy($"mode")
+    },
+    Some(FixtureOracle.fileChoiceSql),
+  )
+
   val all: Seq[Q] = Seq(
     streamIngestMetrics,
+    sinkJsonlRoundtrip,
+    marketsTokenIds,
+    cliFileChoice,
     tickTradesBbo,
     tickTwaSpread,
     tickVwap,

@@ -82,4 +82,41 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(bfs(g, seed = 1L) ===
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  // —— second-formulation cross-checks (VERDICT r5 #2): the gate oracle
+  // used to mirror the degree-ordered orientation step-for-step, so a
+  // shared formulation bug would have passed both sides. These pin the
+  // algorithm against closed forms and an INDEPENDENT brute-force
+  // counter that never orients anything.
+
+  test("K7 closed form: every node sits in C(6,2) = 15 triangles") {
+    val k7 = for (a <- 1L to 7L; b <- (a + 1) to 7L) yield (a, b)
+    assert(tri(k7) === (1L to 7L).map(_ -> 15L).toMap)
+  }
+
+  test("complete bipartite K_{3,4} is triangle-free") {
+    val g = for (a <- 1L to 3L; b <- 11L to 14L) yield (a, b)
+    assert(tri(g) === Map.empty)
+  }
+
+  test("random graphs match a brute-force triple-enumeration counter") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 8
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.18
+      } yield (a, b)).toSeq
+      // independent formulation: no orientation, no joins — literal
+      // "for every unordered triple, are all three edges present"
+      val es = edges.toSet
+      def adj(a: Long, b: Long) = es((a min b, a max b))
+      val expected = (for {
+        a <- 1L to n; b <- (a + 1) to n; c <- (b + 1) to n
+        if adj(a, b) && adj(b, c) && adj(a, c)
+        node <- Seq(a, b, c)
+      } yield node).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(tri(edges) === expected, s"trial $trial, n=$n, |E|=${edges.size}")
+    }
+  }
 }

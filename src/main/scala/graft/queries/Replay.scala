@@ -725,8 +725,69 @@ object Replay {
     Some(FixtureOracle.fileChoiceSql),
   )
 
+  /** Exactly-once for the K2-equivalent FILE SINK under an injected
+    * crash (VERDICT r5 #5; q_stream_checkpoint_resume covers the
+    * query/state side — this covers the collector's rotating log
+    * itself, `collector/src/main.rs:137-210`). A checkpointed
+    * streaming ingest writes hour-rotated raw-frame files via
+    * `FrameSink` (idempotent per-(hour,batch) files); the first
+    * incarnation is CRASHED at the worst point — batch 1's output
+    * fully on disk, checkpoint not yet committed — and a second
+    * incarnation resumes from the same checkpoint, replaying batch 1
+    * over its own leftovers. The written log is then re-scanned and
+    * fully REPLAYED against the same independent oracle as
+    * q_replay_fixture_ticks: a duplicated frame (append instead of
+    * idempotent overwrite), a lost frame, or a reordering all break
+    * the hash.
+    */
+  private val streamSinkExactlyOnce = Q(
+    "q_stream_sink_exactly_once",
+    (s, _) => {
+      FixtureOracle.ensureDumps(s)
+      FixtureLog.write(FixtureOracle.streamSpec)
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_stream_sink_gate")
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
+      val outDir = new java.io.File(base, "out").getPath
+      val ckpt = new java.io.File(base, "ckpt").getPath
+      // one source file per micro-batch → 3 batches over the 3 fixture
+      // hours, so the crash point sits between committed batches
+      def lines = s.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "1")
+        .text(FixtureOracle.streamSpec.dir).toDF()
+      val crashed =
+        try {
+          graft.streaming.FrameSink
+            .start(lines, outDir, ckpt, failAfterBatch = Some(1L))
+            .awaitTermination()
+          false
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            // only the INJECTED crash counts; a genuine failure in the
+            // sink path must not be silently retried into a pass
+            val chain = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null)
+              .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+            require(chain.contains("graft-injected"),
+              s"unexpected streaming failure (not the injected crash): $chain")
+            true
+        }
+      require(crashed,
+        "injected crash did not surface — the failure path was not exercised")
+      graft.streaming.FrameSink.start(lines, outDir, ckpt, None)
+        .awaitTermination()
+      val files = RawLogSource.discover(outDir)
+      require(files.size == FixtureOracle.streamSpec.nFiles,
+        s"exactly-once sink: ${files.size} hour files, expected ${FixtureOracle.streamSpec.nFiles}")
+      BookReplay.referenceTicks(
+        RawLogSource.feedMessages(RawLogSource.frames(s, files)))
+    },
+    Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
+  )
+
   val all: Seq[Q] = Seq(
     streamIngestMetrics,
+    streamSinkExactlyOnce,
     sinkJsonlRoundtrip,
     marketsTokenIds,
     cliFileChoice,

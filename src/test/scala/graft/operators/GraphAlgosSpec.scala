@@ -119,4 +119,39 @@ class GraphAlgosSpec extends AnyFunSuite {
       assert(tri(edges) === expected, s"trial $trial, n=$n, |E|=${edges.size}")
     }
   }
+
+  test("k-core on random graphs matches an independent sequential peeler") {
+    // mutable adjacency-set peeling — one node at a time, no rounds,
+    // no joins — vs the operator's synchronized round-based peel; the
+    // fixpoint (and in-core degrees) must agree regardless
+    def seqPeel(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      edges.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+        adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+      }
+      var changed = true
+      while (changed) {
+        changed = false
+        adj.keys.toSeq.foreach { n =>
+          if (adj.contains(n) && adj(n).size < k) {
+            adj(n).foreach(m => adj(m) -= n)
+            adj -= n
+            changed = true
+          }
+        }
+      }
+      adj.map { case (n, s) => n -> s.size.toLong }.toMap
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 25 + trial * 10
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.15
+      } yield (a, b)).toSeq
+      assert(core(edges, k = 3) === seqPeel(edges, k = 3),
+        s"trial $trial, |E|=${edges.size}")
+    }
+  }
 }

@@ -153,6 +153,66 @@ object GraphAlgos {
       .select($"src".as("node"), $"core_deg")
   }
 
+  /** Approximate neighborhood function (ANF: Palmer et al., "ANF: a
+    * fast and scalable tool for data analysis in massive graphs";
+    * register refinement per Boldi & Vigna's HyperBall): for every
+    * node and every radius t ≤ `maxT`, an HLL estimate of |{m :
+    * dist(n, m) ≤ t}| — the primitive behind effective-diameter,
+    * centrality-without-BFS-per-node, and reachability profiling on
+    * graphs where per-node exact BFS is unpayable.
+    *
+    * The whole algorithm is sketch algebra over
+    * [[graft.functions.HllRegisters]]: round 0 seeds each node with
+    * the singleton sketch of itself; round t merges (bytewise max)
+    * each node's own sketch with its neighbors' round-(t−1) sketches.
+    * Register merge is EXACT set union, so after t rounds each node
+    * holds precisely sketch(its t-hop ball) — the distributed merge
+    * tree and a direct sketch of the final set must agree bit for
+    * bit, which is how the gate oracle checks this without mirroring
+    * the iteration.
+    *
+    * Scale shape per round: one |E|-keyed equi-join moving 4 KiB
+    * register payloads + one node-keyed aggregation whose map-side
+    * partial merge collapses every task to ≤ |V_task| sketches before
+    * the shuffle. All state is fixed-size per node — the property
+    * that makes ANF viable where exact neighborhood sets are
+    * quadratic. Lineage is cut per round as in [[bfsLevels]].
+    *
+    * Returns (node, t, estimate, nonzero_buckets,
+    * register_sum_scaled) for t = 0..maxT.
+    */
+  def anf(edges: DataFrame, uCol: String, vCol: String, maxT: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    graft.functions.HllRegisters.register(spark)
+    val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint(true)
+    var cur = sym.select($"src".as("node")).distinct()
+      .select($"node",
+        call_function(graft.functions.HllRegisters.InitName,
+          $"node".cast("string")).as("regs"))
+      .localCheckpoint(true)
+    def evaled(t: Int, snap: DataFrame): DataFrame =
+      snap.select($"node", lit(t).as("t"),
+        call_function(graft.functions.HllRegisters.EvalName, $"regs").as("ev"))
+        .select($"node", $"t", $"ev.estimate".as("estimate"),
+          $"ev.nonzero_buckets".as("nonzero_buckets"),
+          $"ev.register_sum_scaled".as("register_sum_scaled"))
+    var out = evaled(0, cur)
+    for (t <- 1 to maxT) {
+      val fromNbrs = sym
+        .join(cur.select($"node".as("dst"), $"regs"), "dst")
+        .select($"src".as("node"), $"regs")
+      cur = fromNbrs.union(cur)
+        .groupBy($"node")
+        .agg(call_function(graft.functions.HllRegisters.MergeName, $"regs").as("regs"))
+        .localCheckpoint(true)
+      out = out.union(evaled(t, cur))
+    }
+    out
+  }
+
   /** SYNCHRONOUS label propagation (Raghavan et al. 2007) for a FIXED
     * iteration count — the community-detection baseline. Every round,
     * each node adopts the most frequent label among its neighbors with

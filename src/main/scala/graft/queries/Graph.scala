@@ -382,6 +382,80 @@ object Graph {
             |ORDER BY dc.lbl""".stripMargin),
   )
 
+  /** Approximate neighborhood function over the sparse adjacency graph
+    * (`GraphAlgos.anf`): per (node, radius ≤ 2), the HLL-sketched ball
+    * size — ANF/HyperBall, the reachability profiler that replaces
+    * per-node BFS at 100 TB. The check exploits that register merge is
+    * EXACT set union: Spark grows each node's sketch by iterative
+    * distributed bytewise-max merges, while the oracle computes each
+    * node's exact t-hop reachable SET (two unrolled expansion rounds)
+    * and sketches that set directly from the same fnv63 registers —
+    * two genuinely different formulations that must agree on every
+    * register sum, nonzero count, and estimate bit-for-bit.
+    */
+  private val graphAnfHll = Q(
+    "q_graph_anf_hll",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .filter($"l_orderkey" % 7 === 0)
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      GraphAlgos.anf(edges, "u", "v", maxT = 2)
+        .select($"node", $"t", $"nonzero_buckets".cast("long").as("nonzero_buckets"),
+          $"register_sum_scaled", round($"estimate", 4).as("ball_estimate"))
+        .orderBy($"node", $"t")
+    },
+    Some(s"""WITH li AS (
+            |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p
+            |  FROM lineitem WHERE l_orderkey % 7 = 0
+            |),
+            |e0 AS (
+            |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+            |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+            |),
+            |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+            |                     UNION SELECT v, u FROM e0),
+            |r0 AS (SELECT DISTINCT src AS node, src AS member FROM sym),
+            |r1 AS MATERIALIZED (
+            |  SELECT * FROM r0 UNION SELECT src, dst FROM sym
+            |),
+            |r2 AS MATERIALIZED (
+            |  SELECT * FROM r1
+            |  UNION
+            |  SELECT r.node, s.dst FROM r1 r JOIN sym s ON s.src = r.member
+            |),
+            |all_t AS (
+            |  SELECT node, 0 AS t, member FROM r0
+            |  UNION ALL SELECT node, 1, member FROM r1
+            |  UNION ALL SELECT node, 2, member FROM r2
+            |),
+            |h AS (
+            |  SELECT node, t, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
+            |  FROM all_t
+            |),
+            |regs AS (
+            |  SELECT node, t, ${Relational.fnv63Bucket("h")} AS bucket,
+            |         max(${Relational.fnv63RankOf(Relational.fnv63Tail("h"))}) AS r
+            |  FROM h GROUP BY 1, 2, 3
+            |),
+            |agg AS (
+            |  SELECT node, t,
+            |         CAST(count(*) AS BIGINT) AS nonzero_buckets,
+            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+            |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+            |  FROM regs GROUP BY node, t
+            |)
+            |SELECT node, t, nonzero_buckets, register_sum_scaled,
+            |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+            |             (register_sum_scaled / 1073741824.0), 4) AS ball_estimate
+            |FROM agg
+            |ORDER BY node, t""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp,
-    graphJaccardLinkpred, graphModularity)
+    graphJaccardLinkpred, graphModularity, graphAnfHll)
 }

@@ -456,6 +456,68 @@ object Graph {
             |ORDER BY node, t""".stripMargin),
   )
 
+  /** DOULION sparsified triangle estimation (Tsourakakis et al.,
+    * "DOULION: counting triangles in massive graphs with a coin") —
+    * the 100-TB answer when even the degree-ordered exact count is too
+    * much: keep each edge with probability p (here 1/4, decided by the
+    * engine's deterministic fnv63 hash of the edge key, so both
+    * engines and every re-run sample the SAME subgraph), count
+    * triangles exactly on the sparsified graph, scale by 1/p³.
+    * Variance is bounded and the work drops by ~p³ on the wedge join.
+    * The per-node estimates ride the same `GraphAlgos.triangleCounts`
+    * operator; the oracle samples with the identical hash predicate
+    * but counts via the independent id-ordered adjacency intersection
+    * — so the sampling layer and the counting layer are both checked,
+    * without mirroring the orientation program.
+    */
+  private val graphTrianglesDoulion = Q(
+    "q_graph_triangles_doulion",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.Fnv63Hash.register(s)
+      val items = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v"))
+        // the coin is a pure function of (u, v), so it commutes with
+        // the dedup — sampling BEFORE the distinct cuts the edge
+        // derivation's shuffle by 1/p too, not just the wedge join
+        .filter(
+          expr("fnv63(concat(cast(u as string), '_', cast(v as string)))") % 4 === 0)
+        .distinct()
+      GraphAlgos.triangleCounts(edges, "u", "v")
+        .select($"node", $"tri_count".as("sampled_tris"),
+          ($"tri_count" * 64L).as("tri_estimate")) // 1/p³ = 4³
+        .orderBy($"tri_estimate".desc, $"node")
+        .limit(20)
+    },
+    Some(s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+            |e AS MATERIALIZED (
+            |  SELECT u, v FROM (
+            |    SELECT DISTINCT a.p AS u, b.p AS v
+            |    FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+            |  )
+            |  WHERE ${Relational.fnv63Sql(
+               "CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)")} % 4 = 0
+            |),
+            |t AS (
+            |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            |  FROM e e1
+            |  JOIN e e2 ON e2.u = e1.v
+            |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            |)
+            |SELECT node, count(*) AS sampled_tris,
+            |       CAST(count(*) * 64 AS BIGINT) AS tri_estimate
+            |FROM (
+            |  SELECT a AS node FROM t
+            |  UNION ALL SELECT b FROM t
+            |  UNION ALL SELECT c FROM t)
+            |GROUP BY node
+            |ORDER BY tri_estimate DESC, node
+            |LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp,
-    graphJaccardLinkpred, graphModularity, graphAnfHll)
+    graphJaccardLinkpred, graphModularity, graphAnfHll, graphTrianglesDoulion)
 }

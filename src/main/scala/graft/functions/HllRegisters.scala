@@ -47,6 +47,7 @@ object HllRegisters {
   val InitName = "hll_init_regs"
   val MergeName = "hll_merge_regs"
   val EvalName = "hll_regs_eval"
+  val AggName = "hll_regs"
 
   import HllSketch.M
 
@@ -69,6 +70,7 @@ object HllRegisters {
     reg(InitName, classOf[HllInitRegs], exprs => HllInitRegs(exprs.head))
     reg(MergeName, classOf[HllMergeRegs], exprs => HllMergeRegs(exprs.head))
     reg(EvalName, classOf[HllRegsEval], exprs => HllRegsEval(exprs.head))
+    reg(AggName, classOf[HllRegsAgg], exprs => HllRegsAgg(exprs.head))
   }
 
   def init(spark: SparkSession, c: Column): Column = {
@@ -164,6 +166,62 @@ case class HllMergeRegs(
   override def withNewInputAggBufferOffset(newOffset: Int): HllMergeRegs =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): HllMergeRegs =
+    copy(child = newChild)
+}
+
+/** `hll_regs(string) → binary(4096)` — the raw-value BUILDER aggregate:
+  * identical register updates to [[HllSketch]] (update-in-place, no
+  * per-row allocation, unlike mapping rows through `hll_init_regs`)
+  * but evaluating to the raw registers instead of the estimate struct
+  * — what a nightly sketch-lake job persists. Nulls ignored.
+  */
+case class HllRegsAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${HllRegisters.AggName} requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = HllRegisters.AggName
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllSketch.M)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (bucket, rank) = HllRegisters.registerOf(v.asInstanceOf[UTF8String])
+      if (rank > buffer(bucket)) buffer(bucket) = rank
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < HllSketch.M) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = buffer.clone()
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegsAgg =
     copy(child = newChild)
 }
 

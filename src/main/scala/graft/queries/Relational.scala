@@ -2020,6 +2020,83 @@ object Relational {
            |FROM kth""".stripMargin),
   )
 
+  /** HLL-register sketch lake (the [[graft.functions.HllRegisters]]
+    * persistence story, the register analog of q_sketch_kmv_rollup):
+    * a "nightly" job builds one 4 KiB register sketch PER DAY with the
+    * `hll_regs` builder aggregate and persists them to a parquet lake
+    * (binary column); the period query then answers both per-day and
+    * whole-period distinct counts from the STORED sketches alone —
+    * the period sketch is one `hll_merge_regs` over ≤ n_days binaries,
+    * the raw events are never rescanned (merge ≡ union, so the rolled-
+    * up registers equal a direct sketch of the period's user set
+    * exactly). Exact counts ride alongside to quantify the estimator.
+    * The oracle rebuilds every per-day and period register from exact
+    * distinct sets — checking build, parquet round-trip, and rollup in
+    * one hash.
+    */
+  private val sketchHllLake = Q(
+    "q_sketch_hll_lake",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.HllRegisters.register(s)
+      val ev = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("d"))
+      val lake = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_hll_sketch_lake").getPath
+      ev.groupBy($"d")
+        .agg(call_function(graft.functions.HllRegisters.AggName,
+          $"user_id".cast("string")).as("regs"))
+        .write.mode("overwrite").parquet(lake)
+      val stored = s.read.parquet(lake)
+      val perDay = stored
+        .select(date_format($"d", "yyyy-MM-dd").as("day"), $"regs")
+      val total = stored
+        .agg(call_function(graft.functions.HllRegisters.MergeName,
+          $"regs").as("regs"))
+        .select(lit("__total").as("day"), $"regs")
+      val sketched = perDay.union(total)
+        .select($"day",
+          call_function(graft.functions.HllRegisters.EvalName, $"regs").as("ev"))
+        .select($"day", $"ev.nonzero_buckets".cast("long").as("nonzero_buckets"),
+          $"ev.register_sum_scaled".as("register_sum_scaled"),
+          round($"ev.estimate", 4).as("hll_estimate"))
+      val exact = ev
+        .select(date_format($"d", "yyyy-MM-dd").as("day"), $"user_id")
+        .union(ev.select(lit("__total"), $"user_id"))
+        .groupBy($"day").agg(countDistinct($"user_id").as("n_exact"))
+      sketched.join(exact, "day").orderBy($"day")
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events
+            |),
+            |keys AS (
+            |  SELECT DISTINCT day, user_id FROM ev
+            |  UNION SELECT DISTINCT '__total', user_id FROM ev
+            |),
+            |h AS (
+            |  SELECT day, ${fnv63Sql("CAST(user_id AS VARCHAR)")} AS h FROM keys
+            |),
+            |regs AS (
+            |  SELECT day, ${fnv63Bucket("h")} AS bucket,
+            |         max(${fnv63RankOf(fnv63Tail("h"))}) AS r
+            |  FROM h GROUP BY 1, 2
+            |),
+            |agg AS (
+            |  SELECT day,
+            |         CAST(count(*) AS BIGINT) AS nonzero_buckets,
+            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+            |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+            |  FROM regs GROUP BY day
+            |)
+            |SELECT a.day, a.nonzero_buckets, a.register_sum_scaled,
+            |       round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+            |             (a.register_sum_scaled / 1073741824.0), 4) AS hll_estimate,
+            |       (SELECT CAST(count(DISTINCT k.user_id) AS BIGINT)
+            |        FROM keys k WHERE k.day = a.day) AS n_exact
+            |FROM agg a
+            |ORDER BY a.day""".stripMargin),
+  )
+
   /** Streaming count-min sketch: the CMS cells accumulate
     * incrementally over the event stream in complete mode — streaming
     * frequency tracking with STATE BOUNDED at depth×width cells no
@@ -3057,6 +3134,7 @@ object Relational {
     streamSampleBottomK,
     sketchKmvJaccard,
     sketchKmvRollup,
+    sketchHllLake,
     sampleBottomKBySource,
     windowGapFill,
     streamGapFill,

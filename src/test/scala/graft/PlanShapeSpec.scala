@@ -635,4 +635,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOccurrences(p, "Window ") == 2,
       s"expected coarse + rerank rank windows:\n$p")
   }
+
+  test("HLL register merge aggregates partially map-side: two " +
+    "ObjectHashAggregate stages around ONE exchange, so any number of " +
+    "input sketches collapses to <= |groups| x 4 KiB before the shuffle " +
+    "(the ANF-round / sketch-lake-rollup scale shape)") {
+    import spark.implicits._
+    graft.functions.HllRegisters.register(spark)
+    val df = (1 to 100).map(i => (i % 5, s"v$i")).toDF("g", "v")
+      .select($"g", call_function(graft.functions.HllRegisters.InitName, $"v").as("regs"))
+      .groupBy($"g")
+      .agg(call_function(graft.functions.HllRegisters.MergeName, $"regs").as("regs"))
+    val p = physical(df)
+    assert(countOccurrences(p, "ObjectHashAggregate") == 2,
+      s"expected partial + final ObjectHashAggregate:\n$p")
+    assert(countOccurrences(p, "Exchange") == 1,
+      s"expected exactly one exchange between the two stages:\n$p")
+  }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.io.File
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{col, lit, raise_error, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -86,6 +87,30 @@ class FrameSinkSpec extends AnyFunSuite {
       "partial".getBytes)
     assert(RawLogSource.discover(dir).map(p => new File(p).getName) ===
       Seq("2025-07-01-10.b0.jsonl.zst"))
+  }
+
+  test("a crash DURING the batch write (mid-partition) leaves no visible " +
+    "file for that hour, and the replayed batch heals it completely") {
+    import spark.implicits._
+    val dir = tmpDir("frame_sink_midwrite")
+    val poisoned = rows((1 to 20).map(i => ("2025-07-01-10", i.toLong, s"line$i")))
+      .withColumn("value",
+        when(col("lineNo") === 15L,
+          raise_error(lit("graft-injected mid-write failure")))
+          .otherwise(col("value")))
+    intercept[Exception] {
+      FrameSink.writeBatch(poisoned, dir, batchId = 3L)
+    }
+    // the hour's final file must NOT exist — only tmp garbage may remain,
+    // and discovery must not see it
+    assert(RawLogSource.discover(dir).isEmpty,
+      s"partial write visible: ${new File(dir).listFiles().map(_.getName).mkString(",")}")
+    // the retried batch (same id, full data) heals the hour
+    FrameSink.writeBatch(
+      rows((1 to 20).map(i => ("2025-07-01-10", i.toLong, s"line$i"))), dir, batchId = 3L)
+    val found = RawLogSource.discover(dir)
+    assert(found.map(p => new File(p).getName) === Seq("2025-07-01-10.b3.jsonl.zst"))
+    assert(readLines(new File(found.head)) === (1 to 20).map(i => s"line$i"))
   }
 
   test("keyedLines buckets by UTC receipt hour and drops unparseable receipts") {

@@ -16,6 +16,12 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // the full native surface (fnv63, sketch aggregates, register
+      // algebra, replay_book TVF, range-join binning rule) rides the
+      // declarative extensions route, so plain spark.sql text can call
+      // everything without imperative register() calls; a cluster
+      // deployment sets spark.sql.extensions=graft.functions.GraftExtensions
+      .withExtensions(new graft.functions.GraftExtensions())
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

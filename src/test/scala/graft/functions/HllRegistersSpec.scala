@@ -63,6 +63,23 @@ class HllRegistersSpec extends AnyFunSuite {
     assert(mergedRegs(1) === mergedRegs(13))
   }
 
+  test("the declarative extensions route alone exposes the whole surface " +
+    "to plain SQL (fresh session state, no imperative register calls)") {
+    // newSession() rebuilds the function registry from the session's
+    // SparkSessionExtensions only — so these resolve iff
+    // GraftExtensions injected them
+    val fresh = spark.newSession()
+    val row = fresh.sql(
+      """SELECT fnv63('abc') AS h,
+        |       hll_regs_eval(hll_merge_regs(hll_init_regs('abc'))).nonzero_buckets AS nz,
+        |       array_dot_long(array(1L, 2L), array(3L, 4L)) AS dot""".stripMargin)
+      .collect().head
+    assert(row.getLong(0) == Fnv63.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    assert(row.getInt(1) == 1)
+    assert(row.getLong(2) == 11L)
+  }
+
   test("a foreign-width binary input fails loudly, not silently") {
     import spark.implicits._
     HllRegisters.register(spark)

@@ -120,6 +120,32 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("DOULION-style sampled estimate tracks the exact global triangle " +
+    "count (deterministic fnv63 coin, p = 1/2)") {
+    import spark.implicits._
+    graft.functions.Fnv63Hash.register(spark)
+    val rnd = new scala.util.Random(31)
+    val n = 60
+    val edges = (for {
+      a <- 1L to n; b <- (a + 1) to n
+      if rnd.nextDouble() < 0.25
+    } yield (a, b)).toSeq
+    def total(m: Map[Long, Long]): Long = m.values.sum / 3
+    val exact = total(tri(edges))
+    val sampled = edges.toDF("u", "v")
+      .filter(org.apache.spark.sql.functions.expr(
+        "fnv63(concat(cast(u as string), '_', cast(v as string)))") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val estimate = total(tri(sampled)) * 8 // 1/p³ = 2³
+    // the coin is fixed, so this is a deterministic regression pin: the
+    // estimator's relative error on this graph stays what it is today
+    // (and DOULION's variance bound says it should be small at p = 1/2)
+    assert(exact > 100, s"graph too sparse for a meaningful check: $exact")
+    val relErr = math.abs(estimate.toDouble - exact) / exact
+    assert(relErr < 0.25,
+      s"sampled estimate $estimate vs exact $exact (rel err $relErr)")
+  }
+
   test("k-core on random graphs matches an independent sequential peeler") {
     // mutable adjacency-set peeling — one node at a time, no rounds,
     // no joins — vs the operator's synchronized round-based peel; the

@@ -518,6 +518,108 @@ object Graph {
             |LIMIT 20""".stripMargin),
   )
 
+  /** Effective diameter via the neighborhood function — HyperBall's
+    * headline use: N(t) = Σ_nodes |ball(node, t)| estimated from the
+    * ANF sketches for t = 0..4, and the 90 %-effective-diameter flag
+    * (smallest t whose N(t) ≥ 0.9·N(t_max)). Per-node estimates are
+    * rounded then summed as EXACT DECIMAL (aggregation order can't
+    * move a bit; one terminal double cast), and the 90 % comparison is
+    * integer-scaled decimal (×10 vs ×9), so the flag is
+    * engine-identical. The oracle unrolls exact reachability to
+    * radius 4, hashes the ~|V| distinct members ONCE (the member
+    * domain is tiny even when the (node, t, member) fact table is
+    * not), and sketches each exact ball directly.
+    */
+  private val graphAnfDiameter = Q(
+    "q_graph_anf_diameter",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .filter($"l_orderkey" % 7 === 0)
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      val perT = GraphAlgos.anf(edges, "u", "v", maxT = 4)
+        .select($"t", round($"estimate", 4).cast("decimal(20,4)").as("est"))
+        .groupBy($"t")
+        .agg(sum($"est").as("n_t_dec"), count(lit(1)).as("n_nodes"))
+      val nMax = perT.filter($"t" === 4).select($"n_t_dec".as("n_max_dec"))
+      perT.crossJoin(broadcast(nMax))
+        .select($"t", $"n_nodes",
+          $"n_t_dec".cast("double").as("n_t"),
+          ($"n_t_dec" * 10 >= $"n_max_dec" * 9).as("reaches_90pct"))
+        .orderBy($"t")
+    },
+    Some(s"""WITH li AS (
+            |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p
+            |  FROM lineitem WHERE l_orderkey % 7 = 0
+            |),
+            |e0 AS (
+            |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+            |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+            |),
+            |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+            |                     UNION SELECT v, u FROM e0),
+            |r0 AS (SELECT DISTINCT src AS node, src AS member FROM sym),
+            |r1 AS MATERIALIZED (
+            |  SELECT * FROM r0 UNION SELECT src, dst FROM sym
+            |),
+            |r2 AS MATERIALIZED (
+            |  SELECT * FROM r1
+            |  UNION SELECT r.node, s.dst FROM r1 r JOIN sym s ON s.src = r.member
+            |),
+            |r3 AS MATERIALIZED (
+            |  SELECT * FROM r2
+            |  UNION SELECT r.node, s.dst FROM r2 r JOIN sym s ON s.src = r.member
+            |),
+            |r4 AS MATERIALIZED (
+            |  SELECT * FROM r3
+            |  UNION SELECT r.node, s.dst FROM r3 r JOIN sym s ON s.src = r.member
+            |),
+            |all_t AS (
+            |  SELECT node, 0 AS t, member FROM r0
+            |  UNION ALL SELECT node, 1, member FROM r1
+            |  UNION ALL SELECT node, 2, member FROM r2
+            |  UNION ALL SELECT node, 3, member FROM r3
+            |  UNION ALL SELECT node, 4, member FROM r4
+            |),
+            |dh AS MATERIALIZED (
+            |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
+            |  FROM (SELECT DISTINCT src AS member FROM sym)
+            |),
+            |regs AS (
+            |  SELECT a.node, a.t, ${Relational.fnv63Bucket("d.h")} AS bucket,
+            |         max(${Relational.fnv63RankOf(Relational.fnv63Tail("d.h"))}) AS r
+            |  FROM all_t a JOIN dh d USING (member)
+            |  GROUP BY 1, 2, 3
+            |),
+            |agg AS (
+            |  SELECT node, t,
+            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+            |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+            |  FROM regs GROUP BY node, t
+            |),
+            |est AS (
+            |  SELECT node, t,
+            |         round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+            |               (register_sum_scaled / 1073741824.0), 4) AS e
+            |  FROM agg
+            |),
+            |per_t AS (
+            |  SELECT t, CAST(count(*) AS BIGINT) AS n_nodes,
+            |         sum(CAST(e AS DECIMAL(20,4))) AS n_t_dec
+            |  FROM est GROUP BY t
+            |),
+            |mx AS (SELECT n_t_dec AS n_max_dec FROM per_t WHERE t = 4)
+            |SELECT t, n_nodes, CAST(n_t_dec AS DOUBLE) AS n_t,
+            |       (n_t_dec * 10 >= n_max_dec * 9) AS reaches_90pct
+            |FROM per_t, mx
+            |ORDER BY t""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp,
-    graphJaccardLinkpred, graphModularity, graphAnfHll, graphTrianglesDoulion)
+    graphJaccardLinkpred, graphModularity, graphAnfHll, graphTrianglesDoulion,
+    graphAnfDiameter)
 }

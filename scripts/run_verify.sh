@@ -1,6 +1,10 @@
 #!/bin/bash
 # Direct-JVM runner for graft.Verify. Usage: run_verify.sh <sfDir> <outDir> [names]
 set -e
+# Round-snapshot hygiene (VERDICT r6 #1): driver-written round
+# artifacts must never ride untracked into judging — commit any that
+# are new or modified before doing anything else.
+"$(dirname "$0")/commit_snapshot.sh" || true
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do

@@ -139,6 +139,13 @@ case class HllMergeRegs(
           s"expected ${HllSketch.M} — input is not an hll_init_regs/hll_merge_regs sketch")
       var i = 0
       while (i < HllSketch.M) {
+        // loud failure on foreign bytes, same policy as the width
+        // check: a register outside [0,30] (e.g. a negative signed
+        // byte) is not one of ours and would silently poison every
+        // estimate downstream
+        require(other(i) >= 0 && other(i) <= 30,
+          s"${HllRegisters.MergeName}: register $i holds ${other(i)}, " +
+            "outside [0,30] — input is not an hll_init_regs/hll_merge_regs sketch")
         if (other(i) > buffer(i)) buffer(i) = other(i)
         i += 1
       }
@@ -254,6 +261,12 @@ case class HllRegsEval(child: Expression)
     var sScaled = 0L
     var i = 0
     while (i < HllSketch.M) {
+      // same loud-failure policy as the width require: a byte outside
+      // [0,30] would shift by an out-of-range amount (Java shifts mod
+      // 64) and produce a silently garbage estimate
+      require(buffer(i) >= 0 && buffer(i) <= 30,
+        s"${HllRegisters.EvalName}: register $i holds ${buffer(i)}, " +
+          "outside [0,30] — input is not an hll_init_regs/hll_merge_regs sketch")
       if (buffer(i) != 0) nonzero += 1
       sScaled += 1L << (30 - buffer(i))
       i += 1

@@ -108,11 +108,18 @@ object Graph {
   /** 20-core of the sparse adjacency graph (`GraphAlgos.kCore`
     * iterative peeling to fixpoint): the dense-cluster extractor —
     * nodes that remain when everything of degree < 20 is repeatedly
-    * stripped, with their in-core degree. The oracle unrolls 24 peel
-    * rounds as chained CTEs (the sf0.01 graph converges in 15;
-    * post-fixpoint rounds are identity, so over-unrolling is safe,
-    * while Spark's loop REQUIRES convergence and would throw loudly
-    * if a dataset ever needed more than its cap).
+    * stripped, with their in-core degree. The oracle deliberately uses
+    * a DIFFERENT algorithm (VERDICT r6 #3, closing the last
+    * same-formulation graph oracle): CORE NUMBERS via the h-index
+    * iteration (Lü/Chen/Ren/Zhang/Zhou/Stanley, "Vital nodes
+    * identification in complex networks" family result: initializing
+    * every node to its degree and repeatedly replacing each node's
+    * value with the h-index of its neighbors' values converges to the
+    * node's coreness), then k-core = {coreness ≥ k} and in-core degree
+    * = neighbors within that set. No peel, no shrinking edge set —
+    * a bug in the peel loop cannot be mirrored by the oracle. 40
+    * unrolled rounds vs ≤20 observed to converge at sf0.001/0.01/0.1;
+    * post-fixpoint rounds are identity, so over-unrolling is safe.
     */
   private val graphKcore = Q(
     "q_graph_kcore",
@@ -127,12 +134,16 @@ object Graph {
       GraphAlgos.kCore(edges, "u", "v", k = 20, maxIters = 40)
         .orderBy($"node")
     },
-    Some(kcoreOracleSql(k = 20, rounds = 24)),
+    Some(kcoreOracleSql(k = 20, rounds = 40)),
   )
 
-  /** Oracle for q_graph_kcore: the same symmetric edge derivation,
-    * then `rounds` unrolled peel iterations (degree count → keep-set →
-    * two semi-joins), identity once the fixpoint is reached.
+  /** Oracle for q_graph_kcore, SECOND formulation: the same symmetric
+    * edge derivation, then core numbers by h-index iteration — c0 =
+    * degree; each round, a node's value becomes the h-index of its
+    * neighbors' values (`max(least(rn, val))` over neighbors ranked by
+    * value desc); the fixpoint is the coreness. The k-core and its
+    * in-core degrees are then read off {coreness ≥ k} without ever
+    * peeling an edge set.
     */
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val head =
@@ -143,20 +154,24 @@ object Graph {
         |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
         |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
         |),
-        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und)""".stripMargin
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+        |c0 AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS c FROM e0 GROUP BY src)""".stripMargin
     val rs = (1 to rounds).map { i =>
       s""",
-         |k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
-         |e$i AS MATERIALIZED (
-         |  SELECT e.src, e.dst FROM e${i - 1} e
-         |  JOIN k$i a ON e.src = a.src
-         |  JOIN k$i b ON e.dst = b.src
-         |)""".stripMargin
+         |c$i AS MATERIALIZED (
+         |  SELECT src AS node, max(least(rn, val)) AS c FROM (
+         |    SELECT e.src, p.c AS val,
+         |           row_number() OVER (PARTITION BY e.src ORDER BY p.c DESC) AS rn
+         |    FROM e0 e JOIN c${i - 1} p ON e.dst = p.node)
+         |  GROUP BY src)""".stripMargin
     }.mkString
-    s"""$head$rs
-       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
-       |FROM e$rounds
-       |GROUP BY src
+    s"""$head$rs,
+       |core AS MATERIALIZED (SELECT node FROM c$rounds WHERE c >= $k)
+       |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e0 e
+       |JOIN core a ON e.src = a.node
+       |JOIN core b ON e.dst = b.node
+       |GROUP BY e.src
        |ORDER BY node""".stripMargin
   }
 

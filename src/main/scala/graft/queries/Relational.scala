@@ -2041,8 +2041,11 @@ object Relational {
       graft.functions.HllRegisters.register(s)
       val ev = Tables(s, dir).events
         .select($"user_id", to_date($"ts").as("d"))
+      // per-application path: concurrent verify/bench runs each get
+      // their own lake instead of clobbering a shared one mid-read
       val lake = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_hll_sketch_lake").getPath
+        sys.props("java.io.tmpdir"),
+        s"graft_hll_sketch_lake_${s.sparkContext.applicationId}").getPath
       ev.groupBy($"d")
         .agg(call_function(graft.functions.HllRegisters.AggName,
           $"user_id".cast("string")).as("regs"))

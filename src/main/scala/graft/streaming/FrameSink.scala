@@ -27,9 +27,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Lines are written VERBATIM (the sink never re-serializes), so the
   * output is byte-format-compatible with the collector's log by
   * construction, and `RawLogSource` re-reads it like any recorded log:
-  * the `.bN` suffix sorts lexicographically after the hour key, hour
+  * the zero-padded `.bNNNNNNNNN` suffix sorts lexicographically in
+  * batch order within an hour (a bare `.bN` would put b10 before b2
+  * once a long-running ingest passes ten batches for one hour), hour
   * order across files and receipt order within a file are both
   * preserved, and `fileHourOf` strips the suffix at the first '.'.
+  *
+  * Ordering contract: within an hour, lines serialize in
+  * (receipt micros, seq, bytes) order — a TOTAL order. `seq` is an
+  * optional arrival-sequence column a source may supply (the DSv2 feed
+  * source's per-partition index, a file reader's line number); absent
+  * that, frames sharing a receipt microsecond order by their raw
+  * bytes. Either way the order is deterministic, so a checkpoint-
+  * replayed batch reproduces byte-identical files even when receipt
+  * timestamps collide — the collector's single-writer append order
+  * (`collector/src/main.rs:185-210`) can't be recovered from a
+  * distributed shuffle, but byte-determinism, the property the
+  * exactly-once guarantee actually needs, can.
   *
   * Scale shape: frames are partitioned by hour, so each hour file is
   * written by exactly one task (the collector is single-writer per
@@ -39,20 +53,42 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object FrameSink {
 
+  /** Fixed-width batch suffix: lexicographic file order == numeric
+    * batch order for any ingest shorter than a billion batches (a
+    * year at one batch per second is ~31M).
+    */
+  private[streaming] def batchFileName(hour: String, batchId: Long): String =
+    f"$hour.b$batchId%09d.jsonl.zst"
+
   /** Idempotent one-batch write. `rows` must have columns
-    * (fileHour: String, lineNo: Long, value: String); lines land in
-    * `dir/FILEHOUR.bBATCHID.jsonl.zst` in (fileHour, lineNo) order.
-    * Re-invoking with the same rows and batchId reproduces identical
-    * files (overwrite via atomic rename), which is what makes a
-    * checkpoint-replayed batch harmless.
+    * (fileHour: String, lineNo: Long, value: String) and may carry an
+    * optional `seq` arrival-sequence column; lines land in
+    * `dir/FILEHOUR.bNNNNNNNNN.jsonl.zst` in (fileHour, lineNo[, seq],
+    * value) order — total, so re-invoking with the same rows and
+    * batchId reproduces byte-identical files (overwrite via atomic
+    * rename) even when receipt timestamps collide, which is what makes
+    * a checkpoint-replayed batch harmless.
     */
   def writeBatch(rows: DataFrame, dir: String, batchId: Long): Unit = {
     new File(dir).mkdirs()
+    val sortKey =
+      if (rows.columns.contains("seq"))
+        Seq(col("fileHour"), col("lineNo"), col("seq"), col("value"))
+      else Seq(col("fileHour"), col("lineNo"), col("value"))
     rows
       .repartition(col("fileHour"))
-      .sortWithinPartitions(col("fileHour"), col("lineNo"))
+      .sortWithinPartitions(sortKey: _*)
       .select(col("fileHour"), col("value"))
       .foreachPartition { (it: Iterator[Row]) =>
+        // per-attempt temp name: under task retry or speculative
+        // execution two attempts of the same partition may run
+        // concurrently — a shared temp path would interleave their
+        // writes and let one attempt's rename publish a half-written
+        // file. Distinct temp files + atomic rename means the last
+        // completed attempt wins with identical bytes.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId().toString)
+          .getOrElse(java.util.UUID.randomUUID().toString)
         var hour: String = null
         var out: OutputStreamWriter = null
         var tmp: File = null
@@ -65,12 +101,12 @@ object FrameSink {
         def roll(h: String): Unit = {
           commit()
           hour = h
-          fin = new File(dir, s"$h.b$batchId.jsonl.zst")
+          fin = new File(dir, batchFileName(h, batchId))
           // leading '.' keeps half-written temp files invisible to
           // RawLogSource.discover's hour-pattern filter; rename is
           // atomic on a POSIX filesystem, so readers see either the
           // previous complete file or the new complete file
-          tmp = new File(dir, s".$h.b$batchId.jsonl.zst.tmp")
+          tmp = new File(dir, s".${batchFileName(h, batchId)}.a$attempt.tmp")
           out = new OutputStreamWriter(
             new ZstdOutputStream(new FileOutputStream(tmp)),
             StandardCharsets.UTF_8)
@@ -91,19 +127,27 @@ object FrameSink {
     * `RawLogSource.feedMessagesFromLines` (the collector stamps
     * `Utc::now` at append, `collector/src/main.rs:28`). Lines whose
     * receipt timestamp doesn't parse have no rotation key and are
-    * dropped (dirty-data policy, same as the parse path).
+    * dropped (dirty-data policy, same as the parse path). An input
+    * `seq` column (a source-supplied arrival sequence) passes through
+    * as a within-microsecond tiebreaker for `writeBatch`'s total
+    * order; absent one, same-microsecond frames order by their bytes.
     */
   def keyedLines(lines: DataFrame): DataFrame = {
     val ts = get_json_object(col("value"), "$.timestamp")
     val receipt = to_timestamp(ts)
-    lines
+    val keyed = lines
       .filter(receipt.isNotNull)
       .select(
-        date_format(
-          convert_timezone(lit("UTC"), receipt.cast("timestamp_ntz")),
-          "yyyy-MM-dd-HH").as("fileHour"),
-        unix_micros(receipt).as("lineNo"),
-        col("value"))
+        (Seq(
+          date_format(
+            convert_timezone(lit("UTC"), receipt.cast("timestamp_ntz")),
+            "yyyy-MM-dd-HH").as("fileHour"),
+          unix_micros(receipt).as("lineNo")) ++
+          (if (lines.columns.contains("seq"))
+             Seq(col("seq").cast("long").as("seq"))
+           else Nil) :+
+          col("value")): _*)
+    keyed
   }
 
   /** Start the checkpointed ingest: text lines → receipt-keyed →
@@ -119,6 +163,7 @@ object FrameSink {
       dir: String,
       checkpoint: String,
       failAfterBatch: Option[Long] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
   ): StreamingQuery =
     keyedLines(lines).writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
@@ -130,6 +175,6 @@ object FrameSink {
         }
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }

@@ -89,4 +89,33 @@ class HllRegistersSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("right-width registers with out-of-range bytes fail loudly too: " +
+    "merge and eval both reject values outside [0,30] instead of " +
+    "shifting mod 64 into garbage estimates") {
+    import spark.implicits._
+    HllRegisters.register(spark)
+    def foreign(b: Byte): Array[Byte] = {
+      val a = new Array[Byte](4096)
+      a(7) = b
+      a
+    }
+    for (b <- Seq(31.toByte, (-1).toByte, Byte.MinValue)) {
+      val df = Seq(foreign(b)).toDF("regs")
+      val eMerge = intercept[Exception] {
+        df.agg(call_function(HllRegisters.MergeName, $"regs")).collect()
+      }
+      assert(eMerge.getMessage != null)
+      val eEval = intercept[Exception] {
+        df.select(call_function(HllRegisters.EvalName, $"regs")).collect()
+      }
+      assert(eEval.getMessage != null)
+    }
+    // boundary value 30 (the rank cap) is valid on both paths
+    val ok = Seq(foreign(30.toByte)).toDF("regs")
+    val merged = ok.agg(call_function(HllRegisters.MergeName, $"regs").as("m"))
+      .select(call_function(HllRegisters.EvalName, $"m").getField("nonzero_buckets"))
+      .collect().head.getInt(0)
+    assert(merged === 1)
+  }
 }

@@ -69,8 +69,12 @@ object FrameSink {
     * rename) even when receipt timestamps collide, which is what makes
     * a checkpoint-replayed batch harmless.
     */
-  def writeBatch(rows: DataFrame, dir: String, batchId: Long): Unit = {
-    new File(dir).mkdirs()
+  /** The distributed shape of the batch write, exposed for the plan
+    * assertion: ONE hash exchange on fileHour (each hour file written
+    * by exactly one task) + a partition-local total-order sort — no
+    * global sort barrier.
+    */
+  private[graft] def shaped(rows: DataFrame): DataFrame = {
     val sortKey =
       if (rows.columns.contains("seq"))
         Seq(col("fileHour"), col("lineNo"), col("seq"), col("value"))
@@ -79,6 +83,11 @@ object FrameSink {
       .repartition(col("fileHour"))
       .sortWithinPartitions(sortKey: _*)
       .select(col("fileHour"), col("value"))
+  }
+
+  def writeBatch(rows: DataFrame, dir: String, batchId: Long): Unit = {
+    new File(dir).mkdirs()
+    shaped(rows)
       .foreachPartition { (it: Iterator[Row]) =>
         // per-attempt temp name: under task retry or speculative
         // execution two attempts of the same partition may run

@@ -652,4 +652,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOccurrences(p, "Exchange") == 1,
       s"expected exactly one exchange between the two stages:\n$p")
   }
+
+  test("FrameSink write path: ONE hash exchange on fileHour and a " +
+    "partition-local (non-global) sort — each hour file is written by " +
+    "exactly one task, no global ordering barrier") {
+    import spark.implicits._
+    val rows = Seq(("2025-07-01-10", 1L, "x"), ("2025-07-01-11", 2L, "y"))
+      .toDF("fileHour", "lineNo", "value")
+    val p = physical(graft.streaming.FrameSink.shaped(rows))
+    assert(countOccurrences(p, "Exchange") == 1,
+      s"expected exactly one exchange (hour repartition):\n$p")
+    assert(p.contains("hashpartitioning(fileHour"),
+      s"expected hash partitioning on fileHour:\n$p")
+    assert(p.contains("Sort [") && !p.contains("rangepartitioning"),
+      s"expected a partition-local sort, no global sort barrier:\n$p")
+  }
 }

@@ -134,29 +134,45 @@ object FrameSink {
     * receipt time: UTC hour bucket for rotation, receipt micros for
     * within-hour order — the same arrival keying as
     * `RawLogSource.feedMessagesFromLines` (the collector stamps
-    * `Utc::now` at append, `collector/src/main.rs:28`). Lines whose
-    * receipt timestamp doesn't parse have no rotation key and are
-    * dropped (dirty-data policy, same as the parse path). An input
+    * `Utc::now` at append, `collector/src/main.rs:28`). An input
     * `seq` column (a source-supplied arrival sequence) passes through
     * as a within-microsecond tiebreaker for `writeBatch`'s total
     * order; absent one, same-microsecond frames order by their bytes.
+    *
+    * Lines whose receipt timestamp doesn't parse have no rotation
+    * key. Default policy: drop (mirrors the strict parse path).
+    * `quarantine = true` is the long-running-ingest policy: they land
+    * in `corrupt.bN.jsonl.zst` files instead — RETAINED byte-for-byte
+    * for forensics, but invisible to `RawLogSource.discover`'s
+    * hour-pattern filter, so replay semantics are identical either
+    * way and no received byte is ever lost. (The reference collector
+    * can't hit this case — it stamps its own receipt timestamp at
+    * append — but a re-ingest of foreign or damaged logs can.)
     */
-  def keyedLines(lines: DataFrame): DataFrame = {
+  val QuarantineKey = "corrupt"
+
+  def keyedLines(lines: DataFrame, quarantine: Boolean = false): DataFrame = {
     val ts = get_json_object(col("value"), "$.timestamp")
-    val receipt = to_timestamp(ts)
-    val keyed = lines
-      .filter(receipt.isNotNull)
+    // try_to_timestamp: a PRESENT-but-malformed timestamp string must
+    // classify as unparseable (null), not throw under ANSI mode —
+    // found by the quarantine spec; plain to_timestamp would kill the
+    // whole batch on one damaged line
+    val receipt = try_to_timestamp(ts)
+    val hour = date_format(
+      convert_timezone(lit("UTC"), receipt.cast("timestamp_ntz")),
+      "yyyy-MM-dd-HH")
+    val filtered =
+      if (quarantine) lines else lines.filter(receipt.isNotNull)
+    filtered
       .select(
         (Seq(
-          date_format(
-            convert_timezone(lit("UTC"), receipt.cast("timestamp_ntz")),
-            "yyyy-MM-dd-HH").as("fileHour"),
-          unix_micros(receipt).as("lineNo")) ++
+          (if (quarantine) coalesce(hour, lit(QuarantineKey)) else hour)
+            .as("fileHour"),
+          coalesce(unix_micros(receipt), lit(0L)).as("lineNo")) ++
           (if (lines.columns.contains("seq"))
              Seq(col("seq").cast("long").as("seq"))
            else Nil) :+
           col("value")): _*)
-    keyed
   }
 
   /** Start the checkpointed ingest: text lines → receipt-keyed →
@@ -173,8 +189,9 @@ object FrameSink {
       checkpoint: String,
       failAfterBatch: Option[Long] = None,
       trigger: Trigger = Trigger.AvailableNow(),
+      quarantine: Boolean = false,
   ): StreamingQuery =
-    keyedLines(lines).writeStream
+    keyedLines(lines, quarantine).writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         writeBatch(df, dir, batchId)
         failAfterBatch.foreach { n =>

@@ -229,6 +229,30 @@ class FrameSinkSpec extends AnyFunSuite {
     assert(keyed.collect().map(_.getLong(2)).sorted.toSeq === Seq(3L, 7L))
   }
 
+  test("quarantine mode: unparseable-receipt lines are RETAINED verbatim in " +
+    "a corrupt.bN file that replay discovery never sees — lossless ingest, " +
+    "identical replay semantics") {
+    import spark.implicits._
+    val dir = tmpDir("frame_sink_quarantine")
+    val lines = Seq(
+      """{"timestamp":"2025-07-01T10:00:01+00:00","message_type":"x","content":"a"}""",
+      """not json at all""",
+      """{"timestamp":"garbage","message_type":"x","content":"b"}""",
+    ).toDF("value")
+    FrameSink.writeBatch(FrameSink.keyedLines(lines, quarantine = true), dir, 0L)
+    val names = new File(dir).listFiles().map(_.getName).sorted
+    assert(names.toSeq ===
+      Seq("2025-07-01-10.b000000000.jsonl.zst", "corrupt.b000000000.jsonl.zst"))
+    // replay discovery sees only the real hour; the corrupt bytes survive
+    assert(RawLogSource.discover(dir).map(p => new File(p).getName) ===
+      Seq("2025-07-01-10.b000000000.jsonl.zst"))
+    assert(readLines(new File(dir, "corrupt.b000000000.jsonl.zst")).toSet ===
+      Set("""not json at all""",
+        """{"timestamp":"garbage","message_type":"x","content":"b"}"""))
+    // default (strict) policy still drops them
+    assert(FrameSink.keyedLines(lines).count() === 1)
+  }
+
   test("keyedLines buckets by UTC receipt hour and drops unparseable receipts") {
     import spark.implicits._
     val lines = Seq(

@@ -634,7 +634,128 @@ object Graph {
             |ORDER BY t""".stripMargin),
   )
 
+  /** Bounded-radius harmonic centrality via the neighborhood function
+    * — the application HyperBall was BUILT for (Boldi & Vigna,
+    * "In-core computation of geometric centralities with HyperBall"):
+    * h(n) = Σ_{t≥1} (|B(n,t)| − |B(n,t−1)|) / t, every new node at
+    * distance t contributing 1/t — computed here to radius 4 from the
+    * SAME per-(node, t) register sketches as q_graph_anf_hll, with no
+    * per-node BFS anywhere. Arithmetic is engine-exact: per-(node, t)
+    * estimates are rounded to 4 dp decimals, ring differences are
+    * weighted by 12/t ∈ {12, 6, 4, 3} (×12 = lcm(1..4)) so the
+    * weighted sum stays an EXACT decimal (no 1/3 anywhere); ordering
+    * and the tie-break are on that exact value, and the one terminal
+    * double division by 12 is IEEE-identical in both engines. The
+    * oracle computes each node's exact t-hop ball (unrolled
+    * expansion), sketches it directly, and applies the same ring
+    * arithmetic — different reachability formulation, same registers
+    * bit-for-bit.
+    *
+    * Scale shape: rides `GraphAlgos.anf` (per round one |E|-keyed join
+    * of 4 KiB payloads + node-keyed merge agg), then a node-keyed
+    * 5-row window and a TakeOrdered top-20 — nothing new shuffles.
+    */
+  private val graphAnfHarmonic = Q(
+    "q_graph_anf_harmonic",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .filter($"l_orderkey" % 7 === 0)
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"node").orderBy($"t")
+      GraphAlgos.anf(edges, "u", "v", maxT = 4)
+        .select($"node", $"t",
+          round($"estimate", 4).cast("decimal(20,4)").as("est"))
+        .withColumn("prev", lag($"est", 1).over(w))
+        .filter($"t" >= 1)
+        .groupBy($"node")
+        .agg(sum(($"est" - $"prev") *
+          when($"t" === 1, 12).when($"t" === 2, 6)
+            .when($"t" === 3, 4).otherwise(3)).as("h12"))
+        .select($"node", $"h12".cast("double").as("harmonic_x12"),
+          round($"h12".cast("double") / 12.0, 4).as("harmonic_c"))
+        .orderBy($"harmonic_x12".desc, $"node")
+        .limit(20)
+    },
+    Some(s"""WITH li AS (
+            |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p
+            |  FROM lineitem WHERE l_orderkey % 7 = 0
+            |),
+            |e0 AS (
+            |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+            |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+            |),
+            |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+            |                     UNION SELECT v, u FROM e0),
+            |r0 AS (SELECT DISTINCT src AS node, src AS member FROM sym),
+            |r1 AS MATERIALIZED (
+            |  SELECT * FROM r0 UNION SELECT src, dst FROM sym
+            |),
+            |r2 AS MATERIALIZED (
+            |  SELECT * FROM r1
+            |  UNION SELECT r.node, s.dst FROM r1 r JOIN sym s ON s.src = r.member
+            |),
+            |r3 AS MATERIALIZED (
+            |  SELECT * FROM r2
+            |  UNION SELECT r.node, s.dst FROM r2 r JOIN sym s ON s.src = r.member
+            |),
+            |r4 AS MATERIALIZED (
+            |  SELECT * FROM r3
+            |  UNION SELECT r.node, s.dst FROM r3 r JOIN sym s ON s.src = r.member
+            |),
+            |all_t AS (
+            |  SELECT node, 0 AS t, member FROM r0
+            |  UNION ALL SELECT node, 1, member FROM r1
+            |  UNION ALL SELECT node, 2, member FROM r2
+            |  UNION ALL SELECT node, 3, member FROM r3
+            |  UNION ALL SELECT node, 4, member FROM r4
+            |),
+            |dh AS MATERIALIZED (
+            |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
+            |  FROM (SELECT DISTINCT src AS member FROM sym)
+            |),
+            |regs AS (
+            |  SELECT a.node, a.t, ${Relational.fnv63Bucket("d.h")} AS bucket,
+            |         max(${Relational.fnv63RankOf(Relational.fnv63Tail("d.h"))}) AS r
+            |  FROM all_t a JOIN dh d USING (member)
+            |  GROUP BY 1, 2, 3
+            |),
+            |agg AS (
+            |  SELECT node, t,
+            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+            |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+            |  FROM regs GROUP BY node, t
+            |),
+            |est AS (
+            |  SELECT node, t,
+            |         CAST(round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+            |               (register_sum_scaled / 1073741824.0), 4)
+            |              AS DECIMAL(20,4)) AS e
+            |  FROM agg
+            |),
+            |rings AS (
+            |  SELECT e1.node,
+            |         (e1.e - e0.e) *
+            |         (CASE e1.t WHEN 1 THEN 12 WHEN 2 THEN 6
+            |                    WHEN 3 THEN 4 ELSE 3 END) AS wdiff
+            |  FROM est e1
+            |  JOIN est e0 ON e0.node = e1.node AND e0.t = e1.t - 1
+            |  WHERE e1.t >= 1
+            |),
+            |h AS (SELECT node, sum(wdiff) AS h12 FROM rings GROUP BY node)
+            |SELECT node, CAST(h12 AS DOUBLE) AS harmonic_x12,
+            |       round(CAST(h12 AS DOUBLE) / 12, 4) AS harmonic_c
+            |FROM h
+            |ORDER BY h12 DESC, node
+            |LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp,
     graphJaccardLinkpred, graphModularity, graphAnfHll, graphTrianglesDoulion,
-    graphAnfDiameter)
+    graphAnfDiameter, graphAnfHarmonic)
 }

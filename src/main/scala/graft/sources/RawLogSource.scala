@@ -319,7 +319,11 @@ object RawLogSource {
       StructField("timestamp", StringType),
       StructField("message_type", StringType),
       StructField("content", StringType)))
-    val receiptTs = to_timestamp($"f.timestamp")
+    // try_to_timestamp, not to_timestamp: under ANSI mode a PRESENT
+    // but malformed timestamp string would throw and kill the whole
+    // stream instead of classifying as dirty (null) — the isNotNull
+    // drop below only works if the parse is non-throwing
+    val receiptTs = try_to_timestamp($"f.timestamp")
     lines
       .select(from_json($"value", frameSchema).as("f"))
       .filter($"f.message_type" === "feed_message" &&

@@ -174,7 +174,13 @@ object StreamingReplay {
     import spark.implicits._
     ticks
       .filter($"kind" === "BBO")
-      .withColumn("event_ts", timestamp_millis($"timestamp".cast("long")))
+      // try_cast + drop, not cast: the reference carries the exchange
+      // timestamp as a raw string end-to-end (tick_generator.rs:51),
+      // so a non-numeric one can reach a long-running stream — under
+      // ANSI a plain cast would throw and kill the query at hour
+      // 90,000 instead of classifying the tick as dirty
+      .withColumn("event_ts", timestamp_millis(expr("try_cast(timestamp AS LONG)")))
+      .filter($"event_ts".isNotNull)
       .withWatermark("event_ts", watermark)
       .groupBy(window($"event_ts", "1 minute"), $"asset", $"side")
       .agg(
@@ -190,7 +196,9 @@ object StreamingReplay {
     import spark.implicits._
     ticks
       .filter($"kind" === "TRADE")
-      .withColumn("event_ts", timestamp_millis($"timestamp".cast("long")))
+      // same dirty-timestamp policy as bboMinutely
+      .withColumn("event_ts", timestamp_millis(expr("try_cast(timestamp AS LONG)")))
+      .filter($"event_ts".isNotNull)
       .withWatermark("event_ts", watermark)
       .groupBy(window($"event_ts", "1 hour"), $"asset")
       .agg(sum($"size").as("volume"), count(lit(1)).as("n_trades"))

@@ -230,4 +230,16 @@ class LiveIngestSpec extends AnyFunSuite {
       assert(msgs.map(_.lineNo).distinct.length == 2)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
+
+  test("a present-but-malformed receipt timestamp classifies as dirty " +
+    "(dropped), it does NOT throw and kill the stream under ANSI mode") {
+    import spark.implicits._
+    val lines = Seq(
+      frameLine(5, bookMsg("A1", 1751378405000L, "0.61", "0.51")),
+      s"""{"timestamp":"not-a-timestamp","message_type":"feed_message","content":"[${bookMsg("A1", 1751378405000L, "0.62", "0.52")}]"}""",
+    ).toDF("value")
+    val msgs = RawLogSource.feedMessagesFromLines(lines).collect()
+    assert(msgs.length == 1)
+    assert(msgs.head.fileHour == "2025-07-01-14")
+  }
 }

@@ -121,6 +121,33 @@ class StreamingReplaySpec extends AnyFunSuite {
     assert(rows == Set(("ASK", 0.54, 2L), ("BID", 0.50, 2L)))
   }
 
+  test("a non-numeric exchange timestamp is classified dirty and dropped " +
+    "by the windowed aggs — the long-running stream must NOT die on it " +
+    "(the reference carries the timestamp as a raw string end-to-end)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.model.Tick]
+    def tick(ts: String, mmIdx: Int) = graft.model.Tick(
+      ts, "BBO", "0xM0", "A0", "ASK", 0.55, 1.0, "2025-07-01-14", mmIdx.toLong, 0, 0)
+    val query = StreamingReplay.bboMinutely(input.toDS())
+      .writeStream.format("memory").queryName("bbo_dirty_ts_test")
+      .outputMode("append").start()
+    input.addData(
+      tick("1751378405000", 1),
+      tick("not-a-number", 2), // dirty: must drop, not throw under ANSI
+      tick("1751378406000", 3))
+    query.processAllAvailable()
+    // advance event time past the watermark so the first minute closes
+    input.addData(tick("1751379200000", 4))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("bbo_dirty_ts_test")
+      .select($"side", $"last_price", $"n_events").as[(String, Double, Long)]
+      .collect().toSet
+    // 2 clean events in the closed minute; the dirty tick contributes nothing
+    assert(rows == Set(("ASK", 0.55, 2L)))
+  }
+
   test("observed ingest metrics surface per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

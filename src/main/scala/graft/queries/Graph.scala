@@ -755,7 +755,122 @@ object Graph {
             |LIMIT 20""".stripMargin),
   )
 
+  /** Bounded-radius closeness + Lin's index from the same ANF
+    * sketches — the other two geometric centralities HyperBall
+    * computes (Boldi & Vigna §4): sum-of-distances S(n) =
+    * Σ_{t≥1} t·(|B(n,t)|−|B(n,t−1)|) (integer ring weights — exact
+    * decimal, no lcm scaling even needed), reachable-set size
+    * r(n) = |B(n, T)|, and Lin's index r(n)²/S(n) — the
+    * unreachability-robust closeness variant (nodes reaching more of
+    * the graph rank higher even though their distance sum grows).
+    * Division only in the terminal projection, IEEE-identical both
+    * engines; ordering and the top-20 cut are on exact decimals.
+    */
+  private val graphAnfCloseness = Q(
+    "q_graph_anf_closeness",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .filter($"l_orderkey" % 7 === 0)
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"node").orderBy($"t")
+      GraphAlgos.anf(edges, "u", "v", maxT = 4)
+        .select($"node", $"t",
+          round($"estimate", 4).cast("decimal(20,4)").as("est"))
+        .withColumn("prev", lag($"est", 1).over(w))
+        .groupBy($"node")
+        .agg(
+          sum(when($"t" >= 1, ($"est" - $"prev") * $"t")).as("sumdist"),
+          max(when($"t" === 4, $"est")).as("reach"))
+        .select($"node",
+          $"reach".cast("double").as("reachable_est"),
+          $"sumdist".cast("double").as("sum_dist"),
+          round(($"reach".cast("double") * $"reach".cast("double")) /
+            $"sumdist".cast("double"), 4).as("lin_index"))
+        .orderBy($"sumdist".desc, $"node")
+        .limit(20)
+    },
+    Some(s"""WITH li AS (
+            |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p
+            |  FROM lineitem WHERE l_orderkey % 7 = 0
+            |),
+            |e0 AS (
+            |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+            |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+            |),
+            |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+            |                     UNION SELECT v, u FROM e0),
+            |r0 AS (SELECT DISTINCT src AS node, src AS member FROM sym),
+            |r1 AS MATERIALIZED (
+            |  SELECT * FROM r0 UNION SELECT src, dst FROM sym
+            |),
+            |r2 AS MATERIALIZED (
+            |  SELECT * FROM r1
+            |  UNION SELECT r.node, s.dst FROM r1 r JOIN sym s ON s.src = r.member
+            |),
+            |r3 AS MATERIALIZED (
+            |  SELECT * FROM r2
+            |  UNION SELECT r.node, s.dst FROM r2 r JOIN sym s ON s.src = r.member
+            |),
+            |r4 AS MATERIALIZED (
+            |  SELECT * FROM r3
+            |  UNION SELECT r.node, s.dst FROM r3 r JOIN sym s ON s.src = r.member
+            |),
+            |all_t AS (
+            |  SELECT node, 0 AS t, member FROM r0
+            |  UNION ALL SELECT node, 1, member FROM r1
+            |  UNION ALL SELECT node, 2, member FROM r2
+            |  UNION ALL SELECT node, 3, member FROM r3
+            |  UNION ALL SELECT node, 4, member FROM r4
+            |),
+            |dh AS MATERIALIZED (
+            |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
+            |  FROM (SELECT DISTINCT src AS member FROM sym)
+            |),
+            |regs AS (
+            |  SELECT a.node, a.t, ${Relational.fnv63Bucket("d.h")} AS bucket,
+            |         max(${Relational.fnv63RankOf(Relational.fnv63Tail("d.h"))}) AS r
+            |  FROM all_t a JOIN dh d USING (member)
+            |  GROUP BY 1, 2, 3
+            |),
+            |agg AS (
+            |  SELECT node, t,
+            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+            |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+            |  FROM regs GROUP BY node, t
+            |),
+            |est AS (
+            |  SELECT node, t,
+            |         CAST(round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+            |               (register_sum_scaled / 1073741824.0), 4)
+            |              AS DECIMAL(20,4)) AS e
+            |  FROM agg
+            |),
+            |stats AS (
+            |  SELECT e1.node,
+            |         sum((e1.e - e0.e) * e1.t) AS sumdist,
+            |         max(CASE WHEN e1.t = 4 THEN e1.e END) AS reach4
+            |  FROM est e1
+            |  JOIN est e0 ON e0.node = e1.node AND e0.t = e1.t - 1
+            |  WHERE e1.t >= 1
+            |  GROUP BY e1.node
+            |)
+            |SELECT node,
+            |       CAST(reach4 AS DOUBLE) AS reachable_est,
+            |       CAST(sumdist AS DOUBLE) AS sum_dist,
+            |       round(CAST(reach4 AS DOUBLE) * CAST(reach4 AS DOUBLE) /
+            |             CAST(sumdist AS DOUBLE), 4) AS lin_index
+            |FROM stats
+            |ORDER BY sumdist DESC, node
+            |LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp,
     graphJaccardLinkpred, graphModularity, graphAnfHll, graphTrianglesDoulion,
-    graphAnfDiameter, graphAnfHarmonic)
+    graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness)
 }

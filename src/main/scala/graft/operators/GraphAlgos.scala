@@ -153,6 +153,62 @@ object GraphAlgos {
       .select($"src".as("node"), $"core_deg")
   }
 
+  /** Core NUMBERS (coreness of every node) by h-index iteration (Lü
+    * et al., PNAS 113(9) 2016): initialize every node to its degree,
+    * then repeatedly replace each node's value with the h-index of
+    * its neighbors' values; the fixpoint is exactly the node's
+    * coreness. A genuinely different algorithm from [[kCore]]'s peel
+    * — no shrinking edge set, the graph is scanned whole every round
+    * — and the natural one when you want the full coreness COLUMN
+    * (peeling yields one k's membership per run).
+    *
+    * Scale shape per round: one |E|-keyed equi-join against the |V|
+    * value table, a node-partitioned window (rank neighbors by value
+    * — keyed, never global), and a node-keyed max aggregation. Values
+    * are monotonically non-increasing per node, so convergence (no
+    * value changed) is a fixpoint witness; throws past `maxIters`
+    * like the other iterative operators. Lineage cut per round as in
+    * [[Components]].
+    *
+    * Returns (node, coreness).
+    */
+  def coreNumbers(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      maxIters: Int = 60,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).localCheckpoint(true)
+    var cur = sym.groupBy($"src").agg(count(lit(1)).cast("long").as("c"))
+      .select($"src".as("node"), $"c").localCheckpoint(true)
+    var converged = false
+    var i = 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"val".desc)
+    while (!converged && i < maxIters) {
+      // h-index of the neighbor multiset: rank values desc, take
+      // max(min(rank, value)) — max h with ≥ h neighbors of value ≥ h
+      val nxt = sym.join(cur, sym("dst") === cur("node"))
+        .select(sym("src"), cur("c").as("val"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"src")
+        .agg(max(least($"rn", $"val")).as("c"))
+        .select($"src".as("node"), $"c")
+        .localCheckpoint(true)
+      val changed = nxt.as("n").join(cur.as("p"), "node")
+        .filter($"n.c" =!= $"p.c").limit(1).count()
+      converged = changed == 0
+      cur = nxt
+      i += 1
+    }
+    require(converged,
+      s"coreNumbers did not converge in $maxIters rounds; raise maxIters")
+    cur.select($"node", $"c".as("coreness"))
+  }
+
   /** Approximate neighborhood function (ANF: Palmer et al., "ANF: a
     * fast and scalable tool for data analysis in massive graphs";
     * register refinement per Boldi & Vigna's HyperBall): for every

@@ -175,6 +175,73 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
+  /** The k-core AGAIN from the h-index side — completing the
+    * cross-formulation square with q_graph_kcore: that gate runs
+    * Spark PEELING against a DuckDB h-index oracle; this one runs the
+    * Spark H-INDEX operator (`GraphAlgos.coreNumbers`, full coreness
+    * column, no peel) against the DuckDB PEEL oracle (the exact
+    * unrolled-peel program that was q_graph_kcore's oracle through
+    * round 6). Both algorithms now exist in both engines, every
+    * pairing checked; identical output shape (node, core_deg), so the
+    * two gates must also hash-match EACH OTHER. GraphAlgosSpec
+    * additionally pins the full coreness column against a sequential
+    * peel on brute-force-checkable graphs.
+    */
+  private val graphKcoreHindex = Q(
+    "q_graph_kcore_hindex",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      val core = GraphAlgos.coreNumbers(edges, "u", "v")
+        .filter($"coreness" >= 20).select($"node")
+      val sym = edges.select($"u".as("src"), $"v".as("dst"))
+        .union(edges.select($"v", $"u"))
+      sym.join(core.withColumnRenamed("node", "src"), "src")
+        .join(core.withColumnRenamed("node", "dst"), "dst")
+        .groupBy($"src")
+        .agg(count(lit(1)).as("core_deg"))
+        .select($"src".as("node"), $"core_deg")
+        .orderBy($"node")
+    },
+    Some(kcorePeelOracleSql(k = 20, rounds = 24)),
+  )
+
+  /** The round-1-6 q_graph_kcore oracle, now serving the h-index gate:
+    * the same symmetric edge derivation, then `rounds` unrolled peel
+    * iterations (degree count → keep-set → two semi-joins), identity
+    * once the fixpoint is reached (sf0.01 converges in 15).
+    */
+  private def kcorePeelOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p FROM lineitem
+        |),
+        |und AS (
+        |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+        |),
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.src
+         |  JOIN k$i b ON e.dst = b.src
+         |)""".stripMargin
+    }.mkString
+    s"""$head$rs
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$rounds
+       |GROUP BY src
+       |ORDER BY node""".stripMargin
+  }
+
   /** One synchronous LPA round for the oracle: neighbor-label counts,
     * per-node max count, min label among the tied — the same pinned
     * argmax as `GraphAlgos.labelPropagation`. `it$k` is MATERIALIZED
@@ -870,7 +937,7 @@ object Graph {
             |LIMIT 20""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphLabelProp,
-    graphJaccardLinkpred, graphModularity, graphAnfHll, graphTrianglesDoulion,
-    graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness)
+  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphKcoreHindex,
+    graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
+    graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness)
 }

@@ -180,4 +180,52 @@ class GraphAlgosSpec extends AnyFunSuite {
         s"trial $trial, |E|=${edges.size}")
     }
   }
+
+  test("coreNumbers (h-index iteration) matches full coreness from an " +
+    "independent min-degree sequential peeler on random graphs") {
+    // Matula-Beck style: repeatedly remove a minimum-degree node; its
+    // core number is the running max of min-degrees seen — one node at
+    // a time, no h-index anywhere
+    def seqCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      edges.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+        adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+      }
+      val res = scala.collection.mutable.Map.empty[Long, Long]
+      var runningMax = 0L
+      while (adj.nonEmpty) {
+        val (n, nbrs) = adj.minBy { case (n, s) => (s.size, n) }
+        runningMax = math.max(runningMax, nbrs.size.toLong)
+        res(n) = runningMax
+        nbrs.foreach(m => adj(m) -= n)
+        adj -= n
+      }
+      res.toMap
+    }
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.2
+      } yield (a, b)).toSeq
+      val got = GraphAlgos.coreNumbers(edges.toDF("u", "v"), "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === seqCoreness(edges), s"trial $trial, |E|=${edges.size}")
+    }
+  }
+
+  test("coreNumbers closed forms: K5 is all 4s; a path is all 1s; a " +
+    "triangle with a pendant tail is {2,2,2,1,1}") {
+    def cn(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      GraphAlgos.coreNumbers(edges.toDF("u", "v"), "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k5 = for { a <- 1L to 5; b <- (a + 1) to 5 } yield (a, b)
+    assert(cn(k5) === (1L to 5L).map(_ -> 4L).toMap)
+    assert(cn(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(cn(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
 }

@@ -240,6 +240,26 @@ object GraphAlgos {
   def anf(edges: DataFrame, uCol: String, vCol: String, maxT: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    anfRegisters(edges, uCol, vCol, maxT)
+      .select($"node", $"t",
+        call_function(graft.functions.HllRegisters.EvalName, $"regs").as("ev"))
+      .select($"node", $"t", $"ev.estimate".as("estimate"),
+        $"ev.nonzero_buckets".as("nonzero_buckets"),
+        $"ev.register_sum_scaled".as("register_sum_scaled"))
+  }
+
+  /** The ANF iteration's raw output: (node, t, regs) with the 4 KiB
+    * register binary per (node, radius) — the STORAGE format for a
+    * graph-sketch lake. Persisting this instead of the evaluated
+    * estimates keeps the sketches mergeable (register merge ≡ ball
+    * union), so stored sketches can later serve diameter / harmonic /
+    * closeness / any-subset-union queries without re-running the
+    * iteration — the graph analog of q_sketch_hll_lake's
+    * train-once/serve-many story.
+    */
+  def anfRegisters(edges: DataFrame, uCol: String, vCol: String, maxT: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     graft.functions.HllRegisters.register(spark)
     val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
@@ -249,13 +269,7 @@ object GraphAlgos {
         call_function(graft.functions.HllRegisters.InitName,
           $"node".cast("string")).as("regs"))
       .localCheckpoint(true)
-    def evaled(t: Int, snap: DataFrame): DataFrame =
-      snap.select($"node", lit(t).as("t"),
-        call_function(graft.functions.HllRegisters.EvalName, $"regs").as("ev"))
-        .select($"node", $"t", $"ev.estimate".as("estimate"),
-          $"ev.nonzero_buckets".as("nonzero_buckets"),
-          $"ev.register_sum_scaled".as("register_sum_scaled"))
-    var out = evaled(0, cur)
+    var out = cur.select($"node", lit(0).as("t"), $"regs")
     for (t <- 1 to maxT) {
       val fromNbrs = sym
         .join(cur.select($"node".as("dst"), $"regs"), "dst")
@@ -264,7 +278,7 @@ object GraphAlgos {
         .groupBy($"node")
         .agg(call_function(graft.functions.HllRegisters.MergeName, $"regs").as("regs"))
         .localCheckpoint(true)
-      out = out.union(evaled(t, cur))
+      out = out.union(cur.select($"node", lit(t).as("t"), $"regs"))
     }
     out
   }

@@ -937,7 +937,140 @@ object Graph {
             |LIMIT 20""".stripMargin),
   )
 
+  /** Graph-sketch LAKE: run the ANF iteration ONCE, persist the raw
+    * per-(node, radius) register binaries to parquet, then serve
+    * MULTIPLE centrality analytics — the neighborhood-function curve
+    * N(t), total harmonic mass, total sum-of-distances — from the
+    * STORED sketches alone, never re-running the iteration (the graph
+    * analog of q_sketch_hll_lake's train-once/serve-many story; at
+    * 100 TB the iteration is the expensive part and the lake is ≤
+    * |V|·(maxT+1) fixed 4 KiB rows). Registers, not estimates, are
+    * what's stored — merge ≡ ball union keeps the lake composable for
+    * queries this gate doesn't anticipate. The oracle rebuilds every
+    * register from exact unrolled reachability and computes the same
+    * summary rows, so build, parquet round-trip of the binary column,
+    * and every served metric sit under one hash.
+    */
+  private val graphAnfLake = Q(
+    "q_sketch_anf_lake",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .filter($"l_orderkey" % 7 === 0)
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      val lake = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_anf_lake_${s.sparkContext.applicationId}").getPath
+      GraphAlgos.anfRegisters(edges, "u", "v", maxT = 4)
+        .write.mode("overwrite").parquet(lake)
+      val est = s.read.parquet(lake)
+        .select($"node", $"t",
+          round(call_function(graft.functions.HllRegisters.EvalName, $"regs")
+            .getField("estimate"), 4).cast("decimal(20,4)").as("est"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"node").orderBy($"t")
+      val rings = est.withColumn("prev", lag($"est", 1).over(w))
+        .filter($"t" >= 1)
+        .select($"t", ($"est" - $"prev").as("d"))
+      val perT = est.groupBy($"t")
+        .agg(sum($"est").as("v"))
+        .select(concat(lit("n_t_"), $"t").as("metric"),
+          $"v".cast("double").as("value"))
+      val nNodes = est.agg(countDistinct($"node").as("n"))
+        .select(lit("n_nodes").as("metric"), $"n".cast("double").as("value"))
+      val harmonic = rings
+        .agg(sum($"d" * when($"t" === 1, 12).when($"t" === 2, 6)
+          .when($"t" === 3, 4).otherwise(3)).as("v"))
+        .select(lit("harmonic_total_x12").as("metric"), $"v".cast("double").as("value"))
+      val sumdist = rings
+        .agg(sum($"d" * $"t").as("v"))
+        .select(lit("sumdist_total").as("metric"), $"v".cast("double").as("value"))
+      perT.union(nNodes).union(harmonic).union(sumdist).orderBy($"metric")
+    },
+    Some(s"""WITH li AS (
+            |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p
+            |  FROM lineitem WHERE l_orderkey % 7 = 0
+            |),
+            |e0 AS (
+            |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+            |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+            |),
+            |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+            |                     UNION SELECT v, u FROM e0),
+            |r0 AS (SELECT DISTINCT src AS node, src AS member FROM sym),
+            |r1 AS MATERIALIZED (
+            |  SELECT * FROM r0 UNION SELECT src, dst FROM sym
+            |),
+            |r2 AS MATERIALIZED (
+            |  SELECT * FROM r1
+            |  UNION SELECT r.node, s.dst FROM r1 r JOIN sym s ON s.src = r.member
+            |),
+            |r3 AS MATERIALIZED (
+            |  SELECT * FROM r2
+            |  UNION SELECT r.node, s.dst FROM r2 r JOIN sym s ON s.src = r.member
+            |),
+            |r4 AS MATERIALIZED (
+            |  SELECT * FROM r3
+            |  UNION SELECT r.node, s.dst FROM r3 r JOIN sym s ON s.src = r.member
+            |),
+            |all_t AS (
+            |  SELECT node, 0 AS t, member FROM r0
+            |  UNION ALL SELECT node, 1, member FROM r1
+            |  UNION ALL SELECT node, 2, member FROM r2
+            |  UNION ALL SELECT node, 3, member FROM r3
+            |  UNION ALL SELECT node, 4, member FROM r4
+            |),
+            |dh AS MATERIALIZED (
+            |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
+            |  FROM (SELECT DISTINCT src AS member FROM sym)
+            |),
+            |regs AS (
+            |  SELECT a.node, a.t, ${Relational.fnv63Bucket("d.h")} AS bucket,
+            |         max(${Relational.fnv63RankOf(Relational.fnv63Tail("d.h"))}) AS r
+            |  FROM all_t a JOIN dh d USING (member)
+            |  GROUP BY 1, 2, 3
+            |),
+            |agg AS (
+            |  SELECT node, t,
+            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+            |              (4096 - count(*)) * 1073741824 AS BIGINT) AS register_sum_scaled
+            |  FROM regs GROUP BY node, t
+            |),
+            |est AS (
+            |  SELECT node, t,
+            |         CAST(round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+            |               (register_sum_scaled / 1073741824.0), 4)
+            |              AS DECIMAL(20,4)) AS e
+            |  FROM agg
+            |),
+            |rings AS (
+            |  SELECT e1.t, e1.e - e0.e AS d
+            |  FROM est e1
+            |  JOIN est e0 ON e0.node = e1.node AND e0.t = e1.t - 1
+            |  WHERE e1.t >= 1
+            |)
+            |SELECT metric, value FROM (
+            |  SELECT 'n_t_' || t AS metric, CAST(sum(e) AS DOUBLE) AS value
+            |  FROM est GROUP BY t
+            |  UNION ALL
+            |  SELECT 'n_nodes', CAST(count(DISTINCT node) AS DOUBLE) FROM est
+            |  UNION ALL
+            |  SELECT 'harmonic_total_x12',
+            |         CAST(sum(d * (CASE t WHEN 1 THEN 12 WHEN 2 THEN 6
+            |                              WHEN 3 THEN 4 ELSE 3 END)) AS DOUBLE)
+            |  FROM rings
+            |  UNION ALL
+            |  SELECT 'sumdist_total', CAST(sum(d * t) AS DOUBLE) FROM rings
+            |)
+            |ORDER BY metric""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphKcoreHindex,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
-    graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness)
+    graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
+    graphAnfLake)
 }

@@ -105,6 +105,96 @@ object GraphAlgos {
     visited
   }
 
+  /** Weighted single-source shortest paths by frontier Bellman–Ford —
+    * the Pregel paper's flagship example (Malewicz et al., SIGMOD '10,
+    * §5.2), re-expressed as keyed joins: per round, only nodes whose
+    * tentative distance IMPROVED last round (the frontier) propagate
+    * `dist + w` across their edges, candidates are pre-aggregated with
+    * a map-side-combinable per-node `min`, and a left join against the
+    * current table keeps strict improvements only. With non-negative
+    * weights the frontier empties in at most |V| rounds (each node's
+    * final distance is fixed once the cheapest path to it has
+    * propagated), so frontier-empty ⟺ fixpoint — the same
+    * convergence-witness discipline as [[Components]]. Per-round cost
+    * is O(frontier out-edges), NOT O(|E|): matching Pregel's "vertices
+    * vote to halt", the property that makes the loop viable at 10⁹
+    * edges where full-relaxation Bellman–Ford (|V|·|E|) is not.
+    * Lineage is cut with an eager localCheckpoint per round and the
+    * loop's shuffles are sized to the edge count (see [[Components]]
+    * for both rationales). Weights must be non-negative longs: a
+    * negative weight voids the frontier-converges argument, so it
+    * fails loudly inside the plan rather than looping. Returns
+    * (node, dist) for every node reachable from `seed`.
+    */
+  def sssp(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      wCol: String,
+      seed: Long,
+      maxIters: Int = 60,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(
+      col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst"),
+      when(col(wCol).cast("long") >= 0, col(wCol).cast("long"))
+        .otherwise(raise_error(concat(lit("sssp: negative edge weight "),
+          col(wCol).cast("string"),
+          lit(" — frontier Bellman–Ford requires non-negative weights"))))
+        .as("w"))
+    // undirected: relax in both directions
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      .localCheckpoint(true)
+    val nEdges = sym.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      // materialize + cut lineage + DROP plan metadata. A plain
+      // localCheckpoint keeps both the plan's output exprIds and its
+      // propagated constraints (LogicalRDD.fromDataset copies them),
+      // so the improvement filter's `d.dist IS NULL OR c.dist <
+      // d.dist` constraint — which references the JOIN side's
+      // attributes, absent from the projected output — would ride the
+      // checkpoint into the next round's union and blow up Union
+      // constraint rewriting. Re-wrapping the materialized RDD in a
+      // fresh LogicalRDD keeps only (schema, rows): fresh exprIds, no
+      // foreign constraints.
+      def settle(df: DataFrame): DataFrame = {
+        val m = df.localCheckpoint(true)
+        spark.createDataFrame(m.rdd, m.schema)
+      }
+      var dist = settle(Seq((seed, 0L)).toDF("node", "dist"))
+      var frontier = dist
+      var frontierSize = 1L
+      var i = 0
+      while (frontierSize > 0 && i < maxIters) {
+        i += 1
+        // candidates from the frontier only, pre-combined per node
+        val cand = frontier.join(sym, $"node" === $"src")
+          .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
+          .groupBy($"node").agg(min($"dist").as("dist"))
+        // strict improvements: unseen nodes, or a cheaper path
+        val improved = settle(cand.as("c")
+          .join(dist.as("d"), $"c.node" === $"d.node", "left_outer")
+          .filter($"d.dist".isNull || $"c.dist" < $"d.dist")
+          .select($"c.node".as("node"), $"c.dist".as("dist")))
+        frontierSize = improved.count()
+        if (frontierSize > 0) {
+          dist = settle(dist.union(improved)
+            .groupBy($"node").agg(min($"dist").as("dist")))
+          frontier = improved
+        }
+      }
+      require(frontierSize == 0,
+        s"sssp did not converge in $maxIters rounds — a shortest path " +
+          "tree is deeper than the budget; raise maxIters")
+      dist
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k,
     * by iterative peeling — drop all nodes of degree < k, recompute
     * degrees, repeat to fixpoint (the dense-cluster extractor: on a

@@ -105,6 +105,65 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** Weighted shortest distances from the minimum part id over the
+    * same sparse adjacency graph as q_graph_bfs_levels, with a
+    * data-derived integer edge weight (1 + (qty_a + qty_b) mod 5,
+    * min over duplicate edges — exact long arithmetic in both
+    * engines), via `GraphAlgos.sssp` frontier Bellman–Ford: only
+    * nodes improved last round propagate, so per-round cost tracks
+    * the active frontier, not |E| (Pregel SIGMOD '10 §5.2 semantics).
+    * Bounded-radius semantics (dist < 60, ~10× the measured max of
+    * 4–6) keep the two engines' truncation aligned. The oracle is a
+    * DIFFERENT formulation of the same semantics: a DuckDB recursive
+    * CTE enumerating all weighted walks of total weight < 60 with
+    * (node, dist) dedup and taking min(dist) per node — no rounds, no
+    * frontier, no improvement test — so a bug in the relaxation loop
+    * cannot be mirrored. The one driver-side value is the seed (a
+    * 1-row min, same as the BFS gate).
+    */
+  private val graphSssp = Q(
+    "q_graph_sssp",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+          $"l_partkey".as("p"), $"l_quantity".cast("long").as("q"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"),
+          (lit(1L) + ($"a.q" + $"b.q") % 5L).as("w"))
+        .groupBy($"u", $"v").agg(min($"w").as("w"))
+      val seed = edges.agg(min($"u")).head.getLong(0)
+      GraphAlgos.sssp(edges, "u", "v", "w", seed, maxIters = 60)
+        .filter($"dist" < 60)
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE li AS (
+           |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p,
+           |         CAST(l_quantity AS BIGINT) AS q
+           |  FROM lineitem
+           |),
+           |e0 AS (
+           |  SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v,
+           |         min(1 + (a.q + b.q) % 5) AS w
+           |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+           |  GROUP BY 1, 2
+           |),
+           |sym AS (SELECT u AS src, v AS dst, w FROM e0
+           |        UNION ALL SELECT v, u, w FROM e0),
+           |walk AS (
+           |  SELECT (SELECT min(u) FROM e0) AS node, 0 AS d
+           |  UNION
+           |  SELECT e.dst, walk.d + e.w
+           |  FROM walk JOIN sym e ON e.src = walk.node
+           |  WHERE walk.d + e.w < 60
+           |)
+           |SELECT node, CAST(min(d) AS BIGINT) AS dist
+           |FROM walk
+           |GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
   /** 20-core of the sparse adjacency graph (`GraphAlgos.kCore`
     * iterative peeling to fixpoint): the dense-cluster extractor —
     * nodes that remain when everything of degree < 20 is repeatedly
@@ -1069,7 +1128,7 @@ object Graph {
             |ORDER BY metric""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphKcore, graphKcoreHindex,
+  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphKcore, graphKcoreHindex,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake)

@@ -228,4 +228,80 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(cn(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))) ===
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
+
+  private def sssp(edges: Seq[(Long, Long, Long)], seed: Long): Map[Long, Long] =
+    GraphAlgos.sssp(edges.toDF("u", "v", "w"), "u", "v", "w", seed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("sssp on a weighted chain: cumulative weights, unreachable component absent") {
+    val g = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 7L), (10L, 11L, 1L))
+    assert(sssp(g, seed = 1L) === Map(1L -> 0L, 2L -> 3L, 3L -> 4L, 4L -> 11L))
+  }
+
+  test("sssp prefers a cheap long path over an expensive direct edge " +
+    "(the case hop-count BFS gets wrong)") {
+    // direct 1-2 costs 10; detour 1-3-4-2 costs 1+1+1 = 3
+    val g = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L))
+    assert(sssp(g, seed = 1L) === Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("sssp requires a SECOND relaxation round when a cheaper path arrives " +
+    "after a node is first reached (frontier re-propagates improvements)") {
+    // 2 is first reached at dist 10 in round 1; round 2's frontier {3}
+    // improves it to 2, and the improvement must propagate onward to 5
+    val g = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 5L, 1L))
+    assert(sssp(g, seed = 1L) === Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 5L -> 3L))
+  }
+
+  test("sssp with all weights 1 agrees with bfsLevels") {
+    val rnd = new scala.util.Random(7)
+    val edges = (for (_ <- 1 to 120) yield {
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val viaBfs = bfs(edges, seed = edges.map(_._1).min, maxDepth = 100)
+    assert(sssp(edges.map { case (u, v) => (u, v, 1L) },
+      seed = edges.map(_._1).min) === viaBfs)
+  }
+
+  test("sssp matches a sequential Dijkstra on random weighted graphs " +
+    "(different formulation: priority queue, no rounds)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val n = 25 + rnd.nextInt(25)
+      val edges = (for (_ <- 1 to n * 4) yield {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        val w = 1L + rnd.nextInt(9)
+        if (a != b) Some((math.min(a, b), math.max(a, b), w)) else None
+      }).flatten.groupBy(e => (e._1, e._2))
+        .map { case ((u, v), es) => (u, v, es.map(_._3).min) }.toSeq
+      val seed = edges.map(_._1).min
+      // sequential Dijkstra over the symmetric adjacency map
+      val adj = (edges ++ edges.map { case (u, v, w) => (v, u, w) })
+        .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, seed))(
+        Ordering.by[(Long, Long), Long](-_._1))
+      val done = scala.collection.mutable.Set.empty[Long]
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (!done(u)) {
+          done += u
+          for ((v, w) <- adj.getOrElse(u, Seq.empty)
+               if d + w < dist.getOrElse(v, Long.MaxValue)) {
+            dist(v) = d + w; pq.enqueue((d + w, v))
+          }
+        }
+      }
+      assert(sssp(edges, seed) === dist.toMap, s"trial $trial, |E|=${edges.size}")
+    }
+  }
+
+  test("sssp fails loudly on a negative edge weight") {
+    val ex = intercept[Exception] {
+      sssp(Seq((1L, 2L, 1L), (2L, 3L, -4L)), seed = 1L)
+    }
+    assert(ex.getMessage.contains("negative edge weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative edge weight")))
+  }
 }

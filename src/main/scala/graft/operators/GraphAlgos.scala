@@ -195,6 +195,74 @@ object GraphAlgos {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Deterministic truncated random walks — the DeepWalk/node2vec
+    * corpus generator (Perozzi et al., KDD '14: short random walks as
+    * "sentences" for skip-gram training over a graph). Every coin is
+    * the engine's cross-engine fnv63 hash of (start, walk, step,
+    * current node), so the corpus is a pure function of the graph: a
+    * re-run, a retried task, or the DuckDB oracle produce the SAME
+    * walks — reproducible-training-data semantics instead of
+    * seed-per-partition RNG state.
+    *
+    * Scale shape: adjacency gets a positional index once (row_number
+    * per source — one shuffle+sort over |E|), then every step is TWO
+    * node-keyed equi-joins: state ⋈ degree (compute `choice = fnv63 %
+    * deg`), then state ⋈ adjacency on (src, idx) = (node, choice).
+    * Joining on the precomputed position rather than filtering the
+    * neighbor list keeps per-step work at O(walks), never O(walks ×
+    * degree) — a hub with 10⁶ neighbors costs a walk exactly one
+    * probe, the skew shape that matters on power-law graphs. State is
+    * one row per walk per step; lineage cut per step.
+    *
+    * Returns (start, walk, step, node) for step = 0..steps — the walk
+    * corpus in long form. Walks never get stuck: every node in an
+    * edge has degree ≥ 1 under symmetrization.
+    */
+  def deterministicWalks(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      walksPerNode: Int,
+      steps: Int,
+  ): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1,
+      s"deterministicWalks: need walksPerNode >= 1 and steps >= 1, " +
+        s"got $walksPerNode, $steps")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    graft.functions.Fnv63Hash.register(spark)
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst")).distinct()
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"dst")
+    val adj = sym.withColumn("idx", row_number().over(w) - 1)
+      .localCheckpoint(true)
+    val deg = adj.groupBy($"src".as("dnode")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val walkIds = array((0 until walksPerNode).map(lit): _*)
+    var cur = deg.select($"dnode".as("start"))
+      .withColumn("walk", explode(walkIds))
+      .withColumn("node", $"start")
+      .localCheckpoint(true)
+    var out = cur.withColumn("step", lit(0))
+      .select($"start", $"walk", $"step", $"node")
+    for (k <- 1 to steps) {
+      val coin = expr(
+        s"fnv63(concat(cast(start as string), '_', cast(walk as string), " +
+          s"'_', '$k', '_', cast(node as string)))")
+      cur = cur.join(deg, $"node" === $"dnode")
+        .withColumn("choice", coin % $"deg")
+        .join(adj, $"node" === $"src" && $"choice" === $"idx")
+        .select($"start", $"walk", $"dst".as("node"))
+        .localCheckpoint(true)
+      out = out.union(cur.withColumn("step", lit(k))
+        .select($"start", $"walk", $"step", $"node"))
+    }
+    out
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k,
     * by iterative peeling — drop all nodes of degree < k, recompute
     * degrees, repeat to fixpoint (the dense-cluster extractor: on a

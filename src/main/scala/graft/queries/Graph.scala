@@ -164,6 +164,74 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** Deterministic DeepWalk corpus (Perozzi et al., KDD '14) over the
+    * sparse adjacency graph: 2 walks of length 4 from every node,
+    * every step chosen by the cross-engine fnv63 hash of (start,
+    * walk, step, node) mod degree — the walk corpus is a pure
+    * function of the graph, so retries, re-runs, and the oracle all
+    * produce identical "sentences" (reproducible training data, no
+    * RNG state). `GraphAlgos.deterministicWalks` keeps each step at
+    * two node-keyed equi-joins (degree for the choice, positional
+    * adjacency for the move) — O(walks) per step even on power-law
+    * degree skew. The oracle unrolls the same four steps in DuckDB
+    * with `row_number`-indexed adjacency and the BIGINT+HUGEINT fnv63
+    * program — an independent implementation of every moving part
+    * (window indexing, hash, modulus, join chain).
+    */
+  private val graphWalks = Q(
+    "q_graph_walks",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      GraphAlgos.deterministicWalks(edges, "u", "v", walksPerNode = 2, steps = 4)
+        .orderBy($"start", $"walk", $"step")
+    },
+    Some {
+      def coin(k: Int) = Relational.fnv63Sql(
+        s"CAST(s.start AS VARCHAR) || '_' || CAST(s.walk AS VARCHAR) || " +
+          s"'_' || '$k' || '_' || CAST(s.node AS VARCHAR)")
+      def stepCte(k: Int) =
+        s"""s$k AS (
+           |  SELECT s.start, s.walk, $k AS step, a.dst AS node
+           |  FROM s${k - 1} s
+           |  JOIN deg d ON d.node = s.node
+           |  JOIN adj a ON a.src = s.node AND a.idx = (${coin(k)}) % d.deg
+           |)""".stripMargin
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p FROM lineitem
+         |),
+         |e0 AS (
+         |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+         |),
+         |sym AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+         |adj AS (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |  FROM sym
+         |),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+         |s0 AS (
+         |  SELECT d.node AS start, w.walk, 0 AS step, d.node
+         |  FROM deg d CROSS JOIN (SELECT 0 AS walk UNION ALL SELECT 1) w
+         |),
+         |${stepCte(1)},
+         |${stepCte(2)},
+         |${stepCte(3)},
+         |${stepCte(4)}
+         |SELECT start, CAST(walk AS INT) AS walk, CAST(step AS INT) AS step, node
+         |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |      UNION ALL SELECT * FROM s4)
+         |ORDER BY start, walk, step""".stripMargin
+    },
+  )
+
   /** 20-core of the sparse adjacency graph (`GraphAlgos.kCore`
     * iterative peeling to fixpoint): the dense-cluster extractor —
     * nodes that remain when everything of degree < 20 is repeatedly
@@ -1128,7 +1196,8 @@ object Graph {
             |ORDER BY metric""".stripMargin),
   )
 
-  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphKcore, graphKcoreHindex,
+  val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
+    graphKcore, graphKcoreHindex,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake)

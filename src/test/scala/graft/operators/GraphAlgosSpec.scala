@@ -297,6 +297,68 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  private def walks(edges: Seq[(Long, Long)], r: Int, steps: Int): Seq[(Long, Int, Int, Long)] =
+    GraphAlgos.deterministicWalks(edges.toDF("u", "v"), "u", "v", r, steps)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+
+  /** Sequential re-implementation of the walk semantics: in-memory
+    * sorted adjacency, same fnv63 coin — no joins, no window. */
+  private def seqWalks(edges: Seq[(Long, Long)], r: Int, steps: Int): Seq[(Long, Int, Int, Long)] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    (for {
+      start <- adj.keys.toSeq.sorted
+      w <- 0 until r
+    } yield {
+      var node = start
+      (start, w, 0, node) +: (1 to steps).map { k =>
+        val ns = adj(node)
+        val h = graft.functions.Fnv63.hash(
+          s"${start}_${w}_${k}_$node".getBytes("UTF-8"))
+        node = ns(((h % ns.size)).toInt)
+        (start, w, k, node)
+      }
+    }).flatten
+  }
+
+  test("deterministicWalks: every step lands on a neighbor, walks have full " +
+    "length, and two runs produce the identical corpus") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val a = walks(g, r = 2, steps = 3)
+    val b = walks(g, r = 2, steps = 3)
+    assert(a === b)
+    assert(a.size === 4 * 2 * 4) // 4 nodes x 2 walks x (steps+1)
+    val sym = (g ++ g.map(_.swap)).toSet
+    val byWalk = a.groupBy(t => (t._1, t._2))
+    for ((_, path) <- byWalk; Seq(p, q) <- path.sortBy(_._3).map(_._4).sliding(2))
+      assert(sym.contains((p, q)), s"step $p -> $q is not an edge")
+  }
+
+  test("deterministicWalks on a path graph: degree-1 endpoints must bounce back") {
+    val g = Seq((1L, 2L), (2L, 3L))
+    val a = walks(g, r = 1, steps = 2)
+    // from 1: forced to 2; from 3: forced to 2
+    assert(a.filter(_._1 == 1L).map(_._4).head === 1L)
+    assert(a.filter(t => t._1 == 1L && t._3 == 1).map(_._4).head === 2L)
+    assert(a.filter(t => t._1 == 3L && t._3 == 1).map(_._4).head === 2L)
+  }
+
+  test("deterministicWalks matches the sequential in-memory simulation " +
+    "on random graphs (independent adjacency/indexing/coin path)") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = (for (_ <- 1 to n * 3) yield {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+      }).flatten.distinct
+      assert(walks(edges, r = 2, steps = 4) ===
+        seqWalks(edges, r = 2, steps = 4).sortBy(t => (t._1, t._2, t._3)),
+        s"trial $trial, |E|=${edges.size}")
+    }
+  }
+
   test("sssp fails loudly on a negative edge weight") {
     val ex = intercept[Exception] {
       sssp(Seq((1L, 2L, 1L), (2L, 3L, -4L)), seed = 1L)

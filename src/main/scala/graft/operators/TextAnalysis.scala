@@ -271,6 +271,39 @@ object TextAnalysis {
       )
   }
 
+  /** Skip-gram (center, context) pair counts — word2vec's training
+    * data (Mikolov et al., NIPS '13): every token paired with its
+    * neighbors within ±`window` positions, counted corpus-wide. The
+    * formulation is the scale decision: a position-band self-join of
+    * the token table does per-document L² work (one 10⁶-token
+    * document → 10¹² candidates on that document's join key — the
+    * long-doc skew bomb); here each token EXPLODES into its 2·window
+    * candidate context positions and equi-joins on (doc_id,
+    * position) — exactly 2·window rows per token, linear in corpus
+    * size, no amplification on long documents. Map-side combine then
+    * collapses pairs before the count shuffle. Empty tokens (runs of
+    * spaces) are dropped; surviving tokens keep their original
+    * positions, so a dropped token still separates its neighbors.
+    * Returns (center, context, pair_count).
+    */
+  def skipGramPairs(docs: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"skipGramPairs: window must be >= 1, got $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter($"word" =!= "")
+    val offsets = array((-window to window).filter(_ != 0).map(lit): _*)
+    toks.as("c")
+      .withColumn("d", explode(offsets))
+      .withColumn("ctx_pos", $"pos" + $"d")
+      .join(toks.as("o"),
+        $"c.doc_id" === $"o.doc_id" && $"ctx_pos" === $"o.pos")
+      .groupBy($"c.word".as("center"), $"o.word".as("context"))
+      .agg(count(lit(1)).as("pair_count"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * word k-gram at its position, slide a w-hash window, keep each
     * window's min hash; a doc's fingerprint is the distinct selected

@@ -129,6 +129,41 @@ object TextAnalysisQ {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Word2vec training pairs (Mikolov et al., NIPS '13): corpus-wide
+    * skip-gram (center, context) counts at window ±2, top-200 under a
+    * total order. `TextAnalysis.skipGramPairs` explodes each token
+    * into its 4 candidate context positions and equi-joins on
+    * (doc_id, position) — linear in corpus size, immune to the
+    * long-document L² blowup a position-band self-join has. The
+    * oracle IS the band self-join (`o.pos BETWEEN c.pos-2 AND
+    * c.pos+2`): the formulation this operator exists to avoid,
+    * which makes it a genuinely different program shape over the
+    * same semantics.
+    */
+  private val skipgram = Q(
+    "q_text_skipgram",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.skipGramPairs(Tables(s, dir).documents, window = 2)
+        .orderBy($"pair_count".desc, $"center", $"context")
+        .limit(200)
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |       unnest(range(1, len(ws) + 1)) AS t(i)
+           |  WHERE ws[i] <> ''
+           |)
+           |SELECT c.word AS center, o.word AS context,
+           |       count(*) AS pair_count
+           |FROM words c
+           |JOIN words o ON o.doc_id = c.doc_id
+           | AND o.pos BETWEEN c.pos - 2 AND c.pos + 2 AND o.pos <> c.pos
+           |GROUP BY 1, 2
+           |ORDER BY pair_count DESC, center, context
+           |LIMIT 200""".stripMargin),
+  )
+
   private val fingerprint = Q(
     "q_text_fingerprint",
     (s, dir) => {
@@ -1295,7 +1330,7 @@ object TextAnalysisQ {
   )
 
   val all: Seq[Q] =
-    Seq(langId, quality, modelQuality, tokens, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
+    Seq(langId, quality, modelQuality, tokens, skipgram, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
       decontaminateFuzzy,
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,

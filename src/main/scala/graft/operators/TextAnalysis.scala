@@ -304,6 +304,48 @@ object TextAnalysis {
       .agg(count(lit(1)).as("pair_count"))
   }
 
+  /** Phrase-candidate scoring (Mikolov et al., NIPS '13 §4: "data
+    * driven approach" to multi-word tokens): adjacent-bigram
+    * collocation score (c_ab − δ)·N / (c_a·c_b), the discounted-PMI
+    * variant that word2vec's phrase pass uses to merge "new_york"
+    * before training. Arithmetic is exact: counts are longs, the
+    * score is computed ×1000 in decimal(38,0) (HUGEINT on the oracle
+    * side) — no floats, no overflow at any corpus size where counts
+    * fit a long. Shapes: bigrams come from the same skew-free
+    * (doc_id, position) equi-join as [[skipGramPairs]] (no per-doc
+    * window sort), both count aggregations are map-side combinable,
+    * the scalar N rides a 1-row broadcast, and the two unigram-count
+    * joins are vocabulary-keyed. Returns (a, b, pair_count,
+    * score_m) for pairs with pair_count ≥ `minCount`.
+    */
+  def phraseCandidates(docs: DataFrame, minCount: Long, delta: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter($"word" =!= "")
+      .localCheckpoint(true)
+    val uni = toks.groupBy($"word").agg(count(lit(1)).as("c_w"))
+    val n = toks.agg(count(lit(1)).cast("decimal(38,0)").as("n_tokens"))
+    val bi = toks.as("l")
+      .join(toks.as("r"),
+        $"l.doc_id" === $"r.doc_id" && $"r.pos" === $"l.pos" + 1)
+      .groupBy($"l.word".as("a"), $"r.word".as("b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter($"pair_count" >= minCount)
+    bi
+      .join(uni.select($"word".as("a"), $"c_w".as("c_a")), "a")
+      .join(uni.select($"word".as("b"), $"c_w".as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .select($"a", $"b", $"pair_count",
+        // floor ≡ truncation for the positive operands here — the one
+        // division semantics Spark decimals and DuckDB HUGEINT agree on
+        floor(($"pair_count" - delta).cast("decimal(38,0)") * $"n_tokens" * 1000 /
+          ($"c_a".cast("decimal(38,0)") * $"c_b"))
+          .cast("long").as("score_m"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * word k-gram at its position, slide a w-hash window, keep each
     * window's min hash; a doc's fingerprint is the distinct selected

@@ -164,6 +164,50 @@ object TextAnalysisQ {
            |LIMIT 200""".stripMargin),
   )
 
+  /** Word2vec's phrase pass (Mikolov et al., NIPS '13 §4): adjacent
+    * bigrams scored by the discounted collocation ratio
+    * (c_ab − 1)·N·1000 / (c_a·c_b), exact integer arithmetic
+    * (decimal(38,0) / HUGEINT, floor division), top-100 under a total
+    * order — the step that promotes "new york" to "new_york" in the
+    * training vocabulary. Bigram derivation shares the skew-free
+    * (doc_id, position) equi-join shape with q_text_skipgram; the
+    * oracle recomputes everything with DuckDB window-free
+    * list-position joins and HUGEINT math.
+    */
+  private val phrases = Q(
+    "q_text_phrases",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.phraseCandidates(Tables(s, dir).documents, minCount = 3L)
+        .orderBy($"score_m".desc, $"a", $"b")
+        .limit(100)
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |       unnest(range(1, len(ws) + 1)) AS t(i)
+           |  WHERE ws[i] <> ''
+           |),
+           |uni AS (SELECT word, count(*) AS c_w FROM words GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS HUGEINT) AS n_tokens FROM words),
+           |bi AS (
+           |  SELECT l.word AS a, r.word AS b, count(*) AS pair_count
+           |  FROM words l JOIN words r
+           |    ON r.doc_id = l.doc_id AND r.pos = l.pos + 1
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= 3
+           |)
+           |SELECT bi.a, bi.b, bi.pair_count,
+           |       CAST((CAST(bi.pair_count - 1 AS HUGEINT) * n.n_tokens * 1000)
+           |            // (CAST(ua.c_w AS HUGEINT) * ub.c_w) AS BIGINT) AS score_m
+           |FROM bi
+           |JOIN uni ua ON ua.word = bi.a
+           |JOIN uni ub ON ub.word = bi.b
+           |CROSS JOIN n
+           |ORDER BY score_m DESC, a, b
+           |LIMIT 100""".stripMargin),
+  )
+
   private val fingerprint = Q(
     "q_text_fingerprint",
     (s, dir) => {
@@ -1330,7 +1374,7 @@ object TextAnalysisQ {
   )
 
   val all: Seq[Q] =
-    Seq(langId, quality, modelQuality, tokens, skipgram, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
+    Seq(langId, quality, modelQuality, tokens, skipgram, phrases, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
       decontaminateFuzzy,
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,

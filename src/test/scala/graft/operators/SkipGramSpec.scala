@@ -48,6 +48,31 @@ class SkipGramSpec extends AnyFunSuite {
     assert(pairs(Seq((1L, "a  b")), 2) === Map(("a", "b") -> 1L, ("b", "a") -> 1L))
   }
 
+  private def phrases(docs: Seq[(Long, String)], minCount: Long): Map[(String, String), (Long, Long)] =
+    TextAnalysis.phraseCandidates(docs.toDF("doc_id", "text"), minCount)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+
+  test("phraseCandidates: collocation score is the exact discounted ratio, " +
+    "floor division, and minCount prunes") {
+    // corpus: "x y" 3 times, "x z" once -> 10 tokens? build precisely:
+    // doc1: "x y x y", doc2: "x y x z"  => tokens N=8
+    // c(x)=4, c(y)=3, c(z)=1; bigrams: (x,y)=3, (y,x)=2, (x,z)=1
+    val docs = Seq((1L, "x y x y"), (2L, "x y x z"))
+    val got = phrases(docs, minCount = 2L)
+    // (x,y): (3-1)*8*1000/(4*3) = 16000/12 = 1333 (floor)
+    // (y,x): (2-1)*8*1000/(3*4) = 8000/12 = 666
+    assert(got === Map(
+      ("x", "y") -> (3L, 1333L),
+      ("y", "x") -> (2L, 666L)))
+  }
+
+  test("phraseCandidates: a double space breaks adjacency (no bigram across it)") {
+    val got = phrases(Seq((1L, "a b"), (2L, "a  b"), (3L, "a b")), minCount = 2L)
+    // only docs 1 and 3 contribute (a,b); N counts all 6 non-empty tokens
+    // (a,b): (2-1)*6*1000/(3*3) = 6000/9 = 666
+    assert(got === Map(("a", "b") -> (2L, 666L)))
+  }
+
   test("matches the sequential band-scan simulation on random corpora") {
     val rnd = new scala.util.Random(17)
     val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5")

@@ -653,6 +653,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one exchange between the two stages:\n$p")
   }
 
+  test("skip-gram pairs: context expansion is an EQUI-join on (doc_id, " +
+    "position) with a partial aggregate before the count shuffle — " +
+    "never a nested-loop band join (the long-document L2 guard)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "b c d")).toDF("doc_id", "text")
+    val p = physical(graft.operators.TextAnalysis.skipGramPairs(docs, 2))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"skip-gram degenerated to a non-equi join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+    assert(p.contains("partial_count") || countOccurrences(p, "HashAggregate") >= 2,
+      s"expected map-side partial count before the pair shuffle:\n$p")
+  }
+
+  test("phrase candidates: bigram derivation and both unigram-count " +
+    "lookups are equi-joins; the scalar N is broadcast") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val p = physical(graft.operators.TextAnalysis.phraseCandidates(docs, 1L))
+    assert(!p.contains("CartesianProduct"),
+      s"phrase scoring grew a cartesian product:\n$p")
+    // the only nested-loop allowed is the 1-row broadcast of N
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
+      s"unexpected nested-loop beyond the 1-row N broadcast:\n$p")
+  }
+
   test("FrameSink write path: ONE hash exchange on fileHour and a " +
     "partition-local (non-global) sort — each hour file is written by " +
     "exactly one task, no global ordering barrier") {

@@ -263,6 +263,42 @@ object GraphAlgos {
     out
   }
 
+  /** Deterministic fixed-fanout neighbor sampling — GraphSAGE's
+    * minibatch neighborhoods (Hamilton et al., NeurIPS '17: aggregate
+    * over a sampled fixed-size neighbor set instead of the full
+    * adjacency, so per-node work is O(k) regardless of degree).
+    * Neighbors are ranked by the cross-engine fnv63 hash of the
+    * (node, neighbor) pair — the sample is a pure function of the
+    * graph: every epoch, retry, and the oracle select the SAME
+    * neighborhoods, which is what makes GNN training data
+    * reproducible and cacheable. Ranking is a per-node window
+    * (row_number over (hash, neighbor)); a hub sorts its posting list
+    * once — |E| log(deg) total, the same per-node work class as the
+    * triangle orientation — and everything downstream of the sample
+    * is O(k·|V|). Returns (node, nbr, rnk) with rnk = 1..k.
+    */
+  def sampleNeighbors(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"sampleNeighbors: k must be >= 1, got $k")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    graft.functions.Fnv63Hash.register(spark)
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst")).distinct()
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val h = expr("fnv63(concat(cast(src as string), '_', cast(dst as string)))")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"h", $"dst")
+    sym.withColumn("h", h)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"src".as("node"), $"dst".as("nbr"), $"rnk")
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k,
     * by iterative peeling — drop all nodes of degree < k, recompute
     * degrees, repeat to fixpoint (the dense-cluster extractor: on a

@@ -232,6 +232,47 @@ object Graph {
     },
   )
 
+  /** GraphSAGE-style fixed-fanout neighbor sample (Hamilton et al.,
+    * NeurIPS '17) over the co-purchase graph: each node's 5
+    * lowest-fnv63-ranked neighbors — deterministic, so every training
+    * epoch, task retry, and the oracle draw the SAME neighborhoods
+    * (reproducible GNN minibatch data). The oracle recomputes the
+    * ranking with DuckDB's own window machinery over the
+    * BIGINT+HUGEINT fnv63 program — independent hash, window, and
+    * tiebreak implementations.
+    */
+  private val graphNeighborSample = Q(
+    "q_graph_neighbor_sample",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      GraphAlgos.sampleNeighbors(edges, "u", "v", k = 5)
+        .orderBy($"node", $"rnk")
+    },
+    Some(s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+            |e0 AS (
+            |  SELECT DISTINCT a.p AS u, b.p AS v
+            |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+            |),
+            |sym AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+            |ranked AS (
+            |  SELECT src, dst,
+            |         row_number() OVER (
+            |           PARTITION BY src
+            |           ORDER BY ${Relational.fnv63Sql(
+                           "CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)")}, dst
+            |         ) AS rnk
+            |  FROM sym
+            |)
+            |SELECT src AS node, dst AS nbr, CAST(rnk AS INT) AS rnk
+            |FROM ranked WHERE rnk <= 5
+            |ORDER BY node, rnk""".stripMargin),
+  )
+
   /** 20-core of the sparse adjacency graph (`GraphAlgos.kCore`
     * iterative peeling to fixpoint): the dense-cluster extractor —
     * nodes that remain when everything of degree < 20 is repeatedly
@@ -1197,7 +1238,7 @@ object Graph {
   )
 
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
-    graphKcore, graphKcoreHindex,
+    graphNeighborSample, graphKcore, graphKcoreHindex,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake)

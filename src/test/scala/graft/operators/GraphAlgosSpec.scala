@@ -359,6 +359,44 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  private def sample(edges: Seq[(Long, Long)], k: Int): Seq[(Long, Long, Int)] =
+    GraphAlgos.sampleNeighbors(edges.toDF("u", "v"), "u", "v", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3))
+
+  test("sampleNeighbors: at most k per node, exactly deg when deg < k, " +
+    "every sampled pair is an edge, and ranks are 1..n dense") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+    val got = sample(g, k = 2)
+    val sym = (g ++ g.map(_.swap)).toSet
+    val byNode = got.groupBy(_._1)
+    assert(byNode(1L).size === 2) // deg 4, capped at k
+    assert(byNode(4L).size === 1 && byNode(4L).head._2 === 1L) // deg 1
+    for ((_, rows) <- byNode) {
+      assert(rows.map(_._3).sorted === (1 to rows.size))
+      for ((n, b, _) <- rows) assert(sym.contains((n, b)), s"($n,$b) not an edge")
+    }
+  }
+
+  test("sampleNeighbors is deterministic across runs and matches a " +
+    "sequential fnv63 ranking") {
+    val rnd = new scala.util.Random(29)
+    val n = 30
+    val edges = (for (_ <- 1 to 90) yield {
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val got = sample(edges, k = 3)
+    assert(got === sample(edges, k = 3))
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (src, es) =>
+      es.map(_._2).distinct
+        .sortBy(d => (graft.functions.Fnv63.hash(s"${src}_$d".getBytes("UTF-8")), d))
+        .take(3).zipWithIndex.map { case (d, i) => (src, d, i + 1) }
+    }.sortBy(t => (t._1, t._3))
+    assert(got === want)
+  }
+
   test("sssp fails loudly on a negative edge weight") {
     val ex = intercept[Exception] {
       sssp(Seq((1L, 2L, 1L), (2L, 3L, -4L)), seed = 1L)

@@ -346,6 +346,48 @@ object TextAnalysis {
           .cast("long").as("score_m"))
   }
 
+  /** Frequent-word subsampling (Mikolov et al., NIPS '13 §2.3): drop
+    * each token occurrence of word w with probability
+    * 1 − sqrt(t / f(w)) — the pass that thins "the"/"of" before
+    * skip-gram extraction so training pairs aren't dominated by
+    * stopword co-occurrences. Two determinism moves make it exact and
+    * cross-engine: (1) the coin is the fnv63 hash of (doc, position,
+    * word) reduced mod 10⁶ — a pure function of the corpus, so every
+    * epoch, retry, and the oracle keep the SAME tokens; (2) the
+    * keep test `coin/M < sqrt(t·N/c_w)` is squared into pure integer
+    * arithmetic — keep iff coin²·c_w < t_ppm·N·M²/10⁶ — so no
+    * engine ever evaluates a square root (decimal(38,0) on the Spark
+    * side, HUGEINT in DuckDB; products stay < 10²⁵). Shapes: tokens
+    * narrow-derive from docs, the count join is vocabulary-keyed, N
+    * rides a 1-row broadcast, the verdict is a codegen'd comparison.
+    * Returns per-word (orig_count, kept_count) — the corpus
+    * accounting a pipeline records for the pass.
+    */
+  def subsampleTokens(docs: DataFrame, tPpm: Long): DataFrame = {
+    require(tPpm >= 1, s"subsampleTokens: tPpm must be >= 1, got $tPpm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.Fnv63Hash.register(spark)
+    val toks = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter($"word" =!= "")
+      .localCheckpoint(true)
+    val uni = toks.groupBy($"word").agg(count(lit(1)).as("c_w"))
+    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    val coin = expr(
+      "fnv63(concat(cast(doc_id as string), '_', cast(pos as string), '_', word))") % 1000000L
+    toks
+      .join(uni, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("keep",
+        coin * coin * $"c_w".cast("decimal(38,0)") <
+          lit(tPpm) * $"n_tokens".cast("decimal(38,0)") * 1000000L)
+      .groupBy($"word")
+      .agg(count(lit(1)).as("orig_count"),
+        sum(when($"keep", 1L).otherwise(0L)).as("kept_count"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * word k-gram at its position, slide a w-hash window, keep each
     * window's min hash; a doc's fingerprint is the distinct selected

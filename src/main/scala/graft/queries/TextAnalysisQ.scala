@@ -208,6 +208,48 @@ object TextAnalysisQ {
            |LIMIT 100""".stripMargin),
   )
 
+  /** Word2vec's frequent-word subsampling (Mikolov et al., NIPS '13
+    * §2.3) at t = 10⁻³: per-word kept-vs-original counts for the 500
+    * most frequent words. The keep test is squared into pure integer
+    * arithmetic (coin²·c_w < t_ppm·N·10⁶, fnv63 coin mod 10⁶) so
+    * neither engine evaluates a square root — the whole pass is
+    * exact decimal(38,0)/HUGEINT. Deterministic: the same tokens
+    * survive in every epoch, retry, and in the oracle.
+    */
+  private val subsample = Q(
+    "q_text_subsample",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.subsampleTokens(Tables(s, dir).documents, tPpm = 1000L)
+        .orderBy($"orig_count".desc, $"word")
+        .limit(500)
+    },
+    Some(s"""WITH words AS (
+            |  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |       unnest(range(1, len(ws) + 1)) AS t(i)
+            |  WHERE ws[i] <> ''
+            |),
+            |uni AS (SELECT word, count(*) AS c_w FROM words GROUP BY 1),
+            |n AS (SELECT CAST(count(*) AS HUGEINT) AS n_tokens FROM words),
+            |coins AS (
+            |  SELECT w.word, u.c_w,
+            |         (${Relational.fnv63Sql(
+                       "CAST(w.doc_id AS VARCHAR) || '_' || CAST(w.pos AS VARCHAR) || '_' || w.word")})
+            |           % 1000000 AS coin
+            |  FROM words w JOIN uni u ON u.word = w.word
+            |)
+            |SELECT c.word,
+            |       count(*) AS orig_count,
+            |       sum(CASE WHEN CAST(c.coin AS HUGEINT) * c.coin * c.c_w <
+            |                     1000 * n.n_tokens * 1000000
+            |                THEN 1 ELSE 0 END) AS kept_count
+            |FROM coins c CROSS JOIN n
+            |GROUP BY c.word
+            |ORDER BY orig_count DESC, word
+            |LIMIT 500""".stripMargin),
+  )
+
   private val fingerprint = Q(
     "q_text_fingerprint",
     (s, dir) => {

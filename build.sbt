@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output must reach stdout BARE: sbt's default
+// LoggedOutput wraps every child line in "[info] "/"[error] "
+// prefixes, which breaks any consumer parsing the JSON summary line
+// that graft.Bench prints (BENCH_r07 recorded "parsed": null for
+// exactly this reason). StdoutOutput makes the child inherit this
+// process's stdout/stderr directly.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,9 +60,19 @@ object Bench {
     // tail, which a 213-entry map overflows — this file is the
     // round-over-round comparison surface.
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // paths are interpolated into JSON below — escape them, or a
+    // quote/backslash in an env var yields an unparseable summary line
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val fullOutJson = jsonEsc(fullOut)
+    val sfDirJson = jsonEsc(sfDir)
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${results.size},"cpus":$cpus,""" +
-      s""""queries":${jsonMap(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      s""""queries":${jsonMap(results.toSeq.sortBy(_._1))},"sf":"$sfDirJson"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -70,8 +80,8 @@ object Bench {
     // tail capture intact so the driver's JSON parse succeeds
     val top = results.toSeq.sortBy(-_._2).take(40).sortBy(_._1)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},"full":"$fullOut",""" +
-      s""""queries":${jsonMap(top)},"sf":"$sfDir"}""")
+      s""""n_queries":${results.size},"full":"$fullOutJson",""" +
+      s""""queries":${jsonMap(top)},"sf":"$sfDirJson"}""")
     spark.stop()
   }
 }

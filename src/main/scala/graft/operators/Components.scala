@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Lineage.CutOps
+
 /** Connected components over an undirected edge list — the
   * canonicalization step every dedup pipeline needs after pair
   * generation: near-dup PAIRS (from MinHash-LSH / SimHash / cosine)
@@ -71,7 +73,7 @@ object Components {
     // across the loop's actions at sf0.01. The checkpoint makes every
     // round plan against a leaf.
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint(true)
+      .cutLineage()
     // Size the loop's shuffles to the EDGE COUNT, not the session-wide
     // default: every round materializes (localCheckpoint) and re-reads
     // the label table once per shuffle partition, so a 30-edge dedup
@@ -87,7 +89,7 @@ object Components {
       // eager localCheckpoint: materializes AND cuts lineage (see scaladoc)
       var labels = sym.select($"src".as("node")).distinct()
         .withColumn("component", $"node")
-        .localCheckpoint(true)
+        .cutLineage()
 
       def checksum(df: DataFrame): java.math.BigDecimal =
         Option(df.agg(sum($"component".cast("decimal(38,0)"))).head.getDecimal(0))
@@ -102,7 +104,7 @@ object Components {
           .select($"src".as("node"), $"component")
         val next = labels.union(prop)
           .groupBy($"node").agg(min($"component").as("component"))
-          .localCheckpoint(true)
+          .cutLineage()
         val nextSum = checksum(next)
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
@@ -154,7 +156,7 @@ object Components {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       // eager checkpoint, not persist — cuts the caller's plan tree
       // out of every round's re-analysis (see connectedComponents)
-      .localCheckpoint(true)
+      .cutLineage()
     val nEdges = e0.count()
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
@@ -164,7 +166,7 @@ object Components {
       // the singleton fallback for nodes whose edges were all self-loops
       val nodes = e0.select($"src".as("node"))
         .union(e0.select($"dst".as("node"))).distinct()
-        .localCheckpoint(true)
+        .cutLineage()
 
       def largeStar(e: DataFrame): DataFrame = {
         val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
@@ -198,12 +200,12 @@ object Components {
         (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
       }
 
-      var cur = smallStar(largeStar(e0)).localCheckpoint(true)
+      var cur = smallStar(largeStar(e0)).cutLineage()
       var prev = checksum(cur)
       var converged = prev._1 == 0L // edge-free graph (all self-loops)
       var i = 1
       while (!converged && i < maxIters) {
-        val next = smallStar(largeStar(cur)).localCheckpoint(true)
+        val next = smallStar(largeStar(cur)).cutLineage()
         val nextSum = checksum(next)
         cur = next
         converged = nextSum == prev

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Lineage.CutOps
+
 /** Distributed triangle counting and BFS — the two graph analytics a
   * curation pipeline asks of a similarity/co-occurrence graph after
   * components (cluster density → how clique-like the duplicate
@@ -84,8 +86,8 @@ object GraphAlgos {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
-    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).localCheckpoint(true)
-    var visited = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint(true)
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).cutLineage()
+    var visited = Seq((seed, 0L)).toDF("node", "dist").cutLineage()
     var frontier = visited.select($"node")
     var depth = 0L
     var frontierSize = 1L
@@ -95,10 +97,10 @@ object GraphAlgos {
         .select($"dst".as("node")).distinct()
         .join(visited.select($"node".as("seen")), $"node" === $"seen", "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint(true)
+        .cutLineage()
       frontierSize = next.count()
       if (frontierSize > 0) {
-        visited = visited.union(next).localCheckpoint(true)
+        visited = visited.union(next).cutLineage()
         frontier = next.select($"node")
       }
     }
@@ -146,7 +148,7 @@ object GraphAlgos {
         .as("w"))
     // undirected: relax in both directions
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
-      .localCheckpoint(true)
+      .cutLineage()
     val nEdges = sym.count()
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
@@ -163,7 +165,7 @@ object GraphAlgos {
       // fresh LogicalRDD keeps only (schema, rows): fresh exprIds, no
       // foreign constraints.
       def settle(df: DataFrame): DataFrame = {
-        val m = df.localCheckpoint(true)
+        val m = df.cutLineage()
         spark.createDataFrame(m.rdd, m.schema)
       }
       var dist = settle(Seq((seed, 0L)).toDF("node", "dist"))
@@ -234,18 +236,18 @@ object GraphAlgos {
     val e = edges.select(col(uCol).cast("long").as("src"),
       col(vCol).cast("long").as("dst")).distinct()
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"src").orderBy($"dst")
     val adj = sym.withColumn("idx", row_number().over(w) - 1)
-      .localCheckpoint(true)
+      .cutLineage()
     val deg = adj.groupBy($"src".as("dnode")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .cutLineage()
     val walkIds = array((0 until walksPerNode).map(lit): _*)
     var cur = deg.select($"dnode".as("start"))
       .withColumn("walk", explode(walkIds))
       .withColumn("node", $"start")
-      .localCheckpoint(true)
+      .cutLineage()
     var out = cur.withColumn("step", lit(0))
       .select($"start", $"walk", $"step", $"node")
     for (k <- 1 to steps) {
@@ -256,7 +258,7 @@ object GraphAlgos {
         .withColumn("choice", coin % $"deg")
         .join(adj, $"node" === $"src" && $"choice" === $"idx")
         .select($"start", $"walk", $"dst".as("node"))
-        .localCheckpoint(true)
+        .cutLineage()
       out = out.union(cur.withColumn("step", lit(k))
         .select($"start", $"walk", $"step", $"node"))
     }
@@ -323,7 +325,7 @@ object GraphAlgos {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
-    var cur = e.union(e.select($"dst".as("src"), $"src".as("dst"))).localCheckpoint(true)
+    var cur = e.union(e.select($"dst".as("src"), $"src".as("dst"))).cutLineage()
     var curCount = cur.count()
     var converged = curCount == 0
     var i = 0
@@ -334,7 +336,7 @@ object GraphAlgos {
         .join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select($"src", $"dst")
-        .localCheckpoint(true)
+        .cutLineage()
       val c = nxt.count()
       converged = c == curCount
       cur = nxt
@@ -352,17 +354,34 @@ object GraphAlgos {
     * then repeatedly replace each node's value with the h-index of
     * its neighbors' values; the fixpoint is exactly the node's
     * coreness. A genuinely different algorithm from [[kCore]]'s peel
-    * — no shrinking edge set, the graph is scanned whole every round
-    * — and the natural one when you want the full coreness COLUMN
-    * (peeling yields one k's membership per run).
+    * — no shrinking edge set — and the natural one when you want the
+    * full coreness COLUMN (peeling yields one k's membership per run).
     *
-    * Scale shape per round: one |E|-keyed equi-join against the |V|
-    * value table, a node-partitioned window (rank neighbors by value
-    * — keyed, never global), and a node-keyed max aggregation. Values
-    * are monotonically non-increasing per node, so convergence (no
-    * value changed) is a fixpoint witness; throws past `maxIters`
+    * FRONTIER refinement (same improved-only shape as [[sssp]]): a
+    * node's h-index reads ONLY its neighbors' values, so it can
+    * change in round i only if some neighbor changed in round i−1.
+    * Round 1 computes every node; after that only the
+    * changed-neighbor set is recomputed, and the round's new value
+    * table is (old values) patched with (recomputed-and-different).
+    * Round-for-round this produces EXACTLY the full Jacobi recompute's
+    * value tables (CoreNumbersSpec proves it against a sequential full
+    * recompute) — but late rounds, where a handful of nodes still
+    * move, touch a tiny fraction of |E| instead of scanning the whole
+    * graph: the window that ranks neighbor values, the dominant cost,
+    * shrinks with the frontier.
+    *
+    * Scale shape per round: one equi-join of the DIRTY-incident edge
+    * subset against the |V| value table, a node-partitioned window
+    * over just those edges (keyed, never global), a node-keyed max
+    * aggregation, and one |V|-keyed left join to patch the value
+    * table. Values are monotonically non-increasing per node, so an
+    * empty changed set is a fixpoint witness; throws past `maxIters`
     * like the other iterative operators. Lineage cut per round as in
     * [[Components]].
+    *
+    * `roundProbe` (test hook): called with (round, full value table)
+    * after each round — how the spec asserts round-for-round equality
+    * with the full recompute without slowing the production path.
     *
     * Returns (node, coreness).
     */
@@ -371,36 +390,77 @@ object GraphAlgos {
       uCol: String,
       vCol: String,
       maxIters: Int = 60,
+      roundProbe: Option[(Int, DataFrame) => Unit] = None,
   ): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
-    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).localCheckpoint(true)
-    var cur = sym.groupBy($"src").agg(count(lit(1)).cast("long").as("c"))
-      .select($"src".as("node"), $"c").localCheckpoint(true)
-    var converged = false
-    var i = 0
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"src").orderBy($"val".desc)
-    while (!converged && i < maxIters) {
-      // h-index of the neighbor multiset: rank values desc, take
-      // max(min(rank, value)) — max h with ≥ h neighbors of value ≥ h
-      val nxt = sym.join(cur, sym("dst") === cur("node"))
-        .select(sym("src"), cur("c").as("val"))
-        .withColumn("rn", row_number().over(w))
-        .groupBy($"src")
-        .agg(max(least($"rn", $"val")).as("c"))
-        .select($"src".as("node"), $"c")
-        .localCheckpoint(true)
-      val changed = nxt.as("n").join(cur.as("p"), "node")
-        .filter($"n.c" =!= $"p.c").limit(1).count()
-      converged = changed == 0
-      cur = nxt
-      i += 1
-    }
-    require(converged,
-      s"coreNumbers did not converge in $maxIters rounds; raise maxIters")
-    cur.select($"node", $"c".as("coreness"))
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).cutLineage()
+    // size the loop's shuffles to the edge count, exactly as in
+    // [[sssp]]: a 20-round loop over a modest graph must not pay
+    // 20 × (default partitions) × (stages per round) of empty-task
+    // scheduling — on a big graph the quotient restores full
+    // parallelism automatically
+    val nEdges = sym.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var cur = sym.groupBy($"src").agg(count(lit(1)).cast("long").as("c"))
+        .select($"src".as("node"), $"c").cutLineage()
+      // the dirty set CARRIES each node's current value (c): the
+      // recompute emits (node, new c, old c) in one pass, so change
+      // detection is a narrow filter over the materialized result —
+      // no extra |V| join per round. Round 1 recomputes everyone
+      // (init = degree is not a fixpoint certificate for anyone).
+      var dirty = cur
+      var converged = false
+      var i = 0
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src").orderBy($"val".desc)
+      while (!converged && i < maxIters) {
+        i += 1
+        // h-index of the neighbor multiset, for dirty nodes only: rank
+        // values desc, take max(min(rank, value)) — max h with ≥ h
+        // neighbors of value ≥ h. c_old is constant per src, so
+        // max() carries it through the aggregate without a second
+        // grouping key (which would force another shuffle).
+        val recomputed = sym
+          .join(dirty.select($"node".as("src"), $"c".as("c_old")), Seq("src"))
+          .join(cur.select($"node".as("dst"), $"c".as("val")), Seq("dst"))
+          .select($"src", $"c_old", $"val")
+          .withColumn("rn", row_number().over(w))
+          .groupBy($"src")
+          .agg(max(least($"rn", $"val")).as("c"), max($"c_old").as("c_old"))
+        // ONE materialization per round: the full next value table,
+        // with a changed-this-round bit folded in. Every dirty node
+        // takes its recomputed value (changed or not); everyone else
+        // carries over unchanged — disjoint by construction, so
+        // anti-join + union, no outer join, and change detection is a
+        // narrow filter over the materialized table instead of its own
+        // |V| join-and-materialize.
+        val nxt = cur.join(dirty.select($"node"), Seq("node"), "left_anti")
+          .select($"node", $"c", lit(false).as("chg"))
+          .union(recomputed.select($"src".as("node"), $"c",
+            ($"c" =!= $"c_old").as("chg")))
+          .settleLineage()
+        val changed = nxt.filter($"chg").select($"node", $"c")
+        converged = changed.isEmpty
+        if (!converged) {
+          cur = nxt.select($"node", $"c")
+          // next frontier: nodes with a CHANGED neighbor, with their
+          // current values attached
+          dirty = cur.join(
+            sym.join(changed.select($"node".as("dst")), Seq("dst"))
+              .select($"src".as("node")).distinct(),
+            Seq("node"))
+        }
+        roundProbe.foreach(_(i, cur))
+      }
+      require(converged,
+        s"coreNumbers did not converge in $maxIters rounds; raise maxIters")
+      cur.select($"node", $"c".as("coreness"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Approximate neighborhood function (ANF: Palmer et al., "ANF: a
@@ -457,12 +517,12 @@ object GraphAlgos {
     graft.functions.HllRegisters.register(spark)
     val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage()
     var cur = sym.select($"src".as("node")).distinct()
       .select($"node",
         call_function(graft.functions.HllRegisters.InitName,
           $"node".cast("string")).as("regs"))
-      .localCheckpoint(true)
+      .cutLineage()
     var out = cur.select($"node", lit(0).as("t"), $"regs")
     for (t <- 1 to maxT) {
       val fromNbrs = sym
@@ -471,7 +531,7 @@ object GraphAlgos {
       cur = fromNbrs.union(cur)
         .groupBy($"node")
         .agg(call_function(graft.functions.HllRegisters.MergeName, $"regs").as("regs"))
-        .localCheckpoint(true)
+        .cutLineage()
       out = out.union(cur.select($"node", lit(t).as("t"), $"regs"))
     }
     out
@@ -505,7 +565,7 @@ object GraphAlgos {
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
     val bi = e.union(e.select($"v".as("u"), $"u".as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage()
     var labels = bi.select($"u".as("node")).distinct()
       .withColumn("lbl", $"node")
     for (_ <- 1 to iters) {

@@ -754,6 +754,16 @@ object TextAnalysis {
     val scored = bigramModelScore(docs, ref, scale).persist()
     val hist = scored.groupBy($"avg_ppm").agg(count(lit(1)).as("cnt"))
     val n = scored.agg(count(lit(1)).as("n"))
+    // BOUNDED global window: it runs over the avg_ppm HISTOGRAM, not
+    // the corpus — avg_ppm is an integer per-million probability, so
+    // the histogram has at most `scale`+1 (≈1e6+1) distinct rows no
+    // matter how many documents are scored. A cumulative sum over ≤1e6
+    // tiny rows on one partition is constant work at any corpus size;
+    // the corpus-sized tables (`scored`, the per-doc join below) never
+    // touch this window.
+    require(scale <= 100000000L,
+      s"lmScore: scale=$scale bounds the threshold histogram (scale+1 " +
+        "rows through a single-partition cumulative window); keep it ≤1e8")
     val wcum = Window.orderBy($"avg_ppm")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = hist

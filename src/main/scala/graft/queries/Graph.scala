@@ -1237,9 +1237,147 @@ object Graph {
             |ORDER BY metric""".stripMargin),
   )
 
+  /** End-to-end graph-embedding TRAINING-PAIR pipeline — the
+    * composition a training-data team actually runs (DeepWalk/node2vec
+    * data prep, Perozzi et al. KDD '14 §4; negative sampling per
+    * word2vec, Mikolov et al. NIPS '13 §2.2), assembled from three
+    * already-oracled stages the way curation_v3 composes the text
+    * stages:
+    *
+    *   1. deterministic truncated walks over the co-purchase graph
+    *      (the q_graph_walks operator — every coin is fnv63, so the
+    *      corpus is a pure function of the graph);
+    *   2. skip-gram pairs over the walk "sentences", window ±2 — the
+    *      same position-equi-join shape as q_text_skipgram, on
+    *      (start, walk, step) instead of (doc_id, pos); top-100 pairs
+    *      by (count desc, center, context) are the batch;
+    *   3. two negatives per positive pair, drawn deterministically by
+    *      fnv63 from a BUCKETED node catalog: node → (bucket = h%64,
+    *      idx = rank within bucket), pair-coin → (bucket, idx) lookup.
+    *      The per-bucket window keeps the catalog build partitioned —
+    *      no global row_number over |V| — and the 64-row bucket-count
+    *      table rides a broadcast.
+    *
+    * Everything is integer/hash arithmetic, so the DuckDB oracle
+    * replays the whole pipeline exactly (walks via unrolled step CTEs,
+    * the hash via the BIGINT+HUGEINT fnv63 program) — same walks, same
+    * pairs, same negatives, bit for bit.
+    */
+  private val pipelineGraphEmbedding = Q(
+    "q_pipeline_graph_embedding",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.Fnv63Hash.register(s)
+      val li = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"), $"l_partkey".as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"b.ln" === $"a.ln" + 1 && $"a.p" =!= $"b.p")
+        .select(least($"a.p", $"b.p").as("u"), greatest($"a.p", $"b.p").as("v"))
+        .distinct()
+      val walks = GraphAlgos.deterministicWalks(edges, "u", "v",
+        walksPerNode = 2, steps = 4)
+      val pairs = walks.as("c").join(walks.as("o"),
+          $"c.start" === $"o.start" && $"c.walk" === $"o.walk" &&
+            $"c.step" =!= $"o.step" &&
+            abs($"c.step" - $"o.step") <= 2)
+        .groupBy($"c.node".as("center"), $"o.node".as("context"))
+        .agg(count(lit(1)).as("pair_count"))
+      val top = pairs.orderBy($"pair_count".desc, $"center", $"context").limit(100)
+      val nodes = edges.select($"u".as("node"))
+        .union(edges.select($"v".as("node"))).distinct()
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bucket").orderBy($"node")
+      val bucketed = nodes
+        .withColumn("bucket", expr("fnv63(cast(node as string)) % 64"))
+        .withColumn("idx", row_number().over(wb) - 1)
+      val bcnt = bucketed.groupBy($"bucket").agg(count(lit(1)).as("bcnt"))
+      top
+        .withColumn("j", explode(array(lit(0), lit(1))))
+        .withColumn("coin", expr(
+          "fnv63(concat(cast(center as string), '_', cast(context as string), " +
+            "'_', cast(j as string)))"))
+        .withColumn("bucket", $"coin" % 64)
+        .join(broadcast(bcnt), Seq("bucket"))
+        .withColumn("idx", expr("(coin div 64) % bcnt"))
+        .join(bucketed.select($"bucket", $"idx", $"node".as("neg_node")),
+          Seq("bucket", "idx"))
+        .select($"center", $"context", $"pair_count", $"j", $"neg_node")
+        .orderBy($"center", $"context", $"j")
+    },
+    Some {
+      def coin(k: Int) = Relational.fnv63Sql(
+        s"CAST(s.start AS VARCHAR) || '_' || CAST(s.walk AS VARCHAR) || " +
+          s"'_' || '$k' || '_' || CAST(s.node AS VARCHAR)")
+      def stepCte(k: Int) =
+        s"""s$k AS (
+           |  SELECT s.start, s.walk, $k AS step, a.dst AS node
+           |  FROM s${k - 1} s
+           |  JOIN deg d ON d.node = s.node
+           |  JOIN adj a ON a.src = s.node AND a.idx = (${coin(k)}) % d.deg
+           |)""".stripMargin
+      val nodeHash = Relational.fnv63Sql("CAST(node AS VARCHAR)")
+      val pairCoin = Relational.fnv63Sql(
+        "CAST(center AS VARCHAR) || '_' || CAST(context AS VARCHAR) || " +
+          "'_' || CAST(j AS VARCHAR)")
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p FROM lineitem
+         |),
+         |e0 AS (
+         |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.p <> b.p
+         |),
+         |sym AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+         |adj AS (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |  FROM sym
+         |),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+         |s0 AS (
+         |  SELECT d.node AS start, w.walk, 0 AS step, d.node
+         |  FROM deg d CROSS JOIN (SELECT 0 AS walk UNION ALL SELECT 1) w
+         |),
+         |${stepCte(1)},
+         |${stepCte(2)},
+         |${stepCte(3)},
+         |${stepCte(4)},
+         |walks AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |          UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |          UNION ALL SELECT * FROM s4),
+         |pairs AS (
+         |  SELECT c.node AS center, o.node AS context, count(*) AS pair_count
+         |  FROM walks c JOIN walks o
+         |    ON o.start = c.start AND o.walk = c.walk AND o.step <> c.step
+         |   AND abs(o.step - c.step) <= 2
+         |  GROUP BY 1, 2
+         |),
+         |top AS (
+         |  SELECT * FROM pairs ORDER BY pair_count DESC, center, context LIMIT 100
+         |),
+         |nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+         |bucketed AS (
+         |  SELECT node, bucket,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY node) - 1 AS idx
+         |  FROM (SELECT node, ($nodeHash) % 64 AS bucket FROM nodes)
+         |),
+         |bcnt AS (SELECT bucket, count(*) AS bcnt FROM bucketed GROUP BY 1),
+         |negs AS (
+         |  SELECT t.center, t.context, t.pair_count, j.j, ($pairCoin) AS coin
+         |  FROM top t CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1) j
+         |)
+         |SELECT n.center, n.context, n.pair_count, CAST(n.j AS INT) AS j,
+         |       b.node AS neg_node
+         |FROM negs n
+         |JOIN bcnt c ON c.bucket = n.coin % 64
+         |JOIN bucketed b ON b.bucket = n.coin % 64
+         |              AND b.idx = (n.coin // 64) % c.bcnt
+         |ORDER BY center, context, j""".stripMargin
+    },
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
     graphNeighborSample, graphKcore, graphKcoreHindex,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
-    graphAnfLake)
+    graphAnfLake, pipelineGraphEmbedding)
 }

@@ -1070,6 +1070,18 @@ object Relational {
     * percent_rank over per-user event volume — the feature-bucketing
     * window pair. Total ordering (count desc, user_id) keeps ranks
     * engine-independent.
+    *
+    * The unpartitioned window is INHERENT to these semantics: exact
+    * ntile/percent_rank are defined against the one global ordering,
+    * so every engine serializes the ranked rows somewhere (DuckDB's
+    * window over the same CTE does too). The window input is the
+    * per-user AGGREGATE (|users|, not |events|) — pre-shrunk before
+    * the single partition. When exactness isn't required at billions
+    * of users, the scale path is quantile BOUNDARIES (approx or
+    * exact percentile on the aggregate) broadcast back as range
+    * predicates — the shape q_agg_histogram_quantiles and the RFM
+    * boundaries-not-sort alternative in q_events_rfm use; exact
+    * per-row rank at that scale is the wrong ask.
     */
   private val windowNtile = Q(
     "q_window_ntile",

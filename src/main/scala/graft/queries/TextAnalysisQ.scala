@@ -241,9 +241,9 @@ object TextAnalysisQ {
             |)
             |SELECT c.word,
             |       count(*) AS orig_count,
-            |       sum(CASE WHEN CAST(c.coin AS HUGEINT) * c.coin * c.c_w <
-            |                     1000 * n.n_tokens * 1000000
-            |                THEN 1 ELSE 0 END) AS kept_count
+            |       CAST(sum(CASE WHEN CAST(c.coin AS HUGEINT) * c.coin * c.c_w <
+            |                          1000 * n.n_tokens * 1000000
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_count
             |FROM coins c CROSS JOIN n
             |GROUP BY c.word
             |ORDER BY orig_count DESC, word
@@ -1416,7 +1416,7 @@ object TextAnalysisQ {
   )
 
   val all: Seq[Q] =
-    Seq(langId, quality, modelQuality, tokens, skipgram, phrases, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
+    Seq(langId, quality, modelQuality, tokens, skipgram, phrases, subsample, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
       decontaminateFuzzy,
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,

@@ -48,10 +48,29 @@ object RawLogSource {
 
   private val HourPattern = """^\d{4}-\d{2}-\d{2}-\d{2}$""".r
 
+  private val BatchSuffix = """\.b(\d+)\.""".r
+
+  /** Sort key that reads batch-file suffixes NUMERICALLY: `.b<digits>.`
+    * segments are re-padded to a fixed 18 digits before the
+    * lexicographic compare, so a directory mixing legacy bare `.bN`
+    * names with the sink's current zero-padded `.bNNNNNNNNN` names
+    * still replays in true batch order within an hour ('0' < any
+    * digit would otherwise sort EVERY padded name before EVERY legacy
+    * name). Identical to plain lexicographic order for directories
+    * written entirely by the current sink.
+    */
+  private[sources] def replayOrderKey(path: String): String =
+    BatchSuffix.replaceAllIn(path, m => {
+      val digits = m.group(1).dropWhile(_ == '0')
+      val n = if (digits.isEmpty) "0" else digits
+      "." + "b" + ("0" * math.max(0, 18 - n.length)) + n + "."
+    })
+
   /** S7/F4: enumerate a directory, keep files whose hour overlaps
     * `[startHour, endHour]` (inclusive hour-key compare — hour files are
     * half-open hour intervals, mirroring `file_reader.rs:93-99`), sorted
-    * lexicographically = chronologically (`file_reader.rs:47-49`).
+    * lexicographically = chronologically (`file_reader.rs:47-49`), with
+    * batch suffixes compared numerically (see [[replayOrderKey]]).
     */
   def discover(
       dir: String,
@@ -67,7 +86,7 @@ object RawLogSource {
         startHour.forall(h >= _) && endHour.forall(h <= _)
       }
       .toSeq
-      .sorted
+      .sortBy(replayOrderKey)
   }
 
   /** S1: stream-decode log files into typed frames with stable

@@ -106,6 +106,18 @@ object FrameSink {
           out.close()
           if (!tmp.renameTo(fin))
             throw new java.io.IOException(s"rename ${tmp.getPath} -> ${fin.getPath} failed")
+          // sweep orphaned temp files from failed/killed attempts of
+          // THIS (hour, batch) file — without it a long-running ingest
+          // accumulates hidden `.….aN.tmp` files forever. Deleting a
+          // still-writing zombie attempt's temp is safe: its rename
+          // fails and the attempt errors, but this attempt's rename
+          // above already published identical bytes.
+          val prefix = s".${fin.getName}.a"
+          Option(fin.getParentFile.listFiles()).getOrElse(Array.empty)
+            .foreach { f =>
+              if (f.getName.startsWith(prefix) && f.getName.endsWith(".tmp"))
+                f.delete()
+            }
         }
         def roll(h: String): Unit = {
           commit()

@@ -216,6 +216,52 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("coreNumbers frontier refinement is round-for-round IDENTICAL to " +
+    "the full Jacobi h-index recompute (not just same fixpoint)") {
+    // sequential FULL recompute: every node's h-index from the whole
+    // previous-round table, every round — the reference the frontier
+    // version must reproduce exactly
+    def fullRounds(edges: Seq[(Long, Long)]): Seq[Map[Long, Long]] = {
+      val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def hIndex(vals: Seq[Long]): Long = {
+        val sorted = vals.sorted(Ordering[Long].reverse)
+        sorted.zipWithIndex.map { case (v, idx) => math.min(idx + 1L, v) }.max
+      }
+      var cur = adj.view.mapValues(_.size.toLong).toMap
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+      var moved = true
+      while (moved) {
+        val nxt = cur.map { case (n, _) => n -> hIndex(adj(n).map(cur)) }
+        moved = nxt != cur
+        cur = nxt
+        rounds += cur
+      }
+      rounds.toSeq
+    }
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 2) {
+      val n = 25 + trial * 10
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.15
+      } yield (a, b)).toSeq
+      val expect = fullRounds(edges)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+      val probe: (Int, org.apache.spark.sql.DataFrame) => Unit = (_, df) =>
+        got += df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      GraphAlgos.coreNumbers(edges.toDF("u", "v"), "u", "v",
+        roundProbe = Some(probe)).collect()
+      // same number of rounds to the fixpoint witness, same table at
+      // every round (frontier's last probe repeats the fixpoint table,
+      // matching the full recompute's no-change round)
+      assert(got.size === expect.size, s"trial $trial round count")
+      got.zip(expect).zipWithIndex.foreach { case ((g, e), r) =>
+        assert(g === e, s"trial $trial round ${r + 1}")
+      }
+    }
+  }
+
   test("coreNumbers closed forms: K5 is all 4s; a path is all 1s; a " +
     "triangle with a pendant tail is {2,2,2,1,1}") {
     def cn(edges: Seq[(Long, Long)]): Map[Long, Long] =

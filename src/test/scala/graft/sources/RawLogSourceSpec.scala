@@ -33,6 +33,39 @@ class RawLogSourceSpec extends AnyFunSuite {
     assert(RawLogSource.discover(dir, startHour = Some("2025-07-01-12")).size == 1)
   }
 
+  test("discover orders mixed legacy .bN and zero-padded .bNNNNNNNNN " +
+    "batch files numerically within an hour") {
+    val d = Files.createTempDirectory("graft_batch_order").toString
+    // legacy names (pre-padding sink) interleaved with current names:
+    // plain lexicographic order would put EVERY padded name before
+    // EVERY legacy name ('0' < any digit)
+    val names = Seq(
+      "2025-07-01-10.b2.jsonl.zst",         // legacy batch 2
+      "2025-07-01-10.b000000010.jsonl.zst", // padded batch 10
+      "2025-07-01-10.b10.jsonl.zst",        // legacy batch 10 (dup id ok)
+      "2025-07-01-10.b000000003.jsonl.zst", // padded batch 3
+      "2025-07-01-11.b000000001.jsonl.zst", // later hour, earlier batch
+      "2025-07-01-10.b1.jsonl.zst",         // legacy batch 1
+    )
+    names.foreach(n => Files.createFile(java.nio.file.Paths.get(d, n)))
+    val got = RawLogSource.discover(d).map(p => p.substring(p.lastIndexOf('/') + 1))
+    assert(got == Seq(
+      "2025-07-01-10.b1.jsonl.zst",
+      "2025-07-01-10.b2.jsonl.zst",
+      "2025-07-01-10.b000000003.jsonl.zst",
+      "2025-07-01-10.b000000010.jsonl.zst", // padded-vs-legacy tie on 10:
+      "2025-07-01-10.b10.jsonl.zst",        // key-equal, input order kept
+      "2025-07-01-11.b000000001.jsonl.zst",
+    ) || got == Seq(
+      "2025-07-01-10.b1.jsonl.zst",
+      "2025-07-01-10.b2.jsonl.zst",
+      "2025-07-01-10.b000000003.jsonl.zst",
+      "2025-07-01-10.b10.jsonl.zst",
+      "2025-07-01-10.b000000010.jsonl.zst",
+      "2025-07-01-11.b000000001.jsonl.zst",
+    ), s"got $got")
+  }
+
   test("frames: stable per-file line numbers, strict field decode") {
     val frames = RawLogSource.frames(spark, paths).collect()
     // one frame per written line

@@ -79,6 +79,26 @@ class FrameSinkSpec extends AnyFunSuite {
     assert(found.map(RawLogSource.fileHourOf).distinct === Seq("2025-07-01-10"))
   }
 
+  test("a successful commit sweeps orphaned temp files left by earlier " +
+    "failed attempts of the same (hour, batch) file") {
+    val dir = tmpDir("frame_sink_tmp_sweep")
+    // simulate a killed attempt's leftover: same final name, different
+    // attempt suffix than any live attempt will use
+    val orphan = new File(dir,
+      ".2025-07-01-10.b000000004.jsonl.zst.a99999999.tmp")
+    new File(dir).mkdirs()
+    Files.write(orphan.toPath, "half-written".getBytes("UTF-8"))
+    // an orphan for a DIFFERENT batch must survive (its own replay
+    // will sweep it)
+    val other = new File(dir,
+      ".2025-07-01-10.b000000005.jsonl.zst.a11111111.tmp")
+    Files.write(other.toPath, "other-batch".getBytes("UTF-8"))
+    FrameSink.writeBatch(rows(Seq(("2025-07-01-10", 1L, "x"))), dir, 4L)
+    assert(!orphan.exists(), "orphaned temp for committed file must be swept")
+    assert(other.exists(), "unrelated batch's temp must be untouched")
+    assert(new File(dir, "2025-07-01-10.b000000004.jsonl.zst").exists())
+  }
+
   test("leftover temp files are invisible to discovery") {
     val dir = tmpDir("frame_sink_tmp")
     FrameSink.writeBatch(rows(Seq(("2025-07-01-10", 1L, "x"))), dir, 0L)

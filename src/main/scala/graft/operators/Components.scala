@@ -134,8 +134,10 @@ object Components {
     *    orientation) re-attaches to m — stars flatten.
     *
     * Each phase is ONE groupBy(min) + ONE equi-join on the node key,
-    * shuffles sized by |E|. Lineage is cut with an eager
-    * localCheckpoint per round exactly as in the min-label loop.
+    * shuffles sized by |E|. Lineage is cut per round with
+    * [[Lineage.settle]] (cut + fresh relation): each phase joins its
+    * input against an aggregate of itself, so a plain cut's retained
+    * origin-stats estimate would square per phase.
     * Convergence is checked by an (edge-count, Σsrc, Σdst) checksum
     * on DECIMAL(38,0); because checksum equality is necessary but not
     * sufficient, the final edge set is then VALIDATED to be a star
@@ -200,12 +202,17 @@ object Components {
         (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
       }
 
-      var cur = smallStar(largeStar(e0)).cutLineage()
+      // settle, not plain cut: each star phase joins its input against
+      // a groupBy-derived table of ITSELF, so the round's sizeInBytes
+      // estimate squares per phase — localCheckpoint keeps the origin
+      // estimate, and 2^rounds bit growth eventually drowns the driver
+      // in BigInteger stats arithmetic ([[Lineage.settle]])
+      var cur = smallStar(largeStar(e0)).settleLineage()
       var prev = checksum(cur)
       var converged = prev._1 == 0L // edge-free graph (all self-loops)
       var i = 1
       while (!converged && i < maxIters) {
-        val next = smallStar(largeStar(cur)).cutLineage()
+        val next = smallStar(largeStar(cur)).settleLineage()
         val nextSum = checksum(next)
         cur = next
         converged = nextSum == prev

@@ -327,26 +327,39 @@ object GraphAlgos {
     val e = edges.select(col(uCol).cast("long").as("src"), col(vCol).cast("long").as("dst"))
     var cur = e.union(e.select($"dst".as("src"), $"src".as("dst"))).cutLineage()
     var curCount = cur.count()
-    var converged = curCount == 0
-    var i = 0
-    while (!converged && i < maxIters) {
-      val keep = cur.groupBy($"src").agg(count(lit(1)).as("d"))
-        .filter($"d" >= k).select($"src")
-      val nxt = cur
-        .join(keep, "src")
-        .join(keep.withColumnRenamed("src", "dst"), "dst")
-        .select($"src", $"dst")
-        .cutLineage()
-      val c = nxt.count()
-      converged = c == curCount
-      cur = nxt
-      curCount = c
-      i += 1
-    }
-    require(converged,
-      s"kCore did not converge in $maxIters rounds; raise maxIters")
-    cur.groupBy($"src").agg(count(lit(1)).as("core_deg"))
-      .select($"src".as("node"), $"core_deg")
+    // loop shuffles sized to the (initial) edge count, as in
+    // [[Components]]: the peel only shrinks, so the quotient is an
+    // upper bound; small graphs skip empty-task scheduling overhead
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, curCount / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var converged = curCount == 0
+      var i = 0
+      while (!converged && i < maxIters) {
+        val keep = cur.groupBy($"src").agg(count(lit(1)).as("d"))
+          .filter($"d" >= k).select($"src")
+        // settle, not plain cut: `nxt` multiplies THREE descendants of
+        // `cur` (itself + keep twice), so the origin sizeInBytes
+        // estimate a localCheckpoint keeps would cube per round —
+        // 3^rounds bit growth, the driver-killing compounding
+        // [[Lineage.settle]] exists for
+        val nxt = cur
+          .join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select($"src", $"dst")
+          .settleLineage()
+        val c = nxt.count()
+        converged = c == curCount
+        cur = nxt
+        curCount = c
+        i += 1
+      }
+      require(converged,
+        s"kCore did not converge in $maxIters rounds; raise maxIters")
+      cur.groupBy($"src").agg(count(lit(1)).as("core_deg"))
+        .select($"src".as("node"), $"core_deg")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Core NUMBERS (coreness of every node) by h-index iteration (Lü
@@ -371,10 +384,12 @@ object GraphAlgos {
     * shrinks with the frontier.
     *
     * Scale shape per round: one equi-join of the DIRTY-incident edge
-    * subset against the |V| value table, a node-partitioned window
-    * over just those edges (keyed, never global), a node-keyed max
-    * aggregation, and one |V|-keyed left join to patch the value
-    * table. Values are monotonically non-increasing per node, so an
+    * subset against the |V| value table, a map-side-combinable
+    * (node, value) count, a node-partitioned window over the DISTINCT
+    * (node, value) pairs that survive it (keyed, never global — and
+    * far smaller than the edge set once neighborhoods concentrate on
+    * few coreness values), a node-keyed max aggregation, and one
+    * |V|-keyed left join to patch the value table. Values are monotonically non-increasing per node, so an
     * empty changed set is a fixpoint witness; throws past `maxIters`
     * like the other iterative operators. Lineage cut per round as in
     * [[Components]].
@@ -416,22 +431,35 @@ object GraphAlgos {
       var dirty = cur
       var converged = false
       var i = 0
-      val w = org.apache.spark.sql.expressions.Window
+      val wcum = org.apache.spark.sql.expressions.Window
         .partitionBy($"src").orderBy($"val".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
       while (!converged && i < maxIters) {
         i += 1
-        // h-index of the neighbor multiset, for dirty nodes only: rank
-        // values desc, take max(min(rank, value)) — max h with ≥ h
-        // neighbors of value ≥ h. c_old is constant per src, so
-        // max() carries it through the aggregate without a second
+        // h-index of the neighbor multiset, for dirty nodes only, at
+        // VALUE granularity: h = max over distinct neighbor values v of
+        // min(v, C(v)), where C(v) = #neighbors with value ≥ v — the
+        // rank formulation max(min(rank, value)) collapsed onto the
+        // value histogram. (⟸ if C(v) ≥ v then t=v qualifies; else the
+        // C(v) neighbors ≥ v are also ≥ C(v), so t=C(v) qualifies.
+        // ⟹ for h's witness t₀ take v = smallest distinct value ≥ t₀:
+        // C(v) = C(t₀) ≥ t₀, so min(v, C(v)) ≥ t₀.) The windowed sort
+        // then runs over DISTINCT (node, value) pairs — produced by a
+        // map-side-combinable count — instead of every incident edge:
+        // as the iteration converges, neighborhoods concentrate on few
+        // coreness values, so a hub's window input collapses from its
+        // degree to its value support. c_old is constant per src, so
+        // max() carries it through both aggregates without a second
         // grouping key (which would force another shuffle).
         val recomputed = sym
           .join(dirty.select($"node".as("src"), $"c".as("c_old")), Seq("src"))
           .join(cur.select($"node".as("dst"), $"c".as("val")), Seq("dst"))
-          .select($"src", $"c_old", $"val")
-          .withColumn("rn", row_number().over(w))
+          .groupBy($"src", $"val")
+          .agg(count(lit(1)).cast("long").as("cnt"), max($"c_old").as("c_old"))
+          .withColumn("cum", sum($"cnt").over(wcum))
           .groupBy($"src")
-          .agg(max(least($"rn", $"val")).as("c"), max($"c_old").as("c_old"))
+          .agg(max(least($"val", $"cum")).as("c"), max($"c_old").as("c_old"))
         // ONE materialization per round: the full next value table,
         // with a changed-this-round bit folded in. Every dirty node
         // takes its recomputed value (changed or not); everyone else
@@ -551,7 +579,10 @@ object GraphAlgos {
     * references its input exactly once and the whole fixed-round
     * trajectory pipelines as one job with a shallow lineage (no
     * per-round checkpoint needed; for high round counts, checkpoint
-    * every ~10 rounds). Shuffle volume ∝ |E| per round.
+    * every ~10 rounds). Shuffle volume ∝ |E| per round; the loop's
+    * shuffle-partition count is sized to |E| as in [[Components]], and
+    * the result is materialized once at the end (inside that scope) so
+    * the lazy trajectory actually executes at the narrowed width.
     *
     * Returns (node, lbl) for every node with ≥ 1 edge.
     */
@@ -566,17 +597,29 @@ object GraphAlgos {
     val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
     val bi = e.union(e.select($"v".as("u"), $"u".as("v")))
       .distinct().cutLineage()
-    var labels = bi.select($"u".as("node")).distinct()
-      .withColumn("lbl", $"node")
-    for (_ <- 1 to iters) {
-      labels = bi
-        .join(labels.select($"node".as("v"), $"lbl"), "v")
-        .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
-        // (c, -lbl) is unique per (u, lbl) row, so the argmax is total:
-        // max count first, then the SMALLEST label among the tied
-        .groupBy($"u").agg(max_by($"lbl", struct($"c", -$"lbl")).as("lbl"))
-        .select($"u".as("node"), $"lbl")
-    }
-    labels
+    // |E|-sized loop shuffles as in [[Components]]: the fixed-round
+    // trajectory pipelines as one job, but every round still stages
+    // two shuffles (pair count, per-node argmax) whose partition count
+    // would otherwise be the session default regardless of graph size
+    val nEdges = bi.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var labels = bi.select($"u".as("node")).distinct()
+        .withColumn("lbl", $"node")
+      for (_ <- 1 to iters) {
+        labels = bi
+          .join(labels.select($"node".as("v"), $"lbl"), "v")
+          .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
+          // (c, -lbl) is unique per (u, lbl) row, so the argmax is total:
+          // max count first, then the SMALLEST label among the tied
+          .groupBy($"u").agg(max_by($"lbl", struct($"c", -$"lbl")).as("lbl"))
+          .select($"u".as("node"), $"lbl")
+      }
+      // materialize INSIDE the narrowed-partition scope so the loop's
+      // shuffles actually run at `parts` (the trajectory is lazy)
+      labels.cutLineage()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }

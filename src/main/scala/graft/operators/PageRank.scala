@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Lineage.CutOps
+
 /** PageRank over a directed edge list — the importance-scoring pass a
   * crawl/curation pipeline runs to weight sources (cf. Page et al.,
   * "The PageRank Citation Ranking"): seed-domain ranking, dedup-keeper
@@ -26,9 +28,13 @@ import org.apache.spark.sql.functions._
   *     then sum by dst with map-side partial aggregation;
   *   - update: nodes ⟕ contributions, coalesce(0) for in-degree-0
   *     nodes (they keep the 15% teleport floor).
-  * The rank table is O(|V|) and persisted per round; the loop is
-  * driver-side like `Components.connectedComponents` / Lloyd's, with
-  * the per-round plan fully distributed.
+  * The rank table is O(|V|) and lineage-cut per round ([[Lineage]] —
+  * eager localCheckpoint by default, reliable `checkpoint()` under
+  * `spark.graft.graph.reliableCheckpoint`); the edge table and
+  * out-degree table are cut ONCE before the loop so no round re-runs
+  * the caller's upstream derivation. The loop is driver-side like
+  * `Components.connectedComponents` / Lloyd's, with the per-round plan
+  * fully distributed and its shuffles sized to |E|.
   */
 object PageRank {
 
@@ -46,34 +52,51 @@ object PageRank {
       scale: Long = 1000000L,
   ): DataFrame = {
     require(iters >= 1, s"pagerank: iters ($iters) must be >= 1")
+    val spark = edges.sparkSession
+    // Materialize the edge derivation ONCE (eager lineage cut): `e` is
+    // read every iteration by the contribution join, and `outdeg` /
+    // `nodes` derive from it — without the cut, each of the `iters`
+    // rounds re-runs the caller's full upstream plan (at 100 TB, the
+    // source scan + distinct) twice. The cut also routes the loop
+    // through the opt-in reliable-checkpoint path like the other
+    // iterative graph operators ([[Lineage]]).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst")))
-      .distinct()
-      .persist()
-    var ranks = nodes.select(col("node"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
-      val shares = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("r div d").as("share"))
-      val contribs = e
-        .join(shares, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("share")).as("s"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(
-          col("node"),
-          (lit(15L * scale / 100L) +
-            expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-        .persist()
-      // materialize before unpersisting the parent this round reads
-      next.count()
-      ranks.unpersist()
-      ranks = next
-    }
-    ranks
+      .cutLineage()
+    // size the loop's shuffles to the edge count, as in [[Components]]:
+    // a small graph must not pay (default partitions) × (stages per
+    // round) of empty-task scheduling; a big one gets the quotient back
+    val nEdges = e.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .cutLineage()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .cutLineage()
+      var ranks = nodes.select(col("node"), lit(scale).as("r"))
+      for (_ <- 1 to iters) {
+        val shares = ranks
+          .join(outdeg, ranks("node") === outdeg("src"))
+          .select(col("src"), expr("r div d").as("share"))
+        val contribs = e
+          .join(shares, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("share")).as("s"))
+        // linear chain (ranks feeds exactly one input of the next
+        // round's plan), so a plain cut suffices — no settle needed
+        ranks = nodes
+          .join(contribs, Seq("node"), "left")
+          .select(
+            col("node"),
+            (lit(15L * scale / 100L) +
+              expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+          .cutLineage()
+      }
+      ranks
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Personalized PageRank: the teleport mass restarts ONLY onto the
@@ -98,36 +121,45 @@ object PageRank {
       scale: Long = 1000000L,
   ): DataFrame = {
     require(iters >= 1, s"personalized: iters ($iters) must be >= 1")
+    val spark = edges.sparkSession
+    // same once-only edge materialization + |E|-sized loop shuffles as
+    // [[pagerank]]; seed membership is folded into the cut node table,
+    // so the loop never touches `seeds` again
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst")))
-      .distinct()
-      .join(seeds.select(col(seeds.columns.head).as("node"))
-          .distinct().withColumn("__s", lit(1L)),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
-      .persist()
-    var ranks = nodes.select(col("node"), (col("is_seed") * scale).as("r"))
-    for (_ <- 1 to iters) {
-      val shares = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("r div d").as("share"))
-      val contribs = e
-        .join(shares, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("share")).as("s"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(
-          col("node"),
-          (col("is_seed") * lit(15L * scale / 100L) +
-            expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-        .persist()
-      next.count()
-      ranks.unpersist()
-      ranks = next
-    }
-    ranks
+      .cutLineage()
+    val nEdges = e.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .cutLineage()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .join(seeds.select(col(seeds.columns.head).as("node"))
+            .distinct().withColumn("__s", lit(1L)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
+        .cutLineage()
+      var ranks = nodes.select(col("node"), (col("is_seed") * scale).as("r"))
+      for (_ <- 1 to iters) {
+        val shares = ranks
+          .join(outdeg, ranks("node") === outdeg("src"))
+          .select(col("src"), expr("r div d").as("share"))
+        val contribs = e
+          .join(shares, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("share")).as("s"))
+        ranks = nodes
+          .join(contribs, Seq("node"), "left")
+          .select(
+            col("node"),
+            (col("is_seed") * lit(15L * scale / 100L) +
+              expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+          .cutLineage()
+      }
+      ranks
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }

@@ -622,4 +622,56 @@ object GraphAlgos {
       labels.cutLineage()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the DIRECTED edge list obtained by writing
+    * each undirected edge both ways — the standard summary of whether
+    * hubs attach to hubs (r > 0, social-graph-like) or to leaves
+    * (r < 0, hub-and-spoke), which decides whether a crawl frontier
+    * or a dedup cluster graph needs skew handling at all.
+    *
+    * Both-directions symmetry makes Σx = Σy and Σx² = Σy², so
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+    * over the per-edge degree pairs (x, y). One degree aggregation,
+    * two node-keyed equi-joins to stamp (deg(u), deg(v)) on each
+    * directed edge, one global roll-up to four DECIMAL(38,0) moments
+    * — a single row out, divisions deferred to the terminal select
+    * (exact operands, one double division, 6 dp). A hub's key repeats
+    * deg-many times in the stamp joins; that is the plain
+    * replicate-the-dim-row shape AQE's skew split handles, not a
+    * last-reducer trap (the aggregate is map-side combined).
+    *
+    * Returns one row: (m_directed, r_assort) — r_assort NULL when the
+    * degree sequence is constant (zero variance, r undefined: e.g. a
+    * perfect matching or a cycle).
+    */
+  def degreeAssortativity(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+    val bi = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val deg = bi.groupBy($"u").agg(count(lit(1)).cast("decimal(38,0)").as("deg"))
+      .select($"u".as("node"), $"deg")
+    val pairs = bi
+      .join(deg.select($"node".as("u"), $"deg".as("x")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("y")), "v")
+    val s = pairs.agg(
+      count(lit(1)).cast("decimal(38,0)").as("m"),
+      sum($"x").as("sx"),
+      sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"x").as("sxx"),
+    )
+    val num = $"m" * $"sxy" - $"sx" * $"sx"
+    val den = $"m" * $"sxx" - $"sx" * $"sx"
+    s.select(
+      $"m".cast("long").as("m_directed"),
+      when(den === 0, lit(null))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("r_assort"),
+    )
+  }
 }

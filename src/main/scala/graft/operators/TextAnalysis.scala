@@ -209,41 +209,46 @@ object TextAnalysis {
       wLen: Long = 1,
       wMwlDev: Long = -1,
       bias: Long = -1000,
+      keep: Seq[String] = Nil,
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ws = $"ws"
+    // label/grouping passthrough (e.g. source, lang) so eval queries
+    // (MlEval.auc/calibration) don't need a join back on doc_id — the
+    // whole score+label derivation stays one narrow zero-shuffle map
+    val kc = keep.map(col)
     val base = docs
-      .select($"doc_id", length($"text").as("chars"),
-        graft.functions.Cols.materialized(split($"text", " ")).as("ws"))
-      .select(
+      .select(Seq($"doc_id", length($"text").as("chars"),
+        graft.functions.Cols.materialized(split($"text", " ")).as("ws")) ++ kc: _*)
+      .select(Seq(
         $"doc_id",
         $"chars".cast("long").as("chars"),
         size(ws).cast("long").as("words"),
         size(array_distinct(ws)).cast("long").as("distinct_words"),
         size(filter(ws, w => w.isin(defaultStopwords: _*))).cast("long")
           .as("stop_hits"),
-      )
-    val feats = base.select(
+      ) ++ kc: _*)
+    val feats = base.select(Seq(
       $"doc_id",
       expr("(distinct_words * 1000) div words").as("ttr_m"),
       expr("(stop_hits * 1000) div words").as("stop_m"),
       least($"words" * 10, lit(1000L)).as("len_m"),
       // deviation from a 5.0-char mean word length, in ‰
       abs(expr("((chars - (words - 1)) * 1000) div words") - 5000L).as("dev_m"),
-    )
+    ) ++ kc: _*)
     val logit =
       lit(wTtr) * $"ttr_m" + lit(wStop) * $"stop_m" +
         lit(wLen) * $"len_m" + lit(wMwlDev) * $"dev_m" + lit(bias)
     val x = $"logit_scaled".cast("double") / 1000.0
     feats
-      .select($"doc_id", $"ttr_m", $"stop_m", $"len_m", $"dev_m",
-        logit.as("logit_scaled"))
-      .select(
+      .select(Seq($"doc_id", $"ttr_m", $"stop_m", $"len_m", $"dev_m",
+        logit.as("logit_scaled")) ++ kc: _*)
+      .select(Seq(
         $"doc_id", $"ttr_m", $"stop_m", $"len_m", $"dev_m", $"logit_scaled",
         round(lit(0.5) + x / (lit(2.0) * (lit(1.0) + abs(x))), 4).as("score"),
         when($"logit_scaled" >= 0, "keep").otherwise("drop").as("verdict"),
-      )
+      ) ++ kc: _*)
   }
 
   /** Token counts: whitespace tokens, BPE-ish regex tokens

@@ -1375,9 +1375,47 @@ object Graph {
     },
   )
 
+  /** Degree assortativity of the co-purchase graph
+    * (`GraphAlgos.degreeAssortativity` — Newman 2002 Pearson degree
+    * correlation, exact DECIMAL(38,0) moments, one double division).
+    * The oracle recomputes the same moments over HUGEINT sums with
+    * the by-symmetry-simplified closed form — near 0 here (parts
+    * co-occur ~uniformly), strongly negative on stars, positive on
+    * hub-clustered social graphs; the one-number skew triage for any
+    * derived graph before the heavier algorithms run.
+    */
+  private val graphAssortativity = Q(
+    "q_graph_assortativity",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables(s, dir).lineitem
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      GraphAlgos.degreeAssortativity(edges, "u", "v")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |e AS MATERIALIZED (
+           |  SELECT DISTINCT a.p AS u, b.p AS v
+           |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+           |),
+           |b AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+           |d AS (SELECT u AS node, CAST(count(*) AS HUGEINT) AS deg FROM b GROUP BY u),
+           |p AS (SELECT du.deg AS x, dv.deg AS y
+           |      FROM b JOIN d du ON du.node = b.u JOIN d dv ON dv.node = b.v),
+           |s AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx,
+           |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+           |SELECT CAST(m AS BIGINT) AS m_directed,
+           |       CASE WHEN m * sxx - sx * sx = 0 THEN NULL ELSE
+           |         round(CAST(m * sxy - sx * sx AS DOUBLE) /
+           |               CAST(m * sxx - sx * sx AS DOUBLE), 6) END AS r_assort
+           |FROM s""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
     graphNeighborSample, graphKcore, graphKcoreHindex,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
-    graphAnfLake, pipelineGraphEmbedding)
+    graphAnfLake, pipelineGraphEmbedding, graphAssortativity)
 }

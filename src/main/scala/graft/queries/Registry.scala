@@ -9,7 +9,7 @@ object Registry {
     val qs = Relational.all ++ Replay.all ++ Dedup.all ++ Similarity.all ++
       TextAnalysisQ.all ++ MultimodalQ.all ++ Curation.all ++ Temporal.all ++
       Lake.all ++ Analytic.all ++ Graph.all ++ TextFilters.all ++ Linkage.all ++
-      TimeSeries.all ++ Quantize.all ++ TextSpans.all
+      TimeSeries.all ++ Quantize.all ++ TextSpans.all ++ MlEvalQ.all
     // a duplicate name would silently DROP a query when the seq
     // collapses into the maps below — fail loudly instead
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys

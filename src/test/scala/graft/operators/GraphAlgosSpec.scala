@@ -450,4 +450,32 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("negative edge weight") ||
       Option(ex.getCause).exists(_.getMessage.contains("negative edge weight")))
   }
+
+  private def assort(edges: Seq[(Long, Long)]): (Long, Option[Double]) = {
+    val r = GraphAlgos.degreeAssortativity(edges.toDF("u", "v"), "u", "v")
+      .collect().head
+    (r.getAs[Long]("m_directed"),
+      if (r.isNullAt(r.fieldIndex("r_assort"))) None
+      else Some(r.getAs[Double]("r_assort")))
+  }
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    // hub 0 (deg 3) only ever pairs with leaves (deg 1)
+    assert(assort(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == (6L, Some(-1.0)))
+  }
+
+  test("assortativity: path P3 is -1, constant-degree cycle is NULL") {
+    // P3 moments by hand: M=4, Σx=6, Σxy=8, Σx²=10 → (32−36)/(40−36) = −1
+    assert(assort(Seq((1L, 2L), (2L, 3L))) == (4L, Some(-1.0)))
+    // C4: every degree 2 → zero variance, r undefined
+    assert(assort(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == (8L, None))
+  }
+
+  test("assortativity: a hub-hub edge lifts r above the star's -1") {
+    // two deg-4 hubs joined to each other, leaves elsewhere: the two
+    // (4,4) directed pairs raise the correlation; by hand r = -324/432
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (2L, 7L), (2L, 8L))
+    assert(assort(g) == (14L, Some(-0.75)))
+  }
 }

@@ -133,6 +133,146 @@ object MlEval {
     )
   }
 
+  /** Full precision/recall/F1 threshold sweep of an integer score
+    * against a 0/1 label: one row per distinct score value t, scoring
+    * "predict positive iff score ≥ t".
+    *
+    *   TP(t) = Σ_{s ≥ t} pos(s),  FP(t) = Σ_{s ≥ t} neg(s)
+    *   precision = TP/(TP+FP),  recall = TP/n₊,
+    *   F1 = 2TP / (2TP + FP + FN),  FN = n₊ − TP
+    *
+    * computed as reverse cumulative sums over the (score) histogram.
+    * The descending window is UNPARTITIONED but bounded like
+    * `Sketches.quantilesFromHistogram`: its input is the score
+    * support (for ‰-quantized logits ≤ a few thousand distinct
+    * values), never corpus rows — the histogram aggregation upstream
+    * is what touches the data, and it is map-side combined. n₊ rides
+    * a 1-row broadcast. TP/FP are emitted as exact longs; the three
+    * ratios are single double divisions of exact operands, 6 dp.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val hist = df
+      .groupBy(col(scoreCol).as("thr"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("neg"),
+      )
+    // bounded global window: ≤ |score support| rows by construction
+    val wDesc = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("pos")).cast("long").as("n_pos"))
+    hist
+      .withColumn("tp", sum(dec(col("pos"))).over(wDesc))
+      .withColumn("fp", sum(dec(col("neg"))).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("thr"),
+        col("tp").cast("long").as("tp"),
+        col("fp").cast("long").as("fp"),
+        round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        when(col("n_pos") === 0, lit(null)).otherwise(
+          round(col("tp").cast("double") / col("n_pos").cast("double"), 6))
+          .as("recall"),
+        when(col("n_pos") === 0, lit(null)).otherwise(
+          round((lit(2.0) * col("tp").cast("double")) /
+            (col("tp") + col("tp") + col("fp") +
+              (col("n_pos") - col("tp"))).cast("double"), 6)).as("f1"),
+      )
+  }
+
+  /** 2×2 rater agreement with Cohen's kappa — the "do the rule gate
+    * and the model gate actually agree" audit run before swapping one
+    * filter for the other. For 0/1 columns a and b:
+    *
+    *   κ = (n·(a₁₁+a₀₀) − E) / (n² − E),
+    *   E = (a₁₁+a₁₀)(a₁₁+a₀₁) + (a₀₁+a₀₀)(a₁₀+a₀₀)
+    *
+    * (the (po−pe)/(1−pe) form cleared of denominators, so numerator
+    * and denominator stay EXACT DECIMAL(38,0)). One map-side-
+    * combinable aggregation to the four confusion cells; κ is a
+    * single double division, 6 dp; degenerate marginals (both raters
+    * constant → pe = 1) yield NULL. Emits the cells alongside κ so
+    * the gate pins the exact table, not just the summary.
+    */
+  def agreement(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val cells = df.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(a * b)).as("a11"),
+      sum(dec(a * (lit(1L) - b))).as("a10"),
+      sum(dec((lit(1L) - a) * b)).as("a01"),
+      sum(dec((lit(1L) - a) * (lit(1L) - b))).as("a00"),
+    )
+    val e = (col("a11") + col("a10")) * (col("a11") + col("a01")) +
+      (col("a01") + col("a00")) * (col("a10") + col("a00"))
+    val num = col("n") * (col("a11") + col("a00")) - e
+    val den = col("n") * col("n") - e
+    cells.select(
+      col("n").cast("long").as("n"),
+      col("a11").cast("long").as("both_keep"),
+      col("a10").cast("long").as("only_a"),
+      col("a01").cast("long").as("only_b"),
+      col("a00").cast("long").as("both_drop"),
+      round((col("a11") + col("a00")).cast("double") / col("n").cast("double"), 6)
+        .as("po"),
+      when(den === 0, lit(null))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("kappa"),
+    )
+  }
+
+  /** Multi-class confusion summary: one row per class (the union of
+    * actual and predicted label domains) with the exact confusion
+    * masses and the derived one-vs-rest metrics:
+    *
+    *   tp(c) = |actual=c ∧ pred=c|, fp(c) = |pred=c| − tp,
+    *   fn(c) = |actual=c| − tp,
+    *   precision = tp/(tp+fp), recall = tp/(tp+fn),
+    *   f1 = 2tp/(2tp+fp+fn)
+    *
+    * Scale shape: ONE map-side-combinable aggregation of the corpus
+    * to the (actual, pred) cell table — at most |classes|² rows —
+    * and everything after (marginals, the full-outer class-domain
+    * join, the metric divisions) runs on that tiny frame. Counts are
+    * exact longs; each ratio is a single double division, 6 dp; a
+    * class never predicted has NULL precision (0/0), a class never
+    * actually present has NULL recall — distinguishing "undefined"
+    * from a genuine 0.0 exactly as the oracle does.
+    */
+  def confusion(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(actualCol).as("a"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("c"))
+    val actTot = cells.groupBy(col("a").as("cls")).agg(sum(col("c")).as("support"))
+    val predTot = cells.groupBy(col("p").as("cls")).agg(sum(col("c")).as("pred_n"))
+    val diag = cells.filter(col("a") === col("p"))
+      .select(col("a").as("cls"), col("c").as("tp0"))
+    val tp = coalesce(col("tp0"), lit(0L))
+    val sup = coalesce(col("support"), lit(0L))
+    val pn = coalesce(col("pred_n"), lit(0L))
+    val fp = (pn - tp).as("fp")
+    val fn = (sup - tp).as("fn")
+    actTot
+      .join(predTot, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left")
+      .select(
+        col("cls"),
+        sup.cast("long").as("support"),
+        tp.cast("long").as("tp"),
+        fp.cast("long").as("fp"),
+        fn.cast("long").as("fn"),
+        when(pn === 0, lit(null)).otherwise(
+          round(tp.cast("double") / pn.cast("double"), 6)).as("precision"),
+        when(sup === 0, lit(null)).otherwise(
+          round(tp.cast("double") / sup.cast("double"), 6)).as("recall"),
+        when(pn + sup === 0, lit(null)).otherwise(
+          round((lit(2.0) * tp.cast("double")) /
+            (pn + sup).cast("double"), 6)).as("f1"),
+      )
+  }
+
   /** Reliability (calibration) table for an integer ‰-scaled logit
     * against a 0/1 label. The logit is squashed with the same
     * algebraic sigmoid as `TextAnalysis.modelQuality` — but kept as an

@@ -187,5 +187,166 @@ object MlEvalQ {
             |ORDER BY bin""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(linearProbe, aucQ, calibrationQ)
+  /** Corpus-wide precision/recall/F1 threshold sweep of the quality
+    * logit against the en label — the operating-point picker that
+    * turns an AUC number into an actual filter threshold. One row per
+    * distinct logit value; TP/FP ride as exact longs. The descending
+    * cumulative window is global but bounded by the ‰-quantized score
+    * support (the `Sketches.quantilesFromHistogram` pattern), and n₊
+    * is a 1-row broadcast.
+    */
+  private val prCurveQ = Q(
+    "q_ml_pr_curve",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis
+        .modelQuality(Tables(s, dir).documents, keep = Seq("lang"))
+        .select($"logit_scaled", ($"lang" === "en").cast("long").as("lbl"))
+      MlEval.prCurve(scored, "logit_scaled", "lbl")
+        .orderBy($"thr")
+    },
+    Some(s"""$logitCtes,
+            |c AS (SELECT logit AS thr, CAST(sum(lbl) AS BIGINT) AS pos,
+            |             CAST(count(*) - sum(lbl) AS BIGINT) AS neg FROM l GROUP BY logit),
+            |w AS (SELECT thr, pos, neg,
+            |             CAST(sum(pos) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS tp,
+            |             CAST(sum(neg) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS fp
+            |      FROM c),
+            |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos FROM c)
+            |SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+            |       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+            |       CASE WHEN n_pos = 0 THEN NULL ELSE
+            |         round(CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) END AS recall,
+            |       CASE WHEN n_pos = 0 THEN NULL ELSE
+            |         round((2.0 * CAST(tp AS DOUBLE)) /
+            |               CAST(tp + tp + fp + (n_pos - tp) AS DOUBLE), 6) END AS f1
+            |FROM w, t
+            |ORDER BY thr""".stripMargin),
+  )
+
+  /** Cohen's-kappa agreement audit between the RULE gate
+    * (`TextAnalysis.gopherFlags.keep`) and the MODEL gate
+    * (modelQuality logit ≥ 0) — run before swapping one filter for
+    * the other, because raw percent agreement (po) flatters whenever
+    * both gates mostly say "keep". The confusion cells ride as exact
+    * longs; κ is computed in the denominator-cleared exact form
+    * (n·(a₁₁+a₀₀) − E) / (n² − E). One doc_id equi-join between the
+    * two narrow score maps, one map-side-combined roll-up, one row.
+    */
+  private val kappaQ = Q(
+    "q_ml_kappa",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val model = TextAnalysis.modelQuality(docs)
+        .select($"doc_id", ($"logit_scaled" >= 0).cast("long").as("model_keep"))
+      val rule = TextAnalysis.gopherFlags(docs, nStop = 8)
+        .select($"doc_id", $"keep".as("rule_keep"))
+      MlEval.agreement(model.join(rule, "doc_id"), "model_keep", "rule_keep")
+    },
+    Some(s"""$logitCtes,
+            |gw AS (SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS ws FROM documents),
+            |top8 AS (
+            |  SELECT word FROM (
+            |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+            |  GROUP BY word ORDER BY count(*) DESC, word LIMIT 8),
+            |stops AS (SELECT list(word) AS stoplist FROM top8),
+            |gm AS (
+            |  SELECT doc_id,
+            |         CAST(len(ws) AS BIGINT) AS n_words,
+            |         round((chars - (len(ws) - 1)) * 1.0 / len(ws), 4) AS mean_word_len,
+            |         round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(ws), 4) AS alpha_ratio,
+            |         CAST(len(list_intersect(list_distinct(ws), stoplist)) AS BIGINT) AS n_stop
+            |  FROM gw, stops),
+            |g AS (
+            |  SELECT doc_id,
+            |         CAST(n_words BETWEEN 50 AND 100000
+            |              AND mean_word_len BETWEEN 3 AND 10
+            |              AND alpha_ratio >= 0.8
+            |              AND n_stop >= 2 AS BIGINT) AS b
+            |  FROM gm),
+            |j AS (SELECT CASE WHEN l.logit >= 0 THEN 1 ELSE 0 END AS a, g.b AS b
+            |      FROM l JOIN g USING (doc_id)),
+            |cells AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+            |                 CAST(sum(a * b) AS HUGEINT) AS a11,
+            |                 CAST(sum(a * (1 - b)) AS HUGEINT) AS a10,
+            |                 CAST(sum((1 - a) * b) AS HUGEINT) AS a01,
+            |                 CAST(sum((1 - a) * (1 - b)) AS HUGEINT) AS a00
+            |          FROM j)
+            |SELECT CAST(n AS BIGINT) AS n,
+            |       CAST(a11 AS BIGINT) AS both_keep, CAST(a10 AS BIGINT) AS only_a,
+            |       CAST(a01 AS BIGINT) AS only_b, CAST(a00 AS BIGINT) AS both_drop,
+            |       round(CAST(a11 + a00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+            |       CASE WHEN n * n - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)) = 0 THEN NULL ELSE
+            |         round(CAST(n * (a11 + a00) - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)) AS DOUBLE) /
+            |               CAST(n * n - ((a11 + a10) * (a11 + a01) + (a01 + a00) * (a10 + a00)) AS DOUBLE), 6) END AS kappa
+            |FROM cells""".stripMargin),
+  )
+
+  private def profileValues: String =
+    TextAnalysis.defaultProfile
+      .map { case (l, w, wt) => s"('$l', '$w', $wt)" }
+      .mkString(", ")
+
+  /** Multi-class confusion summary of the language-ID model
+    * (TextAnalysis.langId, default profile) against the `lang` label:
+    * per-class support/tp/fp/fn plus one-vs-rest precision/recall/F1
+    * — the per-language error readout a curation team checks before
+    * trusting langid-gated corpus splits. Docs the profile never hits
+    * predict 'und', so every document is scored exactly once. The
+    * corpus-sized work is langid's own broadcast profile join plus
+    * ONE cell aggregation; everything downstream runs on the
+    * ≤|classes|² cell table.
+    */
+  private val confusionQ = Q(
+    "q_ml_confusion",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val pred = TextAnalysis.langId(docs, TextAnalysis.defaultProfile)
+        .select($"doc_id", $"pred_lang")
+      val pairs = docs.select($"doc_id", $"lang")
+        .join(pred, Seq("doc_id"), "left")
+        .select($"lang".as("actual"),
+          coalesce($"pred_lang", lit("und")).as("pred"))
+      MlEval.confusion(pairs, "actual", "pred").orderBy($"cls")
+    },
+    Some(s"""WITH prof(p_lang, p_word, p_weight) AS (VALUES $profileValues),
+            |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            |scores AS (
+            |  SELECT doc_id, p_lang, CAST(sum(p_weight) AS BIGINT) AS score
+            |  FROM words JOIN prof ON w = p_word
+            |  GROUP BY doc_id, p_lang),
+            |mx AS (
+            |  SELECT doc_id, p_lang, score, max(score) OVER (PARTITION BY doc_id) AS m
+            |  FROM scores),
+            |pl AS (SELECT doc_id, min(p_lang) AS pred_lang FROM mx WHERE score = m GROUP BY doc_id),
+            |pairs AS (
+            |  SELECT d.lang AS a, coalesce(pl.pred_lang, 'und') AS p
+            |  FROM documents d LEFT JOIN pl USING (doc_id)),
+            |cells AS (SELECT a, p, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY a, p),
+            |act AS (SELECT a AS cls, CAST(sum(c) AS BIGINT) AS support FROM cells GROUP BY a),
+            |prd AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS pred_n FROM cells GROUP BY p),
+            |diag AS (SELECT a AS cls, c AS tp0 FROM cells WHERE a = p),
+            |j AS (
+            |  SELECT coalesce(act.cls, prd.cls) AS cls,
+            |         coalesce(support, 0) AS support, coalesce(pred_n, 0) AS pred_n
+            |  FROM act FULL OUTER JOIN prd ON act.cls = prd.cls),
+            |f AS (
+            |  SELECT j.cls, j.support, coalesce(d.tp0, 0) AS tp, j.pred_n
+            |  FROM j LEFT JOIN diag d ON j.cls = d.cls)
+            |SELECT cls, CAST(support AS BIGINT) AS support, CAST(tp AS BIGINT) AS tp,
+            |       CAST(pred_n - tp AS BIGINT) AS fp, CAST(support - tp AS BIGINT) AS fn,
+            |       CASE WHEN pred_n = 0 THEN NULL ELSE
+            |         round(CAST(tp AS DOUBLE) / CAST(pred_n AS DOUBLE), 6) END AS precision,
+            |       CASE WHEN support = 0 THEN NULL ELSE
+            |         round(CAST(tp AS DOUBLE) / CAST(support AS DOUBLE), 6) END AS recall,
+            |       CASE WHEN pred_n + support = 0 THEN NULL ELSE
+            |         round(2.0 * CAST(tp AS DOUBLE) / CAST(pred_n + support AS DOUBLE), 6) END AS f1
+            |FROM f
+            |ORDER BY cls""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(linearProbe, aucQ, calibrationQ, prCurveQ, kappaQ, confusionQ)
 }

@@ -80,6 +80,73 @@ class MlEvalSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("pos_rate") == 1.0)
   }
 
+  test("prCurve: hand-computed sweep, one row per distinct threshold") {
+    import spark.implicits._
+    val df = Seq((3L, 1L), (2L, 0L), (1L, 1L), (1L, 0L)).toDF("s", "lbl")
+    val r = MlEval.prCurve(df, "s", "lbl").orderBy("thr").collect()
+    assert(r.length == 3)
+    // t=3: TP=1 FP=0 → P=1, R=.5, F1=2/3; t=2: TP=1 FP=1 → .5/.5/.5;
+    // t=1: TP=2 FP=2 → P=.5, R=1, F1=2/3
+    def row(i: Int) = (r(i).getAs[Long]("tp"), r(i).getAs[Long]("fp"),
+      r(i).getAs[Double]("precision"), r(i).getAs[Double]("recall"),
+      r(i).getAs[Double]("f1"))
+    assert(row(2) == ((1L, 0L, 1.0, 0.5, 0.666667)))
+    assert(row(1) == ((1L, 1L, 0.5, 0.5, 0.5)))
+    assert(row(0) == ((2L, 2L, 0.5, 1.0, 0.666667)))
+  }
+
+  test("agreement: hand-computed 2x2 kappa") {
+    import spark.implicits._
+    // cells a11=3 a10=1 a01=1 a00=5 → po=.8, E=52, κ=(80−52)/(100−52)
+    val rows = Seq.fill(3)((1L, 1L)) ++ Seq((1L, 0L), (0L, 1L)) ++
+      Seq.fill(5)((0L, 0L))
+    val r = MlEval.agreement(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("both_keep") == 3L &&
+      r.getAs[Long]("only_a") == 1L && r.getAs[Long]("only_b") == 1L &&
+      r.getAs[Long]("both_drop") == 5L)
+    assert(r.getAs[Double]("po") == 0.8)
+    assert(r.getAs[Double]("kappa") == 0.583333)
+  }
+
+  test("agreement: constant raters have undefined kappa (NULL), po = 1") {
+    import spark.implicits._
+    val r = MlEval.agreement(Seq((1L, 1L), (1L, 1L)).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.getAs[Double]("po") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("confusion: hand-computed 3-class table with an absent-pred class") {
+    import spark.implicits._
+    // actual/pred pairs: en correct 2, en→fr 1, fr correct 1, de→en 1.
+    // 'de' is never predicted → NULL precision; every class has support.
+    val pairs = Seq(("en", "en"), ("en", "en"), ("en", "fr"),
+      ("fr", "fr"), ("de", "en")).toDF("a", "p")
+    val r = MlEval.confusion(pairs, "a", "p").orderBy("cls").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("de", "en", "fr"))
+    def m(i: Int) = (r(i).getAs[Long]("support"), r(i).getAs[Long]("tp"),
+      r(i).getAs[Long]("fp"), r(i).getAs[Long]("fn"))
+    assert(m(0) == ((1L, 0L, 0L, 1L)))   // de: never predicted
+    assert(r(0).isNullAt(r(0).fieldIndex("precision")))
+    assert(r(0).getAs[Double]("recall") == 0.0 && r(0).getAs[Double]("f1") == 0.0)
+    assert(m(1) == ((3L, 2L, 1L, 1L)))   // en: P=2/3 R=2/3 F1=2/3
+    assert(r(1).getAs[Double]("precision") == 0.666667)
+    assert(r(1).getAs[Double]("f1") == 0.666667)
+    assert(m(2) == ((1L, 1L, 1L, 0L)))   // fr: P=.5 R=1 F1=2/3
+    assert(r(2).getAs[Double]("recall") == 1.0)
+  }
+
+  test("confusion: pred-only class has NULL recall") {
+    import spark.implicits._
+    val r = MlEval.confusion(Seq(("en", "und")).toDF("a", "p"), "a", "p")
+      .orderBy("cls").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("en", "und"))
+    // und: support 0 → recall NULL, precision 0
+    assert(r(1).getAs[Long]("support") == 0L && r(1).getAs[Long]("fp") == 1L)
+    assert(r(1).isNullAt(r(1).fieldIndex("recall")))
+    assert(r(1).getAs[Double]("precision") == 0.0)
+  }
+
   test("calibration mean is an exact ratio, not a double accumulation") {
     import spark.implicits._
     // two logits in one bin: l=0 → 500000; l=100 → 500000+floor(5e7/1100)

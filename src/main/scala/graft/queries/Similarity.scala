@@ -1729,6 +1729,182 @@ object Similarity {
            |ORDER BY query_id""".stripMargin),
   )
 
+  /** NDCG position discounts as pre-scaled integers
+    * floor(1e12/log2(i+1)): computed ONCE here and interpolated into
+    * BOTH engines as literals, so DCG accumulates as an exact long
+    * (no double summation order, no cross-engine log2 ulp risk) and
+    * the only floating-point step is the terminal NDCG division.
+    */
+  private val ndcgK = 5
+  private val ndcgDisc: Seq[(Long, Long)] =
+    (1 to ndcgK).map(i =>
+      (i.toLong, (1e12 / (math.log(i + 1) / math.log(2.0))).toLong))
+  private def ndcgDiscValues: String =
+    ndcgDisc.map { case (p, d) => s"($p, $d)" }.mkString(", ")
+
+  /** Ranking-quality EVALUATION under the gate — NDCG@5 of the IVF
+    * retrieval ORDER against the exact brute-force ranking, per
+    * query. Recall@k (q_embed_ivf_recall) says whether the right
+    * neighbors surfaced; NDCG grades whether they surfaced in the
+    * right positions, which is what a retrieval-augmented pipeline
+    * actually consumes. Graded relevance of a candidate = k+1−(exact
+    * rank) when it is in the exact top-k, else 0; DCG(q) = Σ rel·disc
+    * over the IVF list, IDCG(q) = Σ (k+1−r)·disc(r) over the exact
+    * list, both EXACT LONGS via the pre-scaled integer discounts
+    * above; ndcg = dcg/idcg is one terminal double division, 6 dp,
+    * with dcg/idcg emitted alongside so the gate pins the statistic.
+    * Scale shape identical to q_embed_ivf_recall: the brute side is
+    * bounded to the 1-in-97 probe sample behind the all-pairs guard
+    * (ranking evaluation is a sampling activity by construction), the
+    * IVF side is the production 2-probe posting-list path, and the
+    * NDCG arithmetic itself touches ≤ k rows per probe.
+    */
+  private val embedIvfNdcg = Q(
+    "q_embed_ivf_ndcg",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      val k = ndcgK
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val cents = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      def rankByCent(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("cos",
+            VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+          .withColumn("rn",
+            row_number().over(
+              Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+      val assign = rankByCent(e.crossJoin(broadcast(cents)))
+        .filter($"rn" === 1)
+        .select($"vec_id".as("cand_id"), $"cent_id")
+      val probes = rankByCent(
+        e.filter($"vec_id" % 97 === 0).crossJoin(broadcast(cents)))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      def topK(pairs: org.apache.spark.sql.DataFrame) =
+        pairs
+          .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+          .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+          .select($"query_id", $"cand_id",
+            VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+          .filter($"rank" <= k)
+          .select($"query_id", $"cand_id", $"rank")
+      val ivfTop = topK(probes.join(assign, "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id").distinct())
+      val bounded = graft.operators.Scale.requireAllPairsBounded(e, "q_embed_ivf_ndcg")
+      val bruteTop = topK(
+        bounded.filter($"vec_id" % 97 === 0).select($"vec_id".as("query_id"))
+          .crossJoin(bounded.select($"vec_id".as("cand_id")))
+          .filter($"query_id" =!= $"cand_id"))
+      val discDf = ndcgDisc.toDF("pos", "disc")
+      val dcg = ivfTop
+        .join(bruteTop.select($"query_id", $"cand_id", $"rank".as("ideal_rank")),
+          Seq("query_id", "cand_id"), "left")
+        .join(broadcast(discDf), $"rank" === $"pos")
+        .groupBy($"query_id")
+        .agg(sum(coalesce(lit(k + 1) - $"ideal_rank", lit(0)).cast("long") * $"disc")
+          .as("dcg"))
+      val idcg = bruteTop
+        .join(broadcast(discDf), $"rank" === $"pos")
+        .groupBy($"query_id")
+        .agg(sum((lit(k + 1) - $"rank").cast("long") * $"disc").as("idcg"))
+      e.filter($"vec_id" % 97 === 0).select($"vec_id".as("query_id"))
+        .join(dcg, Seq("query_id"), "left")
+        .join(idcg, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"dcg", lit(0L)).cast("long").as("dcg"),
+          coalesce($"idcg", lit(0L)).cast("long").as("idcg"),
+          when(coalesce($"idcg", lit(0L)) === 0, lit(null)).otherwise(
+            round(coalesce($"dcg", lit(0L)).cast("double") /
+              $"idcg".cast("double"), 6)).as("ndcg"))
+        .orderBy($"query_id")
+    },
+    Some(s"""WITH q AS (
+            |  SELECT vec_id,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            |  FROM embeddings
+            |),
+            |n AS MATERIALIZED (
+            |  SELECT vec_id, q,
+            |         CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE) AS n2
+            |  FROM q
+            |),
+            |cents AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c FROM n WHERE vec_id % 100 = 1),
+            |ranked AS MATERIALIZED (
+            |  SELECT vec_id, cent_id,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+            |  FROM (
+            |    SELECT v.vec_id, c.cent_id,
+            |           round(CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+            |                   i -> v.q[CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS DOUBLE)
+            |                 / (sqrt(v.n2) * sqrt(c.n2c)), 4) AS cos
+            |    FROM n v CROSS JOIN cents c)
+            |),
+            |assign AS (SELECT vec_id AS cand_id, cent_id FROM ranked WHERE rn = 1),
+            |probes AS (
+            |  SELECT vec_id AS query_id, cent_id FROM ranked
+            |  WHERE rn <= 2 AND vec_id % 97 = 0
+            |),
+            |ivf AS (
+            |  SELECT query_id, cand_id, rank FROM (
+            |    SELECT s.query_id, s.cand_id,
+            |           row_number() OVER (PARTITION BY s.query_id
+            |                              ORDER BY s.cosine DESC, s.cand_id) AS rank
+            |    FROM (
+            |      SELECT c.query_id, c.cand_id,
+            |             round(CAST(list_sum(list_transform(range(1, len(na.q) + 1),
+            |                     i -> na.q[CAST(i AS INT)] * nb.q[CAST(i AS INT)])) AS DOUBLE)
+            |                   / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+            |      FROM (SELECT DISTINCT p.query_id, a.cand_id
+            |            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            |            WHERE p.query_id <> a.cand_id) c
+            |      JOIN n na ON na.vec_id = c.query_id
+            |      JOIN n nb ON nb.vec_id = c.cand_id) s)
+            |  WHERE rank <= $ndcgK
+            |),
+            |brute AS (
+            |  SELECT query_id, cand_id, rank FROM (
+            |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+            |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            |             round(CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+            |                     i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS DOUBLE)
+            |                   / (sqrt(a.n2) * sqrt(b.n2)), 4) DESC, b.vec_id) AS rank
+            |    FROM n a JOIN n b ON a.vec_id % 97 = 0 AND a.vec_id <> b.vec_id)
+            |  WHERE rank <= $ndcgK
+            |),
+            |disc(pos, d) AS (VALUES $ndcgDiscValues),
+            |dcg AS (
+            |  SELECT i.query_id,
+            |         CAST(sum(coalesce(${ndcgK + 1} - b.rank, 0) * dd.d) AS BIGINT) AS dcg
+            |  FROM ivf i
+            |  LEFT JOIN brute b ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+            |  JOIN disc dd ON i.rank = dd.pos
+            |  GROUP BY 1
+            |),
+            |idcg AS (
+            |  SELECT query_id, CAST(sum((${ndcgK + 1} - rank) * d) AS BIGINT) AS idcg
+            |  FROM brute JOIN disc ON rank = pos
+            |  GROUP BY 1
+            |)
+            |SELECT qs.query_id,
+            |       CAST(coalesce(dcg.dcg, 0) AS BIGINT) AS dcg,
+            |       CAST(coalesce(idcg.idcg, 0) AS BIGINT) AS idcg,
+            |       CASE WHEN coalesce(idcg.idcg, 0) = 0 THEN NULL
+            |            ELSE round(CAST(coalesce(dcg.dcg, 0) AS DOUBLE)
+            |                       / CAST(idcg.idcg AS DOUBLE), 6) END AS ndcg
+            |FROM (SELECT vec_id AS query_id FROM n WHERE vec_id % 97 = 0) qs
+            |LEFT JOIN dcg USING (query_id)
+            |LEFT JOIN idcg USING (query_id)
+            |ORDER BY query_id""".stripMargin),
+  )
+
   /** Out-of-distribution scoring: the curation stage that flags the
     * embeddings FARTHEST from every trained centroid — junk, encoding
     * failures, or domain drift that no centroid represents. Reuses the
@@ -1763,5 +1939,5 @@ object Similarity {
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
       topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives,
       rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify, embedIvfRecall,
-      embedOod)
+      embedIvfNdcg, embedOod)
 }

@@ -37,6 +37,21 @@ object GraphAlgos {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+    enumerateTriangles(e)
+      .select(explode(array($"a", $"b", $"c")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("tri_count"))
+  }
+
+  /** Every triangle exactly once, as (a, b, c): `a` the triangle's
+    * minimum node in the (degree, id) orientation order, `b`/`c` its
+    * two out-neighbors with the closing edge oriented b→c. The
+    * degree-ordered orientation machinery of [[triangleCounts]],
+    * shared with [[trussNumbers]]; expects a `(u, v)` long edge list,
+    * one row per undirected edge, no self-loops.
+    */
+  private[operators] def enumerateTriangles(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val deg = e.select($"u".as("node")).union(e.select($"v".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     // orientation key: (degree, id) lexicographic, packed into one
@@ -59,9 +74,7 @@ object GraphAlgos {
     // closure probe: the wedge {b,c} closes iff the oriented edge b→c
     // exists (b precedes c in orientation order by construction)
     val closing = oriented.select($"src".as("b"), $"dst".as("c"))
-    val tris = wedges.join(closing, Seq("b", "c"))
-    tris.select(explode(array($"a", $"b", $"c")).as("node"))
-      .groupBy($"node").agg(count(lit(1)).as("tri_count"))
+    wedges.join(closing, Seq("b", "c")).select($"a", $"b", $"c")
   }
 
   /** Hop distance from a seed node over an undirected edge list:
@@ -488,6 +501,141 @@ object GraphAlgos {
       require(converged,
         s"coreNumbers did not converge in $maxIters rounds; raise maxIters")
       cur.select($"node", $"c".as("coreness"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Truss decomposition — per-EDGE truss numbers, the triangle-level
+    * strengthening of coreness (an edge's truss is the largest k such
+    * that it survives in the k-truss, the maximal subgraph where
+    * every edge closes ≥ k−2 triangles). Computed by the LOCAL
+    * h-index iteration (Sariyüce, Seshadhri & Pinar, "Local
+    * algorithms for hierarchical dense subgraph discovery", VLDB
+    * 2018 — the (2,3)-nucleus analog of Lü et al.'s k-core h-index):
+    *
+    *   λ₀(e) = support(e);
+    *   λ_{i+1}(e) = h-index{ min(λᵢ(f), λᵢ(g)) : triangle {e,f,g} };
+    *   fixpoint λ* = truss(e) − 2.
+    *
+    * The decisive scale property vs the textbook peel: the triangle
+    * set is enumerated ONCE (degree-ordered orientation via
+    * [[enumerateTriangles]], apex out-degree ≤ O(√|E|), so no
+    * last-reducer hub skew) into a static (edge, partner-edge,
+    * partner-edge) incidence, and every subsequent round is keyed
+    * joins against that fixed table — no shrinking-graph re-count of
+    * triangles per peel level, which at 10⁹ edges is the difference
+    * between one triangle enumeration and kmax·rounds of them.
+    *
+    * FRONTIER refinement, exactly [[coreNumbers]]'s shape: λ(e) reads
+    * only its triangle partners' values, so only edges sharing a
+    * triangle with a changed edge are recomputed; the round's value
+    * table is (old) patched with (recomputed-and-different). Values
+    * are non-increasing, so an empty changed set witnesses the
+    * fixpoint; triangle-free edges hold λ = 0 (truss 2) from round 0
+    * — already their fixpoint, never recomputed. Per-round cost: one
+    * incidence equi-join against the dirty set, two edge-keyed value
+    * lookups, a map-side-combinable (edge, ρ) count, an edge-
+    * partitioned window over the DISTINCT (edge, ρ) pairs (the
+    * value-granularity h-index of [[coreNumbers]] — window input
+    * collapses from triangle count to value support), an edge-keyed
+    * max, and one |E|-keyed patch join. Lineage settled per round
+    * (two descendants feed the next round). `roundProbe` is the
+    * same spec hook as [[coreNumbers]]'s.
+    *
+    * Returns (u, v, truss) for EVERY input edge, truss = λ* + 2.
+    */
+  def trussNumbers(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      maxIters: Int = 60,
+      roundProbe: Option[(Int, DataFrame) => Unit] = None,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(least(col(uCol), col(vCol)).cast("long").as("u"),
+        greatest(col(uCol), col(vCol)).cast("long").as("v"))
+      .filter($"u" =!= $"v").distinct().cutLineage()
+    // static incidence: each triangle contributes one row per member
+    // edge e with its two partner edges (f, g), all in canonical
+    // (min, max) form — 3T rows, built once, reused every round
+    def ce(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(least(x, y).as("u"), greatest(x, y).as("v"))
+    val inc = enumerateTriangles(e)
+      .select(explode(array(
+        struct(ce($"a", $"b").as("e"), ce($"a", $"c").as("f"), ce($"b", $"c").as("g")),
+        struct(ce($"a", $"c").as("e"), ce($"a", $"b").as("f"), ce($"b", $"c").as("g")),
+        struct(ce($"b", $"c").as("e"), ce($"a", $"b").as("f"), ce($"a", $"c").as("g")),
+      )).as("r"))
+      .select($"r.e.u".as("eu"), $"r.e.v".as("ev"),
+        $"r.f.u".as("fu"), $"r.f.v".as("fv"),
+        $"r.g.u".as("gu"), $"r.g.v".as("gv"))
+      .cutLineage()
+    // size the loop's shuffles to the incidence + edge volume, as in
+    // [[coreNumbers]] (rationale there)
+    val nWork = inc.count() + e.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nWork / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val sup = inc.groupBy($"eu", $"ev").agg(count(lit(1)).cast("long").as("c"))
+      var cur = e
+        .join(sup, $"u" === $"eu" && $"v" === $"ev", "left")
+        .select($"u", $"v", coalesce($"c", lit(0L)).as("c"))
+        .cutLineage()
+      // round 1 recomputes every edge IN a triangle; support-0 edges
+      // already sit at their fixpoint (h-index of ∅ = 0 = λ₀)
+      var dirty = cur.filter($"c" > 0)
+      var converged = false
+      var i = 0
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy($"eu", $"ev").orderBy($"val".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      while (!converged && i < maxIters) {
+        i += 1
+        // ρ per (dirty edge, triangle) = min of the two partners'
+        // values; then the value-granularity h-index over ρ (see
+        // coreNumbers for the histogram-collapse argument). c_old is
+        // constant per edge, so max() carries it through both
+        // aggregates without widening the grouping key.
+        val recomputed = inc
+          .join(dirty.select($"u".as("eu"), $"v".as("ev"), $"c".as("c_old")),
+            Seq("eu", "ev"))
+          .join(cur.select($"u".as("fu"), $"v".as("fv"), $"c".as("cf")), Seq("fu", "fv"))
+          .join(cur.select($"u".as("gu"), $"v".as("gv"), $"c".as("cg")), Seq("gu", "gv"))
+          .select($"eu", $"ev", $"c_old", least($"cf", $"cg").as("val"))
+          .groupBy($"eu", $"ev", $"val")
+          .agg(count(lit(1)).cast("long").as("cnt"), max($"c_old").as("c_old"))
+          .withColumn("cum", sum($"cnt").over(wcum))
+          .groupBy($"eu", $"ev")
+          .agg(max(least($"val", $"cum")).as("c"), max($"c_old").as("c_old"))
+        val nxt = cur.join(dirty.select($"u", $"v"), Seq("u", "v"), "left_anti")
+          .select($"u", $"v", $"c", lit(false).as("chg"))
+          .union(recomputed.select($"eu".as("u"), $"ev".as("v"), $"c",
+            ($"c" =!= $"c_old").as("chg")))
+          .settleLineage()
+        val changed = nxt.filter($"chg").select($"u", $"v")
+        converged = changed.isEmpty
+        if (!converged) {
+          cur = nxt.select($"u", $"v", $"c")
+          // next frontier: edges sharing a triangle with a changed
+          // edge (the incidence holds all three rotations, so probing
+          // the f- and g-slots covers every co-triangle relation)
+          val chg = changed.select($"u".as("cu"), $"v".as("cv"))
+          val dirtyKeys = inc
+            .join(chg, $"fu" === $"cu" && $"fv" === $"cv")
+            .select($"eu".as("u"), $"ev".as("v"))
+            .union(inc.join(chg, $"gu" === $"cu" && $"gv" === $"cv")
+              .select($"eu".as("u"), $"ev".as("v")))
+            .distinct()
+          dirty = cur.join(dirtyKeys, Seq("u", "v"))
+        }
+        roundProbe.foreach(_(i, cur))
+      }
+      require(converged,
+        s"trussNumbers did not converge in $maxIters rounds; raise maxIters")
+      cur.select($"u", $"v", ($"c" + 2L).as("truss"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

@@ -478,4 +478,121 @@ class GraphAlgosSpec extends AnyFunSuite {
       (2L, 6L), (2L, 7L), (2L, 8L))
     assert(assort(g) == (14L, Some(-0.75)))
   }
+
+  private def truss(edges: Seq[(Long, Long)]): Map[(Long, Long), Long] =
+    GraphAlgos.trussNumbers(edges.toDF("u", "v"), "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("trussNumbers closed forms: K4 is all 4s, K4 minus an edge all 3s, " +
+    "a triangle with a pendant tail is {3,3,3,2}, a path all 2s") {
+    val k4 = for { a <- 1L to 4; b <- (a + 1) to 4 } yield (a, b)
+    assert(truss(k4) === k4.map(_ -> 4L).toMap)
+    val k4m = k4.filterNot(_ == ((3L, 4L)))
+    assert(truss(k4m) === k4m.map(_ -> 3L).toMap)
+    val tail = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(truss(tail) === Map((1L, 2L) -> 3L, (1L, 3L) -> 3L,
+      (2L, 3L) -> 3L, (3L, 4L) -> 2L))
+    assert(truss(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ===
+      Map((1L, 2L) -> 2L, (2L, 3L) -> 2L, (3L, 4L) -> 2L))
+  }
+
+  test("trussNumbers: two triangles sharing an edge form one 3-truss " +
+    "(the shared edge's 2 triangles do NOT make it a 4-truss edge)") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(truss(g) === g.map(_ -> 3L).toMap)
+  }
+
+  test("trussNumbers matches an independent sequential support-peel " +
+    "decomposition on random graphs") {
+    // textbook peel: for k = 3, 4, ...: cascade-remove edges closing
+    // < k-2 triangles in the REMAINING graph, assigning truss k-1 —
+    // shrinking edge set and per-level triangle recount, no h-index,
+    // no static incidence: a genuinely different algorithm
+    def seqTruss(edges: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+      val canon = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+        .filter { case (u, v) => u != v }.distinct
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      canon.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+        adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+      }
+      val rem = scala.collection.mutable.Set(canon: _*)
+      val res = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      var k = 3L
+      while (rem.nonEmpty) {
+        val low = rem.filter { case (u, v) => (adj(u) & adj(v)).size < k - 2 }.toSeq
+        if (low.nonEmpty) low.foreach { case e @ (u, v) =>
+          res(e) = k - 1; rem -= e; adj(u) -= v; adj(v) -= u
+        }
+        else k += 1
+      }
+      res.toMap
+    }
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 3) {
+      val n = 15 + trial * 8
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      assert(truss(edges) === seqTruss(edges), s"trial $trial, |E|=${edges.size}")
+    }
+  }
+
+  test("trussNumbers frontier refinement is round-for-round IDENTICAL to " +
+    "the full Jacobi h-index recompute (not just same fixpoint)") {
+    // sequential FULL recompute over the static triangle incidence:
+    // every edge's h-index of min-partner-values, every round
+    def fullRounds(edges: Seq[(Long, Long)]): Seq[Map[(Long, Long), Long]] = {
+      val canon = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+      val adj = canon.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val inc = scala.collection.mutable.Map.empty[(Long, Long),
+        List[((Long, Long), (Long, Long))]].withDefaultValue(Nil)
+      for {
+        (u, v) <- canon
+        w <- adj(u) & adj(v)
+        if w > v
+      } {
+        val (ab, ac, bc) = ((u, v), (u, w), (v, w))
+        inc(ab) = (ac, bc) :: inc(ab)
+        inc(ac) = (ab, bc) :: inc(ac)
+        inc(bc) = (ab, ac) :: inc(bc)
+      }
+      def hIndex(vals: Seq[Long]): Long =
+        if (vals.isEmpty) 0L
+        else vals.sorted(Ordering[Long].reverse).zipWithIndex
+          .map { case (v, idx) => math.min(idx + 1L, v) }.max
+      var cur = canon.map(e => e -> inc(e).size.toLong).toMap
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[Map[(Long, Long), Long]]
+      var moved = true
+      while (moved) {
+        val nxt = cur.map { case (e, _) =>
+          e -> hIndex(inc(e).map { case (f, g) => math.min(cur(f), cur(g)) })
+        }
+        moved = nxt != cur
+        cur = nxt
+        rounds += cur
+      }
+      rounds.toSeq
+    }
+    val rnd = new scala.util.Random(67)
+    for (trial <- 1 to 2) {
+      val n = 18 + trial * 8
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      val expect = fullRounds(edges)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Map[(Long, Long), Long]]
+      val probe: (Int, org.apache.spark.sql.DataFrame) => Unit = (_, df) =>
+        got += df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      GraphAlgos.trussNumbers(edges.toDF("u", "v"), "u", "v",
+        roundProbe = Some(probe)).collect()
+      assert(got.size === expect.size, s"trial $trial round count")
+      got.zip(expect).zipWithIndex.foreach { case ((g, e), r) =>
+        assert(g === e, s"trial $trial round ${r + 1}")
+      }
+    }
+  }
 }

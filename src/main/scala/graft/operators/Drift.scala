@@ -92,4 +92,83 @@ object Drift {
       histogram(oldDf, groupCol, valueCol, binWidth, nBins, "c_old"),
       histogram(newDf, groupCol, valueCol, binWidth, nBins, "c_new"))
       .withColumnRenamed("g", groupCol)
+
+  /** Per-group χ² divergence of the unigram token distribution against
+    * the whole-corpus mix — the data-mixing diagnostic a training team
+    * reads before weighting sources (a source whose token distribution
+    * sits far from the mix is the one reweighting actually moves; cf.
+    * the importance-resampling family, q_text_dsir). χ²(p‖q) =
+    * Σ_w (p_w − q_w)²/q_w keeps the whole computation RATIONAL — the
+    * same no-libm discipline as [[histogramL1]] (KL/JS would drag `ln`
+    * in), and χ² upper-bounds both, so the per-source ranking the
+    * alarm consumes is preserved.
+    *
+    * Determinism: probabilities are floor-quantized to ppb FIRST
+    * (`p_q = 10⁹·n_sw div N_s`, `q_q = max(10⁹·m_w div M, 1)` — the
+    * max(·,1) guards a sub-ppb global word, which m_w ≥ minCount
+    * makes rare), then each word's term `(p_q − q_q)² div q_q` is an
+    * exact long (|p_q − q_q| ≤ 10⁹ → square ≤ 10¹⁸), summed exactly;
+    * χ² = Σ/10⁹ is the single terminal division. Everything both
+    * engines floor identically — no double accumulates.
+    *
+    * Scale shape: one corpus-sized (group, word) hash aggregation
+    * (map-side combined); the global word counts are a second
+    * aggregation OVER THAT TABLE (≤ |groups|·|vocab| rows, not corpus
+    * rows). The χ² itself runs on the full group × kept-vocab DOMAIN
+    * (a group that never uses a word still owes its q_w mass) — that
+    * cross is |groups|·|keptVocab| rows, which `minCount` is the lever
+    * to bound: at 100 TB prune the rare tail aggressively (the tail's
+    * per-word q_w contribution is what the quantization floors to
+    * zero anyway) and the domain join, not the corpus, is what
+    * shuffles. Group totals and the corpus total ride broadcasts.
+    */
+  def chi2Tokens(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      minCount: Long = 2L,
+  ): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val sw = df
+      .select(col(groupCol).as("g"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy($"g", $"w")
+      .agg(count(lit(1)).as("nsw"))
+    val wTot = sw.groupBy($"w").agg(sum($"nsw").as("mw"))
+      .filter($"mw" >= minCount)
+    // kept-vocab support only, on BOTH sides: p and q must normalize
+    // over the same domain or a heavy rare-word tail reads as drift
+    val kept = sw.join(wTot.select($"w"), Seq("w"))
+    val gTot = kept.groupBy($"g").agg(sum($"nsw").as("ns"))
+    val mTot = wTot.agg(sum($"mw").cast("decimal(38,0)").as("m"))
+    // full group × kept-vocab domain: a word a group never uses still
+    // contributes q_w to that group's divergence (p_w = 0). The group
+    // side is |groups| rows — broadcast it, the vocab side streams.
+    val domain = wTot.crossJoin(broadcast(gTot))
+    val terms = domain
+      .join(kept, Seq("g", "w"), "left")
+      .na.fill(0L, Seq("nsw"))
+      .crossJoin(broadcast(mTot))
+      .select($"g", $"ns",
+        fdiv(lit(1000000000L) * $"nsw".cast("decimal(38,0)"),
+          $"ns".cast("decimal(38,0)")).as("pq"),
+        greatest(
+          fdiv(lit(1000000000L) * $"mw".cast("decimal(38,0)"), $"m"),
+          lit(1L)).as("qq"))
+      .select($"g", $"ns",
+        fdiv(($"pq" - $"qq").cast("decimal(38,0)") *
+          ($"pq" - $"qq").cast("decimal(38,0)"),
+          $"qq".cast("decimal(38,0)")).as("term"))
+    terms.groupBy($"g")
+      .agg(
+        max($"ns").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_words"),
+        sum($"term").cast("long").as("chi2_num"),
+      )
+      .select($"g".as(groupCol), $"n_tokens", $"n_words", $"chi2_num",
+        round($"chi2_num".cast("double") / lit(1e9), 6).as("chi2"))
+  }
 }

@@ -273,6 +273,179 @@ object MlEval {
       )
   }
 
+  /** McNemar's paired test + Matthews correlation between two 0/1
+    * gates over the same rows — the companion to [[agreement]] when
+    * the question is not "do they agree" but "do they DISAGREE
+    * symmetrically": a model gate that flips rule-kept docs to drop
+    * far more often than the reverse is a biased replacement even at
+    * high kappa. For discordant cells b = |a=1,b=0| and c = |a=0,b=1|:
+    *
+    *   χ²_cc = (max(|b−c|−1, 0))² / (b+c)    (Edwards-corrected;
+    *     clamped at 0 so b = c reads as exactly no asymmetry rather
+    *     than the textbook formula's 1/(b+c) artifact; NULL when the
+    *     raters never disagree — the test is undefined, not zero)
+    *   MCC = (a₁₁a₀₀ − a₁₀a₀₁) / (√(m₁)·√(m₂)),
+    *     m₁ = (a₁₁+a₁₀)(a₁₁+a₀₁), m₂ = (a₀₀+a₁₀)(a₀₀+a₀₁)
+    *
+    * The four cells and both discordant counts ride as exact longs.
+    * MCC's denominator is split into TWO √ factors so each exact
+    * DECIMAL(38,0) product stays ≤ n² (≤ 1e24 at n = 10¹²row corpora;
+    * the single-product form would need n⁴ = 1e48 and overflow);
+    * IEEE sqrt is correctly rounded in both engines, so the terminal
+    * double expression hashes. Constant raters (a zero marginal) →
+    * MCC NULL. Same one-pass cell aggregation as [[agreement]].
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val cells = df.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(a * b)).as("a11"),
+      sum(dec(a * (lit(1L) - b))).as("a10"),
+      sum(dec((lit(1L) - a) * b)).as("a01"),
+      sum(dec((lit(1L) - a) * (lit(1L) - b))).as("a00"),
+    )
+    val disc = col("a10") + col("a01")
+    val dev = greatest(abs(col("a10") - col("a01")) - lit(1), lit(0))
+    val m1 = (col("a11") + col("a10")) * (col("a11") + col("a01"))
+    val m2 = (col("a00") + col("a10")) * (col("a00") + col("a01"))
+    val mccNum = col("a11") * col("a00") - col("a10") * col("a01")
+    cells.select(
+      col("n").cast("long").as("n"),
+      col("a10").cast("long").as("only_a"),
+      col("a01").cast("long").as("only_b"),
+      when(disc === 0, lit(null)).otherwise(
+        round((dev * dev).cast("double") / disc.cast("double"), 6))
+        .as("mcnemar_chi2"),
+      when(m1 === 0 || m2 === 0, lit(null)).otherwise(
+        round(mccNum.cast("double") /
+          (sqrt(m1.cast("double")) * sqrt(m2.cast("double"))), 6)).as("mcc"),
+    )
+  }
+
+  /** Expected / maximum calibration error of a ‰-logit against a 0/1
+    * label, over the same (logit div binWidth) bins and exact-ppm
+    * sigmoid as [[calibration]]. The trick that keeps ECE EXACT: the
+    * per-bin weight n_b cancels against the bin-mean denominators,
+    *
+    *   ECE = Σ_b (n_b/N)·|ȳ_b − p̄_b| = Σ_b |10⁶·pos_b − Σppm_b| / (N·10⁶)
+    *
+    * so the numerator is a plain integer sum (emitted as `ece_num`,
+    * headroom: ≤ 10⁶·N, long-safe to N ≈ 9·10¹²) and ECE is one
+    * terminal double division. MCE (the worst bin) does need a
+    * per-bin division; it is floor-quantized to ppm
+    * (`mce_ppm = max_b (dev_b div n_b)`) so both engines agree
+    * exactly. One histogram aggregation — bins bounded by the logit
+    * range, never the corpus — then a 1-row roll-up.
+    */
+  def ece(
+      df: DataFrame,
+      logitCol: String,
+      labelCol: String,
+      binWidth: Long = 500L,
+  ): DataFrame = {
+    val l = col(logitCol).cast("long")
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val scorePpm = (lit(500000L) +
+      fdiv(lit(500000L) * l, lit(1000L) + abs(l))).as("score_ppm")
+    val bin = fdiv(l, lit(binWidth)).as("bin")
+    val bins = df
+      .select(bin, scorePpm, col(labelCol).cast("long").as("lbl"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(col("lbl")).as("pos"),
+        sum(dec(col("score_ppm"))).as("sppm"),
+      )
+      .withColumn("dev", abs(lit(1000000L) * dec(col("pos")) - col("sppm")))
+    bins.agg(
+      sum(col("nb")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_bins"),
+      sum(col("dev")).cast("long").as("ece_num"),
+      max(fdiv(col("dev"), dec(col("nb")))).cast("long").as("mce_ppm"),
+    ).select(
+      col("n"), col("n_bins"), col("ece_num"), col("mce_ppm"),
+      round(col("ece_num").cast("double") /
+        (col("n").cast("double") * lit(1e6)), 6).as("ece"),
+    )
+  }
+
+  /** Brier score with Murphy's reliability / resolution / uncertainty
+    * decomposition over the [[calibration]] bins. The overall score
+    * and the uncertainty term are EXACT up to the one terminal double
+    * division:
+    *
+    *   brier = Σ (10⁶·y − score_ppm)² / (N·10¹²)
+    *   uncertainty = ȳ(1−ȳ) = P(N−P) / N²
+    *
+    * (the per-row square is ≤ 10¹², so the DECIMAL(38,0) sum holds to
+    * 10²⁶ rows). The two binned terms quantize each bin's mean to ppm
+    * by floor division first — p̄_b = Σppm_b div n_b, ȳ_b = 10⁶·P_b
+    * div n_b, ȳ = 10⁶·P div N —
+    *
+    *   reliability ≈ Σ_b n_b(p̄_b − ȳ_b)² / (N·10¹²)
+    *   resolution  ≈ Σ_b n_b(ȳ_b − ȳ)²  / (N·10¹²)
+    *
+    * so every accumulated operand is an exact integer (quantization
+    * error ≤ ~2 ppm per bin mean — invisible at 6 dp for any
+    * non-degenerate bin, and deterministic either way, which is what
+    * the cross-engine gate needs; brier ≈ reliability − resolution +
+    * uncertainty holds up to the binning as usual). One corpus
+    * aggregation for the score sum + one bin histogram, both
+    * map-side combined; everything after runs on ≤|bins| rows.
+    */
+  def brier(
+      df: DataFrame,
+      logitCol: String,
+      labelCol: String,
+      binWidth: Long = 500L,
+  ): DataFrame = {
+    val l = col(logitCol).cast("long")
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val scorePpm = (lit(500000L) +
+      fdiv(lit(500000L) * l, lit(1000L) + abs(l))).as("score_ppm")
+    val bin = fdiv(l, lit(binWidth)).as("bin")
+    val scored = df.select(bin, scorePpm, col(labelCol).cast("long").as("lbl"))
+    val bins = scored
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(col("lbl")).as("pos"),
+        sum(dec(col("score_ppm"))).as("sppm"),
+        sum(dec(lit(1000000L) * col("lbl") - col("score_ppm")) *
+          dec(lit(1000000L) * col("lbl") - col("score_ppm"))).as("sq"),
+      )
+      .withColumn("pbar", fdiv(col("sppm"), dec(col("nb"))))
+      .withColumn("ybar_b", fdiv(lit(1000000L) * dec(col("pos")), dec(col("nb"))))
+    val tot = bins.agg(
+      sum(col("nb")).cast("decimal(38,0)").as("n"),
+      sum(dec(col("pos"))).as("p"),
+      sum(col("sq")).as("sq"),
+    ).withColumn("ybar", fdiv(lit(1000000L) * col("p"), col("n")))
+    val relres = bins
+      .crossJoin(broadcast(tot.select(col("ybar"), col("n").as("n_all"))))
+      .agg(
+        sum(dec(col("nb")) * dec((col("pbar") - col("ybar_b")) *
+          (col("pbar") - col("ybar_b")))).as("rel_num"),
+        sum(dec(col("nb")) * dec((col("ybar_b") - col("ybar")) *
+          (col("ybar_b") - col("ybar")))).as("res_num"),
+        count(lit(1)).cast("long").as("n_bins"),
+      )
+    tot.crossJoin(broadcast(relres)).select(
+      col("n").cast("long").as("n"),
+      col("n_bins"),
+      round(col("sq").cast("double") / (col("n").cast("double") * lit(1e12)), 6)
+        .as("brier"),
+      round(col("rel_num").cast("double") /
+        (col("n").cast("double") * lit(1e12)), 6).as("reliability"),
+      round(col("res_num").cast("double") /
+        (col("n").cast("double") * lit(1e12)), 6).as("resolution"),
+      round((col("p") * (col("n") - col("p"))).cast("double") /
+        (col("n").cast("double") * col("n").cast("double")), 6)
+        .as("uncertainty"),
+    )
+  }
+
   /** Reliability (calibration) table for an integer ‰-scaled logit
     * against a 0/1 label. The logit is squashed with the same
     * algebraic sigmoid as `TextAnalysis.modelQuality` — but kept as an

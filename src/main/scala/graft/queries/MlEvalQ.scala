@@ -283,6 +283,159 @@ object MlEvalQ {
             |FROM cells""".stripMargin),
   )
 
+  /** McNemar asymmetry + Matthews correlation between the same two
+    * gates as q_ml_kappa — kappa answers "do they agree", this answers
+    * "when they disagree, is it one-sided" (the Edwards-corrected χ²
+    * on the discordant cells, clamped so b = c reads 0) plus the
+    * marginal-robust MCC. Same one-join one-rollup shape; MCC's
+    * denominator is two √ factors so each exact product stays ≤ n².
+    */
+  private val mcnemarQ = Q(
+    "q_ml_mcnemar",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val model = TextAnalysis.modelQuality(docs)
+        .select($"doc_id", ($"logit_scaled" >= 0).cast("long").as("model_keep"))
+      val rule = TextAnalysis.gopherFlags(docs, nStop = 8)
+        .select($"doc_id", $"keep".as("rule_keep"))
+      MlEval.mcnemar(model.join(rule, "doc_id"), "model_keep", "rule_keep")
+    },
+    Some(s"""$logitCtes,
+            |gw AS (SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS ws FROM documents),
+            |top8 AS (
+            |  SELECT word FROM (
+            |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+            |  GROUP BY word ORDER BY count(*) DESC, word LIMIT 8),
+            |stops AS (SELECT list(word) AS stoplist FROM top8),
+            |gm AS (
+            |  SELECT doc_id,
+            |         CAST(len(ws) AS BIGINT) AS n_words,
+            |         round((chars - (len(ws) - 1)) * 1.0 / len(ws), 4) AS mean_word_len,
+            |         round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(ws), 4) AS alpha_ratio,
+            |         CAST(len(list_intersect(list_distinct(ws), stoplist)) AS BIGINT) AS n_stop
+            |  FROM gw, stops),
+            |g AS (
+            |  SELECT doc_id,
+            |         CAST(n_words BETWEEN 50 AND 100000
+            |              AND mean_word_len BETWEEN 3 AND 10
+            |              AND alpha_ratio >= 0.8
+            |              AND n_stop >= 2 AS BIGINT) AS b
+            |  FROM gm),
+            |j AS (SELECT CASE WHEN l.logit >= 0 THEN 1 ELSE 0 END AS a, g.b AS b
+            |      FROM l JOIN g USING (doc_id)),
+            |cells AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+            |                 CAST(sum(a * b) AS HUGEINT) AS a11,
+            |                 CAST(sum(a * (1 - b)) AS HUGEINT) AS a10,
+            |                 CAST(sum((1 - a) * b) AS HUGEINT) AS a01,
+            |                 CAST(sum((1 - a) * (1 - b)) AS HUGEINT) AS a00
+            |          FROM j),
+            |dev AS (SELECT *, GREATEST(ABS(a10 - a01) - 1, 0) AS d FROM cells)
+            |SELECT CAST(n AS BIGINT) AS n,
+            |       CAST(a10 AS BIGINT) AS only_a, CAST(a01 AS BIGINT) AS only_b,
+            |       CASE WHEN a10 + a01 = 0 THEN NULL ELSE
+            |         round(CAST(d * d AS DOUBLE) / CAST(a10 + a01 AS DOUBLE), 6) END AS mcnemar_chi2,
+            |       CASE WHEN (a11 + a10) * (a11 + a01) = 0 OR (a00 + a10) * (a00 + a01) = 0 THEN NULL ELSE
+            |         round(CAST(a11 * a00 - a10 * a01 AS DOUBLE) /
+            |               (sqrt(CAST((a11 + a10) * (a11 + a01) AS DOUBLE)) *
+            |                sqrt(CAST((a00 + a10) * (a00 + a01) AS DOUBLE))), 6) END AS mcc
+            |FROM dev""".stripMargin),
+  )
+
+  /** Expected / maximum calibration error of the quality logit — the
+    * single-number companion to q_ml_calibration's table. The ECE
+    * numerator is an exact integer (the per-bin n cancels), emitted as
+    * `ece_num` so the gate pins the statistic; MCE is floor-quantized
+    * to ppm. One bounded histogram aggregation + a 1-row roll-up.
+    */
+  private val eceQ = Q(
+    "q_ml_ece",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis
+        .modelQuality(Tables(s, dir).documents, keep = Seq("lang"))
+        .select($"logit_scaled", ($"lang" === "en").cast("long").as("lbl"))
+      MlEval.ece(scored, "logit_scaled", "lbl", binWidth = 500L)
+    },
+    Some(s"""$logitCtes,
+            |p AS (
+            |  SELECT (logit - ((logit % 500 + 500) % 500)) // 500 AS bin,
+            |         500000 + (500000 * logit -
+            |           ((500000 * logit % (1000 + abs(logit)) + (1000 + abs(logit)))
+            |             % (1000 + abs(logit)))) // (1000 + abs(logit)) AS score_ppm,
+            |         lbl
+            |  FROM l
+            |),
+            |g AS (
+            |  SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+            |         CAST(sum(lbl) AS BIGINT) AS pos,
+            |         CAST(sum(CAST(score_ppm AS HUGEINT)) AS HUGEINT) AS sppm
+            |  FROM p GROUP BY bin
+            |),
+            |d AS (SELECT nb, ABS(1000000 * CAST(pos AS HUGEINT) - sppm) AS dev FROM g),
+            |a AS (
+            |  SELECT CAST(sum(nb) AS BIGINT) AS n,
+            |         CAST(count(*) AS BIGINT) AS n_bins,
+            |         CAST(sum(dev) AS BIGINT) AS ece_num,
+            |         CAST(max(dev // nb) AS BIGINT) AS mce_ppm
+            |  FROM d
+            |)
+            |SELECT n, n_bins, ece_num, mce_ppm,
+            |       round(CAST(ece_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS ece
+            |FROM a""".stripMargin),
+  )
+
+  /** Brier score with Murphy's reliability/resolution/uncertainty
+    * decomposition over the calibration bins — brier and uncertainty
+    * exact to the terminal division, the binned terms on ppm-floored
+    * bin means so no double ever accumulates. One corpus histogram
+    * pass; everything downstream runs on ≤|bins| rows.
+    */
+  private val brierQ = Q(
+    "q_ml_brier",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis
+        .modelQuality(Tables(s, dir).documents, keep = Seq("lang"))
+        .select($"logit_scaled", ($"lang" === "en").cast("long").as("lbl"))
+      MlEval.brier(scored, "logit_scaled", "lbl", binWidth = 500L)
+    },
+    Some(s"""$logitCtes,
+            |p AS (
+            |  SELECT (logit - ((logit % 500 + 500) % 500)) // 500 AS bin,
+            |         500000 + (500000 * logit -
+            |           ((500000 * logit % (1000 + abs(logit)) + (1000 + abs(logit)))
+            |             % (1000 + abs(logit)))) // (1000 + abs(logit)) AS score_ppm,
+            |         lbl
+            |  FROM l
+            |),
+            |g AS (
+            |  SELECT bin, CAST(count(*) AS HUGEINT) AS nb,
+            |         CAST(sum(lbl) AS HUGEINT) AS pos,
+            |         CAST(sum(CAST(score_ppm AS HUGEINT)) AS HUGEINT) AS sppm,
+            |         CAST(sum((1000000 * CAST(lbl AS HUGEINT) - score_ppm) *
+            |                  (1000000 * CAST(lbl AS HUGEINT) - score_ppm)) AS HUGEINT) AS sq
+            |  FROM p GROUP BY bin
+            |),
+            |b AS (SELECT *, sppm // nb AS pbar, (1000000 * pos) // nb AS ybar_b FROM g),
+            |t AS (SELECT CAST(sum(nb) AS HUGEINT) AS n, CAST(sum(pos) AS HUGEINT) AS p,
+            |             CAST(sum(sq) AS HUGEINT) AS sq FROM b),
+            |t2 AS (SELECT *, (1000000 * p) // n AS ybar FROM t),
+            |rr AS (
+            |  SELECT CAST(sum(nb * (pbar - ybar_b) * (pbar - ybar_b)) AS HUGEINT) AS rel_num,
+            |         CAST(sum(nb * (ybar_b - ybar) * (ybar_b - ybar)) AS HUGEINT) AS res_num,
+            |         CAST(count(*) AS BIGINT) AS n_bins
+            |  FROM b, t2
+            |)
+            |SELECT CAST(t2.n AS BIGINT) AS n, rr.n_bins,
+            |       round(CAST(t2.sq AS DOUBLE) / (CAST(t2.n AS DOUBLE) * 1e12), 6) AS brier,
+            |       round(CAST(rr.rel_num AS DOUBLE) / (CAST(t2.n AS DOUBLE) * 1e12), 6) AS reliability,
+            |       round(CAST(rr.res_num AS DOUBLE) / (CAST(t2.n AS DOUBLE) * 1e12), 6) AS resolution,
+            |       round(CAST(t2.p * (t2.n - t2.p) AS DOUBLE) /
+            |             (CAST(t2.n AS DOUBLE) * CAST(t2.n AS DOUBLE)), 6) AS uncertainty
+            |FROM t2, rr""".stripMargin),
+  )
+
   private def profileValues: String =
     TextAnalysis.defaultProfile
       .map { case (l, w, wt) => s"('$l', '$w', $wt)" }
@@ -348,5 +501,6 @@ object MlEvalQ {
   )
 
   def all: Seq[Q] =
-    Seq(linearProbe, aucQ, calibrationQ, prCurveQ, kappaQ, confusionQ)
+    Seq(linearProbe, aucQ, calibrationQ, prCurveQ, kappaQ, confusionQ,
+      mcnemarQ, eceQ, brierQ)
 }

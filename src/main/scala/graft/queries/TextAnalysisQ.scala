@@ -250,6 +250,46 @@ object TextAnalysisQ {
             |LIMIT 500""".stripMargin),
   )
 
+  /** Per-source χ² divergence of the unigram token distribution
+    * against the corpus mix (operators/Drift.chi2Tokens) — the
+    * data-mixing diagnostic read before source reweighting. Rational
+    * arithmetic end-to-end: ppb-floored probabilities, exact per-word
+    * terms, one terminal division — no `ln`, so the hash gate holds
+    * with no libm in sight (the histogramL1 discipline). The domain
+    * cross is |sources|·|keptVocab| rows; the corpus is touched once.
+    */
+  private val chi2Divergence = Q(
+    "q_text_chi2_divergence",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Drift
+        .chi2Tokens(Tables(s, dir).documents, "source", "text", minCount = 2L)
+        .orderBy($"source")
+    },
+    Some("""WITH sw AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w FROM documents),
+           |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS nsw FROM sw GROUP BY g, w),
+           |wt AS (SELECT w, CAST(sum(nsw) AS BIGINT) AS mw FROM c GROUP BY w HAVING sum(nsw) >= 2),
+           |k AS (SELECT c.g, c.w, c.nsw FROM c JOIN wt USING (w)),
+           |gt AS (SELECT g, CAST(sum(nsw) AS BIGINT) AS ns FROM k GROUP BY g),
+           |mt AS (SELECT CAST(sum(mw) AS HUGEINT) AS m FROM wt),
+           |d AS (SELECT gt.g, gt.ns, wt.w, wt.mw FROM gt CROSS JOIN wt),
+           |j AS (SELECT d.g, d.ns, d.w, d.mw, coalesce(k.nsw, 0) AS nsw
+           |      FROM d LEFT JOIN k ON d.g = k.g AND d.w = k.w),
+           |q AS (SELECT g, ns,
+           |        (1000000000 * CAST(nsw AS HUGEINT)) // ns AS pq,
+           |        GREATEST((1000000000 * CAST(mw AS HUGEINT)) // m, 1) AS qq
+           |      FROM j, mt),
+           |t AS (SELECT g, ns, ((pq - qq) * (pq - qq)) // qq AS term FROM q),
+           |a AS (SELECT g AS source, CAST(max(ns) AS BIGINT) AS n_tokens,
+           |             CAST(count(*) AS BIGINT) AS n_words,
+           |             CAST(sum(term) AS BIGINT) AS chi2_num
+           |      FROM t GROUP BY g)
+           |SELECT source, n_tokens, n_words, chi2_num,
+           |       round(CAST(chi2_num AS DOUBLE) / 1e9, 6) AS chi2
+           |FROM a
+           |ORDER BY source""".stripMargin),
+  )
+
   private val fingerprint = Q(
     "q_text_fingerprint",
     (s, dir) => {
@@ -1416,7 +1456,7 @@ object TextAnalysisQ {
   )
 
   val all: Seq[Q] =
-    Seq(langId, quality, modelQuality, tokens, skipgram, phrases, subsample, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
+    Seq(langId, quality, modelQuality, tokens, skipgram, phrases, subsample, chi2Divergence, fingerprint, redact, bm25, tfidfKeywords, decontaminate,
       decontaminateFuzzy,
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,

@@ -44,4 +44,41 @@ class DriftSpec extends AnyFunSuite {
     val out = l1(Seq(("a", 999L)), Seq(("a", 35L))) // both → bin 3
     assert(out("a")._3 == 0L)
   }
+
+  // --- chi2Tokens ---
+
+  private def chi2(rows: Seq[(String, String)], minCount: Long = 1L) =
+    Drift.chi2Tokens(rows.toDF("src", "text"), "src", "text", minCount)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+  test("chi2Tokens: identical distributions diverge zero") {
+    val out = chi2(Seq(("a", "x y"), ("b", "x y")))
+    assert(out("a") == ((2L, 2L, 0L, 0.0)))
+    assert(out("b") == ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("chi2Tokens: disjoint vocabularies, hand-computed terms") {
+    // a: {x}, b: {y}; mix is 50/50 so q_q = 5e8 for both words.
+    // For a: p(x) = 1e9, p(y) = 0 → terms (5e8)²/5e8 = 5e8 each,
+    // chi2_num = 1e9, chi2 = 1.0; symmetric for b.
+    val out = chi2(Seq(("a", "x"), ("b", "y")))
+    assert(out("a") == ((1L, 2L, 1000000000L, 1.0)))
+    assert(out("b") == ((1L, 2L, 1000000000L, 1.0)))
+  }
+
+  test("chi2Tokens: minCount prunes the rare tail from the domain") {
+    // 'z' appears once globally → dropped at minCount=2; both groups
+    // then see the same {x} support and diverge zero over it.
+    val out = chi2(Seq(("a", "x x z"), ("b", "x x")), minCount = 2L)
+    assert(out("a") == ((2L, 1L, 0L, 0.0)))
+    assert(out("b") == ((2L, 1L, 0L, 0.0)))
+  }
+
+  test("chi2Tokens: a group with no kept tokens is absent, not a blow-up") {
+    val out = chi2(Seq(("a", "x x"), ("b", "only rare words")), minCount = 2L)
+    assert(out.keySet == Set("a"))
+  }
 }

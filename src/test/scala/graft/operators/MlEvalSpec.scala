@@ -147,6 +147,81 @@ class MlEvalSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("precision") == 0.0)
   }
 
+  test("mcnemar: symmetric disagreement reads zero, one-sided reads the corrected chi2") {
+    import spark.implicits._
+    // b = c = 1 → clamped dev 0 → chi2 0 (not the textbook 1/(b+c));
+    // mcc on cells (3,1,1,5): num 14, m1 = 16, m2 = 36 → 14/24
+    val sym = Seq.fill(3)((1L, 1L)) ++ Seq((1L, 0L), (0L, 1L)) ++
+      Seq.fill(5)((0L, 0L))
+    val r = MlEval.mcnemar(sym.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Long]("only_a") == 1L && r.getAs[Long]("only_b") == 1L)
+    assert(r.getAs[Double]("mcnemar_chi2") == 0.0)
+    assert(r.getAs[Double]("mcc") == 0.583333)
+    // b = 5, c = 1 → dev 3 → chi2 = 9/6 = 1.5
+    val asym = Seq.fill(5)((1L, 0L)) ++ Seq((0L, 1L)) ++
+      Seq.fill(2)((1L, 1L)) ++ Seq.fill(2)((0L, 0L))
+    val r2 = MlEval.mcnemar(asym.toDF("a", "b"), "a", "b").collect().head
+    assert(r2.getAs[Double]("mcnemar_chi2") == 1.5)
+  }
+
+  test("mcnemar: no disagreement and constant raters yield NULLs") {
+    import spark.implicits._
+    val r = MlEval.mcnemar(Seq((1L, 1L), (0L, 0L)).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("mcnemar_chi2")))   // b + c = 0
+    assert(r.getAs[Double]("mcc") == 1.0)
+    val c = MlEval.mcnemar(Seq((1L, 1L), (1L, 0L)).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("mcc")))            // a never says 0
+  }
+
+  test("ece: exact numerator with the per-bin n cancelled; mce is the worst bin") {
+    import spark.implicits._
+    // bin 0: logits 0 (ppm 500000, lbl 1) and 100 (ppm 545454, lbl 0)
+    //   → dev = |1e6 − 1045454| = 45454, per-bin mce 45454 div 2 = 22727
+    // bin −1: logit −250 (ppm 400000, lbl 0) → dev = 400000
+    val df = Seq((0L, 1L), (100L, 0L), (-250L, 0L)).toDF("logit", "lbl")
+    val r = MlEval.ece(df, "logit", "lbl", binWidth = 500L).collect().head
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Long]("ece_num") == 445454L)
+    assert(r.getAs[Long]("mce_ppm") == 400000L)
+    assert(r.getAs[Double]("ece") == 0.148485) // 445454 / 3e6
+  }
+
+  test("ece: a perfectly calibrated-in-aggregate bin reads zero") {
+    import spark.implicits._
+    // two logit-0 rows (ppm 500000 each), one positive → dev = 0
+    val df = Seq((0L, 1L), (0L, 0L)).toDF("logit", "lbl")
+    val r = MlEval.ece(df, "logit", "lbl").collect().head
+    assert(r.getAs[Long]("ece_num") == 0L && r.getAs[Double]("ece") == 0.0)
+  }
+
+  test("brier: hand-computed decomposition on two singleton bins") {
+    import spark.implicits._
+    // bin 0: logit 0 → ppm 500000, lbl 1 → sq 25e10, pbar 5e5, ybar_b 1e6
+    // bin −1: logit −250 → ppm 400000, lbl 0 → sq 16e10, pbar 4e5, ybar_b 0
+    // ybar = 500000; rel = (25e10+16e10)/2e12 = .205; res = 5e11/2e12 = .25
+    // brier = 41e10/2e12 = .205; uncertainty = (1·1)/4 = .25
+    val df = Seq((0L, 1L), (-250L, 0L)).toDF("logit", "lbl")
+    val r = MlEval.brier(df, "logit", "lbl", binWidth = 500L).collect().head
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Double]("brier") == 0.205)
+    assert(r.getAs[Double]("reliability") == 0.205)
+    assert(r.getAs[Double]("resolution") == 0.25)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+  }
+
+  test("brier: an uninformative-but-honest forecaster is all uncertainty") {
+    import spark.implicits._
+    // logit 0 (p = .5) on a 50/50 label: brier .25 = 0 − 0 + .25
+    val df = Seq((0L, 1L), (0L, 0L)).toDF("logit", "lbl")
+    val r = MlEval.brier(df, "logit", "lbl").collect().head
+    assert(r.getAs[Double]("brier") == 0.25)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") == 0.0)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+  }
+
   test("calibration mean is an exact ratio, not a double accumulation") {
     import spark.implicits._
     // two logits in one bin: l=0 → 500000; l=100 → 500000+floor(5e7/1100)

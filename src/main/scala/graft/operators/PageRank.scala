@@ -162,4 +162,80 @@ object PageRank {
       ranks
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** HITS hubs-and-authorities (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment") over a DIRECTED edge list — the
+    * two-sided centrality PageRank can't express: on a user→item
+    * graph, hub score ranks the users whose baskets point at
+    * authoritative items, authority score ranks the items endorsed by
+    * good hubs. Mutual recursion a ← Σ_{u→v} h(u), h ← Σ_{u→v} a(v).
+    *
+    * Scaled-integer discipline like [[pagerank]], with MAX
+    * normalization in place of the textbook L2 (which needs a √ over
+    * an accumulated double — libm in the loop): after each half-step,
+    * x ← (x·scale) div max(x). Max-normalized iteration converges to
+    * the same principal-eigenvector direction, the top node reads
+    * exactly `scale`, and every operand stays an exact integer — the
+    * oracle unrolls the identical halves. The normalizing max is
+    * always > 0: the argmax hub is itself a source node, so some
+    * authority sum sees a `scale`-valued hub (and vice versa).
+    *
+    * Scale shape, per iteration: two |E|-keyed equi-joins (src then
+    * dst — THE shuffles at 100 TB, on the edges' natural keys) each
+    * feeding a map-side-combined sum; the normalizing max is a 1-row
+    * broadcast; both raw-sum tables are `Lineage.settle`d (each feeds
+    * TWO next inputs — its own max aggregate and the domain join — the
+    * multiplicative-stats shape) and loop shuffles are |E|-sized.
+    * Dst-only nodes carry hub 0, src-only nodes authority 0, exactly
+    * as the math says.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long = 1000000L,
+  ): DataFrame = {
+    require(iters >= 1, s"hits: iters ($iters) must be >= 1")
+    val spark = edges.sparkSession
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .cutLineage()
+    val nEdges = e.count()
+    require(nEdges > 0, "hits: empty edge set")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst")))
+        .distinct()
+        .cutLineage()
+      def normalize(raw: DataFrame, out: String): DataFrame = {
+        val m = raw.agg(max(col("s")).as("m"))
+        nodes
+          .join(raw, Seq("node"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("node"),
+            fdiv(dec(coalesce(col("s"), lit(0L))) * lit(scale), dec(col("m")))
+              .as(out))
+      }
+      var h = nodes.select(col("node"), lit(scale).as("h"))
+      var a: DataFrame = null
+      for (_ <- 1 to iters) {
+        val aRaw = Lineage.settle(
+          e.join(h, e("src") === h("node"))
+            .groupBy(e("dst").as("node")).agg(sum(col("h")).as("s")))
+        a = normalize(aRaw, "a")
+        val hRaw = Lineage.settle(
+          e.join(a, e("dst") === a("node"))
+            .groupBy(e("src").as("node")).agg(sum(col("a")).as("s")))
+        h = normalize(hRaw, "h")
+      }
+      h.join(a, Seq("node"))
+        .select(col("node"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }

@@ -436,6 +436,106 @@ object MlEvalQ {
             |FROM t2, rr""".stripMargin),
   )
 
+  /** End-to-end operating-point pipeline: score → sweep → pick the
+    * argmax-F1 threshold IN-PLAN (no driver round-trip) → apply the
+    * gate → per-source audit against the rule gate. This is the
+    * sequence a curation team actually runs when swapping the rule
+    * filter for the model filter; every stage is already individually
+    * oracled (q_text_model_quality, q_ml_pr_curve, q_text_gopher_rules,
+    * q_ml_kappa) — the composite pins their composition. The argmax
+    * orders by the UNROUNDED F1 (a single IEEE division of exact
+    * operands — identical in both engines) with the threshold as
+    * tie-break, and rides a 1-row broadcast into the gating pass, so
+    * the corpus is scanned twice total (once to sweep, once to gate)
+    * and nothing corpus-sized crosses a global window.
+    */
+  private val pipelineModelEval = Q(
+    "q_pipeline_model_eval",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val scored = TextAnalysis
+        .modelQuality(docs, keep = Seq("source", "lang"))
+        .select($"doc_id", $"source", $"logit_scaled",
+          ($"lang" === "en").cast("long").as("lbl"))
+      val sweep = MlEval.prCurve(
+        scored.select($"logit_scaled", $"lbl"), "logit_scaled", "lbl")
+      val nPos = scored.agg(sum($"lbl").cast("long").as("n_pos"))
+      val best = sweep
+        .crossJoin(broadcast(nPos))
+        .select($"thr",
+          ((lit(2.0) * $"tp".cast("double")) /
+            ($"tp" + $"tp" + $"fp" + ($"n_pos" - $"tp")).cast("double"))
+            .as("f1u"))
+        .orderBy($"f1u".desc, $"thr")
+        .limit(1)
+        .select($"thr".as("t_star"))
+      val rule = TextAnalysis.gopherFlags(docs, nStop = 8)
+        .select($"doc_id", $"keep".cast("long").as("rule_keep"))
+      scored
+        .crossJoin(broadcast(best))
+        .select($"doc_id", $"source", $"t_star",
+          ($"logit_scaled" >= $"t_star").cast("long").as("model_keep"))
+        .join(rule, "doc_id")
+        .groupBy($"source")
+        .agg(
+          max($"t_star").as("thr"),
+          count(lit(1)).as("n_docs"),
+          sum($"model_keep").cast("long").as("n_keep_model"),
+          sum($"rule_keep").cast("long").as("n_keep_rule"),
+          sum($"model_keep" * $"rule_keep").cast("long").as("n_both"))
+        .select($"source", $"thr", $"n_docs", $"n_keep_model",
+          $"n_keep_rule", $"n_both",
+          round($"n_keep_model".cast("double") / $"n_docs".cast("double"), 6)
+            .as("keep_rate_model"))
+        .orderBy($"source")
+    },
+    Some(s"""$logitCtes,
+            |c AS (SELECT logit AS thr, CAST(sum(lbl) AS BIGINT) AS pos,
+            |             CAST(count(*) - sum(lbl) AS BIGINT) AS neg FROM l GROUP BY logit),
+            |w AS (SELECT thr, pos, neg,
+            |             CAST(sum(pos) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS tp,
+            |             CAST(sum(neg) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS fp
+            |      FROM c),
+            |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos FROM c),
+            |best AS (SELECT thr AS t_star FROM w, t
+            |         ORDER BY (2.0 * CAST(tp AS DOUBLE)) /
+            |                  CAST(tp + tp + fp + (n_pos - tp) AS DOUBLE) DESC, thr
+            |         LIMIT 1),
+            |gw AS (SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS ws FROM documents),
+            |top8 AS (
+            |  SELECT word FROM (
+            |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+            |  GROUP BY word ORDER BY count(*) DESC, word LIMIT 8),
+            |stops AS (SELECT list(word) AS stoplist FROM top8),
+            |gm AS (
+            |  SELECT doc_id,
+            |         CAST(len(ws) AS BIGINT) AS n_words,
+            |         round((chars - (len(ws) - 1)) * 1.0 / len(ws), 4) AS mean_word_len,
+            |         round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(ws), 4) AS alpha_ratio,
+            |         CAST(len(list_intersect(list_distinct(ws), stoplist)) AS BIGINT) AS n_stop
+            |  FROM gw, stops),
+            |g AS (
+            |  SELECT doc_id,
+            |         CAST(n_words BETWEEN 50 AND 100000
+            |              AND mean_word_len BETWEEN 3 AND 10
+            |              AND alpha_ratio >= 0.8
+            |              AND n_stop >= 2 AS BIGINT) AS b
+            |  FROM gm),
+            |j AS (SELECT l.source,
+            |             CASE WHEN l.logit >= best.t_star THEN 1 ELSE 0 END AS mk,
+            |             g.b AS rk, best.t_star
+            |      FROM l JOIN g USING (doc_id), best)
+            |SELECT source, CAST(max(t_star) AS BIGINT) AS thr,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(mk) AS BIGINT) AS n_keep_model,
+            |       CAST(sum(rk) AS BIGINT) AS n_keep_rule,
+            |       CAST(sum(mk * rk) AS BIGINT) AS n_both,
+            |       round(CAST(sum(mk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS keep_rate_model
+            |FROM j GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   private def profileValues: String =
     TextAnalysis.defaultProfile
       .map { case (l, w, wt) => s"('$l', '$w', $wt)" }
@@ -502,5 +602,5 @@ object MlEvalQ {
 
   def all: Seq[Q] =
     Seq(linearProbe, aucQ, calibrationQ, prCurveQ, kappaQ, confusionQ,
-      mcnemarQ, eceQ, brierQ)
+      mcnemarQ, eceQ, brierQ, pipelineModelEval)
 }

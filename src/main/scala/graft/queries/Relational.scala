@@ -1563,6 +1563,70 @@ object Relational {
     },
   )
 
+  /** HITS hubs/authorities (3 iterations, `PageRank.hits`) over the
+    * DIRECTED customer→part purchase graph — the two-sided centrality
+    * PageRank can't express: hub customers point at authoritative
+    * parts, authoritative parts are endorsed by hub customers. Max
+    * normalization keeps every half-step in exact scaled-integer
+    * arithmetic (no L2 √ in the loop), so the oracle unrolls the six
+    * identical halves and must agree exactly on the top 20
+    * authorities. Node ids disjoint by parity (customer 2k, part
+    * 2k+1).
+    */
+  private val graphHits = Q(
+    "q_graph_hits",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val edges = t.orders
+        .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.PageRank.hits(edges, "src", "dst", iters = 3)
+        .select(
+          $"node",
+          when($"node" % 2 === 0, "customer").otherwise("part").as("kind"),
+          $"hub_scaled", $"auth_scaled")
+        .orderBy($"auth_scaled".desc, $"hub_scaled".desc, $"node")
+        .limit(20)
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""ar$i AS (
+           |  SELECT e.dst AS node, CAST(sum(h.h) AS HUGEINT) AS s
+           |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst
+           |),
+           |am$i AS (SELECT max(s) AS m FROM ar$i),
+           |a$i AS (
+           |  SELECT n.node, CAST((coalesce(r.s, 0) * 1000000) // am$i.m AS BIGINT) AS a
+           |  FROM nodes n LEFT JOIN ar$i r ON r.node = n.node, am$i
+           |),
+           |hr$i AS (
+           |  SELECT e.src AS node, CAST(sum(a.a) AS HUGEINT) AS s
+           |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY e.src
+           |),
+           |hm$i AS (SELECT max(s) AS m FROM hr$i),
+           |h$i AS (
+           |  SELECT n.node, CAST((coalesce(r.s, 0) * 1000000) // hm$i.m AS BIGINT) AS h
+           |  FROM nodes n LEFT JOIN hr$i r ON r.node = n.node, hm$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |$rounds
+         |SELECT h.node,
+         |       CASE WHEN h.node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+         |       h.h AS hub_scaled, a.a AS auth_scaled
+         |FROM h3 h JOIN a3 a USING (node)
+         |ORDER BY auth_scaled DESC, hub_scaled DESC, node
+         |LIMIT 20""".stripMargin
+    },
+  )
+
   /** Personalized PageRank (`PageRank.personalized`, 3 iterations)
     * from a seed set of every 10th supplier over the same bipartite
     * part↔supplier graph — ranks become proximity-to-seeds ("more
@@ -3157,6 +3221,7 @@ object Relational {
     aggHistogramQuantiles,
     graphPagerank,
     graphPpr,
+    graphHits,
     layoutZorder,
     windowTopkPerGroup,
     streamHllDistinct,

@@ -125,4 +125,45 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  // --- hits ---
+
+  private def hitsMap(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    PageRank.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("hits: star fixpoint — the one hub at scale, leaves pure authorities") {
+    val out = hitsMap(Seq((1L, 2L), (1L, 3L), (1L, 4L)), iters = 3)
+    assert(out(1L) == ((1000000L, 0L)))
+    assert(out(2L) == ((0L, 1000000L)))
+    assert(out(3L) == ((0L, 1000000L)))
+    assert(out(4L) == ((0L, 1000000L)))
+  }
+
+  test("hits: complete bipartite graph is symmetric at scale on both sides") {
+    val out = hitsMap(Seq((1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L)), iters = 3)
+    assert(out(1L) == ((1000000L, 0L)) && out(2L) == ((1000000L, 0L)))
+    assert(out(11L) == ((0L, 1000000L)) && out(12L) == ((0L, 1000000L)))
+  }
+
+  test("hits: one-iteration hand computation on an asymmetric bipartite graph") {
+    // u1→{v1,v2}, u2→{v1}: a_raw v1=2e6, v2=1e6 → a(v1)=1e6, a(v2)=5e5;
+    // h_raw u1=1.5e6, u2=1e6 → h(u1)=1e6, h(u2)=(1e6·1e6) div 1.5e6=666666
+    val out = hitsMap(Seq((1L, 11L), (1L, 12L), (2L, 11L)), iters = 1)
+    assert(out(11L)._2 == 1000000L && out(12L)._2 == 500000L)
+    assert(out(1L)._1 == 1000000L && out(2L)._1 == 666666L)
+    assert(out(11L)._1 == 0L && out(1L)._2 == 0L)
+  }
+
+  test("hits: result is independent of edge partitioning") {
+    import spark.implicits._
+    val edges = (1L to 40L).map(i => i -> (100L + i % 7))
+    val a = PageRank.hits(edges.toDF("src", "dst"), "src", "dst", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = PageRank.hits(edges.toDF("src", "dst").repartition(13), "src", "dst", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }

@@ -122,21 +122,37 @@ object Drift {
     * zero anyway) and the domain join, not the corpus, is what
     * shuffles. Group totals and the corpus total ride broadcasts.
     */
+  /** The (group, word, count) unigram table the χ² compare consumes:
+    * one corpus-sized hash aggregation, map-side combined. Every
+    * aggregate is MERGEABLE, so this is also the state a streaming
+    * complete-mode mixing monitor holds — ≤ |groups|·|vocab| rows
+    * however many micro-batches arrive (see q_stream_chi2_divergence).
+    */
+  def tokenCounts(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("g"), col("w"))
+      .agg(count(lit(1)).as("nsw"))
+
   def chi2Tokens(
       df: DataFrame,
       groupCol: String,
       textCol: String,
       minCount: Long = 2L,
-  ): DataFrame = {
+  ): DataFrame =
+    chi2FromCounts(tokenCounts(df, groupCol, textCol), minCount)
+      .withColumnRenamed("g", groupCol)
+
+  /** The χ² tail over a pre-aggregated `(g, w, nsw)` unigram table —
+    * everything below the corpus-sized scan in [[chi2Tokens]]'s shape,
+    * so a streaming monitor can feed its complete-mode state table
+    * straight in. Output keyed `g`.
+    */
+  def chi2FromCounts(sw: DataFrame, minCount: Long = 2L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
-    val spark = df.sparkSession
+    val spark = sw.sparkSession
     import spark.implicits._
     def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       ((a - pmod(a, b)) / b).cast("long")
-    val sw = df
-      .select(col(groupCol).as("g"), explode(split(col(textCol), " ")).as("w"))
-      .groupBy($"g", $"w")
-      .agg(count(lit(1)).as("nsw"))
     val wTot = sw.groupBy($"w").agg(sum($"nsw").as("mw"))
       .filter($"mw" >= minCount)
     // kept-vocab support only, on BOTH sides: p and q must normalize
@@ -168,7 +184,7 @@ object Drift {
         count(lit(1)).cast("long").as("n_words"),
         sum($"term").cast("long").as("chi2_num"),
       )
-      .select($"g".as(groupCol), $"n_tokens", $"n_words", $"chi2_num",
+      .select($"g", $"n_tokens", $"n_words", $"chi2_num",
         round($"chi2_num".cast("double") / lit(1e9), 6).as("chi2"))
   }
 }

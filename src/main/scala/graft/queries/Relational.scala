@@ -2873,6 +2873,54 @@ object Relational {
     Some(driftOracle),
   )
 
+  /** The token-mixing monitor run as a STREAMING aggregation: the
+    * (source, word) unigram counts accumulate as a complete-mode
+    * streaming aggregate over a file-source replay of documents
+    * (`Drift.tokenCounts` — every aggregate mergeable, state bounded
+    * by |sources|·|vocab| rows however many micro-batches arrive),
+    * then `Drift.chi2FromCounts` runs the χ² tail on the final state
+    * table. Gated on the SAME oracle as the batch
+    * q_text_chi2_divergence: a live feed's divergence report must land
+    * on the batch answer exactly — bit-equal, not approximately.
+    */
+  private val streamChi2 = Q(
+    "q_stream_chi2_divergence",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_chi2_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val stream = s.readStream.schema(sch)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val counts = graft.operators.Drift.tokenCounts(stream, "source", "text")
+        val query = counts.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // The χ² tail self-joins the state table (counts ⋈ vocab totals
+      // of the SAME relation). The memory sink's MemoryPlan is not a
+      // MultiInstanceRelation, so the analyzer can't deduplicate the
+      // two sides' attribute ids — rebase onto a fresh LogicalRDD
+      // (one distributed pass over the bounded |sources|·|vocab|
+      // state, no driver collect) before joining.
+      val state0 = s.table(sinkName)
+      val state = s.createDataFrame(state0.rdd, state0.schema)
+      graft.operators.Drift
+        .chi2FromCounts(state, minCount = 2L)
+        .withColumnRenamed("g", "source")
+        .orderBy($"source")
+    },
+    Some(TextAnalysisQ.chi2DivergenceOracle),
+  )
+
   /** The profiler run as a STREAMING aggregation: the identical
     * `Profile.profileHll` report — HLL registers and all — as a
     * complete-mode global streaming aggregate over a file-source
@@ -3205,6 +3253,7 @@ object Relational {
     streamProfileHll,
     profileDrift,
     streamDrift,
+    streamChi2,
     profileOutliers,
     joinSaltedSkew,
     corpusDiff,

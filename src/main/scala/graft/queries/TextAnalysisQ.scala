@@ -266,7 +266,18 @@ object TextAnalysisQ {
         .chi2Tokens(Tables(s, dir).documents, "source", "text", minCount = 2L)
         .orderBy($"source")
     },
-    Some("""WITH sw AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w FROM documents),
+    Some(chi2DivergenceOracle),
+  )
+
+  /** Shared by q_text_chi2_divergence and its streaming twin
+    * q_stream_chi2_divergence (Relational) — the streaming run must
+    * land on the batch answer exactly, so they gate on ONE program.
+    * `lazy` because the textual position is below its first use (the
+    * Q above captures it at object-init time; a strict val would
+    * still be null there).
+    */
+  private[queries] lazy val chi2DivergenceOracle: String =
+    ("""WITH sw AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w FROM documents),
            |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS nsw FROM sw GROUP BY g, w),
            |wt AS (SELECT w, CAST(sum(nsw) AS BIGINT) AS mw FROM c GROUP BY w HAVING sum(nsw) >= 2),
            |k AS (SELECT c.g, c.w, c.nsw FROM c JOIN wt USING (w)),
@@ -287,8 +298,7 @@ object TextAnalysisQ {
            |SELECT source, n_tokens, n_words, chi2_num,
            |       round(CAST(chi2_num AS DOUBLE) / 1e9, 6) AS chi2
            |FROM a
-           |ORDER BY source""".stripMargin),
-  )
+           |ORDER BY source""").stripMargin
 
   private val fingerprint = Q(
     "q_text_fingerprint",

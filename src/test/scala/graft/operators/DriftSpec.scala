@@ -81,4 +81,21 @@ class DriftSpec extends AnyFunSuite {
     val out = chi2(Seq(("a", "x x"), ("b", "only rare words")), minCount = 2L)
     assert(out.keySet == Set("a"))
   }
+
+  test("chi2FromCounts over tokenCounts equals chi2Tokens (the streaming split)") {
+    // The streaming monitor holds tokenCounts as complete-mode state
+    // and runs chi2FromCounts on the final table; the composition must
+    // be the batch operator exactly — including when the counts table
+    // is re-based onto a fresh relation (the memory-sink self-join
+    // path in q_stream_chi2_divergence).
+    val rows = Seq(("a", "x x y z"), ("b", "x y y"), ("c", "z z q"))
+    val df = rows.toDF("src", "text")
+    val counts = Drift.tokenCounts(df, "src", "text")
+    val rebased = spark.createDataFrame(counts.rdd, counts.schema)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val batch = canon(Drift.chi2Tokens(df, "src", "text", minCount = 2L))
+    val split = canon(Drift.chi2FromCounts(rebased, minCount = 2L).withColumnRenamed("g", "src"))
+    assert(split == batch && batch.nonEmpty)
+  }
 }

@@ -491,4 +491,146 @@ object MlEval {
           .as("mean_pred_ppm"),
       )
   }
+
+  /** Poisson(1) inverse-CDF thresholds quantized to the fnv63 range
+    * [0, 2^63): c(k) = floor(2^63 · e^{-1} · Σ_{j≤k} 1/j!), k = 0..7.
+    * A hash u draws resample weight w = |{k : u ≥ c(k)}| ∈ 0..8
+    * (the residual mass past 8 is ~1.1e-6; the cap applies in BOTH
+    * engines, so determinism survives it). Poisson rather than
+    * multinomial resampling is the standard bootstrap for distributed
+    * data (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", 2012): weights are independent per row, so a resample
+    * is one embarrassingly-parallel map — no global n to coordinate,
+    * no shuffle to draw. The constants are 50-digit-precision
+    * integers, NOT runtime libm exp() — both engines compare against
+    * the identical literals.
+    */
+  val poissonThresholds: Seq[Long] = Seq(
+    3393088950634442637L, 6786177901268885274L, 8482722376586106593L,
+    9048237201691847032L, 9189615907968282142L, 9217891649223569164L,
+    9222604272766117001L, 9223277504700766692L)
+
+  private def poissonWeight(u: Column): Column =
+    poissonThresholds.map(c => (u >= lit(c)).cast("long")).reduce(_ + _)
+
+  /** The deterministic-bootstrap resample table shared by
+    * [[bootstrapAcc]] and [[bootstrapDelta]]: rows × reps with weight
+    * w_(id,b) = PoissonInv(fnv63(id:b)) — a pure function of the row
+    * id and replicate index, so every retry, epoch, and the DuckDB
+    * oracle draw the IDENTICAL resamples. Emits (g, b, w, <vals·w>).
+    */
+  private def resampled(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valCols: Seq[String],
+      reps: Int,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val u = graft.functions.Fnv63Hash.hash(spark,
+      concat(col(idCol).cast("string"), lit(":"), col("b").cast("string")))
+    df.select(Seq(col(groupCol).as("g"), col(idCol).cast("string").as(idCol),
+        explode(sequence(lit(1), lit(reps))).as("b")) ++
+        valCols.map(c => col(c).cast("long").as(c)): _*)
+      .select(Seq(col("g"), col("b"), poissonWeight(u).as("w")) ++
+        valCols.map(c => col(c)): _*)
+  }
+
+  /** Empirical percentile bounds of a per-(g, b) statistic: for each
+    * group with m replicates, ci_lo = the greatest(floor(0.025·m), 1)-th
+    * smallest and ci_hi = the (m − floor(0.025·m))-th — rank-based, so
+    * no interpolation arithmetic to disagree on. The only window is
+    * PARTITION BY g over ≤ reps rows per group (never corpus-sized);
+    * ties in the statistic break on the replicate index, a total order.
+    */
+  private def percentileCi(perRep: DataFrame, statCol: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col(statCol), col("b"))
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    perRep
+      .withColumn("rn", row_number().over(win))
+      .withColumn("m", count(lit(1)).over(cnt))
+      .groupBy(col("g"))
+      .agg(
+        max(when(col("rn") === greatest(fdiv(col("m") * 25, lit(1000L)), lit(1L)),
+          col(statCol))).as("ci_lo_ppm"),
+        max(when(col("rn") === col("m") - fdiv(col("m") * 25, lit(1000L)),
+          col(statCol))).as("ci_hi_ppm"),
+        max(col("m")).as("reps_used"),
+      )
+  }
+
+  /** Per-group accuracy with a deterministic Poisson(1)-bootstrap
+    * 95% CI: the answer to "the quality gate is 83% right on source X
+    * — plus or minus WHAT" that a point estimate can't give. One
+    * corpus-scan explode to rows × reps (map-local, no extra shuffle
+    * vs the plain aggregate: the (g, b) partial aggregation combines
+    * map-side to ≤ |groups|·reps rows), a per-group window over ≤ reps
+    * rows, exact ppm floor-division arithmetic end to end.
+    */
+  def bootstrapAcc(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      correctCol: String,
+      reps: Int = 200,
+  ): DataFrame = {
+    require(reps >= 40, s"reps must be >= 40 for a rank-based 95% CI (got $reps)")
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val point = df.groupBy(col(groupCol).as("g")).agg(
+      count(lit(1)).cast("long").as("n"),
+      fdiv(dec(sum(col(correctCol).cast("long"))) * lit(1000000L),
+        dec(count(lit(1)))).as("acc_ppm"))
+    val perRep = resampled(df, groupCol, idCol, Seq(correctCol), reps)
+      .groupBy(col("g"), col("b"))
+      .agg(sum(dec(col("w") * col(correctCol))).as("ks"),
+        sum(dec(col("w"))).as("ns"))
+      .filter(col("ns") > 0)
+      .select(col("g"), col("b"),
+        fdiv(lit(1000000L) * col("ks"), col("ns")).as("acc_b_ppm"))
+    point.join(percentileCi(perRep, "acc_b_ppm"), "g")
+      .select(col("g").as(groupCol), col("n"), col("acc_ppm"),
+        col("ci_lo_ppm"), col("ci_hi_ppm"), col("reps_used"))
+  }
+
+  /** Paired-bootstrap accuracy DELTA between two 0/1 gates over the
+    * same rows — "is the model BETTER than the rule, or just noisier":
+    * each replicate reweights rows once and scores both gates on the
+    * identical resample (the pairing is what shrinks the CI below two
+    * independent intervals), delta_b = acc_a_b − acc_b_b in exact ppm,
+    * significant = the 95% CI excludes zero. Same one-explode shape as
+    * [[bootstrapAcc]]; both accuracies ride the same (g, b) partial
+    * aggregate.
+    */
+  def bootstrapDelta(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      aCol: String,
+      bCol: String,
+      reps: Int = 200,
+  ): DataFrame = {
+    require(reps >= 40, s"reps must be >= 40 for a rank-based 95% CI (got $reps)")
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val point = df.groupBy(col(groupCol).as("g")).agg(
+      count(lit(1)).cast("long").as("n"),
+      (fdiv(dec(sum(col(aCol).cast("long"))) * lit(1000000L), dec(count(lit(1)))) -
+        fdiv(dec(sum(col(bCol).cast("long"))) * lit(1000000L), dec(count(lit(1)))))
+        .as("delta_ppm"))
+    val perRep = resampled(df, groupCol, idCol, Seq(aCol, bCol), reps)
+      .groupBy(col("g"), col("b"))
+      .agg(sum(dec(col("w") * col(aCol))).as("ka"),
+        sum(dec(col("w") * col(bCol))).as("kb"),
+        sum(dec(col("w"))).as("ns"))
+      .filter(col("ns") > 0)
+      .select(col("g"), col("b"),
+        (fdiv(lit(1000000L) * col("ka"), col("ns")) -
+          fdiv(lit(1000000L) * col("kb"), col("ns"))).as("delta_b_ppm"))
+    point.join(percentileCi(perRep, "delta_b_ppm"), "g")
+      .select(col("g").as(groupCol), col("n"), col("delta_ppm"),
+        col("ci_lo_ppm"), col("ci_hi_ppm"),
+        (col("ci_lo_ppm") > 0 || col("ci_hi_ppm") < 0).cast("long")
+          .as("significant"))
+  }
 }

@@ -600,7 +600,147 @@ object MlEvalQ {
             |ORDER BY cls""".stripMargin),
   )
 
+  /** The Poisson-weight CASE chain and resample CTEs shared by the two
+    * bootstrap oracles: weight = #{thresholds ≤ u}, u = fnv63(id:b) —
+    * the identical integer literals `MlEval.poissonThresholds` compiles
+    * into the Spark plan, so both engines draw the same resamples.
+    */
+  private def poissonWeightSql: String =
+    graft.operators.MlEval.poissonThresholds
+      .map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** Per-source gate accuracy with a deterministic Poisson(1)
+    * bootstrap 95% CI (`MlEval.bootstrapAcc`): does the quality
+    * model's en-separation hold up once resampling noise is priced
+    * in, per domain. The oracle replays the identical resamples —
+    * same fnv63 coins, same threshold literals, same rank-based
+    * percentile — as straight SQL.
+    */
+  private val bootstrapCiQ = Q(
+    "q_ml_bootstrap_ci",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis
+        .modelQuality(Tables(s, dir).documents, keep = Seq("source", "lang"))
+        .select($"doc_id", $"source",
+          (($"logit_scaled" >= 0) === ($"lang" === "en")).cast("long")
+            .as("correct"))
+      MlEval.bootstrapAcc(scored, "source", "doc_id", "correct", reps = 200)
+        .orderBy($"source")
+    },
+    Some(s"""$logitCtes,
+            |c AS (SELECT doc_id, source,
+            |             CAST((logit >= 0) = (lbl = 1) AS BIGINT) AS cc
+            |      FROM l),
+            |rep AS (SELECT doc_id, source, cc, CAST(rb.b AS BIGINT) AS b
+            |        FROM c, range(1, 201) rb(b)),
+            |h AS (SELECT source, b, cc, ${Relational.fnv63Sql(
+              "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")} AS u
+            |      FROM rep),
+            |w AS (SELECT source, b, cc, $poissonWeightSql AS w FROM h),
+            |a AS (SELECT source, b, sum(w * cc) AS ks, sum(w) AS ns
+            |      FROM w GROUP BY source, b HAVING sum(w) > 0),
+            |acc AS (SELECT source, b,
+            |               CAST((1000000 * ks) // ns AS BIGINT) AS acc_b
+            |        FROM a),
+            |r AS (SELECT source, b, acc_b,
+            |             row_number() OVER (PARTITION BY source ORDER BY acc_b, b) AS rn,
+            |             count(*) OVER (PARTITION BY source) AS m
+            |      FROM acc),
+            |ci AS (SELECT source,
+            |              max(CASE WHEN rn = greatest((m * 25) // 1000, 1) THEN acc_b END) AS ci_lo_ppm,
+            |              max(CASE WHEN rn = m - (m * 25) // 1000 THEN acc_b END) AS ci_hi_ppm,
+            |              CAST(max(m) AS BIGINT) AS reps_used
+            |       FROM r GROUP BY source),
+            |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            |             CAST((1000000 * sum(cc)) // count(*) AS BIGINT) AS acc_ppm
+            |      FROM c GROUP BY source)
+            |SELECT p.source, n, acc_ppm, ci_lo_ppm, ci_hi_ppm, reps_used
+            |FROM p JOIN ci USING (source)
+            |ORDER BY source""".stripMargin),
+  )
+
+  /** Paired-bootstrap accuracy delta, model gate vs gopher rule gate
+    * (`MlEval.bootstrapDelta`): each replicate reweights the corpus
+    * ONCE and scores both gates on the identical resample, so the CI
+    * on the difference is the paired one — the per-source verdict
+    * "the model beats the rule by 40±15 points" with a significance
+    * bit the mcnemar/kappa gates can't price per domain.
+    */
+  private val bootstrapDeltaQ = Q(
+    "q_ml_bootstrap_delta",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val model = TextAnalysis
+        .modelQuality(docs, keep = Seq("source", "lang"))
+        .select($"doc_id", $"source", ($"lang" === "en").cast("long").as("lbl"),
+          ($"logit_scaled" >= 0).cast("long").as("mk"))
+      val rule = TextAnalysis.gopherFlags(docs, nStop = 8)
+        .select($"doc_id", $"keep".cast("long").as("rk"))
+      val paired = model.join(rule, "doc_id")
+        .select($"doc_id", $"source",
+          ($"mk" === $"lbl").cast("long").as("ca"),
+          ($"rk" === $"lbl").cast("long").as("cb"))
+      MlEval.bootstrapDelta(paired, "source", "doc_id", "ca", "cb", reps = 200)
+        .orderBy($"source")
+    },
+    Some(s"""$logitCtes,
+            |gw AS (SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS ws FROM documents),
+            |top8 AS (
+            |  SELECT word FROM (
+            |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+            |  GROUP BY word ORDER BY count(*) DESC, word LIMIT 8),
+            |stops AS (SELECT list(word) AS stoplist FROM top8),
+            |gm AS (
+            |  SELECT doc_id,
+            |         CAST(len(ws) AS BIGINT) AS n_words,
+            |         round((chars - (len(ws) - 1)) * 1.0 / len(ws), 4) AS mean_word_len,
+            |         round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(ws), 4) AS alpha_ratio,
+            |         CAST(len(list_intersect(list_distinct(ws), stoplist)) AS BIGINT) AS n_stop
+            |  FROM gw, stops),
+            |gg AS (
+            |  SELECT doc_id,
+            |         CAST(n_words BETWEEN 50 AND 100000
+            |              AND mean_word_len BETWEEN 3 AND 10
+            |              AND alpha_ratio >= 0.8
+            |              AND n_stop >= 2 AS BIGINT) AS rk
+            |  FROM gm),
+            |c AS (SELECT l.doc_id, l.source,
+            |             CAST((l.logit >= 0) = (l.lbl = 1) AS BIGINT) AS ca,
+            |             CAST((gg.rk = l.lbl) AS BIGINT) AS cb
+            |      FROM l JOIN gg USING (doc_id)),
+            |rep AS (SELECT doc_id, source, ca, cb, CAST(rb.b AS BIGINT) AS b
+            |        FROM c, range(1, 201) rb(b)),
+            |h AS (SELECT source, b, ca, cb, ${Relational.fnv63Sql(
+              "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")} AS u
+            |      FROM rep),
+            |w AS (SELECT source, b, ca, cb, $poissonWeightSql AS w FROM h),
+            |a AS (SELECT source, b, sum(w * ca) AS ka, sum(w * cb) AS kb, sum(w) AS ns
+            |      FROM w GROUP BY source, b HAVING sum(w) > 0),
+            |d AS (SELECT source, b,
+            |             CAST((1000000 * ka) // ns - (1000000 * kb) // ns AS BIGINT) AS d_b
+            |      FROM a),
+            |r AS (SELECT source, b, d_b,
+            |             row_number() OVER (PARTITION BY source ORDER BY d_b, b) AS rn,
+            |             count(*) OVER (PARTITION BY source) AS m
+            |      FROM d),
+            |ci AS (SELECT source,
+            |              max(CASE WHEN rn = greatest((m * 25) // 1000, 1) THEN d_b END) AS ci_lo_ppm,
+            |              max(CASE WHEN rn = m - (m * 25) // 1000 THEN d_b END) AS ci_hi_ppm
+            |       FROM r GROUP BY source),
+            |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            |             CAST((1000000 * sum(ca)) // count(*)
+            |                  - (1000000 * sum(cb)) // count(*) AS BIGINT) AS delta_ppm
+            |      FROM c GROUP BY source)
+            |SELECT p.source, n, delta_ppm, ci_lo_ppm, ci_hi_ppm,
+            |       CAST(ci_lo_ppm > 0 OR ci_hi_ppm < 0 AS BIGINT) AS significant
+            |FROM p JOIN ci USING (source)
+            |ORDER BY source""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(linearProbe, aucQ, calibrationQ, prCurveQ, kappaQ, confusionQ,
-      mcnemarQ, eceQ, brierQ, pipelineModelEval)
+      mcnemarQ, eceQ, brierQ, pipelineModelEval, bootstrapCiQ, bootstrapDeltaQ)
 }

@@ -232,4 +232,81 @@ class MlEvalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_pred_ppm") == 522727.0)
     assert(r.getAs[Double]("pos_rate") == 0.5)
   }
+
+  test("poisson thresholds draw mean ~1, capped at 8") {
+    import spark.implicits._
+    // mean of Poisson(1) is 1: over 5000 hash draws the total weight
+    // should sit well inside ±10% — a wrong threshold constant or a
+    // truncated hash range would blow this immediately
+    graft.functions.Fnv63Hash.register(spark)
+    val u = expr("fnv63(cast(id as string))")
+    val w = MlEval.poissonThresholds
+      .map(c => (u >= lit(c)).cast("long")).reduce(_ + _)
+    val r = (1L to 5000L).toDF("id")
+      .agg(sum(w).as("s"), max(w).as("mx")).collect().head
+    assert(math.abs(r.getAs[Long]("s") - 5000L) < 500L)
+    assert(r.getAs[Long]("mx") <= 8L)
+  }
+
+  test("bootstrapAcc: an all-correct group pins point and CI at exactly 1e6") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => ("g", i, 1L)).toDF("g", "id", "c")
+    val out = MlEval.bootstrapAcc(df, "g", "id", "c", reps = 40)
+      .collect().head
+    assert(out.getAs[Long]("reps_used") == 40L)
+    // every resample of all-correct rows scores ns/ns = exactly 1e6
+    assert(out.getAs[Long]("acc_ppm") == 1000000L)
+    assert(out.getAs[Long]("ci_lo_ppm") == 1000000L)
+    assert(out.getAs[Long]("ci_hi_ppm") == 1000000L)
+  }
+
+  test("bootstrapAcc: CI brackets the point estimate and lo <= hi") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => ("g", i, i % 5L min 1L))
+      .toDF("g", "id", "c") // 80% correct
+    val r = MlEval.bootstrapAcc(df, "g", "id", "c", reps = 200)
+      .collect().head
+    val (p, lo, hi) = (r.getAs[Long]("acc_ppm"),
+      r.getAs[Long]("ci_lo_ppm"), r.getAs[Long]("ci_hi_ppm"))
+    assert(p == 800000L)
+    assert(lo <= p && p <= hi && lo < hi)
+    // a 95% CI on n=400, p=0.8 is ±~4e4 ppm; 1e5 is a loose sanity band
+    assert(hi - lo < 200000L && hi - lo > 10000L)
+  }
+
+  test("bootstrapAcc is invariant to input partitioning") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (s"s${i % 3}", i, (i % 7L) min 1L))
+    val a = MlEval.bootstrapAcc(rows.toDF("g", "id", "c"), "g", "id", "c", reps = 60)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = MlEval.bootstrapAcc(rows.toDF("g", "id", "c").repartition(7), "g", "id", "c", reps = 60)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
+
+  test("bootstrapDelta: a gate against itself is exactly zero, not significant") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => ("g", i, i % 2L, i % 2L))
+      .toDF("g", "id", "ca", "cb")
+    val r = MlEval.bootstrapDelta(df, "g", "id", "ca", "cb", reps = 100)
+      .collect().head
+    assert(r.getAs[Long]("delta_ppm") == 0L)
+    assert(r.getAs[Long]("ci_lo_ppm") == 0L)
+    assert(r.getAs[Long]("ci_hi_ppm") == 0L)
+    assert(r.getAs[Long]("significant") == 0L)
+  }
+
+  test("bootstrapDelta: a strictly better gate is significant with a positive CI") {
+    import spark.implicits._
+    // a is right on 90%, b on 50%, agreeing where both are right —
+    // a 40-point paired gap on n=500 is far outside resampling noise
+    val df = (1L to 500L).map(i =>
+      ("g", i, if (i % 10L == 0L) 0L else 1L, if (i % 2L == 0L) 0L else 1L))
+      .toDF("g", "id", "ca", "cb")
+    val r = MlEval.bootstrapDelta(df, "g", "id", "ca", "cb", reps = 100)
+      .collect().head
+    assert(r.getAs[Long]("delta_ppm") == 400000L)
+    assert(r.getAs[Long]("ci_lo_ppm") > 0L)
+    assert(r.getAs[Long]("significant") == 1L)
+  }
 }

@@ -822,4 +822,72 @@ object GraphAlgos {
         .as("r_assort"),
     )
   }
+
+  /** Strongly-connected-component condensation of a DIRECTED graph
+    * over a BOUNDED node domain — event/page/state types, dimensions
+    * that do NOT grow with the corpus (session-flow condensation, not
+    * web-graph SCC). The 100-TB shape is: distill the corpus to a
+    * type-level digraph first (one scan, caller's job), condense the
+    * distilled graph here, where the frames are ≤ V² rows by
+    * construction.
+    *
+    * Transitive closure by path doubling: reach ← reach ∪ (reach ⋈
+    * reach), so a path of length 2^r is found by round r —
+    * ⌈log₂ V⌉ rounds, each one keyed equi-join + distinct, state
+    * settled per round (the closure feeds both join sides, the
+    * multiplicative-stats shape `Lineage.settle` exists for). Seeding
+    * with identity pairs makes the closure reflexive, so the SCC of v
+    * is exactly {w : reach(v,w)} ∩ {w : reach(w,v)} — computed as
+    * closure ∩ closureᵀ, no second algorithm — and singletons fall
+    * out without a special case. scc_id = the component's minimum
+    * node (deterministic), scc_size = its cardinality.
+    *
+    * `maxNodes` is the all-pairs guard: a domain past it means the
+    * caller is condensing the wrong graph (per-entity ids, not
+    * types), and the fail must be loud, not a V² explosion.
+    */
+  def sccCondensation(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      maxNodes: Long = 4096L,
+      maxRounds: Int = 20,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(uCol).cast("string").as("a"), col(vCol).cast("string").as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+    val nodes = e.select($"a".as("n")).union(e.select($"b".as("n"))).distinct()
+    val nNodes = nodes.count()
+    require(nNodes <= maxNodes,
+      s"sccCondensation: $nNodes nodes exceeds maxNodes=$maxNodes — the " +
+        "V² closure is for bounded type domains; condense a distilled " +
+        "graph, not per-entity ids")
+    var reach = Lineage.settle(
+      nodes.select($"n".as("a"), $"n".as("b")).union(e).distinct())
+    var size = reach.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = Lineage.settle(
+        reach.as("r1").join(reach.as("r2"), col("r1.b") === col("r2.a"))
+          .select(col("r1.a").as("a"), col("r2.b").as("b"))
+          .union(reach)
+          .distinct())
+      val nextSize = next.count()
+      converged = nextSize == size
+      reach = next
+      size = nextSize
+    }
+    if (!converged) throw new IllegalStateException(
+      s"sccCondensation: no fixpoint after $maxRounds doubling rounds " +
+        s"($size pairs) — raise maxRounds (covers paths up to 2^$maxRounds)")
+    val mutual = reach.intersect(reach.select($"b".as("a"), $"a".as("b")))
+    mutual.groupBy($"a")
+      .agg(min($"b").as("scc_id"), count(lit(1)).as("scc_size"))
+      .select($"a".as("node"), $"scc_id", $"scc_size")
+  }
 }

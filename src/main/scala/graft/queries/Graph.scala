@@ -1496,9 +1496,63 @@ object Graph {
            |FROM s""".stripMargin),
   )
 
+  /** SCC condensation of the NET-FLOW session digraph: distill the
+    * events corpus to type-level transitions (one scan: per-user lag
+    * window + (a, b) count), keep a→b only where the observed a→b
+    * mass STRICTLY exceeds b→a (ties and self-loops drop — the
+    * dominant-direction tournament), then condense with
+    * `GraphAlgos.sccCondensation`: which page/event types form
+    * recirculating cores vs one-way funnel stages. The corpus-sized
+    * work is the distillation; the V² closure runs on the bounded
+    * type domain (guarded at 4096). Oracle: the identical net-flow
+    * edge derivation, then a RECURSIVE-CTE transitive closure —
+    * set-union reachability, a different program shape than the
+    * Spark side's path-doubling join loop.
+    */
+  private val graphScc = Q(
+    "q_graph_scc",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables(s, dir).events
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull && $"prev_type" =!= $"event_type")
+        .groupBy($"prev_type".as("a"), $"event_type".as("b"))
+        .agg(count(lit(1)).as("n"))
+      val rev = pairs.select($"b".as("a"), $"a".as("b"), $"n".as("m"))
+      val net = pairs.join(rev, Seq("a", "b"), "left")
+        .filter($"n" > coalesce($"m", lit(0L)))
+        .select($"a", $"b")
+      GraphAlgos.sccCondensation(net, "a", "b").orderBy($"node")
+    },
+    Some("""WITH RECURSIVE seq AS (
+           |  SELECT user_id, event_type,
+           |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           |  FROM events),
+           |p AS (
+           |  SELECT prev_type AS a, event_type AS b, CAST(count(*) AS BIGINT) AS n
+           |  FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+           |  GROUP BY 1, 2),
+           |net AS (
+           |  SELECT p.a, p.b FROM p LEFT JOIN p r ON p.a = r.b AND p.b = r.a
+           |  WHERE p.n > coalesce(r.n, 0)),
+           |nodes AS (SELECT a AS n FROM net UNION SELECT b FROM net),
+           |reach AS (
+           |  SELECT n AS a, n AS b FROM nodes
+           |  UNION
+           |  SELECT reach.a, net.b FROM reach JOIN net ON reach.b = net.a),
+           |mutual AS (
+           |  SELECT f.a, f.b FROM reach f JOIN reach g ON f.a = g.b AND f.b = g.a)
+           |SELECT a AS node, min(b) AS scc_id, CAST(count(*) AS BIGINT) AS scc_size
+           |FROM mutual GROUP BY a
+           |ORDER BY node""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
     graphNeighborSample, graphKcore, graphKcoreHindex, graphTruss,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
-    graphAnfLake, pipelineGraphEmbedding, graphAssortativity)
+    graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc)
 }

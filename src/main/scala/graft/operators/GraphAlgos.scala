@@ -274,6 +274,12 @@ object GraphAlgos {
         .cutLineage()
       out = out.union(cur.withColumn("step", lit(k))
         .select($"start", $"walk", $"step", $"node"))
+      // the accumulator is otherwise a (steps+1)-way union of the cut
+      // per-step frames — fine at 10 steps, a 101-way plan at 100.
+      // Materialize the union every 16 steps so plan width stays
+      // bounded regardless of walk length (each arm is already a
+      // settled frame, so the cut just collapses the union).
+      if (k % 16 == 0) out = out.cutLineage()
     }
     out
   }
@@ -364,6 +370,9 @@ object GraphAlgos {
           .settleLineage()
         val c = nxt.count()
         converged = c == curCount
+        // retention: the peeled-from round's checkpoint files are dead
+        // the moment nxt has materialized ([[Lineage.release]])
+        Lineage.release(cur)
         cur = nxt
         curCount = c
         i += 1
@@ -436,6 +445,11 @@ object GraphAlgos {
     try {
       var cur = sym.groupBy($"src").agg(count(lit(1)).cast("long").as("c"))
         .select($"src".as("node"), $"c").cutLineage()
+      // the round's OWNED materialization, for reliable-checkpoint
+      // retention: once round i's state is settled, round i−1's files
+      // are dead and released ([[Lineage.release]]) — a 60-round loop
+      // retains ~2 rounds of checkpoint state, not 60
+      var owned = cur
       // the dirty set CARRIES each node's current value (c): the
       // recompute emits (node, new c, old c) in one pass, so change
       // detection is a narrow filter over the materialized result —
@@ -488,6 +502,8 @@ object GraphAlgos {
         val changed = nxt.filter($"chg").select($"node", $"c")
         converged = changed.isEmpty
         if (!converged) {
+          Lineage.release(owned)
+          owned = nxt
           cur = nxt.select($"node", $"c")
           // next frontier: nodes with a CHANGED neighbor, with their
           // current values attached
@@ -495,7 +511,7 @@ object GraphAlgos {
             sym.join(changed.select($"node".as("dst")), Seq("dst"))
               .select($"src".as("node")).distinct(),
             Seq("node"))
-        }
+        } else Lineage.release(nxt) // value-identical to cur; cur is returned
         roundProbe.foreach(_(i, cur))
       }
       require(converged,
@@ -583,6 +599,9 @@ object GraphAlgos {
         .join(sup, $"u" === $"eu" && $"v" === $"ev", "left")
         .select($"u", $"v", coalesce($"c", lit(0L)).as("c"))
         .cutLineage()
+      // reliable-checkpoint retention, as in [[coreNumbers]]: release
+      // round i−1's files once round i's state has materialized
+      var owned = cur
       // round 1 recomputes every edge IN a triangle; support-0 edges
       // already sit at their fixpoint (h-index of ∅ = 0 = λ₀)
       var dirty = cur.filter($"c" > 0)
@@ -618,6 +637,8 @@ object GraphAlgos {
         val changed = nxt.filter($"chg").select($"u", $"v")
         converged = changed.isEmpty
         if (!converged) {
+          Lineage.release(owned)
+          owned = nxt
           cur = nxt.select($"u", $"v", $"c")
           // next frontier: edges sharing a triangle with a changed
           // edge (the incidence holds all three rotations, so probing
@@ -630,7 +651,7 @@ object GraphAlgos {
               .select($"eu".as("u"), $"ev".as("v")))
             .distinct()
           dirty = cur.join(dirtyKeys, Seq("u", "v"))
-        }
+        } else Lineage.release(nxt) // value-identical to cur; cur is returned
         roundProbe.foreach(_(i, cur))
       }
       require(converged,
@@ -855,11 +876,13 @@ object GraphAlgos {
   ): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges
+    val raw = edges
       .select(col(uCol).cast("string").as("a"), col(vCol).cast("string").as("b"))
-      .filter($"a" =!= $"b")
-      .distinct()
-    val nodes = e.select($"a".as("n")).union(e.select($"b".as("n"))).distinct()
+    // node domain from the UNFILTERED edges: a node whose only edges
+    // are self-loops must still appear as a singleton SCC (the
+    // identity-seeded closure handles it), not vanish with the loop
+    val nodes = raw.select($"a".as("n")).union(raw.select($"b".as("n"))).distinct()
+    val e = raw.filter($"a" =!= $"b").distinct()
     val nNodes = nodes.count()
     require(nNodes <= maxNodes,
       s"sccCondensation: $nNodes nodes exceeds maxNodes=$maxNodes — the " +

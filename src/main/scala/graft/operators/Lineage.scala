@@ -23,12 +23,30 @@ object Lineage {
   val ReliableKey = "spark.graft.graph.reliableCheckpoint"
   val DirKey = "spark.graft.graph.checkpointDir"
 
+  /** Reliable-checkpoint RETENTION: Spark never deletes a reliable
+    * checkpoint on its own (cleanup needs
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, a
+    * context-creation-time conf that is GC-driven and best-effort
+    * anyway), so a 60-round loop would retain all 60 rounds' state in
+    * the checkpoint dir. [[cut]] therefore records the `rdd-*`
+    * directory each reliable checkpoint lands in (weakly keyed by the
+    * returned frame), and the iterative operators call [[release]] on
+    * a round's state the moment the NEXT round's state has
+    * materialized — steady-state disk is ~2 rounds plus the loop's
+    * static tables, not the whole trajectory. Frames never released
+    * (the final result, the static tables) keep their files until the
+    * checkpoint dir itself is cleaned, which is documented behavior:
+    * their lifetime is the caller's, not the loop's.
+    */
+  private val tracked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, String]())
+
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable =
       spark.conf.getOption(ReliableKey).exists(_.trim.equalsIgnoreCase("true"))
     if (!reliable) df.localCheckpoint(eager = true)
-    else {
+    else Lineage.synchronized {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty) {
         val dir = spark.conf.getOption(DirKey).getOrElse(throw new IllegalArgumentException(
@@ -37,9 +55,39 @@ object Lineage {
             "SparkContext.setCheckpointDir"))
         sc.setCheckpointDir(dir)
       }
-      df.checkpoint(eager = true)
+      // identify the checkpoint's rdd-* directory by diffing the
+      // checkpoint dir around the (eager) materialization — the
+      // Dataset API doesn't expose the checkpointed RDD. cut() is
+      // serialized under the object lock in reliable mode, so the
+      // fresh entry is unambiguous.
+      val ckDir = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      val fs = ckDir.getFileSystem(sc.hadoopConfiguration)
+      def rdds(): Set[String] =
+        if (!fs.exists(ckDir)) Set.empty[String]
+        else fs.listStatus(ckDir).map(_.getPath.getName).toSet
+      val before = rdds()
+      val out = df.checkpoint(eager = true)
+      (rdds() -- before).foreach { fresh =>
+        tracked.put(out, new org.apache.hadoop.fs.Path(ckDir, fresh).toString)
+      }
+      out
     }
   }
+
+  /** Delete the reliable-checkpoint files behind a SUPERSEDED loop
+    * state (see retention note on [[tracked]]). Only frames produced
+    * by [[cut]]/[[settle]] in reliable mode have files to release;
+    * anything else (localCheckpoint mode, derived projections) is a
+    * no-op — safe to call unconditionally in a loop. The caller
+    * asserts the frame is dead: nothing may lazily read it afterwards.
+    */
+  def release(df: DataFrame): Unit =
+    Option(tracked.remove(df)).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+      ()
+    }
 
   /** [[cut]] + drop ALL plan metadata by re-wrapping the materialized
     * RDD in a fresh logical relation: fresh exprIds, no propagated
@@ -58,7 +106,11 @@ object Lineage {
     */
   def settle(df: DataFrame): DataFrame = {
     val m = cut(df)
-    m.sparkSession.createDataFrame(m.rdd, m.schema)
+    val out = m.sparkSession.createDataFrame(m.rdd, m.schema)
+    // transfer checkpoint-file ownership to the frame the caller holds,
+    // so release(settledFrame) finds the files
+    Option(tracked.remove(m)).foreach(tracked.put(out, _))
+    out
   }
 
   /** `.cutLineage()` postfix form — drop-in for `.localCheckpoint(true)`. */

@@ -125,7 +125,17 @@ object MlEval {
       col(groupCol),
       col("n_pos"),
       col("n_neg"),
-      col("u2d").cast("long").as("u2"),
+      // 2U ≤ 2·n₊·n₋ exceeds long headroom past ~4.6e18 pos·neg per
+      // group — plausible at the corpus scales this targets. A bare
+      // non-ANSI cast would yield NULL silently there, contradicting
+      // "the gate pins the exact integer statistic"; fail loudly
+      // in-plan instead (the rounded ratio is still computable — the
+      // caller that hits this shards the group or reads `auc` only).
+      when(col("u2d") > lit(Long.MaxValue).cast("decimal(38,0)"),
+        raise_error(concat(lit("auc: doubled Mann-Whitney U "),
+          col("u2d").cast("string"),
+          lit(" exceeds long headroom; shard the group or drop the u2 column"))))
+        .otherwise(col("u2d")).cast("long").as("u2"),
       when(col("n_pos") === 0 || col("n_neg") === 0, lit(null)).otherwise(
         round(col("u2d").cast("double") /
           (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
@@ -149,8 +159,19 @@ object MlEval {
     * is what touches the data, and it is map-side combined. n₊ rides
     * a 1-row broadcast. TP/FP are emitted as exact longs; the three
     * ratios are single double divisions of exact operands, 6 dp.
+    *
+    * The "bounded" precondition is ENFORCED, not prose: the support
+    * cap (`spark.graft.scoreSupportMaxRows`, default 100 000) is
+    * checked IN-PLAN by ranking the histogram rows inside the same
+    * descending sort the sweep already pays — an unquantized
+    * high-cardinality double score fails loudly on first execution
+    * instead of silently single-partition-sorting ever-growing
+    * support forever.
     */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.scoreSupportMaxRows").map(_.toLong)
+      .getOrElse(100000L)
     val hist = df
       .groupBy(col(scoreCol).as("thr"))
       .agg(
@@ -164,9 +185,15 @@ object MlEval {
     hist
       .withColumn("tp", sum(dec(col("pos"))).over(wDesc))
       .withColumn("fp", sum(dec(col("neg"))).over(wDesc))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("thr").desc)))
       .crossJoin(broadcast(tot))
       .select(
-        col("thr"),
+        when(col("__rn") > cap,
+          raise_error(lit("prCurve: score support exceeds " +
+            s"spark.graft.scoreSupportMaxRows=$cap rows - the sweep is " +
+            "for quantized scores; bin the score first (e.g. " +
+            "Sketches.histogram)")))
+          .otherwise(col("thr")).as("thr"),
         col("tp").cast("long").as("tp"),
         col("fp").cast("long").as("fp"),
         round(col("tp").cast("double") /

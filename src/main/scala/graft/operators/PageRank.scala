@@ -213,25 +213,33 @@ object PageRank {
         .union(e.select(col("dst")))
         .distinct()
         .cutLineage()
+      // normalized tables are SETTLED per half-step too (not just the
+      // raw sums): the nodes-join + broadcast layer would otherwise
+      // stack one analysis layer per iteration — bounded at 3 rounds
+      // here, but a 50-round HITS would carry a 50-layer plan into
+      // every subsequent round's analysis. Sums accumulate in
+      // DECIMAL(38,0): h ≤ scale × in-degree would wrap a plain long
+      // sum silently on very large hubs while the oracle sums in
+      // HUGEINT — a silent cross-engine divergence.
       def normalize(raw: DataFrame, out: String): DataFrame = {
         val m = raw.agg(max(col("s")).as("m"))
-        nodes
+        Lineage.settle(nodes
           .join(raw, Seq("node"), "left")
           .crossJoin(broadcast(m))
           .select(col("node"),
-            fdiv(dec(coalesce(col("s"), lit(0L))) * lit(scale), dec(col("m")))
-              .as(out))
+            fdiv(dec(coalesce(col("s"), lit(0))) * lit(scale), dec(col("m")))
+              .as(out)))
       }
       var h = nodes.select(col("node"), lit(scale).as("h"))
       var a: DataFrame = null
       for (_ <- 1 to iters) {
         val aRaw = Lineage.settle(
           e.join(h, e("src") === h("node"))
-            .groupBy(e("dst").as("node")).agg(sum(col("h")).as("s")))
+            .groupBy(e("dst").as("node")).agg(sum(dec(col("h"))).as("s")))
         a = normalize(aRaw, "a")
         val hRaw = Lineage.settle(
           e.join(a, e("dst") === a("node"))
-            .groupBy(e("src").as("node")).agg(sum(col("a")).as("s")))
+            .groupBy(e("src").as("node")).agg(sum(dec(col("a"))).as("s")))
         h = normalize(hRaw, "h")
       }
       h.join(a, Seq("node"))

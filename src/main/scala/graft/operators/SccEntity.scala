@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Lineage.CutOps
+
+/** Strongly connected components of a PER-ENTITY directed graph —
+  * follows/links/citations, node domains that GROW with the corpus —
+  * by Forward-Backward-Trim (Fleischer, Hendrickson & Pınar,
+  * "On identifying strongly connected components in parallel", 2000;
+  * engineering per Slota, Rajamanickam & Madduri, "BFS and
+  * coloring-based parallel algorithms for strongly connected
+  * components", IPDPS 2014). This is the corpus-scale complement of
+  * [[GraphAlgos.sccCondensation]]: the condensation's V² path-doubling
+  * closure is right for bounded type domains and REFUSES large ones;
+  * this one never builds a reachability relation at all — every step
+  * is an |E|-keyed equi-join, so a 10⁹-edge follows graph is as
+  * shuffle-shaped as PageRank.
+  *
+  * The round structure, all subproblems advancing TOGETHER in one
+  * plan (a `part` column carries the subproblem id, so "recurse on
+  * the three remainders" is a groupBy, not driver-side fan-out):
+  *
+  *   1. TRIM to fixpoint: a node with no in-edge or no out-edge
+  *      within its part is a singleton SCC (nothing can both reach
+  *      and be reached by it) — assign and drop. Peeling cascades:
+  *      DAG regions dissolve entirely here, one topological layer
+  *      per iteration, which is what keeps pivot rounds for the
+  *      cyclic cores only.
+  *   2. PIVOT: each part's minimum node (deterministic — no RNG to
+  *      disagree across engines/retries). Because a part's id IS its
+  *      minimum node id, the pivot set is just `node === part`.
+  *   3. FW/BW: frontier BFS from the pivots along, then against, the
+  *      within-part edges (the [[GraphAlgos.bfsLevels]] shape, all
+  *      parts at once). SCC(pivot) = F ∩ B, and pivot = min(part) =
+  *      min of its SCC, so scc_id = the component's minimum node,
+  *      matching sccCondensation's convention.
+  *   4. SPLIT: survivors fall into F∖B, B∖F, or neither; each
+  *      (part, quadrant) group becomes a new part keyed by ITS
+  *      minimum node. Edges between quadrants can never close a cycle
+  *      (they'd have put both ends in F ∩ B), so confining the next
+  *      round's BFS to within-part edges loses nothing.
+  *
+  * Convergence: every round assigns at least each active part's pivot
+  * SCC, so the active set strictly shrinks; `maxRounds` bounds the
+  * worst case (a chain of small SCCs that neither trims nor splits —
+  * rounds ≈ #SCCs on the critical path) and fails loudly like the
+  * other iterative operators. Per-round state (`active`, the BFS
+  * visited sets, the assignment pieces) is settled via [[Lineage]]
+  * and superseded rounds are [[Lineage.release]]d, so reliable-mode
+  * checkpoint retention stays O(1) rounds.
+  *
+  * Returns (node, scc_id, scc_size) for EVERY node in the edge list —
+  * including nodes whose only edges are self-loops (singletons).
+  */
+object SccEntity {
+
+  def scc(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 30,
+      maxBfsIters: Int = 300,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // node domain from the UNFILTERED edges (self-loop-only nodes are
+    // singleton SCCs, not absentees); self-loops never change SCC
+    // membership, so the traversal graph drops them
+    val nodes = raw.select($"src".as("node")).union(raw.select($"dst"))
+      .distinct()
+    val e = raw.filter($"src" =!= $"dst").distinct().cutLineage()
+    val nEdges = e.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      // assignment pieces accumulate settled; the union is collapsed
+      // whenever it grows past a bounded width (the walks-accumulator
+      // discipline — plan width must not scale with round count)
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def flushPieces(): Unit = if (pieces.size > 16) {
+        val merged = Lineage.settle(pieces.reduce(_ union _))
+        pieces.foreach(Lineage.release)
+        pieces.clear()
+        pieces += merged
+      }
+      // every active subproblem is keyed by its MINIMUM node id
+      val minNode = nodes.agg(min($"node").as("part"))
+      var active = Lineage.settle(
+        nodes.crossJoin(broadcast(minNode)).select($"node", $"part"))
+      var activeCount = active.count()
+      var round = 0
+      while (activeCount > 0 && round < maxRounds) {
+        round += 1
+        // ---- trim to fixpoint: no in-edge or no out-edge ⇒ singleton
+        var trimming = true
+        while (trimming && activeCount > 0) {
+          val ae = withinPartEdges(e, active)
+          val outs = ae.select($"src".as("node")).distinct()
+            .withColumn("has_out", lit(1L))
+          val ins = ae.select($"dst".as("node")).distinct()
+            .withColumn("has_in", lit(1L))
+          val marked = Lineage.settle(active
+            .join(outs, Seq("node"), "left")
+            .join(ins, Seq("node"), "left")
+            .select($"node", $"part",
+              ($"has_out".isNotNull && $"has_in".isNotNull).as("keep")))
+          Lineage.release(ae)
+          val trimmed = marked.filter(!$"keep").select($"node")
+          val nTrim = trimmed.count()
+          if (nTrim == 0) {
+            trimming = false
+            Lineage.release(marked)
+          } else {
+            pieces += Lineage.settle(
+              trimmed.select($"node", $"node".as("scc_id")))
+            flushPieces()
+            val nxt = Lineage.settle(
+              marked.filter($"keep").select($"node", $"part"))
+            Lineage.release(marked)
+            Lineage.release(active)
+            active = nxt
+            activeCount -= nTrim
+          }
+        }
+        if (activeCount > 0) {
+          // ---- pivot FW/BW on the trimmed, cyclic remainder
+          val ae = withinPartEdges(e, active)
+          val pivots = active.filter($"node" === $"part")
+          val f = reach(ae, pivots, forward = true, maxBfsIters)
+          val b = reach(ae, pivots, forward = false, maxBfsIters)
+          val marked = Lineage.settle(active
+            .join(f.withColumn("inf", lit(1L)), Seq("node", "part"), "left")
+            .join(b.withColumn("inb", lit(1L)), Seq("node", "part"), "left")
+            .select($"node", $"part",
+              $"inf".isNotNull.as("inf"), $"inb".isNotNull.as("inb")))
+          Seq(ae, f, b).foreach(Lineage.release)
+          val sccNodes = marked.filter($"inf" && $"inb")
+          pieces += Lineage.settle(
+            sccNodes.select($"node", $"part".as("scc_id")))
+          flushPieces()
+          // split survivors into quadrants; new part = the group's min
+          val rem = marked.filter(!($"inf" && $"inb"))
+            .select($"node", $"part",
+              when($"inf", lit("f")).when($"inb", lit("b"))
+                .otherwise(lit("n")).as("q"))
+          val np = rem.groupBy($"part", $"q").agg(min($"node").as("np"))
+          val nxt = Lineage.settle(rem.join(np, Seq("part", "q"))
+            .select($"node", $"np".as("part")))
+          Lineage.release(marked)
+          Lineage.release(active)
+          active = nxt
+          activeCount = active.count()
+        }
+      }
+      require(activeCount == 0,
+        s"SccEntity.scc did not converge in $maxRounds rounds " +
+          s"($activeCount nodes unassigned) — a long chain of small SCCs; " +
+          "raise maxRounds")
+      val assign =
+        if (pieces.isEmpty) spark.emptyDataFrame
+          .withColumn("node", lit(0L)).withColumn("scc_id", lit(0L)).limit(0)
+        else pieces.reduce(_ union _)
+      val sizes = assign.groupBy($"scc_id")
+        .agg(count(lit(1)).as("scc_size"))
+      assign.join(sizes, "scc_id").select($"node", $"scc_id", $"scc_size")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Edges whose BOTH endpoints are active in the SAME part, stamped
+    * with that part: two node-keyed equi-joins, settled (it feeds
+    * several consumers in the round). Cross-part edges vanish — they
+    * can never participate in a cycle again (see the SPLIT step).
+    */
+  private def withinPartEdges(e: DataFrame, active: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    Lineage.settle(e
+      .join(active.select($"node".as("src"), $"part"), "src")
+      .join(active.select($"node".as("dst"), $"part".as("p2")), "dst")
+      .filter($"part" === $"p2")
+      .select($"src", $"dst", $"part"))
+  }
+
+  /** Multi-source frontier BFS over the within-part edges — all parts
+    * at once, visited set keyed (node, part). `forward = false` walks
+    * the transpose. The [[GraphAlgos.bfsLevels]] loop: per round one
+    * equi-join + distinct + anti-join, lineage settled, superseded
+    * rounds released.
+    */
+  private def reach(
+      ae: DataFrame,
+      pivots: DataFrame,
+      forward: Boolean,
+      maxIters: Int,
+  ): DataFrame = {
+    val spark = ae.sparkSession
+    import spark.implicits._
+    val step =
+      if (forward) ae.select($"src".as("node"), $"dst".as("next"), $"part")
+      else ae.select($"dst".as("node"), $"src".as("next"), $"part")
+    var visited = Lineage.settle(pivots.select($"node", $"part"))
+    var frontier = visited
+    var n = frontier.count()
+    var i = 0
+    while (n > 0 && i < maxIters) {
+      i += 1
+      val nxt = Lineage.settle(frontier
+        .join(step, Seq("node", "part"))
+        .select($"next".as("node"), $"part").distinct()
+        .join(visited, Seq("node", "part"), "left_anti"))
+      n = nxt.count()
+      if (n > 0) {
+        val merged = Lineage.settle(visited.union(nxt))
+        Lineage.release(visited)
+        if (frontier ne visited) Lineage.release(frontier)
+        visited = merged
+        frontier = nxt
+      } else Lineage.release(nxt)
+    }
+    require(n == 0,
+      s"SccEntity.reach did not drain in $maxIters frontier rounds — " +
+        "graph diameter exceeds the budget; raise maxBfsIters")
+    if (frontier ne visited) Lineage.release(frontier)
+    visited
+  }
+}

@@ -48,7 +48,11 @@ object RawLogSource {
 
   private val HourPattern = """^\d{4}-\d{2}-\d{2}-\d{2}$""".r
 
-  private val BatchSuffix = """\.b(\d+)\.""".r
+  // lookahead for the terminating dot so it is NOT consumed: adjacent
+  // segments like `.b1.b2.` must BOTH be re-padded (a consumed
+  // boundary dot would make the scan resume past it, leaving the
+  // second segment lexicographic)
+  private val BatchSuffix = """\.b(\d+)(?=\.)""".r
 
   /** Sort key that reads batch-file suffixes NUMERICALLY: `.b<digits>.`
     * segments are re-padded to a fixed 18 digits before the
@@ -63,7 +67,7 @@ object RawLogSource {
     BatchSuffix.replaceAllIn(path, m => {
       val digits = m.group(1).dropWhile(_ == '0')
       val n = if (digits.isEmpty) "0" else digits
-      "." + "b" + ("0" * math.max(0, 18 - n.length)) + n + "."
+      "." + "b" + ("0" * math.max(0, 18 - n.length)) + n
     })
 
   /** S7/F4: enumerate a directory, keep files whose hour overlaps

@@ -381,6 +381,19 @@ class GraphAlgosSpec extends AnyFunSuite {
       assert(sym.contains((p, q)), s"step $p -> $q is not an edge")
   }
 
+  test("deterministicWalks: accumulator plan width is bounded by the " +
+    "16-step materialization, not the walk length") {
+    val g = Seq((1L, 2L))
+    def planNodes(steps: Int): Int =
+      GraphAlgos.deterministicWalks(g.toDF("u", "v"), "u", "v", 1, steps)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    // 17 and 33 both sit one step past a materialization boundary, so
+    // their plans must be the SAME width — a 33-step walk must not
+    // carry a 34-way union
+    assert(planNodes(33) == planNodes(17),
+      "walk accumulator plan grows with step count past the cut cadence")
+  }
+
   test("deterministicWalks on a path graph: degree-1 endpoints must bounce back") {
     val g = Seq((1L, 2L), (2L, 3L))
     val a = walks(g, r = 1, steps = 2)

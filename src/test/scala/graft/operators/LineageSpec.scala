@@ -61,6 +61,49 @@ class LineageSpec extends AnyFunSuite {
     } else succeed
   }
 
+  test("release deletes a superseded reliable checkpoint's files; loops " +
+    "retain a bounded number of rounds, not the whole trajectory") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_release_ck").toString
+    withReliable(ckDir) {
+      // the CONTEXT checkpoint dir wins if an earlier test already set
+      // one (setCheckpointDir is once-per-context) — scan the real one
+      def rddDirs(): Set[String] = {
+        val actual = new java.io.File(
+          new java.net.URI(spark.sparkContext.getCheckpointDir.getOrElse(
+            "file://" + ckDir)).getPath)
+        def walk(f: java.io.File): Seq[java.io.File] =
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq
+            .flatMap(c => if (c.isDirectory) c +: walk(c) else Seq.empty)
+        walk(actual).filter(_.getName.startsWith("rdd-")).map(_.getPath).toSet
+      }
+      // direct: cut → files exist; release → gone
+      val before = rddDirs()
+      val df = Lineage.cut(Seq((1L, 2L)).toDF("a", "b"))
+      assert(df.count() == 1)
+      val mine = rddDirs() -- before
+      assert(mine.nonEmpty, "cut in reliable mode should create an rdd-* dir")
+      Lineage.release(df)
+      assert((rddDirs() -- before).isEmpty, "release should delete the files")
+      // settled frames transfer ownership to the wrapper the caller holds
+      val s = Lineage.settle(Seq((3L, 4L)).toDF("a", "b"))
+      assert(s.count() == 1)
+      assert((rddDirs() -- before).nonEmpty)
+      Lineage.release(s)
+      assert((rddDirs() -- before).isEmpty)
+      // end-to-end: a multi-round loop retains O(1) checkpoints — the
+      // static symmetric edges + the final state — NOT one per round.
+      // A 14-node path takes ~7 h-index rounds (the endpoint 1s creep
+      // inward one hop per round), so unreleased rounds would show up.
+      val path = (1L to 13L).map(i => (i, i + 1L))
+      val out = GraphAlgos.coreNumbers(path.toDF("u", "v"), "u", "v")
+      assert(out.collect().forall(_.getLong(1) == 1L)) // a path is all 1-core
+      val retained = rddDirs() -- before
+      assert(retained.size <= 3,
+        s"expected bounded retention (static edges + final state), " +
+          s"found ${retained.size} rdd dirs")
+    }
+  }
+
   test("settle drops origin stats: the size estimate's bit-length stays " +
     "flat across an iterated self-join loop (checkpointing alone lets the " +
     "BigInt estimate COMPOUND until stats estimation eats the driver)") {

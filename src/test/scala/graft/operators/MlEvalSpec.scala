@@ -95,6 +95,28 @@ class MlEvalSpec extends AnyFunSuite {
     assert(row(0) == ((2L, 2L, 0.5, 1.0, 0.666667)))
   }
 
+  test("prCurve: an over-cap score support fails loudly instead of " +
+    "single-partition-sorting an unbounded histogram") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.graft.scoreSupportMaxRows")
+    spark.conf.set("spark.graft.scoreSupportMaxRows", "8")
+    try {
+      val df = (1L to 32L).map(i => (i, i % 2)).toDF("s", "lbl")
+      val ex = intercept[Exception] {
+        MlEval.prCurve(df, "s", "lbl").collect()
+      }
+      assert(ex.getMessage.contains("scoreSupportMaxRows"), ex.getMessage)
+      // under the cap the same plan runs fine
+      val ok = (1L to 8L).map(i => (i, i % 2)).toDF("s", "lbl")
+      assert(MlEval.prCurve(ok, "s", "lbl").count() == 8)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.scoreSupportMaxRows", v)
+        case None => spark.conf.unset("spark.graft.scoreSupportMaxRows")
+      }
+    }
+  }
+
   test("agreement: hand-computed 2x2 kappa") {
     import spark.implicits._
     // cells a11=3 a10=1 a01=1 a00=5 → po=.8, E=52, κ=(80−52)/(100−52)

@@ -157,6 +157,17 @@ class PageRankSpec extends AnyFunSuite {
     assert(out(11L)._1 == 0L && out(1L)._2 == 0L)
   }
 
+  test("hits: plan depth is flat in the iteration count (normalized " +
+    "tables are settled per round, not just the raw sums)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def planNodes(iters: Int): Int =
+      PageRank.hits(edges, "src", "dst", iters)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(4) == planNodes(1),
+      "a deeper HITS run must not carry a deeper analysis plan")
+  }
+
   test("hits: result is independent of edge partitioning") {
     import spark.implicits._
     val edges = (1L to 40L).map(i => i -> (100L + i % 7))

@@ -48,6 +48,14 @@ class SccSpec extends AnyFunSuite {
     assert(out == Map("a" -> (("a", 1L)), "b" -> (("b", 1L))))
   }
 
+  test("a node whose ONLY edges are self-loops is a singleton SCC, " +
+    "not silently absent") {
+    val out = scc(Seq(("z", "z"), ("a", "b"), ("b", "a")))
+    assert(out == Map(
+      "z" -> (("z", 1L)),
+      "a" -> (("a", 2L)), "b" -> (("a", 2L))))
+  }
+
   test("result is invariant to input partitioning and edge duplication") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
       ("a", "b"), ("b", "c")) // dupes on purpose

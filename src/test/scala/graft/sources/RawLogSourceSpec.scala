@@ -66,6 +66,14 @@ class RawLogSourceSpec extends AnyFunSuite {
     ), s"got $got")
   }
 
+  test("replayOrderKey re-pads ADJACENT batch segments (the terminator " +
+    "dot is shared, so the match must not consume it)") {
+    // `.b1.b2.` — the first segment's trailing dot IS the second's
+    // leading dot; a consuming regex would leave `.b2.` lexicographic
+    val k = RawLogSource.replayOrderKey("2025-07-01-10.b1.b2.jsonl.zst")
+    assert(k == "2025-07-01-10.b" + "0" * 17 + "1.b" + "0" * 17 + "2.jsonl.zst", k)
+  }
+
   test("frames: stable per-file line numbers, strict field decode") {
     val frames = RawLogSource.frames(spark, paths).collect()
     // one frame per written line

@@ -621,6 +621,74 @@ object MlEval {
         col("ci_lo_ppm"), col("ci_hi_ppm"), col("reps_used"))
   }
 
+  /** Per-group exact-midrank AUC with a deterministic Poisson(1)-
+    * bootstrap 95% CI — [[auc]]'s histogram path composed with the
+    * [[resampled]] machinery. The key scale property: the resample
+    * weights MULTIPLY THE HISTOGRAM COUNTS — the per-replicate
+    * (g, b, score) histogram is the same map-side-combinable
+    * aggregation as the point estimate's, so every replicate's
+    * Mann–Whitney sweep runs on the SCORE SUPPORT (window partitioned
+    * by (g, b)), never corpus×reps rows. AUCs ride as exact ppm
+    * integers (floor division of exact decimals) end to end, so the
+    * rank-based percentile CI has no interpolation arithmetic to
+    * disagree on. Replicates that lose a class entirely (all-positive
+    * or all-negative resample) have undefined AUC and are excluded —
+    * `reps_used` reports the survivors; groups one-class in the FULL
+    * data drop from the output (their AUC is undefined everywhere),
+    * exactly as the oracle's inner join does.
+    */
+  def bootstrapAuc(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      reps: Int = 200,
+  ): DataFrame = {
+    require(reps >= 40, s"reps must be >= 40 for a rank-based 95% CI (got $reps)")
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // point estimate: the [[auc]] histogram sweep, emitted in exact ppm
+    val point = df
+      .groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("neg"))
+      .withColumn("cumneg", sum(dec(col("neg"))).over(w) - dec(col("neg")))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"),
+        sum(dec(col("pos")) * (lit(2) * col("cumneg") + dec(col("neg"))))
+          .as("u2d"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        fdiv(lit(1000000L) * col("u2d"),
+          lit(2) * dec(col("n_pos")) * dec(col("n_neg"))).as("auc_ppm"))
+    // replicate histograms: weights fold into the (g, b, score) counts
+    val wRep = Window.partitionBy(col("g"), col("b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perRep = resampled(df, groupCol, idCol, Seq(scoreCol, labelCol), reps)
+      .groupBy(col("g"), col("b"), col(scoreCol).as("s"))
+      .agg(
+        sum(dec(col("w") * col(labelCol))).as("pos"),
+        sum(dec(col("w") * (lit(1L) - col(labelCol)))).as("neg"))
+      .withColumn("cumneg", sum(col("neg")).over(wRep) - col("neg"))
+      .groupBy(col("g"), col("b"))
+      .agg(
+        sum(col("pos")).as("np"),
+        sum(col("neg")).as("nn"),
+        sum(col("pos") * (lit(2) * col("cumneg") + col("neg"))).as("u2"))
+      .filter(col("np") > 0 && col("nn") > 0)
+      .select(col("g"), col("b"),
+        fdiv(lit(1000000L) * col("u2"), lit(2) * col("np") * col("nn"))
+          .as("auc_b_ppm"))
+    point.join(percentileCi(perRep, "auc_b_ppm"), "g")
+      .select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        col("auc_ppm"), col("ci_lo_ppm"), col("ci_hi_ppm"), col("reps_used"))
+  }
+
   /** Paired-bootstrap accuracy DELTA between two 0/1 gates over the
     * same rows — "is the model BETTER than the rule, or just noisier":
     * each replicate reweights rows once and scores both gates on the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.GraphAlgos
+import graft.operators.{GraphAlgos, SccEntity}
 
 /** Graph analytics over derived co-occurrence graphs (the shapes a
   * curation pipeline builds from near-dup pairs or co-purchase
@@ -1550,9 +1550,60 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** SCC over a PER-ENTITY digraph — the graph [[graphScc]]'s 4096-node
+    * condensation guard refuses: per-user daily hand-off chains (for
+    * each (event_type, day), users ordered by first event; an edge
+    * from each user to the next), a node domain that grows with the
+    * corpus. `SccEntity.scc` runs Forward-Backward-Trim — every step
+    * an |E|-keyed join, no V² frame anywhere — so the same query
+    * stands at a 10⁹-user follows graph. The corpus-sized work is the
+    * distillation scan + the |E|-keyed rounds; the oracle replays the
+    * identical edge derivation, then a RECURSIVE-CTE set-union
+    * closure — a completely different program shape (global
+    * reachability relation vs trim/pivot/BFS recursion), which is the
+    * point of the cross-check.
+    */
+  private val graphSccEntity = Q(
+    "q_graph_scc_entity",
+    (s, dir) => {
+      import s.implicits._
+      val fe = Tables(s, dir).events
+        .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
+        .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type", $"bkt").orderBy($"fts", $"feid", $"user_id")
+      val chain = fe.withColumn("v", lead($"user_id", 1).over(w))
+        .filter($"v".isNotNull && $"v" =!= $"user_id")
+        .select($"user_id".as("u"), $"v")
+        .distinct()
+      SccEntity.scc(chain, "u", "v").orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v FROM chain WHERE v IS NOT NULL AND u <> v),
+           |nodes AS (SELECT DISTINCT u AS n FROM e UNION SELECT DISTINCT v FROM e),
+           |reach AS (
+           |  SELECT n AS a, n AS b FROM nodes
+           |  UNION
+           |  SELECT reach.a, e.v FROM reach JOIN e ON reach.b = e.u),
+           |mutual AS (
+           |  SELECT f.a, f.b FROM reach f JOIN reach g ON f.a = g.b AND f.b = g.a)
+           |SELECT a AS node, min(b) AS scc_id, CAST(count(*) AS BIGINT) AS scc_size
+           |FROM mutual GROUP BY a
+           |ORDER BY node""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
     graphNeighborSample, graphKcore, graphKcoreHindex, graphTruss,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
-    graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc)
+    graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
+    graphSccEntity)
 }

@@ -740,7 +740,80 @@ object MlEvalQ {
             |ORDER BY source""".stripMargin),
   )
 
+  /** Per-source AUC with a deterministic Poisson-bootstrap 95% CI
+    * (`MlEval.bootstrapAuc`): the separation number with its sampling
+    * noise priced in — "source X separates at 0.91 ± 0.03" instead of
+    * a bare point. The weights multiply the per-replicate score
+    * HISTOGRAM, so each of the 200 Mann–Whitney sweeps runs on the
+    * logit support, never corpus×reps rows. The oracle replays the
+    * identical resamples (same fnv63 coins, same Poisson thresholds)
+    * through the identical histogram sweep in HUGEINT, and the same
+    * rank-based percentile — exact ppm integers on both sides.
+    */
+  private val bootstrapAucQ = Q(
+    "q_ml_auc_ci",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis
+        .modelQuality(Tables(s, dir).documents, keep = Seq("source", "lang"))
+        .select($"doc_id", $"source", $"logit_scaled",
+          ($"lang" === "en").cast("long").as("lbl"))
+      MlEval.bootstrapAuc(scored, "source", "doc_id", "logit_scaled", "lbl",
+        reps = 200)
+        .orderBy($"source")
+    },
+    Some(s"""$logitCtes,
+            |rep AS (SELECT doc_id, source, logit AS s, lbl, CAST(rb.b AS BIGINT) AS b
+            |        FROM l, range(1, 201) rb(b)),
+            |hsh AS (SELECT source, b, s, lbl, ${Relational.fnv63Sql(
+              "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")} AS u
+            |        FROM rep),
+            |wt AS (SELECT source, b, s, lbl, $poissonWeightSql AS w FROM hsh),
+            |hist AS (SELECT source, b, s,
+            |                CAST(sum(w * lbl) AS HUGEINT) AS pos,
+            |                CAST(sum(w * (1 - lbl)) AS HUGEINT) AS neg
+            |         FROM wt GROUP BY 1, 2, 3),
+            |cum AS (SELECT source, b, pos, neg,
+            |               sum(neg) OVER (PARTITION BY source, b ORDER BY s
+            |                 ROWS UNBOUNDED PRECEDING) - neg AS cumneg
+            |        FROM hist),
+            |pr AS (SELECT source, b, sum(pos) AS np, sum(neg) AS nn,
+            |              sum(pos * (2 * cumneg + neg)) AS u2
+            |       FROM cum GROUP BY 1, 2),
+            |ab AS (SELECT source, b,
+            |              CAST((1000000 * u2) // (2 * np * nn) AS BIGINT) AS auc_b_ppm
+            |       FROM pr WHERE np > 0 AND nn > 0),
+            |r AS (SELECT source, b, auc_b_ppm,
+            |             row_number() OVER (PARTITION BY source ORDER BY auc_b_ppm, b) AS rn,
+            |             count(*) OVER (PARTITION BY source) AS m
+            |      FROM ab),
+            |ci AS (SELECT source,
+            |              max(CASE WHEN rn = greatest((m * 25) // 1000, 1) THEN auc_b_ppm END) AS ci_lo_ppm,
+            |              max(CASE WHEN rn = m - (m * 25) // 1000 THEN auc_b_ppm END) AS ci_hi_ppm,
+            |              CAST(max(m) AS BIGINT) AS reps_used
+            |       FROM r GROUP BY source),
+            |c AS (SELECT source, logit AS s, CAST(sum(lbl) AS HUGEINT) AS pos,
+            |             CAST(count(*) - sum(lbl) AS HUGEINT) AS neg
+            |      FROM l GROUP BY 1, 2),
+            |pw AS (SELECT source, pos, neg,
+            |              sum(neg) OVER (PARTITION BY source ORDER BY s
+            |                ROWS UNBOUNDED PRECEDING) - neg AS cumneg
+            |       FROM c),
+            |pa AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+            |              CAST(sum(neg) AS BIGINT) AS n_neg,
+            |              sum(pos * (2 * cumneg + neg)) AS u2
+            |       FROM pw GROUP BY source)
+            |SELECT pa.source, n_pos, n_neg,
+            |       CAST((1000000 * u2) //
+            |            (2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT)) AS BIGINT) AS auc_ppm,
+            |       ci_lo_ppm, ci_hi_ppm, reps_used
+            |FROM pa JOIN ci USING (source)
+            |WHERE n_pos > 0 AND n_neg > 0
+            |ORDER BY source""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(linearProbe, aucQ, calibrationQ, prCurveQ, kappaQ, confusionQ,
-      mcnemarQ, eceQ, brierQ, pipelineModelEval, bootstrapCiQ, bootstrapDeltaQ)
+      mcnemarQ, eceQ, brierQ, pipelineModelEval, bootstrapCiQ, bootstrapDeltaQ,
+      bootstrapAucQ)
 }

@@ -306,6 +306,50 @@ class MlEvalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq && a.nonEmpty)
   }
 
+  test("bootstrapAuc: perfect separation pins point and CI at exactly 1e6") {
+    import spark.implicits._
+    // scores 1..100 with labels = score > 50: every resample that keeps
+    // both classes still separates perfectly → AUC exactly 1e6
+    val df = (1L to 100L).map(i => ("g", i, i, if (i > 50) 1L else 0L))
+      .toDF("g", "id", "s", "lbl")
+    val r = MlEval.bootstrapAuc(df, "g", "id", "s", "lbl", reps = 60)
+      .collect().head
+    assert(r.getAs[Long]("auc_ppm") == 1000000L)
+    assert(r.getAs[Long]("ci_lo_ppm") == 1000000L)
+    assert(r.getAs[Long]("ci_hi_ppm") == 1000000L)
+    assert(r.getAs[Long]("reps_used") >= 55L) // class-dropping resamples are rare
+  }
+
+  test("bootstrapAuc: CI brackets the point, one-class groups drop") {
+    import spark.implicits._
+    // noisy separation: label thresholds the score with a jittered cut
+    val rows = (1L to 400L).map { i =>
+      val s = i % 100
+      val lbl = if (s > 45 + (i % 11)) 1L else 0L
+      ("g", i, s, lbl)
+    } ++ (1L to 50L).map(i => ("onecls", 1000L + i, i % 9, 1L))
+    val out = MlEval.bootstrapAuc(rows.toDF("g", "id", "s", "lbl"),
+      "g", "id", "s", "lbl", reps = 100).collect()
+    assert(out.map(_.getString(0)).toSet == Set("g")) // one-class group absent
+    val r = out.head
+    val (p, lo, hi) = (r.getAs[Long]("auc_ppm"),
+      r.getAs[Long]("ci_lo_ppm"), r.getAs[Long]("ci_hi_ppm"))
+    assert(lo <= p && p <= hi && lo < hi)
+    assert(p > 500000L && p < 1000000L)
+  }
+
+  test("bootstrapAuc is invariant to input partitioning") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (s"s${i % 2}", i, i % 37, (i % 3L) min 1L))
+    val a = MlEval.bootstrapAuc(rows.toDF("g", "id", "s", "lbl"),
+      "g", "id", "s", "lbl", reps = 60)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = MlEval.bootstrapAuc(rows.toDF("g", "id", "s", "lbl").repartition(7),
+      "g", "id", "s", "lbl", reps = 60)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
+
   test("bootstrapDelta: a gate against itself is exactly zero, not significant") {
     import spark.implicits._
     val df = (1L to 200L).map(i => ("g", i, i % 2L, i % 2L))

@@ -2176,6 +2176,68 @@ object Relational {
             |ORDER BY a.day""".stripMargin),
   )
 
+  /** One-pass corpus quantiles via the KLL/MRL compactor sketch
+    * (`functions.KllSketch`): sketch the price column in a single
+    * map-side-combinable aggregation (state O(K·log(n/K)) per task,
+    * merges level-concatenate), then read the 1/25/50/75/99th
+    * percentiles off the weighted sample and CHECK each estimate's
+    * exact corpus rank against the worst-case bound — asserted at
+    * n/64 (1.5625 % of n), which dominates the sketch's
+    * ceil(log₂(n/K))/(2K) guarantee for any n ≤ 10¹² at K = 1024.
+    * Like every sublinear quantile summary the retained sample is
+    * arrival-order-dependent, so the gate pins the ORDER-INVARIANT
+    * contract — n, the exact target ranks, and the bound verdict —
+    * not the sample; the oracle computes the same targets exactly and
+    * asserts the verdict the sketch's worst-case analysis proves.
+    * The only windows run over the sketch sample (≤ K·levels rows)
+    * and the 5-row quantile table; the corpus is touched by exactly
+    * two scans (sketch build + exact-rank audit — and the audit
+    * exists only because this IS the accuracy gate; production reads
+    * the sketch alone).
+    */
+  private val sketchKll = Q(
+    "q_sketch_kll",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.KllSketch.register(s)
+      val px = Tables(s, dir).lineitem
+        .select(($"l_extendedprice" * 100).cast("long").as("x"))
+      val sk = px.agg(
+        call_function(graft.functions.KllSketch.Name, $"x").as("sk"),
+        count(lit(1)).as("n"))
+      val sample = sk.select(explode($"sk").as("p"), $"n")
+        .select($"p.v".as("v"), $"p.w".as("w"), $"n")
+      // cumulative weight over the SKETCH SAMPLE (≤ K·levels rows)
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy($"v", $"w")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = sample.withColumn("cw", sum($"w").over(wCum))
+      val qs = Seq(1L, 25L, 50L, 75L, 99L).toDF("q_pct")
+      val targets = qs.crossJoin(broadcast(sk.select($"n")))
+        .select($"q_pct", $"n",
+          expr("(q_pct * n + 99) div 100").as("target_rank"))
+      val est = cum.crossJoin(broadcast(targets))
+        .filter($"cw" >= $"target_rank")
+        .groupBy($"q_pct").agg(min($"v").as("est"))
+      // exact-rank audit: one corpus scan, 5 broadcast thresholds
+      val rank = px.crossJoin(broadcast(est))
+        .groupBy($"q_pct")
+        .agg(sum(when($"x" <= $"est", 1L).otherwise(0L)).as("rank"))
+      targets.join(rank, "q_pct")
+        .select($"q_pct", $"n", $"target_rank",
+          (abs($"rank" - $"target_rank") <= expr("n div 64")).as("within_bound"))
+        .orderBy($"q_pct")
+    },
+    Some("""WITH px AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS x FROM lineitem),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM px),
+           |qs(q_pct) AS (VALUES (1), (25), (50), (75), (99))
+           |SELECT CAST(q_pct AS BIGINT) AS q_pct, n,
+           |       (q_pct * n + 99) // 100 AS target_rank,
+           |       TRUE AS within_bound
+           |FROM qs, nn
+           |ORDER BY q_pct""".stripMargin),
+  )
+
   /** Streaming count-min sketch: the CMS cells accumulate
     * incrementally over the event stream in complete mode — streaming
     * frequency tracking with STATE BOUNDED at depth×width cells no
@@ -3263,6 +3325,7 @@ object Relational {
     sketchKmvJaccard,
     sketchKmvRollup,
     sketchHllLake,
+    sketchKll,
     sampleBottomKBySource,
     windowGapFill,
     streamGapFill,

@@ -53,4 +53,30 @@ object Tables {
         raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => raw
     }
+
+  /** File-stream source over ONE fixture table, agnostic to the
+    * directory's layout. The driver writes flat single files
+    * (`$dir/events.parquet` IS a parquet file), so the stream gates
+    * historically filtered the directory listing with
+    * `pathGlobFilter=<table>.parquet`; Spark-written datasets (the
+    * `MakeSf1` scale synthesis, any real lake) make `<table>.parquet`
+    * a DIRECTORY of part files that the same glob silently excludes —
+    * an empty stream. Resolve the layout once here: a directory
+    * streams directly, a flat file keeps the glob shim. In production
+    * the same queries point this at an arriving-files directory; the
+    * shim exists only because the fixture is one static file.
+    */
+  def streamTable(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+  ): DataFrame = {
+    val p = new java.io.File(dir, s"$table.parquet")
+    if (p.isDirectory)
+      spark.readStream.schema(schema).parquet(p.getPath)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
 }

@@ -583,8 +583,7 @@ object Curation {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val sch = Tables(s, dir).documents.schema
-        val src = s.readStream.schema(sch)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val src = Tables.streamTable(s, dir, "documents", sch)
           .select($"doc_id", $"text")
         val gated = TextAnalysis
           .gate(src, TextAnalysis.defaultStopwords, TextAnalysis.defaultProfile)

@@ -734,8 +734,7 @@ object Dedup {
         val sch = Tables(s, dir).documents.schema
         // the file streaming source lists a DIRECTORY; the glob filter
         // narrows it to the documents table
-        def src = s.readStream.schema(sch)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        def src = Tables.streamTable(s, dir, "documents", sch)
         val dd = src
           .union(src)
           .select(md5($"text").as("h"), length($"text").cast("long").as("chars"))
@@ -781,8 +780,7 @@ object Dedup {
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src = graft.Tables.normalizeEventTs(
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          Tables.streamTable(s, dir, "events", rawSchema))
         val dd = src.union(src)
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")

@@ -553,8 +553,7 @@ object Relational {
             max(expr("(cast(ts as bigint) div 60) * 60000")).as("hi"))
           .head()
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-        val ev = fixTs(s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val ev = fixTs(Tables.streamTable(s, dir, "events", rawSchema))
         val query = graft.streaming.GapFill.filledSpine(ev, lo, hi)
           .writeStream
           .format("memory").queryName(sinkName)
@@ -1133,8 +1132,7 @@ object Relational {
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val ev = graft.Tables.normalizeEventTs(
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          Tables.streamTable(s, dir, "events", rawSchema))
         val gap = when($"event_type".isin("click", "view"), "2 hours")
           .otherwise("6 hours")
         val sess = ev
@@ -1212,8 +1210,7 @@ object Relational {
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val ev = graft.Tables.normalizeEventTs(
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          Tables.streamTable(s, dir, "events", rawSchema))
         val sess = ev
           .withWatermark("ts", "1 hour")
           .groupBy(session_window($"ts", "6 hours"), $"user_id")
@@ -1282,8 +1279,7 @@ object Relational {
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src = graft.Tables.normalizeEventTs(
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          Tables.streamTable(s, dir, "events", rawSchema))
         val views = src.filter($"event_type" === "view")
           .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
           .withWatermark("view_ts", "1 hour")
@@ -1347,8 +1343,7 @@ object Relational {
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src = graft.Tables.normalizeEventTs(
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          Tables.streamTable(s, dir, "events", rawSchema))
         val views = src.filter($"event_type" === "view")
           .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
           .withWatermark("view_ts", "1 hour")
@@ -1810,8 +1805,7 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        def src = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        def src = Tables.streamTable(s, dir, "events", rawSchema)
         val agg = src.union(src)
           .groupBy($"event_type")
           .agg(call_function(graft.functions.HllSketch.Name,
@@ -1882,8 +1876,7 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val sch = s.read.parquet(s"$dir/documents.parquet").schema
-        def src = s.readStream.schema(sch)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        def src = Tables.streamTable(s, dir, "documents", sch)
         val agg = src.union(src)
           .agg(call_function(graft.functions.BottomK.Name,
             $"doc_id".cast("string"), lit(100)).as("hs"))
@@ -2262,8 +2255,7 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val src = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val src = Tables.streamTable(s, dir, "events", rawSchema)
         val cells = graft.operators.Sketches
           .cmsCells(src.select($"user_id".cast("string").as("k")), $"k",
             depth = 3, width = 1024)
@@ -2314,8 +2306,7 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val rawSchema = s.read.parquet(s"$dir/lineitem.parquet").schema
-        val src = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+        val src = Tables.streamTable(s, dir, "lineitem", rawSchema)
         val hist = graft.operators.Sketches
           .histogram(src, $"l_extendedprice", lo = 0.0, hi = 110000.0, bins = 256)
         val query = hist.writeStream
@@ -2912,8 +2903,7 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val sch = Tables(s, dir).documents.schema
-        val newStream = s.readStream.schema(sch)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val newStream = Tables.streamTable(s, dir, "documents", sch)
           .filter(expr("(doc_id div 20) % 2 = 1"))
         val histNew = graft.operators.Drift.histogram(
           newStream, "source", "n_chars", binWidth = 100L, nBins = 8, cntCol = "c_new")
@@ -2957,8 +2947,7 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val sch = Tables(s, dir).documents.schema
-        val stream = s.readStream.schema(sch)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.streamTable(s, dir, "documents", sch)
         val counts = graft.operators.Drift.tokenCounts(stream, "source", "text")
         val query = counts.writeStream
           .format("memory").queryName(sinkName)
@@ -3008,8 +2997,7 @@ object Relational {
       s.conf.set("spark.sql.shuffle.partitions", "1")
       try {
         val rawSchema = s.read.parquet(s"$dir/orders.parquet").schema
-        val o = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        val o = Tables.streamTable(s, dir, "orders", rawSchema)
           .withColumn("o_priority_nz", nullif($"o_orderpriority", lit("1-URGENT")))
           .withColumn("o_date", to_date($"o_orderdate"))
         val prof = graft.operators.Profile.profileHll(
@@ -3151,8 +3139,7 @@ object Relational {
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = graft.Tables.normalizeEventTs(
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          Tables.streamTable(s, dir, "events", rawSchema))
         val agg = src
           .withWatermark("ts", "1 hour")
           .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
@@ -3220,8 +3207,7 @@ object Relational {
           .select($"c_custkey", $"c_mktsegment")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = graft.Tables.normalizeEventTs(
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          Tables.streamTable(s, dir, "events", rawSchema))
         val enriched = src
           .join(broadcast(dim), $"user_id" === $"c_custkey")
           .select($"event_id", $"user_id",

@@ -199,8 +199,7 @@ object TimeSeries {
       try {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = graft.Tables.normalizeEventTs(
-          s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir))
+          Tables.streamTable(s, dir, "events", rawSchema))
         val keyed = src
           .withWatermark("ts", "2 hours")
           .withColumn("cents", round($"value" * 100).cast("long"))

@@ -88,10 +88,24 @@ object SccEntity {
         pieces.clear()
         pieces += merged
       }
-      // every active subproblem is keyed by its MINIMUM node id
-      val minNode = nodes.agg(min($"node").as("part"))
+      // every active subproblem is keyed by its MINIMUM node id.
+      // Seed the partition from WEAKLY-connected components (min-label
+      // propagation, [[Components.connectedComponents]] — component id
+      // IS the min node, preserving the pivot = (node === part)
+      // invariant): disjoint weak components advance through their own
+      // pivot rounds IN PARALLEL instead of queueing through one
+      // global subproblem's "neither" quadrant — on a corpus of k
+      // disconnected communities that is the difference between
+      // max-rounds-per-community and sum-over-communities. Nodes with
+      // no traversal edges (self-loop-only) seed their own singleton
+      // parts.
       var active = Lineage.settle(
-        nodes.crossJoin(broadcast(minNode)).select($"node", $"part"))
+        if (nEdges == 0) nodes.select($"node", $"node".as("part"))
+        else nodes.join(
+          Components.connectedComponents(e, "src", "dst")
+            .select($"node", $"component".as("part")),
+          Seq("node"), "left")
+          .select($"node", coalesce($"part", $"node").as("part")))
       var activeCount = active.count()
       var round = 0
       while (activeCount > 0 && round < maxRounds) {

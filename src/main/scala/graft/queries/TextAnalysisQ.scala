@@ -1347,6 +1347,57 @@ object TextAnalysisQ {
             |LIMIT 20""".stripMargin),
   )
 
+  /** Misra-Gries guaranteed heavy hitters over corpus words
+    * (`functions.MisraGries`, K = 64): the deterministic-guarantee
+    * complement of [[heavyHitters]]'s count-min estimate — 64 counters
+    * of state per group at ANY corpus size, no hash, no second pass,
+    * and two worst-case invariants that hold under any arrival order
+    * and merge tree: counts never exceed truth (decrements only),
+    * truth never exceeds count + n/(K+1), and every item above the
+    * n/(K+1) frequency line is PRESENT (zero false negatives). Like
+    * the KLL gate, the retained counters are arrival-order-dependent,
+    * so the gate pins the order-invariant contract: for each
+    * exactly-heavy word (true_cnt·65 > n, integer-exact), its exact
+    * count and the three invariant verdicts; the oracle derives the
+    * same heavy set exactly and asserts the verdicts the MG theorems
+    * prove. The corpus is scanned twice only because this IS the
+    * accuracy audit — production reads the 64 counters alone.
+    */
+  private val misraGriesHeavy = Q(
+    "q_sketch_misra_gries",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.MisraGries.register(s)
+      val words = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("w"))
+      val sk = words.agg(
+        call_function(graft.functions.MisraGries.Name, $"w").as("s"),
+        count(lit(1)).as("n"))
+      val mg = sk.select(explode($"s").as("p"))
+        .select($"p.item".as("w"), $"p.cnt".as("mg_cnt"))
+      val tru = words.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      tru.crossJoin(broadcast(sk.select($"n")))
+        .filter($"true_cnt" * 65 > $"n")
+        .join(broadcast(mg), Seq("w"), "left")
+        .select($"w".as("word"), $"true_cnt",
+          $"mg_cnt".isNotNull.as("covered"),
+          (coalesce($"mg_cnt", lit(0L)) <= $"true_cnt").as("lb_ok"),
+          (($"true_cnt" - coalesce($"mg_cnt", lit(0L))) * 65 <= $"n").as("ub_ok"))
+        .orderBy($"word")
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+           |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+           |        FROM words GROUP BY w)
+           |SELECT w AS word, true_cnt,
+           |       TRUE AS covered, TRUE AS lb_ok, TRUE AS ub_ok
+           |FROM tru, nn
+           |WHERE true_cnt * 65 > n
+           |ORDER BY word""".stripMargin),
+  )
+
   /** Length-bucketed batch planning (operators/Batching): bucket
     * boundaries are the corpus's p25/p50/p75 word-count quantiles from
     * the MERGEABLE histogram sketch (bin width 1 over [0,128) — the
@@ -1470,5 +1521,5 @@ object TextAnalysisQ {
       decontaminateFuzzy,
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
-      heavyHitters, lengthBatching)
+      heavyHitters, misraGriesHeavy, lengthBatching)
 }

@@ -844,6 +844,78 @@ object GraphAlgos {
     )
   }
 
+  /** Earliest-arrival TIME-RESPECTING reachability over a directed
+    * temporal edge list (Wu et al., "Path problems in temporal
+    * graphs", VLDB 2014): node v is reachable from `seed` iff some
+    * path uses edges in NON-DECREASING timestamp order, and its
+    * earliest arrival is the minimum last-edge timestamp over such
+    * paths. This is what static reachability silently gets wrong on
+    * event/interaction graphs — influence, contamination, and
+    * information can only flow forward in time, so a static BFS
+    * overstates spread through anti-chronological paths.
+    *
+    * Frontier relaxation, exactly the [[sssp]] shape: per round, the
+    * improved-last-round nodes join their out-edges FILTERED to
+    * `edge.ts >= arrival` (a node departs no earlier than it
+    * arrived), candidates pre-aggregate with a map-side min per dst,
+    * and a left join keeps strict improvements. Arrivals only
+    * decrease, so frontier-empty ⟺ fixpoint, reached within |V|
+    * rounds; per-round cost is O(frontier out-edges), never O(|E|).
+    * State is settled per round and superseded rounds are
+    * [[Lineage.release]]d. Returns (node, arr) for every
+    * time-respecting-reachable node; the seed carries `arr = startTs`
+    * (it departs on any edge with ts ≥ startTs). Unreachable nodes
+    * are absent — the honest answer, as in [[bfsLevels]].
+    */
+  def temporalReachable(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      tsCol: String,
+      seed: Long,
+      startTs: Long = 0L,
+      maxIters: Int = 100,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst"), col(tsCol).cast("long").as("ts"))
+      .cutLineage()
+    val nEdges = e.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var arr = Lineage.settle(Seq((seed, startTs)).toDF("node", "arr"))
+      var frontier = arr
+      var n = 1L
+      var i = 0
+      while (n > 0 && i < maxIters) {
+        i += 1
+        val cand = frontier.join(e, $"node" === $"src" && $"ts" >= $"arr")
+          .select($"dst".as("node"), $"ts".as("carr"))
+          .groupBy($"node").agg(min($"carr").as("carr"))
+        val improved = Lineage.settle(cand
+          .join(arr, Seq("node"), "left_outer")
+          .filter($"arr".isNull || $"carr" < $"arr")
+          .select($"node", $"carr".as("arr")))
+        n = improved.count()
+        if (n > 0) {
+          val merged = Lineage.settle(arr.union(improved)
+            .groupBy($"node").agg(min($"arr").as("arr")))
+          Lineage.release(arr)
+          if (frontier ne arr) Lineage.release(frontier)
+          arr = merged
+          frontier = improved
+        } else Lineage.release(improved)
+      }
+      require(n == 0,
+        s"temporalReachable did not converge in $maxIters rounds; raise maxIters")
+      if (frontier ne arr) Lineage.release(frontier)
+      arr
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Strongly-connected-component condensation of a DIRECTED graph
     * over a BOUNDED node domain — event/page/state types, dimensions
     * that do NOT grow with the corpus (session-flow condensation, not

@@ -1600,10 +1600,66 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** Time-respecting earliest-arrival reachability
+    * (`GraphAlgos.temporalReachable`) over the same per-(type, day)
+    * hand-off chains as [[graphSccEntity]], now carrying each edge's
+    * hand-off TIMESTAMP (the successor's first event, epoch ms):
+    * from the minimum user, who can be influenced through a
+    * chronologically consistent chain, and how early — the question
+    * static reachability answers WRONG (anti-chronological paths
+    * don't spread anything). Seed fetched as a bounded 1-row driver
+    * pull (the k-means-centroid pattern). Oracle: recursive-CTE
+    * candidate-arrival closure (propagates from EVERY arrival
+    * candidate, min at the end — a superset of the frontier
+    * relaxation's work, hence a genuinely different program).
+    */
+  private val graphTemporalReach = Q(
+    "q_graph_temporal_reach",
+    (s, dir) => {
+      import s.implicits._
+      val fe = Tables(s, dir).events
+        .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
+        .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type", $"bkt").orderBy($"fts", $"feid", $"user_id")
+      val chain = fe
+        .withColumn("v", lead($"user_id", 1).over(w))
+        .withColumn("vts", lead($"fts", 1).over(w))
+        .filter($"v".isNotNull && $"v" =!= $"user_id")
+        .select($"user_id".as("u"), $"v", unix_millis($"vts").as("ts"))
+        .distinct()
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      GraphAlgos.temporalReachable(chain, "u", "v", "ts", seed)
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |reach AS (
+           |  SELECT s AS node, CAST(0 AS BIGINT) AS arr FROM sd
+           |  UNION
+           |  SELECT e.v, e.ts FROM reach JOIN e ON e.u = reach.node
+           |   AND e.ts >= reach.arr)
+           |SELECT node, CAST(min(arr) AS BIGINT) AS arr
+           |FROM reach GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
     graphNeighborSample, graphKcore, graphKcoreHindex, graphTruss,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
-    graphSccEntity)
+    graphSccEntity, graphTemporalReach)
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Time-respecting earliest-arrival reachability: chronological paths
+  * count, anti-chronological ones don't, and the frontier relaxation
+  * matches an independent sequential fixpoint on random temporal
+  * graphs.
+  */
+class TemporalReachSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def reach(
+      edges: Seq[(Long, Long, Long)], seed: Long,
+      startTs: Long = 0L): Map[Long, Long] =
+    GraphAlgos.temporalReachable(
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", seed, startTs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Sequential fixpoint of arr(v) = min{t : (u,v,t) ∈ E, t ≥ arr(u)} —
+    * a plain iterate-until-stable loop, no frontier machinery. */
+  private def seqReach(
+      edges: Seq[(Long, Long, Long)], seed: Long,
+      startTs: Long = 0L): Map[Long, Long] = {
+    val arr = scala.collection.mutable.Map(seed -> startTs)
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((u, v, t) <- edges; au <- arr.get(u) if t >= au)
+        if (arr.get(v).forall(t < _)) { arr(v) = t; changed = true }
+    }
+    arr.toMap
+  }
+
+  test("chronological chain is reachable with the last edge's timestamp") {
+    val out = reach(Seq((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 30L)), seed = 1L)
+    assert(out == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 30L))
+  }
+
+  test("anti-chronological paths do NOT count (static BFS would overreach)") {
+    // 1→2 at t=50, 2→3 at t=10: statically 3 is reachable; temporally not
+    val out = reach(Seq((1L, 2L, 50L), (2L, 3L, 10L)), seed = 1L)
+    assert(out == Map(1L -> 0L, 2L -> 50L))
+  }
+
+  test("a later slow path can beat an early blocked one (label correction)") {
+    // direct 1→3 at t=100; via 2: 1→2 t=5, 2→3 t=20 — earliest arrival 20.
+    // The improvement must propagate: 3's first candidate may be 100.
+    val out = reach(Seq((1L, 3L, 100L), (1L, 2L, 5L), (2L, 3L, 20L)), seed = 1L)
+    assert(out(3L) == 20L)
+  }
+
+  test("equal timestamps chain (departure at arrival time is allowed)") {
+    val out = reach(Seq((1L, 2L, 7L), (2L, 3L, 7L)), seed = 1L)
+    assert(out == Map(1L -> 0L, 2L -> 7L, 3L -> 7L))
+  }
+
+  test("startTs gates the seed's first departure") {
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 40L))
+    assert(reach(edges, 1L, startTs = 20L) == Map(1L -> 20L, 3L -> 40L))
+  }
+
+  test("matches the sequential fixpoint on random temporal graphs") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(15)
+      val m = 3 * n
+      val edges = (1 to m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(50).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      assert(reach(edges, 0L) === seqReach(edges, 0L), s"trial $trial")
+    }
+  }
+
+  test("result is invariant to input partitioning") {
+    val edges = (1 to 60).map(i =>
+      ((i % 10).toLong, ((i * 3) % 10).toLong, (i % 17).toLong + 1L))
+      .filter(e => e._1 != e._2)
+    val base = reach(edges, 0L)
+    val repart = GraphAlgos.temporalReachable(
+      edges.toDF("u", "v", "ts").repartition(7), "u", "v", "ts", 0L, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == repart)
+  }
+}

@@ -1398,6 +1398,70 @@ object TextAnalysisQ {
            |ORDER BY word""".stripMargin),
   )
 
+  /** STREAMING twin of [[misraGriesHeavy]]: the 64 Misra-Gries
+    * counters ARE the streaming state — a complete-mode global
+    * aggregate whose buffer is the O(K) summary, accumulated across
+    * micro-batches by the same mergeable-summaries rule the batch
+    * shuffle uses (this is the live "trending items" monitor shape:
+    * fixed state, any volume). The finish audits the STREAM-
+    * accumulated counters against exact batch counts and pins the
+    * identical order-invariant contract on the identical oracle —
+    * MG's guarantees are arrival-order-free, which is precisely why
+    * the same verdict columns gate both the batch and the stream.
+    */
+  private val streamMisraGries = Q(
+    "q_stream_misra_gries",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.MisraGries.register(s)
+      val sinkName = "graft_stream_mg_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val words = Tables.streamTable(s, dir, "documents", sch)
+          .select(explode(split($"text", " ")).as("w"))
+        val sk = words.agg(
+          call_function(graft.functions.MisraGries.Name, $"w").as("s"),
+          count(lit(1)).as("n"))
+        val query = sk.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val st = s.table(sinkName)
+      val mg = st.select(explode($"s").as("p"))
+        .select($"p.item".as("w"), $"p.cnt".as("mg_cnt"))
+      val words = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("w"))
+      words.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(st.select($"n")))
+        .filter($"true_cnt" * 65 > $"n")
+        .join(broadcast(mg), Seq("w"), "left")
+        .select($"w".as("word"), $"true_cnt",
+          $"mg_cnt".isNotNull.as("covered"),
+          (coalesce($"mg_cnt", lit(0L)) <= $"true_cnt").as("lb_ok"),
+          (($"true_cnt" - coalesce($"mg_cnt", lit(0L))) * 65 <= $"n").as("ub_ok"))
+        .orderBy($"word")
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+           |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+           |        FROM words GROUP BY w)
+           |SELECT w AS word, true_cnt,
+           |       TRUE AS covered, TRUE AS lb_ok, TRUE AS ub_ok
+           |FROM tru, nn
+           |WHERE true_cnt * 65 > n
+           |ORDER BY word""".stripMargin),
+  )
+
   /** Length-bucketed batch planning (operators/Batching): bucket
     * boundaries are the corpus's p25/p50/p75 word-count quantiles from
     * the MERGEABLE histogram sketch (bin width 1 over [0,128) — the
@@ -1521,5 +1585,5 @@ object TextAnalysisQ {
       decontaminateFuzzy,
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
-      heavyHitters, misraGriesHeavy, lengthBatching)
+      heavyHitters, misraGriesHeavy, streamMisraGries, lengthBatching)
 }

@@ -106,6 +106,9 @@ object Components {
           .groupBy($"node").agg(min($"component").as("component"))
           .cutLineage()
         val nextSum = checksum(next)
+        // superseded round's reliable-checkpoint files are dead once
+        // `next` has materialized ([[Lineage.release]] retention note)
+        Lineage.release(labels)
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
@@ -214,6 +217,7 @@ object Components {
       while (!converged && i < maxIters) {
         val next = smallStar(largeStar(cur)).settleLineage()
         val nextSum = checksum(next)
+        Lineage.release(cur) // superseded round (retention note on release)
         cur = next
         converged = nextSum == prev
         prev = nextSum

@@ -102,6 +102,7 @@ object GraphAlgos {
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).cutLineage()
     var visited = Seq((seed, 0L)).toDF("node", "dist").cutLineage()
     var frontier = visited.select($"node")
+    var prevNext: DataFrame = null
     var depth = 0L
     var frontierSize = 1L
     while (frontierSize > 0 && depth < maxDepth) {
@@ -113,9 +114,16 @@ object GraphAlgos {
         .cutLineage()
       frontierSize = next.count()
       if (frontierSize > 0) {
-        visited = visited.union(next).cutLineage()
+        val merged = visited.union(next).cutLineage()
+        // reliable-checkpoint retention ([[Lineage.release]]): the
+        // superseded visited set and the frontier consumed this round
+        // are dead once `merged`/`next` have materialized
+        Lineage.release(visited)
+        if (prevNext != null) Lineage.release(prevNext)
+        visited = merged
         frontier = next.select($"node")
-      }
+        prevNext = next
+      } else Lineage.release(next)
     }
     visited
   }
@@ -198,10 +206,16 @@ object GraphAlgos {
           .select($"c.node".as("node"), $"c.dist".as("dist")))
         frontierSize = improved.count()
         if (frontierSize > 0) {
-          dist = settle(dist.union(improved)
+          val merged = settle(dist.union(improved)
             .groupBy($"node").agg(min($"dist").as("dist")))
+          // retention ([[Lineage.release]]): superseded dist table and
+          // the frontier consumed this round are dead once `merged`
+          // and `improved` have materialized
+          Lineage.release(dist)
+          if (frontier ne dist) Lineage.release(frontier)
+          dist = merged
           frontier = improved
-        }
+        } else Lineage.release(improved)
       }
       require(frontierSize == 0,
         s"sssp did not converge in $maxIters rounds — a shortest path " +
@@ -854,24 +868,38 @@ object GraphAlgos {
     * information can only flow forward in time, so a static BFS
     * overstates spread through anti-chronological paths.
     *
+    * Each edge carries a DEPARTURE and an ARRIVAL time (the flight-
+    * itinerary model; for instantaneous contact edges pass the same
+    * column for both): the edge is usable from u iff `dep ≥ arr(u)`,
+    * and lands at `arr`. The two-field model is what lets a caller
+    * add SHORTCUT edges — a composed chronological path (u…w) becomes
+    * one edge (u, w, dep = first hop's time, arr = last hop's time)
+    * with identical semantics, and doubling shortcuts over chain-
+    * structured inputs collapse the round count from the temporal
+    * diameter to its logarithm (see q_graph_temporal_reach, where the
+    * per-(type, day) hand-off chains are chronological by
+    * construction, so the level-2^l skip edges are exact composites
+    * and the fixpoint provably unchanged).
+    *
     * Frontier relaxation, exactly the [[sssp]] shape: per round, the
     * improved-last-round nodes join their out-edges FILTERED to
-    * `edge.ts >= arrival` (a node departs no earlier than it
-    * arrived), candidates pre-aggregate with a map-side min per dst,
-    * and a left join keeps strict improvements. Arrivals only
-    * decrease, so frontier-empty ⟺ fixpoint, reached within |V|
-    * rounds; per-round cost is O(frontier out-edges), never O(|E|).
-    * State is settled per round and superseded rounds are
-    * [[Lineage.release]]d. Returns (node, arr) for every
-    * time-respecting-reachable node; the seed carries `arr = startTs`
-    * (it departs on any edge with ts ≥ startTs). Unreachable nodes
-    * are absent — the honest answer, as in [[bfsLevels]].
+    * `dep >= arrival`, candidates pre-aggregate with a map-side min
+    * per dst, and a left join keeps strict improvements. Arrivals
+    * only decrease, so frontier-empty ⟺ fixpoint; rounds are bounded
+    * by the (shortcut-reduced) temporal diameter; per-round cost is
+    * O(frontier out-edges), never O(|E|). State is settled per round
+    * and superseded rounds are [[Lineage.release]]d. Returns
+    * (node, arr) for every time-respecting-reachable node; the seed
+    * carries `arr = startTs` (it departs on any edge with
+    * dep ≥ startTs). Unreachable nodes are absent — the honest
+    * answer, as in [[bfsLevels]].
     */
   def temporalReachable(
       edges: DataFrame,
       uCol: String,
       vCol: String,
-      tsCol: String,
+      depCol: String,
+      arrCol: String,
       seed: Long,
       startTs: Long = 0L,
       maxIters: Int = 100,
@@ -879,7 +907,9 @@ object GraphAlgos {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("src"),
-      col(vCol).cast("long").as("dst"), col(tsCol).cast("long").as("ts"))
+      col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
+      col(arrCol).cast("long").as("ets"))
+      .filter($"dep" <= $"ets") // a path cannot arrive before it departs
       .cutLineage()
     val nEdges = e.count()
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -892,8 +922,8 @@ object GraphAlgos {
       var i = 0
       while (n > 0 && i < maxIters) {
         i += 1
-        val cand = frontier.join(e, $"node" === $"src" && $"ts" >= $"arr")
-          .select($"dst".as("node"), $"ts".as("carr"))
+        val cand = frontier.join(e, $"node" === $"src" && $"dep" >= $"arr")
+          .select($"dst".as("node"), $"ets".as("carr"))
           .groupBy($"node").agg(min($"carr").as("carr"))
         val improved = Lineage.settle(cand
           .join(arr, Seq("node"), "left_outer")

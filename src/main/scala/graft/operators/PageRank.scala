@@ -87,13 +87,15 @@ object PageRank {
           .agg(sum(col("share")).as("s"))
         // linear chain (ranks feeds exactly one input of the next
         // round's plan), so a plain cut suffices — no settle needed
-        ranks = nodes
+        val next = nodes
           .join(contribs, Seq("node"), "left")
           .select(
             col("node"),
             (lit(15L * scale / 100L) +
               expr("(85 * coalesce(s, 0)) div 100")).as("r"))
           .cutLineage()
+        Lineage.release(ranks) // superseded round (retention note there)
+        ranks = next
       }
       ranks
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -151,13 +153,15 @@ object PageRank {
           .join(shares, "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("share")).as("s"))
-        ranks = nodes
+        val next = nodes
           .join(contribs, Seq("node"), "left")
           .select(
             col("node"),
             (col("is_seed") * lit(15L * scale / 100L) +
               expr("(85 * coalesce(s, 0)) div 100")).as("r"))
           .cutLineage()
+        Lineage.release(ranks) // superseded round (retention note there)
+        ranks = next
       }
       ranks
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -236,11 +240,19 @@ object PageRank {
         val aRaw = Lineage.settle(
           e.join(h, e("src") === h("node"))
             .groupBy(e("dst").as("node")).agg(sum(dec(col("h"))).as("s")))
-        a = normalize(aRaw, "a")
+        val aNew = normalize(aRaw, "a")
+        // retention: the raw sums and last round's normalized tables
+        // are dead once their settled successors materialize
+        Lineage.release(aRaw)
+        if (a != null) Lineage.release(a)
+        a = aNew
         val hRaw = Lineage.settle(
           e.join(a, e("dst") === a("node"))
             .groupBy(e("src").as("node")).agg(sum(dec(col("a"))).as("s")))
-        h = normalize(hRaw, "h")
+        val hNew = normalize(hRaw, "h")
+        Lineage.release(hRaw)
+        Lineage.release(h) // no-op round 1 (untracked lazy projection)
+        h = hNew
       }
       h.join(a, Seq("node"))
         .select(col("node"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))

@@ -1608,10 +1608,22 @@ object Graph {
     * chronologically consistent chain, and how early — the question
     * static reachability answers WRONG (anti-chronological paths
     * don't spread anything). Seed fetched as a bounded 1-row driver
-    * pull (the k-means-centroid pattern). Oracle: recursive-CTE
-    * candidate-arrival closure (propagates from EVERY arrival
-    * candidate, min at the end — a superset of the frontier
-    * relaxation's work, hence a genuinely different program).
+    * pull (the k-means-centroid pattern).
+    *
+    * The SCALE move: each (type, day) chain is chronological by
+    * construction (ordered by first-event time), so the query adds
+    * DOUBLING SHORTCUT edges (u_i → u_{i+2^l}, depart = the first
+    * hop's time, arrive = the last's) — exact composites of real
+    * paths, so the fixpoint is provably unchanged, but the frontier
+    * crosses a k-user chain in O(log k) rounds instead of k. Without
+    * them the round count IS the temporal diameter, which grows with
+    * users-per-day (measured: 62 rounds at sf0.1, >100 at sf1); with
+    * them the loop converges in a few dozen rounds at any SF for
+    * ~13× edge volume — the classic shortcut trade, and the right
+    * one when rounds are the scarce resource. Oracle: recursive-CTE
+    * candidate-arrival closure over the BASE edges only (shortcuts
+    * add nothing semantically — that the two sides hash-match is
+    * itself the proof).
     */
   private val graphTemporalReach = Q(
     "q_graph_temporal_reach",
@@ -1622,14 +1634,21 @@ object Graph {
         .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"event_type", $"bkt").orderBy($"fts", $"feid", $"user_id")
-      val chain = fe
-        .withColumn("v", lead($"user_id", 1).over(w))
-        .withColumn("vts", lead($"fts", 1).over(w))
-        .filter($"v".isNotNull && $"v" =!= $"user_id")
-        .select($"user_id".as("u"), $"v", unix_millis($"vts").as("ts"))
+      val levels = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+      val leads = fe
+        .withColumn("dep", lead($"fts", 1).over(w))
+        .select(Seq($"user_id".as("u"), unix_millis($"dep").as("dep")) ++
+          levels.flatMap(l => Seq(
+            lead($"user_id", l).over(w).as(s"v$l"),
+            unix_millis(lead($"fts", l).over(w)).as(s"a$l"))): _*)
+      val chain = levels.map { l =>
+        leads.filter(col(s"v$l").isNotNull)
+          .select($"u", col(s"v$l").as("v"), $"dep", col(s"a$l").as("arr"))
+      }.reduce(_ union _)
+        .filter($"u" =!= $"v")
         .distinct()
       val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
-      GraphAlgos.temporalReachable(chain, "u", "v", "ts", seed)
+      GraphAlgos.temporalReachable(chain, "u", "v", "dep", "arr", seed)
         .orderBy($"node")
     },
     Some("""WITH RECURSIVE fe AS (

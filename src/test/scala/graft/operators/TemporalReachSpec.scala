@@ -17,7 +17,7 @@ class TemporalReachSpec extends AnyFunSuite {
       edges: Seq[(Long, Long, Long)], seed: Long,
       startTs: Long = 0L): Map[Long, Long] =
     GraphAlgos.temporalReachable(
-      edges.toDF("u", "v", "ts"), "u", "v", "ts", seed, startTs)
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", seed, startTs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Sequential fixpoint of arr(v) = min{t : (u,v,t) ∈ E, t ≥ arr(u)} —
@@ -81,8 +81,27 @@ class TemporalReachSpec extends AnyFunSuite {
       .filter(e => e._1 != e._2)
     val base = reach(edges, 0L)
     val repart = GraphAlgos.temporalReachable(
-      edges.toDF("u", "v", "ts").repartition(7), "u", "v", "ts", 0L, 0L)
+      edges.toDF("u", "v", "ts").repartition(7), "u", "v", "ts", "ts", 0L, 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(base == repart)
+  }
+
+  test("shortcut edges (dep < arr composites of real paths) change the " +
+    "round count, never the fixpoint") {
+    // chronological chain 0→1→…→12 at ts 10,20,…,120: diameter 12
+    val chain = (0L until 12L).map(i => (i, i + 1L, 10L * (i + 1L)))
+    val base = reach(chain, 0L)
+    // doubling shortcuts: (i, i+2^l, dep = first hop, arr = last hop)
+    val skips = for {
+      l <- Seq(2, 4, 8); i <- 0L until 12L if i + l <= 12L
+    } yield (i, i + l, 10L * (i + 1L), 10L * (i + l))
+    val withSkips = GraphAlgos.temporalReachable(
+      (chain.map(e => (e._1, e._2, e._3, e._3)) ++ skips)
+        .toDF("u", "v", "dep", "arr"),
+      "u", "v", "dep", "arr", 0L, 0L, maxIters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maxIters = 6 < the un-shortcut diameter: only the shortcuts make
+    // the budget reachable, and the arrivals are identical
+    assert(withSkips == base)
   }
 }

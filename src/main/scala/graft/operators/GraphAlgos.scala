@@ -946,6 +946,43 @@ object GraphAlgos {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** LATEST-DEPARTURE influence set — the backward twin of
+    * [[temporalReachable]]: every node that can reach `target` along
+    * a chronological path, with ld(v) = the LATEST time one could
+    * leave v and still arrive by `endTs` ("which sources could have
+    * influenced this artifact, and how late" — contamination
+    * provenance, the reverse of spread). Computed by TIME REVERSAL,
+    * not a second algorithm: reverse every edge and negate its
+    * times — (u, v, dep, arr) ↦ (v, u, −arr, −dep) — and
+    * latest-departure-to-target becomes earliest-arrival-from-target
+    * exactly (departure feasibility arr ≤ ld(v) maps to the reversed
+    * dep′ ≥ arr′ filter; max-departure maps to min-arrival through
+    * the negation). One wrapper, all of [[temporalReachable]]'s
+    * frontier/settle/release machinery reused. Returns (node, ld);
+    * the target itself carries ld = endTs.
+    */
+  def temporalLatestDeparture(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      target: Long,
+      endTs: Long,
+      maxIters: Int = 100,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val reversed = edges.select(
+      col(vCol).as("ru"),
+      col(uCol).as("rv"),
+      (-col(arrCol).cast("long")).as("rdep"),
+      (-col(depCol).cast("long")).as("rarr"))
+    temporalReachable(reversed, "ru", "rv", "rdep", "rarr",
+      seed = target, startTs = -endTs, maxIters = maxIters)
+      .select($"node", (-$"arr").as("ld"))
+  }
+
   /** Strongly-connected-component condensation of a DIRECTED graph
     * over a BOUNDED node domain — event/page/state types, dimensions
     * that do NOT grow with the corpus (session-flow condensation, not

@@ -1625,28 +1625,39 @@ object Graph {
     * add nothing semantically — that the two sides hash-match is
     * itself the proof).
     */
+  /** The per-(type, day) user hand-off chains WITH doubling shortcut
+    * edges, shared by the two temporal gates: (u, v, dep, arr) where
+    * level-2^l rows compose 2^l consecutive chronological hops (see
+    * [[graphTemporalReach]]'s scaladoc for the equivalence argument).
+    */
+  private def handoffChain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val fe = Tables(s, dir).events
+      .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
+      .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"bkt").orderBy($"fts", $"feid", $"user_id")
+    val levels = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    val leads = fe
+      .withColumn("dep", lead($"fts", 1).over(w))
+      .select(Seq($"user_id".as("u"), unix_millis($"dep").as("dep")) ++
+        levels.flatMap(l => Seq(
+          lead($"user_id", l).over(w).as(s"v$l"),
+          unix_millis(lead($"fts", l).over(w)).as(s"a$l"))): _*)
+    levels.map { l =>
+      leads.filter(col(s"v$l").isNotNull)
+        .select($"u", col(s"v$l").as("v"), $"dep", col(s"a$l").as("arr"))
+    }.reduce(_ union _)
+      .filter($"u" =!= $"v")
+      .distinct()
+  }
+
   private val graphTemporalReach = Q(
     "q_graph_temporal_reach",
     (s, dir) => {
       import s.implicits._
-      val fe = Tables(s, dir).events
-        .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
-        .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"event_type", $"bkt").orderBy($"fts", $"feid", $"user_id")
-      val levels = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
-      val leads = fe
-        .withColumn("dep", lead($"fts", 1).over(w))
-        .select(Seq($"user_id".as("u"), unix_millis($"dep").as("dep")) ++
-          levels.flatMap(l => Seq(
-            lead($"user_id", l).over(w).as(s"v$l"),
-            unix_millis(lead($"fts", l).over(w)).as(s"a$l"))): _*)
-      val chain = levels.map { l =>
-        leads.filter(col(s"v$l").isNotNull)
-          .select($"u", col(s"v$l").as("v"), $"dep", col(s"a$l").as("arr"))
-      }.reduce(_ union _)
-        .filter($"u" =!= $"v")
-        .distinct()
+      val chain = handoffChain(s, dir)
       val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
       GraphAlgos.temporalReachable(chain, "u", "v", "dep", "arr", seed)
         .orderBy($"node")
@@ -1675,10 +1686,56 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** Backward twin of [[graphTemporalReach]] —
+    * `GraphAlgos.temporalLatestDeparture`: every user who could have
+    * influenced the MAXIMUM user through a chronological hand-off
+    * path, with the latest moment they could still have done so
+    * (contamination provenance: the reverse of spread). Computed by
+    * TIME REVERSAL through the identical forward operator — reverse
+    * each edge, negate its times — so one frontier implementation
+    * serves both directions. Same shortcut edges (exact composites
+    * compose backwards too); the oracle walks the BASE edges backwards
+    * from the target with a max-at-the-end candidate closure.
+    */
+  private val graphTemporalInfluence = Q(
+    "q_graph_temporal_influence",
+    (s, dir) => {
+      import s.implicits._
+      val chain = handoffChain(s, dir)
+      val bounds = chain.agg(max(greatest($"u", $"v")).as("t"),
+        max($"arr").as("endts")).head
+      GraphAlgos.temporalLatestDeparture(chain, "u", "v", "dep", "arr",
+        target = bounds.getLong(0), endTs = bounds.getLong(1))
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |tg AS (SELECT max(greatest(u, v)) AS t, max(ts) AS endts FROM e),
+           |infl AS (
+           |  SELECT t AS node, endts AS ld FROM tg
+           |  UNION
+           |  SELECT e.u, e.ts FROM infl JOIN e ON e.v = infl.node
+           |   AND e.ts <= infl.ld)
+           |SELECT node, CAST(max(ld) AS BIGINT) AS ld
+           |FROM infl GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
     graphNeighborSample, graphKcore, graphKcoreHindex, graphTruss,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
-    graphSccEntity, graphTemporalReach)
+    graphSccEntity, graphTemporalReach, graphTemporalInfluence)
 }

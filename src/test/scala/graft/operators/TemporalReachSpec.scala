@@ -86,6 +86,50 @@ class TemporalReachSpec extends AnyFunSuite {
     assert(base == repart)
   }
 
+  private def influence(
+      edges: Seq[(Long, Long, Long)], target: Long,
+      endTs: Long): Map[Long, Long] =
+    GraphAlgos.temporalLatestDeparture(
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", target, endTs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Sequential fixpoint of ld(u) = max{dep : (u,v,dep,arr), arr ≤ ld(v)}. */
+  private def seqInfluence(
+      edges: Seq[(Long, Long, Long)], target: Long,
+      endTs: Long): Map[Long, Long] = {
+    val ld = scala.collection.mutable.Map(target -> endTs)
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((u, v, t) <- edges; lv <- ld.get(v) if t <= lv)
+        if (ld.get(u).forall(t > _)) { ld(u) = t; changed = true }
+    }
+    ld.toMap
+  }
+
+  test("latest departure on a chronological chain: each hop's deadline is " +
+    "its own edge time; anti-chronological sources are excluded") {
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 20L), (9L, 3L, 50L))
+    // 9→3 at t=50 arrives after 3's... endTs=60 admits it
+    val out = influence(edges, target = 3L, endTs = 60L)
+    assert(out == Map(3L -> 60L, 2L -> 20L, 1L -> 10L, 9L -> 50L))
+    // tighter deadline cuts the late edge
+    val tight = influence(edges, target = 3L, endTs = 30L)
+    assert(tight == Map(3L -> 30L, 2L -> 20L, 1L -> 10L))
+  }
+
+  test("latest departure matches the sequential fixpoint on random graphs") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(12)
+      val edges = (1 to 3 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(40).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      assert(influence(edges, 0L, 100L) === seqInfluence(edges, 0L, 100L),
+        s"trial $trial")
+    }
+  }
+
   test("shortcut edges (dep < arr composites of real paths) change the " +
     "round count, never the fixpoint") {
     // chronological chain 0→1→…→12 at ts 10,20,…,120: diameter 12

@@ -2231,6 +2231,75 @@ object Relational {
            |ORDER BY q_pct""".stripMargin),
   )
 
+  /** STREAMING twin of [[sketchKll]]: the compactor hierarchy IS the
+    * streaming state — a complete-mode global aggregate whose buffer
+    * is the O(K·log(n/K)) sketch, merged across micro-batches by the
+    * same level-concatenating rule as the batch shuffle (the live
+    * "corpus quantiles so far" monitor). The finish reads the
+    * percentiles off the STREAM-accumulated sample and audits their
+    * exact corpus ranks on the identical order-invariant contract and
+    * oracle as the batch gate — the KLL/MRL worst-case bound is
+    * arrival-order-free, which is what lets one oracle serve both.
+    */
+  private val streamKll = Q(
+    "q_stream_kll",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.KllSketch.register(s)
+      val sinkName = "graft_stream_kll_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/lineitem.parquet").schema
+        val px = Tables.streamTable(s, dir, "lineitem", rawSchema)
+          .select(($"l_extendedprice" * 100).cast("long").as("x"))
+        val sk = px.agg(
+          call_function(graft.functions.KllSketch.Name, $"x").as("sk"),
+          count(lit(1)).as("n"))
+        val query = sk.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val st = s.table(sinkName)
+      val sample = st.select(explode($"sk").as("p"))
+        .select($"p.v".as("v"), $"p.w".as("w"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy($"v", $"w")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = sample.withColumn("cw", sum($"w").over(wCum))
+      val qs = Seq(1L, 25L, 50L, 75L, 99L).toDF("q_pct")
+      val targets = qs.crossJoin(broadcast(st.select($"n")))
+        .select($"q_pct", $"n",
+          expr("(q_pct * n + 99) div 100").as("target_rank"))
+      val est = cum.crossJoin(broadcast(targets))
+        .filter($"cw" >= $"target_rank")
+        .groupBy($"q_pct").agg(min($"v").as("est"))
+      val pxBatch = Tables(s, dir).lineitem
+        .select(($"l_extendedprice" * 100).cast("long").as("x"))
+      val rank = pxBatch.crossJoin(broadcast(est))
+        .groupBy($"q_pct")
+        .agg(sum(when($"x" <= $"est", 1L).otherwise(0L)).as("rank"))
+      targets.join(rank, "q_pct")
+        .select($"q_pct", $"n", $"target_rank",
+          (abs($"rank" - $"target_rank") <= expr("n div 64")).as("within_bound"))
+        .orderBy($"q_pct")
+    },
+    Some("""WITH px AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS x FROM lineitem),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM px),
+           |qs(q_pct) AS (VALUES (1), (25), (50), (75), (99))
+           |SELECT CAST(q_pct AS BIGINT) AS q_pct, n,
+           |       (q_pct * n + 99) // 100 AS target_rank,
+           |       TRUE AS within_bound
+           |FROM qs, nn
+           |ORDER BY q_pct""".stripMargin),
+  )
+
   /** Streaming count-min sketch: the CMS cells accumulate
     * incrementally over the event stream in complete mode — streaming
     * frequency tracking with STATE BOUNDED at depth×width cells no
@@ -3312,6 +3381,7 @@ object Relational {
     sketchKmvRollup,
     sketchHllLake,
     sketchKll,
+    streamKll,
     sampleBottomKBySource,
     windowGapFill,
     streamGapFill,

@@ -187,4 +187,74 @@ object Drift {
       .select($"g", $"n_tokens", $"n_words", $"chi2_num",
         round($"chi2_num".cast("double") / lit(1e9), 6).as("chi2"))
   }
+
+  /** CUSUM change-point LOCALIZATION per group — the complement of the
+    * drift monitors above: [[histogramL1]]/[[chi2Tokens]] say HOW MUCH
+    * a distribution moved; this says WHEN a per-period value series
+    * broke from its own trend (Page, "Continuous inspection schemes",
+    * Biometrika 1954 — the offline max-deviation form). For each
+    * group's period series (t₁ < … < t_N with values x_i):
+    *
+    *   D_i = |N·S_i − i·S_N|,  S_i = Σ_{j≤i} x_j
+    *
+    * — the cumulative sum's deviation from the uniform-rate line with
+    * all denominators cleared, so every operand is an EXACT DECIMAL
+    * (no i/N float, no mean subtraction): both engines agree bit for
+    * bit, which is what lets a hash gate pin an argmax. The change
+    * point is the period with maximal D (ties → earliest), and
+    * `dev_ppm = 10⁶·D_max div (N·S_N)` is the scale-free deviation
+    * score (0 = perfectly steady, ½·10⁶ ≈ all mass in one half).
+    *
+    * Scale shape: one (group, period) pre-aggregation (map-side
+    * combined — THE corpus pass), then windows PARTITIONED BY GROUP
+    * over the period support (days/hours — bounded, never corpus
+    * rows), and a single max_by argmax per group. Groups with S_N = 0
+    * emit NULL dev (undefined rate line). Returns
+    * (group, n_periods, cp_period, d_max, dev_ppm).
+    */
+  def cusumChangepoint(
+      df: DataFrame,
+      groupCol: String,
+      periodCol: String,
+      valueCol: String,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val per = df
+      .groupBy(col(groupCol).as("g"), col(periodCol).as("p"))
+      .agg(sum(col(valueCol).cast("long")).as("x"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    val cum = per
+      .withColumn("i", count(lit(1)).over(wOrd))
+      .withColumn("s", sum(dec($"x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(dec($"x")).over(wAll))
+      .withColumn("d", abs(dec($"n") * $"s" - dec($"i") * $"sn"))
+    cum.groupBy($"g")
+      .agg(
+        max($"n").as("n_periods"),
+        // argmax with pinned ties: max D first, then the EARLIEST
+        // period — struct ordering makes it one map-side-combinable
+        // pass (the labelPropagation argmax trick)
+        max_by($"p", struct($"d", expr("-i"))).as("cp_period"),
+        max($"d").cast("long").as("d_max"),
+        max($"sn").as("sn"),
+      )
+      .select(
+        $"g".as(groupCol),
+        $"n_periods",
+        $"cp_period",
+        $"d_max",
+        when($"sn" === 0, lit(null)).otherwise(
+          fdiv(lit(1000000L) * dec($"d_max"), dec($"n_periods") * $"sn"))
+          .as("dev_ppm"),
+      )
+  }
 }

@@ -2849,6 +2849,56 @@ object Relational {
     * All-integer per-mille histogram math — see the operator's
     * scaladoc for why L1 and not PSI/KL.
     */
+  /** CUSUM change-point localization per event type
+    * (`Drift.cusumChangepoint` — Page 1954, offline max-deviation
+    * form): the drift monitors say HOW MUCH the mix moved; this says
+    * WHEN each type's daily volume broke from its own uniform-rate
+    * line. All operands exact (denominators cleared: D_i = |N·S_i −
+    * i·S_N|), so the gate pins an ARGMAX — the hardest thing to
+    * hash-match across engines — plus the scale-free ppm deviation.
+    * One corpus pass to (type, day) counts; every window is
+    * partitioned by type over the day support. Oracle: the same
+    * cleared-denominator deviation with the same earliest-period tie
+    * break, via an explicit max-join argmax (different argmax program
+    * than Spark's one-pass max_by struct ordering).
+    */
+  private val profileChangepoint = Q(
+    "q_profile_changepoint",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_type",
+          date_format($"ts", "yyyy-MM-dd").as("p"), lit(1L).as("one"))
+      graft.operators.Drift.cusumChangepoint(ev, "event_type", "p", "one")
+        .orderBy($"event_type")
+    },
+    Some("""WITH per AS (
+           |  SELECT event_type AS g, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS p,
+           |         CAST(count(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |c AS (
+           |  SELECT g, p, x,
+           |         row_number() OVER w AS i,
+           |         CAST(sum(x) OVER w AS HUGEINT) AS s,
+           |         count(*) OVER (PARTITION BY g) AS n,
+           |         CAST(sum(x) OVER (PARTITION BY g) AS HUGEINT) AS sn
+           |  FROM per
+           |  WINDOW w AS (PARTITION BY g ORDER BY p ROWS UNBOUNDED PRECEDING)),
+           |d AS (SELECT g, p, i, n, sn, abs(n * s - i * sn) AS dv FROM c),
+           |mx AS (SELECT g, max(dv) AS mdv FROM d GROUP BY g),
+           |am AS (SELECT d.g, min(d.p) AS cp_period
+           |       FROM d JOIN mx ON d.g = mx.g AND d.dv = mx.mdv GROUP BY d.g),
+           |ag AS (SELECT g, CAST(max(n) AS BIGINT) AS n_periods,
+           |              CAST(max(dv) AS BIGINT) AS d_max, max(sn) AS sn
+           |       FROM d GROUP BY g)
+           |SELECT ag.g AS event_type, n_periods, cp_period, d_max,
+           |       CASE WHEN sn = 0 THEN NULL ELSE
+           |         CAST((1000000 * CAST(d_max AS HUGEINT)) //
+           |              (CAST(n_periods AS HUGEINT) * sn) AS BIGINT) END AS dev_ppm
+           |FROM ag JOIN am USING (g)
+           |ORDER BY event_type""".stripMargin),
+  )
+
   private val profileDrift = Q(
     "q_profile_drift",
     (s, dir) => {
@@ -3369,6 +3419,7 @@ object Relational {
     profileBySource,
     streamProfileHll,
     profileDrift,
+    profileChangepoint,
     streamDrift,
     streamChi2,
     profileOutliers,

@@ -98,4 +98,44 @@ class DriftSpec extends AnyFunSuite {
     val split = canon(Drift.chi2FromCounts(rebased, minCount = 2L).withColumnRenamed("g", "src"))
     assert(split == batch && batch.nonEmpty)
   }
+
+  private def cp(rows: Seq[(String, String, Long)]): Map[String, (Long, String, Long, Long)] =
+    Drift.cusumChangepoint(rows.toDF("g", "p", "v"), "g", "p", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("cusumChangepoint: a planted rate shift is localized at the last " +
+    "pre-shift period (where the cumulative deviation peaks)") {
+    // 10 periods: rate 10 for p01..p05, rate 30 for p06..p10.
+    // S_N = 200; the deviation |N·S_i − i·S_N| peaks at i=5:
+    // |10·50 − 5·200| = 500 → dev_ppm = 1e6·500/(10·200) = 250000
+    val rows = (1 to 10).map(i => ("g", f"p$i%02d", if (i <= 5) 10L else 30L))
+    val out = cp(rows)
+    assert(out("g") == ((10L, "p05", 500L, 250000L)))
+  }
+
+  test("cusumChangepoint: a perfectly steady series has deviation 0 with " +
+    "the earliest-period tie break") {
+    val rows = (1 to 6).map(i => ("s", f"p$i%02d", 7L))
+    val out = cp(rows)
+    assert(out("s") == ((6L, "p01", 0L, 0L)))
+  }
+
+  test("cusumChangepoint: groups are independent and result is invariant " +
+    "to input partitioning") {
+    val rows = (1 to 12).flatMap(i => Seq(
+      ("shift", f"p$i%02d", if (i <= 4) 5L else 20L),
+      ("flat", f"p$i%02d", 11L)))
+    val base = cp(rows)
+    val repart = Drift
+      .cusumChangepoint(rows.toDF("g", "p", "v").repartition(7), "g", "p", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(base == repart)
+    assert(base("shift")._2 == "p04" && base("flat")._4 == 0L)
+  }
 }

@@ -218,14 +218,25 @@ object Drift {
       periodCol: String,
       valueCol: String,
   ): DataFrame = {
-    val spark = df.sparkSession
+    val per = df
+      .groupBy(col(groupCol).as("g"), col(periodCol).as("p"))
+      .agg(sum(col(valueCol).cast("long")).as("x"))
+    cusumFromPeriods(per).withColumnRenamed("g", groupCol)
+  }
+
+  /** The CUSUM localization over an already-aggregated (g, p, x)
+    * period table — split from [[cusumChangepoint]] exactly like
+    * [[chi2FromCounts]]: the per-period sums are MERGEABLE, so a
+    * complete-mode stream holds them as its state (groups × periods
+    * rows however many micro-batches arrive) and this finish is a
+    * view over that state (q_stream_changepoint).
+    */
+  def cusumFromPeriods(per: DataFrame): DataFrame = {
+    val spark = per.sparkSession
     import spark.implicits._
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       ((a - pmod(a, b)) / b).cast("long")
-    val per = df
-      .groupBy(col(groupCol).as("g"), col(periodCol).as("p"))
-      .agg(sum(col(valueCol).cast("long")).as("x"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy($"g").orderBy($"p")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -248,7 +259,7 @@ object Drift {
         max($"sn").as("sn"),
       )
       .select(
-        $"g".as(groupCol),
+        $"g",
         $"n_periods",
         $"cp_period",
         $"d_max",

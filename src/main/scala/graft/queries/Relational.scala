@@ -2899,6 +2899,72 @@ object Relational {
            |ORDER BY event_type""".stripMargin),
   )
 
+  /** STREAMING twin of [[profileChangepoint]]: the (type, day) count
+    * table IS the complete-mode state — mergeable sums, groups × days
+    * rows however many micro-batches arrive — and the CUSUM argmax is
+    * a finish view over it (`Drift.cusumFromPeriods`, the
+    * chi2FromCounts split). Gated on the IDENTICAL oracle as the
+    * batch gate: the state equals the batch (type, day) table exactly,
+    * so the localization must hash-match bit for bit — the live
+    * "the mix broke on day X" monitor.
+    */
+  private val streamChangepoint = Q(
+    "q_stream_changepoint",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_changepoint_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val ev = Tables.normalizeEventTs(
+          Tables.streamTable(s, dir, "events", rawSchema))
+        val counts = ev
+          .groupBy($"event_type".as("g"),
+            date_format($"ts", "yyyy-MM-dd").as("p"))
+          .agg(count(lit(1)).as("x"))
+        val query = counts.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val state = s.table(sinkName)
+      graft.operators.Drift.cusumFromPeriods(state)
+        .withColumnRenamed("g", "event_type")
+        .orderBy($"event_type")
+    },
+    Some("""WITH per AS (
+           |  SELECT event_type AS g, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS p,
+           |         CAST(count(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |c AS (
+           |  SELECT g, p, x,
+           |         row_number() OVER w AS i,
+           |         CAST(sum(x) OVER w AS HUGEINT) AS s,
+           |         count(*) OVER (PARTITION BY g) AS n,
+           |         CAST(sum(x) OVER (PARTITION BY g) AS HUGEINT) AS sn
+           |  FROM per
+           |  WINDOW w AS (PARTITION BY g ORDER BY p ROWS UNBOUNDED PRECEDING)),
+           |d AS (SELECT g, p, i, n, sn, abs(n * s - i * sn) AS dv FROM c),
+           |mx AS (SELECT g, max(dv) AS mdv FROM d GROUP BY g),
+           |am AS (SELECT d.g, min(d.p) AS cp_period
+           |       FROM d JOIN mx ON d.g = mx.g AND d.dv = mx.mdv GROUP BY d.g),
+           |ag AS (SELECT g, CAST(max(n) AS BIGINT) AS n_periods,
+           |              CAST(max(dv) AS BIGINT) AS d_max, max(sn) AS sn
+           |       FROM d GROUP BY g)
+           |SELECT ag.g AS event_type, n_periods, cp_period, d_max,
+           |       CASE WHEN sn = 0 THEN NULL ELSE
+           |         CAST((1000000 * CAST(d_max AS HUGEINT)) //
+           |              (CAST(n_periods AS HUGEINT) * sn) AS BIGINT) END AS dev_ppm
+           |FROM ag JOIN am USING (g)
+           |ORDER BY event_type""".stripMargin),
+  )
+
   private val profileDrift = Q(
     "q_profile_drift",
     (s, dir) => {
@@ -3420,6 +3486,7 @@ object Relational {
     streamProfileHll,
     profileDrift,
     profileChangepoint,
+    streamChangepoint,
     streamDrift,
     streamChi2,
     profileOutliers,

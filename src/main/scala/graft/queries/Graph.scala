@@ -1732,10 +1732,79 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** The condensation DAG of the per-entity SCC decomposition — what a
+    * pipeline actually CONSUMES downstream of [[graphSccEntity]]:
+    * collapse each strongly-connected community to its scc_id and keep
+    * the distinct between-community edges (guaranteed acyclic, so
+    * topological scheduling / funnel analysis applies). Two node-keyed
+    * stamp joins against the assignment + a distinct — the condensed
+    * frame is ≤ |E| rows and usually orders of magnitude smaller.
+    * Oracle: the same recursive-closure assignment, then the same
+    * endpoint mapping.
+    */
+  private val graphSccEntityDag = Q(
+    "q_graph_scc_entity_dag",
+    (s, dir) => {
+      import s.implicits._
+      // SPARSE variant of the hand-off derivation — only each group's
+      // FIRST pair (the day's opener hands to the runner-up): the full
+      // chains strongly connect everyone (one SCC ⇒ an empty DAG says
+      // nothing); the openers' graph fragments into singletons + small
+      // cycles, so the condensation has real between-community edges
+      val fe = Tables(s, dir).events
+        .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
+        .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type", $"bkt").orderBy($"fts", $"feid", $"user_id")
+      val chain = fe
+        .withColumn("v", lead($"user_id", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"v".isNotNull && $"v" =!= $"user_id")
+        .select($"user_id".as("u"), $"v")
+        .distinct()
+      val assign = SccEntity.scc(chain, "u", "v")
+        .select($"node", $"scc_id")
+      chain
+        .join(assign.select($"node".as("u"), $"scc_id".as("src_scc")), "u")
+        .join(assign.select($"node".as("v"), $"scc_id".as("dst_scc")), "v")
+        .filter($"src_scc" =!= $"dst_scc")
+        .select($"src_scc", $"dst_scc")
+        .distinct()
+        .orderBy($"src_scc", $"dst_scc")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         row_number() OVER (PARTITION BY event_type, bkt
+           |                            ORDER BY fts, feid, user_id) AS rn
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v FROM chain
+           |      WHERE rn = 1 AND v IS NOT NULL AND u <> v),
+           |nodes AS (SELECT DISTINCT u AS n FROM e UNION SELECT DISTINCT v FROM e),
+           |reach AS (
+           |  SELECT n AS a, n AS b FROM nodes
+           |  UNION
+           |  SELECT reach.a, e.v FROM reach JOIN e ON reach.b = e.u),
+           |mutual AS (
+           |  SELECT f.a, f.b FROM reach f JOIN reach g ON f.a = g.b AND f.b = g.a),
+           |assign AS (SELECT a AS node, min(b) AS scc_id FROM mutual GROUP BY a)
+           |SELECT DISTINCT su.scc_id AS src_scc, sv.scc_id AS dst_scc
+           |FROM e JOIN assign su ON su.node = e.u
+           |       JOIN assign sv ON sv.node = e.v
+           |WHERE su.scc_id <> sv.scc_id
+           |ORDER BY src_scc, dst_scc""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(graphTriangles, graphBfsLevels, graphSssp, graphWalks,
     graphNeighborSample, graphKcore, graphKcoreHindex, graphTruss,
     graphLabelProp, graphJaccardLinkpred, graphModularity, graphAnfHll,
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
-    graphSccEntity, graphTemporalReach, graphTemporalInfluence)
+    graphSccEntity, graphTemporalReach, graphTemporalInfluence,
+    graphSccEntityDag)
 }

@@ -233,16 +233,39 @@ object KllSketch {
     }
   }
 
+  /** kll_state(bigint) → binary: the raw serialized compactor
+    * hierarchy — what a nightly sketch-lake job persists (the
+    * `hll_regs` pattern: build once, store the MERGEABLE state, serve
+    * quantiles later without rescanning the corpus).
+    */
+  val StateName = "kll_state"
+
+  /** kll_merge_state(binary) → binary: merge stored sketches — the
+    * rollup that turns per-day states into a period state (merge ≡
+    * concatenate-then-recompact, the same rule the batch shuffle uses,
+    * so the rank guarantee survives arbitrary merge trees).
+    */
+  val MergeName = "kll_merge_state"
+
+  /** kll_sample(binary) → array<struct<v,w>>: the weighted sample read
+    * off a stored state — identical output to the direct [[KllSketch]]
+    * aggregate.
+    */
+  val SampleName = "kll_sample"
+
   private val info = new ExpressionInfo(classOf[KllSketch].getName, Name)
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(Name))) {
-      registry.registerFunction(
-        FunctionIdentifier(Name),
-        info,
-        (exprs: Seq[Expression]) => KllSketch(exprs.head))
-    }
+    def reg(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(FunctionIdentifier(name))) {
+        registry.registerFunction(
+          FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+      }
+    reg(Name, classOf[KllSketch], exprs => KllSketch(exprs.head))
+    reg(StateName, classOf[KllState], exprs => KllState(exprs.head))
+    reg(MergeName, classOf[KllMergeState], exprs => KllMergeState(exprs.head))
+    reg(SampleName, classOf[KllSampleOf], exprs => KllSampleOf(exprs.head))
   }
 
   /** Column API over the registered function. */
@@ -250,4 +273,135 @@ object KllSketch {
     register(spark)
     call_function(Name, c)
   }
+
+  private[functions] def sampleArray(b: Buffer): GenericArrayData =
+    new GenericArrayData(b.weightedSample().map { case (v, w) =>
+      new GenericInternalRow(Array[Any](v, w))
+    })
+
+  private[functions] val SampleType: DataType = ArrayType(StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("w", LongType, nullable = false),
+  )), containsNull = false)
+}
+
+/** `kll_state(bigint) → binary` — the sketch-lake BUILDER: identical
+  * compactions to [[KllSketch]], evaluating to the serialized state
+  * instead of the sample. Nulls ignored.
+  */
+case class KllState(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[KllSketch.Buffer]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument (cast explicitly), got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = KllSketch.StateName
+
+  override def createAggregationBuffer(): KllSketch.Buffer = new KllSketch.Buffer()
+
+  override def update(buffer: KllSketch.Buffer, input: InternalRow): KllSketch.Buffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KllSketch.Buffer, other: KllSketch.Buffer): KllSketch.Buffer = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: KllSketch.Buffer): Any = buffer.toBytes
+
+  override def serialize(buffer: KllSketch.Buffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): KllSketch.Buffer =
+    KllSketch.Buffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllState =
+    copy(child = newChild)
+}
+
+/** `kll_merge_state(binary) → binary` — rollup aggregate over STORED
+  * sketch states. Nulls ignored; a malformed input fails loudly in
+  * deserialization rather than poisoning the merged state.
+  */
+case class KllMergeState(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[KllSketch.Buffer]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary kll_state, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = KllSketch.MergeName
+
+  override def createAggregationBuffer(): KllSketch.Buffer = new KllSketch.Buffer()
+
+  override def update(buffer: KllSketch.Buffer, input: InternalRow): KllSketch.Buffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.mergeWith(
+      KllSketch.Buffer.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: KllSketch.Buffer, other: KllSketch.Buffer): KllSketch.Buffer = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: KllSketch.Buffer): Any = buffer.toBytes
+
+  override def serialize(buffer: KllSketch.Buffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): KllSketch.Buffer =
+    KllSketch.Buffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllMergeState =
+    copy(child = newChild)
+}
+
+/** `kll_sample(binary) → array<struct<v,w>>` — the weighted-sample
+  * read-out over a stored state.
+  */
+case class KllSampleOf(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${KllSketch.SampleName} requires a binary kll_state, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = KllSketch.SampleType
+  override def prettyName: String = KllSketch.SampleName
+
+  override protected def nullSafeEval(input: Any): Any =
+    KllSketch.sampleArray(
+      KllSketch.Buffer.fromBytes(input.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildInternal(newChild: Expression): KllSampleOf =
+    copy(child = newChild)
 }

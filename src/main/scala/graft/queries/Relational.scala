@@ -2231,6 +2231,61 @@ object Relational {
            |ORDER BY q_pct""".stripMargin),
   )
 
+  /** KLL sketch LAKE — the train-once/serve-many story for quantiles
+    * (the register-lake pattern of [[sketchHllLake]], applied to the
+    * compactor hierarchy): a "nightly" job persists one `kll_state`
+    * binary PER SHIP-MONTH to parquet; the period query answers
+    * whole-period questions from the STORED states alone via
+    * `kll_merge_state` (merge ≡ concatenate-then-recompact, so the
+    * rank guarantee survives the rollup) — the raw rows are never
+    * rescanned. The gate pins the lake's exactly-checkable invariant:
+    * the weighted sample's TOTAL MASS equals the row count for every
+    * stored month AND for the rolled-up total (compactions halve
+    * counts against doubled weights exactly; a serialization or merge
+    * bug breaks this immediately). Quantile ACCURACY bounds are gated
+    * by q_sketch_kll / q_stream_kll; this gate is the
+    * persistence+rollup leg.
+    */
+  private val sketchKllLake = Q(
+    "q_sketch_kll_lake",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.KllSketch.register(s)
+      val li = Tables(s, dir).lineitem
+        .select(date_format($"l_shipdate", "yyyy-MM").as("mon"),
+          ($"l_extendedprice" * 100).cast("long").as("x"))
+      val lake = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_kll_sketch_lake_${s.sparkContext.applicationId}").getPath
+      li.groupBy($"mon")
+        .agg(call_function(graft.functions.KllSketch.StateName, $"x").as("st"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(lake)
+      val stored = s.read.parquet(lake)
+      val total = stored.agg(
+        call_function(graft.functions.KllSketch.MergeName, $"st").as("st"),
+        sum($"n").as("n"))
+        .select(lit("__total").as("mon"), $"st", $"n")
+      stored.select($"mon", $"st", $"n").union(total)
+        .select($"mon", $"n".as("n_rows"),
+          expr(s"aggregate(${graft.functions.KllSketch.SampleName}(st), " +
+            "0L, (acc, p) -> acc + p.w)").as("mass"))
+        .select($"mon", $"n_rows", $"mass", ($"mass" === $"n_rows").as("mass_ok"))
+        .orderBy($"mon")
+    },
+    Some("""WITH m AS (
+           |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS mon,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM lineitem GROUP BY 1),
+           |a AS (
+           |  SELECT mon, n AS n_rows FROM m
+           |  UNION ALL
+           |  SELECT '__total', CAST(sum(n) AS BIGINT) FROM m)
+           |SELECT mon, n_rows, n_rows AS mass, TRUE AS mass_ok
+           |FROM a
+           |ORDER BY mon""".stripMargin),
+  )
+
   /** STREAMING twin of [[sketchKll]]: the compactor hierarchy IS the
     * streaming state — a complete-mode global aggregate whose buffer
     * is the O(K·log(n/K)) sketch, merged across micro-batches by the
@@ -3500,6 +3555,7 @@ object Relational {
     sketchHllLake,
     sketchKll,
     streamKll,
+    sketchKllLake,
     sampleBottomKBySource,
     windowGapFill,
     streamGapFill,

@@ -100,6 +100,31 @@ class KllSketchSpec extends AnyFunSuite {
     assert(out("a")._2 <= 5000L && out("b")._1 >= 1000001L)
   }
 
+  test("kll_state round-trips through bytes and kll_merge_state of halves " +
+    "preserves mass and the rank bound (the sketch-lake path)") {
+    KllSketch.register(spark)
+    val n = 40000L
+    val df = (1L to n).map(i => (if (i % 2 == 0) "a" else "b",
+      (i * 2654435761L) % 100000L)).toDF("h", "x")
+    // two half sketches stored as binary, then rolled up
+    val halves = df.groupBy($"h")
+      .agg(call_function(KllSketch.StateName, $"x").as("st"))
+    val merged = halves.agg(
+      call_function(KllSketch.MergeName, $"st").as("st"))
+    val pairs = merged
+      .select(explode(call_function(KllSketch.SampleName, $"st")).as("p"))
+      .select($"p.v", $"p.w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.map(_._2).sum == n) // exact mass through store + rollup
+    val sortedVals = (1L to n).map(i => (i * 2654435761L) % 100000L).sorted
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val est = estimate(pairs, q, n)
+      val rank = sortedVals.count(_ <= est).toLong
+      assert(math.abs(rank - math.ceil(q * n).toLong) <= bound(n),
+        s"rolled-up sketch rank error at q=$q")
+    }
+  }
+
   test("nulls are ignored like every aggregate") {
     KllSketch.register(spark)
     val df = Seq(Some(1L), None, Some(2L), None, Some(3L)).toDF("x")

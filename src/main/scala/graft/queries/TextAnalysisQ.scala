@@ -1462,6 +1462,61 @@ object TextAnalysisQ {
            |ORDER BY word""".stripMargin),
   )
 
+  /** Misra-Gries summary LAKE — per-source heavy-hitter summaries
+    * persisted to parquet (the array<struct<item,cnt>> output IS the
+    * storable state — no codec needed), rolled up to a corpus summary
+    * with `mg_merge` (the Agarwal et al. mergeable-summaries rule:
+    * counters add, the (K+1)-th largest subtracts, non-positives
+    * drop). The theorem says the rolled-up summary keeps the FULL
+    * n/(K+1) guarantees of a direct corpus pass — so this gate pins
+    * the identical contract as [[misraGriesHeavy]], but through
+    * store + rollup: every exactly-heavy corpus word covered, counts
+    * within [true − n/65, true]. Per-source summaries answer
+    * per-source questions from the same lake for free.
+    */
+  private val mgLake = Q(
+    "q_sketch_mg_lake",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.MisraGries.register(s)
+      val words = Tables(s, dir).documents
+        .select($"source", explode(split($"text", " ")).as("w"))
+      val lake = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_mg_lake_${s.sparkContext.applicationId}").getPath
+      words.groupBy($"source")
+        .agg(call_function(graft.functions.MisraGries.Name, $"w").as("s"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(lake)
+      val stored = s.read.parquet(lake)
+      val rolled = stored.agg(
+        call_function(graft.functions.MisraGries.MergeName, $"s").as("s"),
+        sum($"n").as("n"))
+      val mg = rolled.select(explode($"s").as("p"))
+        .select($"p.item".as("w"), $"p.cnt".as("mg_cnt"))
+      words.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(rolled.select($"n")))
+        .filter($"true_cnt" * 65 > $"n")
+        .join(broadcast(mg), Seq("w"), "left")
+        .select($"w".as("word"), $"true_cnt",
+          $"mg_cnt".isNotNull.as("covered"),
+          (coalesce($"mg_cnt", lit(0L)) <= $"true_cnt").as("lb_ok"),
+          (($"true_cnt" - coalesce($"mg_cnt", lit(0L))) * 65 <= $"n").as("ub_ok"))
+        .orderBy($"word")
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+           |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+           |        FROM words GROUP BY w)
+           |SELECT w AS word, true_cnt,
+           |       TRUE AS covered, TRUE AS lb_ok, TRUE AS ub_ok
+           |FROM tru, nn
+           |WHERE true_cnt * 65 > n
+           |ORDER BY word""".stripMargin),
+  )
+
   /** Length-bucketed batch planning (operators/Batching): bucket
     * boundaries are the corpus's p25/p50/p75 word-count quantiles from
     * the MERGEABLE histogram sketch (bin width 1 over [0,128) — the
@@ -1585,5 +1640,5 @@ object TextAnalysisQ {
       decontaminateFuzzy,
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
-      heavyHitters, misraGriesHeavy, streamMisraGries, lengthBatching)
+      heavyHitters, misraGriesHeavy, streamMisraGries, mgLake, lengthBatching)
 }

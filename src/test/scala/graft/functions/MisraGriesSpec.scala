@@ -60,6 +60,30 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mg_merge of stored per-partition summaries keeps the full corpus " +
+    "guarantees (the mergeable-summaries theorem, exercised as a rollup)") {
+    MisraGries.register(spark)
+    val base = zipf(3000)
+    val n = base.size.toLong
+    val slack = n / (MisraGries.K + 1)
+    val truth = base.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavy = truth.filter(_._2 > slack).keySet
+    // 8 per-partition summaries "stored", then rolled up via mg_merge
+    val parts = base.zipWithIndex.map { case (w, i) => (i % 8, w) }
+    val stored = parts.toDF("part", "x").groupBy($"part")
+      .agg(call_function(MisraGries.Name, $"x").as("s"))
+    val rolled = stored.agg(call_function(MisraGries.MergeName, $"s").as("s"))
+      .select(explode($"s").as("p")).select($"p.item", $"p.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.size <= MisraGries.K)
+    for ((item, cnt) <- rolled) {
+      assert(cnt <= truth(item), s"$item over-counted through the rollup")
+      assert(truth(item) <= cnt + slack, s"$item bound broken through the rollup")
+    }
+    assert((heavy -- rolled.keySet).isEmpty,
+      "guaranteed-heavy items lost through the rollup")
+  }
+
   test("per-group summaries are independent; nulls ignored") {
     MisraGries.register(spark)
     val df = ((1 to 100).map(_ => ("g1", Some("x"))) ++

@@ -899,7 +899,49 @@ object Curation {
             |ORDER BY source""".stripMargin),
   )
 
+  /** Deterministic weight-proportional sampling
+    * (`operators.Sampling.systematicPps` — Madow 1949 systematic PPS):
+    * draw a 200-slot training sample of documents with inclusion
+    * ∝ n_chars (the "sample long docs more" curriculum knob), with
+    * NO RNG and NO float keys — the u^(1/w) reservoir keys of
+    * Efraimidis-Spirakis need libm pow/log, whose last bits differ
+    * across engines; the systematic cumulative-line form is pure
+    * integer arithmetic, so the gate pins the EXACT selected set and
+    * multiplicities. Spark side runs the two-level bucketed prefix
+    * construction (partitioned windows only — no global sort); the
+    * oracle reproduces the identical (hash mod 64, hash, id) order
+    * with ONE plain cumsum, a different program realizing the same
+    * integers. Oversized docs (w ≥ W/k) carry multiplicity ≥ 1
+    * deterministically, and Σ sample_weight = 200 exactly.
+    */
+  private val ppsSample = Q(
+    "q_curation_pps_sample",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"n_chars")
+      graft.operators.Sampling.systematicPps(docs, "doc_id", "n_chars", k = 200L)
+        .select($"doc_id", $"n_chars".cast("long").as("n_chars"), $"sample_weight")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+            |         ${Relational.fnv63Sql("CAST(doc_id AS VARCHAR)")} AS h
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, w,
+            |         CAST(sum(w) OVER (ORDER BY h % 64, h, doc_id
+            |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
+            |  FROM d),
+            |t AS (SELECT CAST(sum(w) AS HUGEINT) AS wt FROM d)
+            |SELECT doc_id, w AS n_chars,
+            |       CAST((cw * 200) // wt - ((cw - w) * 200) // wt AS BIGINT)
+            |         AS sample_weight
+            |FROM c, t
+            |WHERE (cw * 200) // wt - ((cw - w) * 200) // wt > 0
+            |ORDER BY doc_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(curation, curationV2, curationV3, streamCuration,
     sampleMixture, sampleDomainCap, sampleEpochs, shardAssign,
-    pipelineWeightedMix)
+    pipelineWeightedMix, ppsSample)
 }

@@ -946,6 +946,60 @@ object GraphAlgos {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Temporal edges WITH DOUBLING SHORTCUTS from chain-structured
+    * rows — the reusable form of the construction the temporal gates
+    * introduced: given rows that form chronological chains within
+    * `partCols` groups (ordered by `ordCols`, each row carrying its
+    * node and its event time), emit the hand-off edges
+    * node_i → node_{i+1} (dep = arr = ts_{i+1}) PLUS the level-2^l
+    * composites node_i → node_{i+2^l} (dep = ts_{i+1},
+    * arr = ts_{i+2^l}) for l = 1..maxLevel. Because the chain is
+    * chronological, every shortcut is an exact composite of real
+    * hops — [[temporalReachable]]/[[temporalLatestDeparture]] fixpoints
+    * are provably unchanged while the frontier crosses a k-row chain
+    * in O(log k) rounds instead of k (the equivalence is hash-proved
+    * by the temporal gates, whose oracles use base edges only).
+    *
+    * The chronology PRECONDITION is enforced in-plan: a row whose
+    * successor's time precedes its own raises, rather than silently
+    * emitting shortcuts that claim paths the base chain doesn't have.
+    * One window pass computes all leads; self-edges (the same node
+    * reappearing) drop. Returns distinct (u, v, dep, arr) longs.
+    */
+  def chainShortcuts(
+      chains: DataFrame,
+      partCols: Seq[String],
+      ordCols: Seq[String],
+      nodeCol: String,
+      tsCol: String,
+      maxLevel: Int = 12,
+  ): DataFrame = {
+    require(maxLevel >= 0 && maxLevel <= 40,
+      s"chainShortcuts: maxLevel must be in [0, 40], got $maxLevel")
+    val spark = chains.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(ordCols.map(col): _*)
+    val levels = (0 to maxLevel).map(1 << _)
+    val dep1 = lead(col(tsCol).cast("long"), 1).over(w)
+    val leads = chains
+      .withColumn("__dep",
+        when(dep1 < col(tsCol).cast("long"), raise_error(concat(
+          lit("chainShortcuts: successor time precedes the row's own — "),
+          lit("the chain is not chronological along the given order"))))
+          .otherwise(dep1))
+      .select(Seq(col(nodeCol).cast("long").as("u"), col("__dep").as("dep")) ++
+        levels.flatMap(l => Seq(
+          lead(col(nodeCol).cast("long"), l).over(w).as(s"__v$l"),
+          lead(col(tsCol).cast("long"), l).over(w).as(s"__a$l"))): _*)
+    levels.map { l =>
+      leads.filter(col(s"__v$l").isNotNull)
+        .select($"u", col(s"__v$l").as("v"), $"dep", col(s"__a$l").as("arr"))
+    }.reduce(_ union _)
+      .filter($"u" =!= $"v")
+      .distinct()
+  }
+
   /** LATEST-DEPARTURE influence set — the backward twin of
     * [[temporalReachable]]: every node that can reach `target` along
     * a chronological path, with ld(v) = the LATEST time one could

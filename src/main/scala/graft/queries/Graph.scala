@@ -1636,21 +1636,14 @@ object Graph {
     val fe = Tables(s, dir).events
       .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
       .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"event_type", $"bkt").orderBy($"fts", $"feid", $"user_id")
-    val levels = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
-    val leads = fe
-      .withColumn("dep", lead($"fts", 1).over(w))
-      .select(Seq($"user_id".as("u"), unix_millis($"dep").as("dep")) ++
-        levels.flatMap(l => Seq(
-          lead($"user_id", l).over(w).as(s"v$l"),
-          unix_millis(lead($"fts", l).over(w)).as(s"a$l"))): _*)
-    levels.map { l =>
-      leads.filter(col(s"v$l").isNotNull)
-        .select($"u", col(s"v$l").as("v"), $"dep", col(s"a$l").as("arr"))
-    }.reduce(_ union _)
-      .filter($"u" =!= $"v")
-      .distinct()
+      .withColumn("ts_ms", unix_millis($"fts"))
+    // ordering stays at FULL timestamp precision (fts, feid, user) —
+    // the ms-truncated edge time is monotone along it, which is all
+    // chainShortcuts' chronology contract needs
+    GraphAlgos.chainShortcuts(fe,
+      partCols = Seq("event_type", "bkt"),
+      ordCols = Seq("fts", "feid", "user_id"),
+      nodeCol = "user_id", tsCol = "ts_ms", maxLevel = 12)
   }
 
   private val graphTemporalReach = Q(

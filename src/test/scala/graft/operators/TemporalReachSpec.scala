@@ -130,6 +130,39 @@ class TemporalReachSpec extends AnyFunSuite {
     }
   }
 
+  test("chainShortcuts: base edges + exact power-of-two composites, and " +
+    "reach over them equals reach over the base chain") {
+    // one group, chronological chain 1→2→3→4→5 at ts 10..50
+    val rows = (1L to 5L).map(i => ("g", i, i, 10L * i))
+      .toDF("grp", "ord", "node", "ts")
+    val edges = GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"),
+      "node", "ts", maxLevel = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // base: (i, i+1, ts_{i+1}, ts_{i+1}); level 2: (i, i+2, ts_{i+1}, ts_{i+2});
+    // level 4: (1, 5, 20, 50)
+    assert(edges.contains((1L, 2L, 20L, 20L)) && edges.contains((4L, 5L, 50L, 50L)))
+    assert(edges.contains((1L, 3L, 20L, 30L)) && edges.contains((3L, 5L, 40L, 50L)))
+    assert(edges.contains((1L, 5L, 20L, 50L)))
+    assert(edges.size == 4 + 3 + 1)
+    val viaShortcuts = GraphAlgos.temporalReachable(
+      GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"), "node", "ts", 2)
+        .toDF("u", "v", "dep", "arr"),
+      "u", "v", "dep", "arr", 1L, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaShortcuts == Map(1L -> 0L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> 50L))
+  }
+
+  test("chainShortcuts: a non-chronological chain fails loudly in-plan") {
+    val rows = Seq(("g", 1L, 1L, 50L), ("g", 2L, 2L, 10L))
+      .toDF("grp", "ord", "node", "ts")
+    val ex = intercept[Exception] {
+      GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"), "node", "ts", 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("not chronological"), ex.getMessage)
+  }
+
   test("shortcut edges (dep < arr composites of real paths) change the " +
     "round count, never the fixpoint") {
     // chronological chain 0→1→…→12 at ts 10,20,…,120: diameter 12

@@ -104,6 +104,36 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  test("the round-9 loops (FW-BW SCC, temporal reach) run under the " +
+    "reliable path with identical results and bounded retention") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 10L)).toDF("u", "v")
+    val tEdges = Seq((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 15L),
+      (1L, 4L, 40L)).toDF("u", "v", "ts")
+    def sccMap() = SccEntity.scc(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def reachMap() = GraphAlgos.temporalReachable(
+      tEdges, "u", "v", "ts", "ts", 1L, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (sccDefault, reachDefault) = (sccMap(), reachMap())
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_r9_reliable").toString
+    withReliable(ckDir) {
+      assert(sccMap() === sccDefault)
+      assert(reachMap() === reachDefault)
+      // retention stays bounded through BOTH loops' many cut/settle
+      // rounds — released rounds must not pile up
+      val actual = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.getOrElse(
+          "file://" + ckDir)).getPath)
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .map(c => (if (c.getName.startsWith("rdd-")) 1 else 0) +
+            (if (c.isDirectory) rddDirs(c) else 0)).sum
+      assert(rddDirs(actual) <= 30,
+        s"reliable retention unbounded: ${rddDirs(actual)} rdd dirs")
+    }
+  }
+
   test("settle drops origin stats: the size estimate's bit-length stays " +
     "flat across an iterated self-join loop (checkpointing alone lets the " +
     "BigInt estimate COMPOUND until stats estimation eats the driver)") {

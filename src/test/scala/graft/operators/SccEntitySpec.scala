@@ -122,6 +122,27 @@ class SccEntitySpec extends AnyFunSuite {
     }
   }
 
+  test("matches Tarjan on a larger mixed digraph (multiple nontrivial SCCs, " +
+    "DAG periphery, disconnected weak components — every code path)") {
+    val rnd = new scala.util.Random(101)
+    val n = 60
+    // sparse random core + planted cycles so nontrivial SCCs exist in
+    // several disconnected regions (node ranges don't overlap)
+    val planted = Seq(
+      (0L until 6L).map(i => (i, (i + 1) % 6)),                 // 6-cycle
+      (20L until 24L).map(i => (i, if (i == 23) 20L else i + 1)), // 4-cycle
+      Seq((40L, 41L), (41L, 40L)),                               // 2-cycle
+    ).flatten
+    val random = (1 to 2 * n).map { _ =>
+      val region = rnd.nextInt(3) * 20
+      ((region + rnd.nextInt(15)).toLong, (region + rnd.nextInt(15)).toLong)
+    }
+    val edges = (planted ++ random).filter(e => e._1 != e._2).distinct
+    val got = scc(edges)
+    assert(got === tarjan(edges))
+    assert(got.values.map(_._1).toSet.size > 5, "expected several SCCs")
+  }
+
   test("matches Tarjan on a chain of 2-cycles (the FW-BW worst case: " +
     "neither trim nor split shrinks it fast — rounds ≈ #SCCs)") {
     // c0 ⇄ c0', c0→c1, c1 ⇄ c1', ... : min-pivot eats one SCC per round

@@ -72,9 +72,18 @@ object Tables {
       table: String,
       schema: org.apache.spark.sql.types.StructType,
   ): DataFrame = {
-    val p = new java.io.File(dir, s"$table.parquet")
-    if (p.isDirectory)
-      spark.readStream.schema(schema).parquet(p.getPath)
+    // probe via Hadoop FileSystem, not java.io.File: the table can
+    // live on any supported filesystem (hdfs://, s3a://, file:/), and
+    // java.io.File.isDirectory is silently false for every non-local
+    // URI — which would drop a Spark-written directory dataset into
+    // the glob branch and yield exactly the empty stream this helper
+    // exists to prevent.
+    val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = try fs.getFileStatus(p).isDirectory
+                catch { case _: java.io.FileNotFoundException => false }
+    if (isDir)
+      spark.readStream.schema(schema).parquet(p.toString)
     else
       spark.readStream.schema(schema)
         .option("pathGlobFilter", s"$table.parquet").parquet(dir)

@@ -111,6 +111,9 @@ object KllSketch {
     */
   val K = 1024
 
+  /** Wire-format magic for serialized states ("KLL1"). */
+  val Magic = 0x4B4C4C31
+
   /** Growable compactor hierarchy. Level l items carry weight 2^l.
     * `parity(l)` alternates which half a compaction keeps — the MRL
     * determinism that replaces KLL's coin.
@@ -198,7 +201,12 @@ object KllSketch {
     def toBytes: Array[Byte] = {
       val nl = levels.length
       val total = sizes.sum
-      val bb = java.nio.ByteBuffer.allocate(4 + nl * 8 + total * 8)
+      val bb = java.nio.ByteBuffer.allocate(12 + nl * 8 + total * 8)
+      // versioned header: persisted lake states deserialized under a
+      // different K (or any corrupted binary) must fail with a clear
+      // error, not ArrayIndexOutOfBounds / silent merge corruption
+      bb.putInt(Magic)
+      bb.putInt(K)
       bb.putInt(nl)
       var l = 0
       while (l < nl) { bb.putInt(sizes(l)); bb.putInt(parity(l)); l += 1 }
@@ -214,14 +222,34 @@ object KllSketch {
 
   object Buffer {
     def fromBytes(bytes: Array[Byte]): Buffer = {
+      def bad(msg: String): Nothing = throw new IllegalArgumentException(
+        s"kll_state: malformed serialized sketch — $msg")
+      if (bytes.length < 12) bad(s"only ${bytes.length} bytes, need a 12-byte header")
       val bb = java.nio.ByteBuffer.wrap(bytes)
+      val magic = bb.getInt
+      if (magic != Magic) bad(f"magic 0x$magic%08x, expected 0x$Magic%08x " +
+        "(not a kll_state, or written by a pre-header version)")
+      val k = bb.getInt
+      if (k != K) bad(s"serialized with K=$k, this build uses K=$K — " +
+        "re-build the stored states or match the build's K")
       val nl = bb.getInt
+      if (nl < 0 || nl > 64) bad(s"implausible level count $nl")
+      if (bytes.length < 12 + nl * 8) bad(s"truncated level table ($nl levels, ${bytes.length} bytes)")
       val b = new Buffer()
       b.levels = new Array[Array[Long]](nl)
       b.sizes = new Array[Int](nl)
       b.parity = new Array[Int](nl)
       var l = 0
-      while (l < nl) { b.sizes(l) = bb.getInt; b.parity(l) = bb.getInt; l += 1 }
+      var total = 0L
+      while (l < nl) {
+        b.sizes(l) = bb.getInt; b.parity(l) = bb.getInt
+        if (b.sizes(l) < 0 || b.sizes(l) > K) bad(s"level $l size ${b.sizes(l)} outside [0,$K]")
+        if (b.parity(l) < 0) bad(s"level $l negative parity ${b.parity(l)}")
+        total += b.sizes(l)
+        l += 1
+      }
+      if (bytes.length != 12 + nl * 8 + total * 8)
+        bad(s"payload length ${bytes.length} != expected ${12 + nl * 8 + total * 8}")
       l = 0
       while (l < nl) {
         b.levels(l) = new Array[Long](K)

@@ -255,7 +255,15 @@ object Drift {
         // period — struct ordering makes it one map-side-combinable
         // pass (the labelPropagation argmax trick)
         max_by($"p", struct($"d", expr("-i"))).as("cp_period"),
-        max($"d").cast("long").as("d_max"),
+        // D ≤ N·S_N can exceed long headroom at large corpora; a bare
+        // non-ANSI cast would NULL silently, contradicting the
+        // exact-decimal/fail-loud contract — same raise_error pattern
+        // as MlEval.auc's doubled Mann-Whitney U.
+        when(max($"d") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit("cusum: max deviation D "),
+            max($"d").cast("string"),
+            lit(" exceeds long headroom; pre-scale the value column"))))
+          .otherwise(max($"d")).cast("long").as("d_max"),
         max($"sn").as("sn"),
       )
       .select(

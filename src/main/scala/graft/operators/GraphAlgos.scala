@@ -175,20 +175,18 @@ object GraphAlgos {
     val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
-      // materialize + cut lineage + DROP plan metadata. A plain
-      // localCheckpoint keeps both the plan's output exprIds and its
-      // propagated constraints (LogicalRDD.fromDataset copies them),
-      // so the improvement filter's `d.dist IS NULL OR c.dist <
-      // d.dist` constraint — which references the JOIN side's
-      // attributes, absent from the projected output — would ride the
-      // checkpoint into the next round's union and blow up Union
-      // constraint rewriting. Re-wrapping the materialized RDD in a
-      // fresh LogicalRDD keeps only (schema, rows): fresh exprIds, no
-      // foreign constraints.
-      def settle(df: DataFrame): DataFrame = {
-        val m = df.cutLineage()
-        spark.createDataFrame(m.rdd, m.schema)
-      }
+      // materialize + cut lineage + DROP plan metadata via
+      // [[Lineage.settle]]: a plain localCheckpoint keeps both the
+      // plan's output exprIds and its propagated constraints
+      // (LogicalRDD.fromDataset copies them), so the improvement
+      // filter's `d.dist IS NULL OR c.dist < d.dist` constraint —
+      // which references the JOIN side's attributes, absent from the
+      // projected output — would ride the checkpoint into the next
+      // round's union and blow up Union constraint rewriting.
+      // Lineage.settle also transfers reliable-checkpoint file
+      // ownership to the returned frame, so the release() calls below
+      // actually delete superseded rounds in reliable mode.
+      def settle(df: DataFrame): DataFrame = Lineage.settle(df)
       var dist = settle(Seq((seed, 0L)).toDF("node", "dist"))
       var frontier = dist
       var frontierSize = 1L

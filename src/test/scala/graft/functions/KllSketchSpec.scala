@@ -125,6 +125,33 @@ class KllSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed or wrong-K serialized states fail with a descriptive " +
+    "error, not ArrayIndexOutOfBounds (ADVICE r9: versioned wire format)") {
+    import graft.functions.KllSketch.Buffer
+    val b = new Buffer(); (1L to 100L).foreach(b.add)
+    val good = b.toBytes
+    // round trip is exact
+    assert(Buffer.fromBytes(good).weightedSample().toSeq ==
+      b.weightedSample().toSeq)
+    def msgOf(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](Buffer.fromBytes(bytes)).getMessage
+    // truncated header
+    assert(msgOf(Array[Byte](1, 2, 3)).contains("header"))
+    // wrong magic (pre-header / foreign binary)
+    val wrongMagic = good.clone(); wrongMagic(0) = 0x00
+    assert(msgOf(wrongMagic).contains("magic"))
+    // wrong K
+    val wrongK = good.clone()
+    java.nio.ByteBuffer.wrap(wrongK).putInt(4, 512)
+    assert(msgOf(wrongK).contains("K=512"))
+    // truncated payload
+    assert(msgOf(good.dropRight(8)).contains("length"))
+    // corrupted level size past K
+    val badSize = good.clone()
+    java.nio.ByteBuffer.wrap(badSize).putInt(12, Int.MaxValue)
+    assert(msgOf(badSize).toLowerCase.contains("size"))
+  }
+
   test("nulls are ignored like every aggregate") {
     KllSketch.register(spark)
     val df = Seq(Some(1L), None, Some(2L), None, Some(3L)).toDF("x")

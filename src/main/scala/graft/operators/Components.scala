@@ -82,10 +82,7 @@ object Components {
     // apply to state stores. (Same rows-per-partition target at 10⁹
     // edges: the conf scales up instead of down.)
     val nEdges = sym.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       // eager localCheckpoint: materializes AND cuts lineage (see scaladoc)
       var labels = sym.select($"src".as("node")).distinct()
         .withColumn("component", $"node")
@@ -118,7 +115,7 @@ object Components {
         s"connectedComponents did not converge in $maxIters rounds — " +
           "a component's diameter exceeds the budget; raise maxIters")
       labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Alternating large-star/small-star connected components (Kiveris
@@ -163,10 +160,7 @@ object Components {
       // out of every round's re-analysis (see connectedComponents)
       .cutLineage()
     val nEdges = e0.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       // every node that appears in an edge — the output domain, and
       // the singleton fallback for nodes whose edges were all self-loops
       val nodes = e0.select($"src".as("node"))
@@ -236,8 +230,6 @@ object Components {
       nodes
         .join(cur.select($"src".as("node"), $"dst".as("parent")), Seq("node"), "left")
         .select($"node", coalesce($"parent", $"node").as("component"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 }

@@ -171,10 +171,7 @@ object GraphAlgos {
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
       .cutLineage()
     val nEdges = sym.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       // materialize + cut lineage + DROP plan metadata via
       // [[Lineage.settle]]: a plain localCheckpoint keeps both the
       // plan's output exprIds and its propagated constraints
@@ -219,7 +216,7 @@ object GraphAlgos {
         s"sssp did not converge in $maxIters rounds — a shortest path " +
           "tree is deeper than the budget; raise maxIters")
       dist
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Deterministic truncated random walks — the DeepWalk/node2vec
@@ -361,10 +358,7 @@ object GraphAlgos {
     // loop shuffles sized to the (initial) edge count, as in
     // [[Components]]: the peel only shrinks, so the quotient is an
     // upper bound; small graphs skip empty-task scheduling overhead
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, curCount / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, curCount) {
       var converged = curCount == 0
       var i = 0
       while (!converged && i < maxIters) {
@@ -393,7 +387,7 @@ object GraphAlgos {
         s"kCore did not converge in $maxIters rounds; raise maxIters")
       cur.groupBy($"src").agg(count(lit(1)).as("core_deg"))
         .select($"src".as("node"), $"core_deg")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Core NUMBERS (coreness of every node) by h-index iteration (Lü
@@ -451,10 +445,7 @@ object GraphAlgos {
     // scheduling — on a big graph the quotient restores full
     // parallelism automatically
     val nEdges = sym.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       var cur = sym.groupBy($"src").agg(count(lit(1)).cast("long").as("c"))
         .select($"src".as("node"), $"c").cutLineage()
       // the round's OWNED materialization, for reliable-checkpoint
@@ -529,7 +520,7 @@ object GraphAlgos {
       require(converged,
         s"coreNumbers did not converge in $maxIters rounds; raise maxIters")
       cur.select($"node", $"c".as("coreness"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Truss decomposition — per-EDGE truss numbers, the triangle-level
@@ -602,10 +593,7 @@ object GraphAlgos {
     // size the loop's shuffles to the incidence + edge volume, as in
     // [[coreNumbers]] (rationale there)
     val nWork = inc.count() + e.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nWork / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nWork) {
       val sup = inc.groupBy($"eu", $"ev").agg(count(lit(1)).cast("long").as("c"))
       var cur = e
         .join(sup, $"u" === $"eu" && $"v" === $"ev", "left")
@@ -669,7 +657,7 @@ object GraphAlgos {
       require(converged,
         s"trussNumbers did not converge in $maxIters rounds; raise maxIters")
       cur.select($"u", $"v", ($"c" + 2L).as("truss"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Approximate neighborhood function (ANF: Palmer et al., "ANF: a
@@ -783,10 +771,7 @@ object GraphAlgos {
     // two shuffles (pair count, per-node argmax) whose partition count
     // would otherwise be the session default regardless of graph size
     val nEdges = bi.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       var labels = bi.select($"u".as("node")).distinct()
         .withColumn("lbl", $"node")
       for (_ <- 1 to iters) {
@@ -801,7 +786,7 @@ object GraphAlgos {
       // materialize INSIDE the narrowed-partition scope so the loop's
       // shuffles actually run at `parts` (the trajectory is lazy)
       labels.cutLineage()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of
@@ -910,10 +895,7 @@ object GraphAlgos {
       .filter($"dep" <= $"ets") // a path cannot arrive before it departs
       .cutLineage()
     val nEdges = e.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       var arr = Lineage.settle(Seq((seed, startTs)).toDF("node", "arr"))
       var frontier = arr
       var n = 1L
@@ -941,7 +923,7 @@ object GraphAlgos {
         s"temporalReachable did not converge in $maxIters rounds; raise maxIters")
       if (frontier ne arr) Lineage.release(frontier)
       arr
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Temporal edges WITH DOUBLING SHORTCUTS from chain-structured
@@ -1033,6 +1015,148 @@ object GraphAlgos {
     temporalReachable(reversed, "ru", "rv", "rdep", "rarr",
       seed = target, startTs = -endTs, maxIters = maxIters)
       .select($"node", (-$"arr").as("ld"))
+  }
+
+  /** PARETO-FRONT temporal labels from `seed` — the state behind
+    * fastest-duration (and other non-monotone) temporal path problems
+    * (Wu et al., "Path problems in temporal graphs", VLDB 2014 §5):
+    * unlike earliest arrival, duration is NOT monotone in a single
+    * arrival label — a path that leaves the source later can arrive
+    * later yet be faster — so per-node state is the set of
+    * NON-DOMINATED (d, a) pairs, d = the path's departure time FROM
+    * THE SOURCE, a = its arrival at the node. (d, a) dominates
+    * (d′, a′) iff d ≥ d′ ∧ a ≤ a′ (left later, arrived no later):
+    * a dominated label can never beat its dominator on duration
+    * (a′ − d′ ≥ a − d follows from the two inequalities) and
+    * every chronological extension of it is dominated by the same
+    * extension of the dominator — so pruning to the Pareto front is
+    * lossless for ANY objective monotone in (−d, a), duration
+    * included.
+    *
+    * State is BOUNDED BY STRUCTURE, not by corpus rows: d only takes
+    * values from the seed's out-edge departure times, so each node's
+    * front holds at most that many pairs (one minimal arrival per
+    * distinct source departure) — seed out-degree, not |V| or |E|.
+    *
+    * Frontier relaxation, the [[temporalReachable]] shape with the
+    * label set in place of the scalar: per round the NEW pairs join
+    * out-edges under `dep ≥ a`, candidates pre-aggregate map-side to
+    * min(a) per (node, d), the union with the state re-prunes to the
+    * front per node (a window PARTITIONED BY NODE over the bounded
+    * front — never corpus-wide), and the next frontier is the set
+    * difference (anti join on the full label). Pruned-away labels
+    * never resurrect: domination is transitive, so a dominator (or
+    * its dominator) is always still present to kill the re-candidate.
+    * Rounds are bounded by the (shortcut-reduced) temporal diameter,
+    * exactly as for earliest arrival; state settled per round,
+    * superseded rounds [[Lineage.release]]d.
+    *
+    * Returns (node, d, a) — the Pareto front per reachable node, seed
+    * excluded (its trivial label has no departed edge). Shortcut
+    * edges from [[chainShortcuts]] preserve the fronts exactly: a
+    * composite edge carries its first hop's departure, so every
+    * shortcut path realizes the same (d, a) as the base path it
+    * contracts.
+    */
+  def temporalParetoLabels(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      seed: Long,
+      startTs: Long = 0L,
+      maxIters: Int = 100,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
+      col(arrCol).cast("long").as("ets"))
+      .filter($"dep" <= $"ets") // a path cannot arrive before it departs
+      .cutLineage()
+    val nEdges = e.count()
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
+      // keep each node's Pareto front: per (node, d) only the minimal
+      // arrival survives, then a pair survives iff its arrival beats
+      // every pair departing no earlier (running min over d desc)
+      def prune(labels: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"node").orderBy($"d".desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        labels.groupBy($"node", $"d").agg(min($"a").as("a"))
+          .withColumn("__best", min($"a").over(w))
+          .filter($"__best".isNull || $"a" < $"__best")
+          .drop("__best")
+      }
+      // first hops: the seed departs on any edge with dep >= startTs,
+      // stamping the path's source departure
+      var state = Lineage.settle(prune(
+        e.filter($"src" === seed && $"dep" >= startTs)
+          .select($"dst".as("node"), $"dep".as("d"), $"ets".as("a"))))
+      var frontier = state
+      var n = frontier.count()
+      var i = 0
+      while (n > 0 && i < maxIters) {
+        i += 1
+        val cand = frontier.join(e, $"node" === $"src" && $"dep" >= $"a")
+          .select($"dst".as("node"), $"d", $"ets".as("a"))
+          .groupBy($"node", $"d").agg(min($"a").as("a"))
+        // survivors: candidates no state pair dominates-or-equals —
+        // a node-keyed anti join with the dominance predicate, so the
+        // per-round cost is |cand| × front width (bounded), never a
+        // re-prune of the whole state; prune() then settles dominance
+        // among the round's own survivors
+        val fresh = Lineage.settle(prune(cand.as("c")
+          .join(state.as("s"),
+            $"c.node" === $"s.node" && $"s.d" >= $"c.d" && $"s.a" <= $"c.a",
+            "left_anti")))
+        n = fresh.count()
+        if (n > 0) {
+          // plain union: a fresh pair may dominate a stale state pair,
+          // but stale pairs are harmless — they never re-relax (only
+          // fresh pairs enter the frontier), they can only KILL future
+          // candidates a live dominator would kill anyway, and no
+          // objective monotone in (−d, a) can prefer them; the public
+          // front re-prunes once at the end
+          val merged = Lineage.settle(state.union(fresh))
+          Lineage.release(state)
+          if (frontier ne state) Lineage.release(frontier)
+          state = merged
+          frontier = fresh
+        } else Lineage.release(fresh)
+      }
+      require(n == 0,
+        s"temporalParetoLabels did not converge in $maxIters rounds; raise maxIters")
+      if (frontier ne state) Lineage.release(frontier)
+      prune(state.filter($"node" =!= seed))
+    }
+  }
+
+  /** FASTEST-DURATION temporal reachability — for every node
+    * time-respecting-reachable from `seed`, the minimum elapsed time
+    * of any chronological path (arrival minus the departure from the
+    * source; Wu et al. VLDB 2014's "fastest path"). This is the
+    * question earliest arrival answers WRONG whenever leaving later
+    * is faster: min(a − d) over the node's Pareto front, which a
+    * single arrival label cannot carry. One aggregate over
+    * [[temporalParetoLabels]]; returns (node, fastest), seed excluded,
+    * unreachable nodes absent.
+    */
+  def temporalFastest(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      seed: Long,
+      startTs: Long = 0L,
+      maxIters: Int = 100,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    temporalParetoLabels(edges, uCol, vCol, depCol, arrCol, seed, startTs, maxIters)
+      .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
   }
 
   /** Strongly-connected-component condensation of a DIRECTED graph

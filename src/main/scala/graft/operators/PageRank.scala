@@ -66,10 +66,7 @@ object PageRank {
     // a small graph must not pay (default partitions) × (stages per
     // round) of empty-task scheduling; a big one gets the quotient back
     val nEdges = e.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .cutLineage()
       val nodes = e.select(col("src").as("node"))
@@ -98,7 +95,7 @@ object PageRank {
         ranks = next
       }
       ranks
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Personalized PageRank: the teleport mass restarts ONLY onto the
@@ -130,10 +127,7 @@ object PageRank {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .cutLineage()
     val nEdges = e.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .cutLineage()
       val nodes = e.select(col("src").as("node"))
@@ -164,7 +158,7 @@ object PageRank {
         ranks = next
       }
       ranks
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** HITS hubs-and-authorities (Kleinberg, "Authoritative Sources in a
@@ -209,10 +203,7 @@ object PageRank {
       .cutLineage()
     val nEdges = e.count()
     require(nEdges > 0, "hits: empty edge set")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst")))
         .distinct()
@@ -256,6 +247,6 @@ object PageRank {
       }
       h.join(a, Seq("node"))
         .select(col("node"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 }

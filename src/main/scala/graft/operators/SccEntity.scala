@@ -28,14 +28,23 @@ import graft.operators.Lineage.CutOps
   *      DAG regions dissolve entirely here, one topological layer
   *      per iteration, which is what keeps pivot rounds for the
   *      cyclic cores only.
-  *   2. PIVOT: each part's minimum node (deterministic — no RNG to
-  *      disagree across engines/retries). Because a part's id IS its
-  *      minimum node id, the pivot set is just `node === part`.
+  *   2. PIVOT: each part's fnv63-MINIMAL node (node ties broken by
+  *      id) — deterministic like a minimum (no RNG to disagree across
+  *      engines/retries), but the pivot's POSITION in the part's
+  *      condensation DAG is pseudo-random. That is the quicksort
+  *      median argument: a plain min-node pivot degenerates on
+  *      monotone-id SCC chains (the pivot always lands at one END, so
+  *      each round peels exactly one SCC — rounds ≈ #SCCs), while the
+  *      hashed pivot halves the chain in expectation — rounds
+  *      O(log #SCCs) on ANY id assignment, adversarial included
+  *      (spec-pinned on a 100-SCC monotone chain under default
+  *      budgets).
   *   3. FW/BW: frontier BFS from the pivots along, then against, the
   *      within-part edges (the [[GraphAlgos.bfsLevels]] shape, all
-  *      parts at once). SCC(pivot) = F ∩ B, and pivot = min(part) =
-  *      min of its SCC, so scc_id = the component's minimum node,
-  *      matching sccCondensation's convention.
+  *      parts at once). SCC(pivot) = F ∩ B; scc_id = min(F ∩ B) —
+  *      the component's minimum node, matching sccCondensation's
+  *      convention (one extra part-keyed agg, since the hashed pivot
+  *      is no longer itself the minimum).
   *   4. SPLIT: survivors fall into F∖B, B∖F, or neither; each
   *      (part, quadrant) group becomes a new part keyed by ITS
   *      minimum node. Edges between quadrants can never close a cycle
@@ -43,10 +52,11 @@ import graft.operators.Lineage.CutOps
   *      round's BFS to within-part edges loses nothing.
   *
   * Convergence: every round assigns at least each active part's pivot
-  * SCC, so the active set strictly shrinks; `maxRounds` bounds the
-  * worst case (a chain of small SCCs that neither trims nor splits —
-  * rounds ≈ #SCCs on the critical path) and fails loudly like the
-  * other iterative operators. Per-round state (`active`, the BFS
+  * SCC, so the active set strictly shrinks; with hashed pivots a
+  * C-SCC chain needs O(log C) rounds in expectation (each pivot lands
+  * at a pseudo-random chain position and the split halves the part),
+  * and `maxRounds` bounds the residual tail risk, failing loudly like
+  * the other iterative operators. Per-round state (`active`, the BFS
   * visited sets, the assignment pieces) is settled via [[Lineage]]
   * and superseded rounds are [[Lineage.release]]d, so reliable-mode
   * checkpoint retention stays O(1) rounds.
@@ -74,10 +84,7 @@ object SccEntity {
       .distinct()
     val e = raw.filter($"src" =!= $"dst").distinct().cutLineage()
     val nEdges = e.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 50000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       // assignment pieces accumulate settled; the union is collapsed
       // whenever it grows past a bounded width (the walks-accumulator
       // discipline — plan width must not scale with round count)
@@ -89,20 +96,20 @@ object SccEntity {
         pieces += merged
       }
       // every active subproblem is keyed by its MINIMUM node id.
-      // Seed the partition from WEAKLY-connected components (min-label
-      // propagation, [[Components.connectedComponents]] — component id
-      // IS the min node, preserving the pivot = (node === part)
-      // invariant): disjoint weak components advance through their own
-      // pivot rounds IN PARALLEL instead of queueing through one
-      // global subproblem's "neither" quadrant — on a corpus of k
-      // disconnected communities that is the difference between
-      // max-rounds-per-community and sum-over-communities. Nodes with
-      // no traversal edges (self-loop-only) seed their own singleton
-      // parts.
+      // Seed the partition from WEAKLY-connected components: disjoint
+      // weak components advance through their own pivot rounds IN
+      // PARALLEL instead of queueing through one global subproblem's
+      // "neither" quadrant — on a corpus of k disconnected communities
+      // that is the difference between max-rounds-per-community and
+      // sum-over-communities. Nodes with no traversal edges
+      // (self-loop-only) seed their own singleton parts.
       var active = Lineage.settle(
         if (nEdges == 0) nodes.select($"node", $"node".as("part"))
         else nodes.join(
-          Components.connectedComponents(e, "src", "dst")
+          // star contraction, not min-label propagation: seeding must
+          // not be the depth-limited step (a 200-node weak chain is 200
+          // label rounds but O(log²) star rounds, same |E|-keyed plan)
+          Components.connectedComponentsStar(e, "src", "dst")
             .select($"node", $"component".as("part")),
           Seq("node"), "left")
           .select($"node", coalesce($"part", $"node").as("part")))
@@ -149,7 +156,13 @@ object SccEntity {
           // dominant cost at small-to-mid scale; at corpus scale the
           // joins are |E|-keyed either way).
           val ae = withinPartEdges(e, active)
-          val pivots = active.filter($"node" === $"part")
+          // hashed pivot (scaladoc step 2): one part-keyed map-side-
+          // combinable agg; min_by on (hash, node) keeps determinism
+          val pivots = active.groupBy($"part")
+            .agg(min_by($"node", struct(
+              graft.functions.Fnv63Hash.hash(spark, $"node".cast("string")),
+              $"node")).as("node"))
+            .select($"node", $"part")
           val fb = reachBoth(ae, pivots, maxBfsIters)
           val f = fb.filter($"d" === "f").select($"node", $"part")
           val b = fb.filter($"d" === "b").select($"node", $"part")
@@ -159,17 +172,19 @@ object SccEntity {
             .select($"node", $"part",
               $"inf".isNotNull.as("inf"), $"inb".isNotNull.as("inb")))
           Seq(ae, fb).foreach(Lineage.release)
-          val sccNodes = marked.filter($"inf" && $"inb")
-          pieces += Lineage.settle(
-            sccNodes.select($"node", $"part".as("scc_id")))
+          // one shared (part, quadrant) min agg serves BOTH outputs:
+          // the s-quadrant's min is the resolved SCC's id (the hashed
+          // pivot is not itself the min), the other quadrants' mins
+          // key the next round's parts
+          val qm = marked.select($"node", $"part",
+            when($"inf" && $"inb", lit("s")).when($"inf", lit("f"))
+              .when($"inb", lit("b")).otherwise(lit("n")).as("q"))
+          val np = qm.groupBy($"part", $"q").agg(min($"node").as("np"))
+          val stamped = qm.join(np, Seq("part", "q"))
+          pieces += Lineage.settle(stamped.filter($"q" === "s")
+            .select($"node", $"np".as("scc_id")))
           flushPieces()
-          // split survivors into quadrants; new part = the group's min
-          val rem = marked.filter(!($"inf" && $"inb"))
-            .select($"node", $"part",
-              when($"inf", lit("f")).when($"inb", lit("b"))
-                .otherwise(lit("n")).as("q"))
-          val np = rem.groupBy($"part", $"q").agg(min($"node").as("np"))
-          val nxt = Lineage.settle(rem.join(np, Seq("part", "q"))
+          val nxt = Lineage.settle(stamped.filter($"q" =!= "s")
             .select($"node", $"np".as("part")))
           Lineage.release(marked)
           Lineage.release(active)
@@ -179,8 +194,8 @@ object SccEntity {
       }
       require(activeCount == 0,
         s"SccEntity.scc did not converge in $maxRounds rounds " +
-          s"($activeCount nodes unassigned) — a long chain of small SCCs; " +
-          "raise maxRounds")
+          s"($activeCount nodes unassigned) — an unusually deep SCC " +
+          "condensation chain; raise maxRounds")
       val assign =
         if (pieces.isEmpty) spark.emptyDataFrame
           .withColumn("node", lit(0L)).withColumn("scc_id", lit(0L)).limit(0)
@@ -188,7 +203,7 @@ object SccEntity {
       val sizes = assign.groupBy($"scc_id")
         .agg(count(lit(1)).as("scc_size"))
       assign.join(sizes, "scc_id").select($"node", $"scc_id", $"scc_size")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Edges whose BOTH endpoints are active in the SAME part, stamped

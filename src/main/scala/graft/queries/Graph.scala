@@ -1725,6 +1725,61 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** FASTEST-DURATION temporal reachability
+    * (`GraphAlgos.temporalFastest`) over the same hand-off chains as
+    * [[graphTemporalReach]]: for every user the minimum ELAPSED time
+    * of any chronologically consistent influence path from the seed —
+    * the question earliest arrival answers wrong whenever leaving
+    * later is faster. Duration is non-monotone in a single arrival
+    * label, so per-node state is the PARETO FRONT of (source
+    * departure, arrival) pairs (Wu et al. VLDB 2014 §5), bounded by
+    * the seed's out-edge departure support, never corpus rows.
+    *
+    * Scale shape inherited whole from the earliest-arrival gate: the
+    * same doubling shortcut edges (exact composites carrying their
+    * first hop's departure, so fronts are provably preserved — the
+    * hash match against a base-edges-only oracle is the proof), the
+    * same |frontier|-keyed relaxation joins, per-node window pruning
+    * over the bounded front, settle/release per round. Oracle:
+    * recursive-CTE enumeration of the FULL label sets (no pruning) on
+    * base edges — a deliberately different program shape whose min
+    * must agree with the pruned frontier loop.
+    */
+  private val graphTemporalFastest = Q(
+    "q_graph_temporal_fastest",
+    (s, dir) => {
+      import s.implicits._
+      val chain = handoffChain(s, dir)
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      GraphAlgos.temporalFastest(chain, "u", "v", "dep", "arr", seed)
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |labels AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, labels.d, e.ts
+           |  FROM labels JOIN e ON e.u = labels.node AND e.ts >= labels.a)
+           |SELECT node, CAST(min(a - d) AS BIGINT) AS fastest
+           |FROM labels WHERE node <> (SELECT s FROM sd)
+           |GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
   /** The condensation DAG of the per-entity SCC decomposition — what a
     * pipeline actually CONSUMES downstream of [[graphSccEntity]]:
     * collapse each strongly-connected community to its scc_id and keep
@@ -1799,5 +1854,6 @@ object Graph {
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
     graphSccEntity, graphTemporalReach, graphTemporalInfluence,
+    graphTemporalFastest,
     graphSccEntityDag)
 }

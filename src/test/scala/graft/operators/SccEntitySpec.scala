@@ -154,6 +154,31 @@ class SccEntitySpec extends AnyFunSuite {
     assert(scc(edges) === tarjan(edges))
   }
 
+  test("a 100-SCC monotone-id chain converges under DEFAULT budgets " +
+    "(hashed pivots: expected O(log C) rounds on the min-pivot worst case)") {
+    // increasing ids along the chain — the adversarial order where a
+    // min-node pivot always lands at the head and peels one SCC/round
+    val k = 100L
+    val edges = (0L until k).flatMap { i =>
+      Seq((2 * i, 2 * i + 1), (2 * i + 1, 2 * i)) ++
+        (if (i + 1 < k) Seq((2 * i, 2 * (i + 1))) else Seq.empty)
+    }
+    val got = scc(edges) // default maxRounds = 30
+    assert(got === tarjan(edges))
+    assert(got.values.map(_._1).toSet.size == k.toInt)
+  }
+
+  test("the same 100-SCC chain with DECREASING ids also converges under " +
+    "default budgets (the other monotone adversary)") {
+    val k = 100L
+    val top = 2 * k - 1
+    val edges = (0L until k).flatMap { i =>
+      Seq((2 * i, 2 * i + 1), (2 * i + 1, 2 * i)) ++
+        (if (i + 1 < k) Seq((2 * i, 2 * (i + 1))) else Seq.empty)
+    }.map { case (u, v) => (top - u, top - v) }
+    assert(scc(edges) === tarjan(edges))
+  }
+
   test("result is invariant to input partitioning and edge duplication") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
       (1L, 2L), (2L, 3L))

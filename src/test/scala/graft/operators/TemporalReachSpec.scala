@@ -163,6 +163,106 @@ class TemporalReachSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not chronological"), ex.getMessage)
   }
 
+  private def fastest(
+      edges: Seq[(Long, Long, Long)], seed: Long,
+      startTs: Long = 0L): Map[Long, Long] =
+    GraphAlgos.temporalFastest(
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", seed, startTs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Brute-force fastest durations: enumerate every chronological walk
+    * label (d, a) by fixpoint over full label SETS — no Pareto pruning
+    * at all, the independent program shape. */
+  private def seqFastest(
+      edges: Seq[(Long, Long, Long)], seed: Long,
+      startTs: Long = 0L): Map[Long, Long] = {
+    val labels = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long)]].withDefaultValue(Set.empty)
+    for ((u, v, t) <- edges if u == seed && t >= startTs)
+      labels(v) += ((t, t))
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((u, v, t) <- edges; (d, a) <- labels(u) if t >= a)
+        if (!labels(v).contains((d, t))) { labels(v) += ((d, t)); changed = true }
+    }
+    labels.filter(_._1 != seed)
+      .map { case (n, ls) => n -> ls.map(p => p._2 - p._1).min }.toMap
+  }
+
+  test("fastest duration disagrees with earliest arrival when leaving " +
+    "later is faster (the non-monotone case Pareto fronts exist for)") {
+    // slow early edge vs fast late edge to the same node
+    val edges = Seq((1L, 2L, 4L), (1L, 2L, 6L))
+    // encode durations via dep<arr composites: use 4-col form directly
+    val e4 = Seq((1L, 2L, 1L, 4L), (1L, 2L, 6L, 7L)).toDF("u", "v", "dep", "arr")
+    val arr = GraphAlgos.temporalReachable(e4, "u", "v", "dep", "arr", 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = GraphAlgos.temporalFastest(e4, "u", "v", "dep", "arr", 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arr(2L) == 4L)  // earliest arrival rides the slow early edge
+    assert(fast(2L) == 1L) // fastest duration rides the late fast one
+    assert(edges.nonEmpty)
+  }
+
+  test("the fastest path needs a DOMINATED-by-arrival label: earliest-" +
+    "arrival state alone would lose it at the intermediate node") {
+    // labels at 2: (1,2) early and (10,11) late — an earliest-arrival
+    // algorithm keeps only arr=2; but the fast route to 3 extends the
+    // late label (duration 13-10=3 vs 13-1=12)
+    val edges = Seq((1L, 2L, 1L), (1L, 2L, 10L)).map(e => (e._1, e._2, e._3, e._3 + 1L)) ++
+      Seq((2L, 3L, 12L, 13L))
+    val fast = GraphAlgos.temporalFastest(
+      edges.toDF("u", "v", "dep", "arr"), "u", "v", "dep", "arr", 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast(3L) == 3L)
+    assert(fast(2L) == 1L)
+  }
+
+  test("Pareto fronts carry no dominated pair and d only takes seed " +
+    "out-edge departures (the bounded-state invariant)") {
+    val rnd = new scala.util.Random(61)
+    val n = 14
+    val edges = (1 to 5 * n).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(30).toLong + 1L)
+    }.filter(e => e._1 != e._2)
+    val front = GraphAlgos.temporalParetoLabels(
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val seedDeps = edges.filter(_._1 == 0L).map(_._3).toSet
+    assert(front.forall(l => seedDeps.contains(l._2)),
+      "a front departure is not a seed out-edge departure")
+    val byNode = front.groupBy(_._1)
+    for ((node, ls) <- byNode; a <- ls; b <- ls if a != b)
+      assert(!(a._2 >= b._2 && a._3 <= b._3),
+        s"node $node holds dominated pair $b (dominated by $a)")
+  }
+
+  test("fastest durations match the unpruned label-set fixpoint on " +
+    "random temporal graphs") {
+    val rnd = new scala.util.Random(67)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (1 to 4 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(25).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      assert(fastest(edges, 0L) === seqFastest(edges, 0L), s"trial $trial")
+    }
+  }
+
+  test("fastest durations are invariant under chainShortcuts (composites " +
+    "carry their first hop's departure, so fronts are preserved)") {
+    val rows = (1L to 9L).map(i => ("g", i, i, 7L * i))
+      .toDF("grp", "ord", "node", "ts")
+    val base = (1L until 9L).map(i => (i, i + 1L, 7L * (i + 1L)))
+    val baseFast = fastest(base, 1L)
+    val withSkips = GraphAlgos.temporalFastest(
+      GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"), "node", "ts", 3),
+      "u", "v", "dep", "arr", 1L, 0L, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withSkips == baseFast)
+  }
+
   test("shortcut edges (dep < arr composites of real paths) change the " +
     "round count, never the fixpoint") {
     // chronological chain 0→1→…→12 at ts 10,20,…,120: diameter 12

@@ -86,4 +86,93 @@ object Sampling {
       .filter(col("sample_weight") > 0)
       .drop("__h", "__b", "__w", "__cin", "__prefix", "__wtot", "__c")
   }
+
+  /** Fixed-k WITHOUT-REPLACEMENT PPS — exactly k DISTINCT items, the
+    * eval-set complement of [[systematicPps]] (whose multiplicities
+    * are right for training mixes but wrong where a duplicate row is
+    * a correctness bug). The classic take-all/take-some survey
+    * design, kept fully deterministic and integer-exact:
+    *
+    *   1. CERTAINTY CASCADE: any item with w ≥ W/k is selected
+    *      outright; removing it shrinks W and k, which can promote
+    *      further items. The fixpoint is order-equivalent to a
+    *      take-while over the weight-DESCENDING order — item j (with
+    *      running sum S_j) is certain iff
+    *        w_(j) · (k − j + 1) ≥ W − S_{j−1}
+    *      and failure propagates (w_(j+1)(k−j) + w_(j) ≤
+    *      w_(j)(k−j+1) < W − S_{j−1}), so the holds-set is a PREFIX
+    *      and a plain filter computes the cascade in one pass — no
+    *      driver loop. The prefix has ≤ k members, so the pass runs
+    *      on the top-k frame only (per-partition top-k + merge, no
+    *      global sort shuffle).
+    *   2. SYSTEMATIC REMAINDER: [[systematicPps]] with k′ = k − #certain
+    *      over the survivors. Every survivor has w·k′ < W′ (that is
+    *      exactly where the take-while stopped), so each multiplicity
+    *      is 0 or 1 and Σ = k′ — k distinct items total. The contract
+    *      is also enforced in-plan: a multiplicity > 1 raises instead
+    *      of silently duplicating.
+    *
+    * Inclusion probability is min(1, k·w_i/W) after the cascade — the
+    * PPS ideal. Ties and order are pinned by (w desc, fnv63(id), id),
+    * so retries, re-runs, and the DuckDB oracle select the identical
+    * set. Requires ≥ k rows (raises otherwise) and positive weights
+    * (inherited raise from [[systematicPps]]'s cumulative line).
+    *
+    * Returns the k selected rows with `certain` = whether the row came
+    * from the cascade (its inclusion probability was 1).
+    */
+  def ppsDistinct(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Long,
+      buckets: Int = 64,
+  ): DataFrame = {
+    require(k >= 1, s"ppsDistinct: k must be >= 1, got $k")
+    require(k <= Int.MaxValue, s"ppsDistinct: k must fit an Int, got $k")
+    val spark = df.sparkSession
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val h = graft.functions.Fnv63Hash.hash(spark, col(idCol).cast("string"))
+    val w = when(col(weightCol).cast("long") > 0, col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("ppsDistinct: non-positive weight "),
+        col(weightCol).cast("string"),
+        lit(" — weights must be positive"))))
+    val keyed = df.withColumn("__w", w).withColumn("__h", h)
+    val nRows = keyed.count()
+    require(nRows >= k,
+      s"ppsDistinct: k=$k exceeds the $nRows available rows — " +
+        "a without-replacement sample cannot repeat items")
+    val total = keyed.agg(sum(dec(col("__w"))).as("__wtot"))
+    // the certainty prefix lives inside the top-k frame (≤ k rows, so
+    // the unpartitioned window is structurally bounded, the prefixes
+    // pattern from systematicPps)
+    val wOrd = Window.orderBy(col("__w").desc, col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cert = keyed
+      .orderBy(col("__w").desc, col("__h"), col(idCol)).limit(k.toInt)
+      .crossJoin(broadcast(total))
+      .withColumn("__j", count(lit(1)).over(wOrd))
+      .withColumn("__sj", sum(dec(col("__w"))).over(wOrd))
+      .filter(dec(col("__w")) * (lit(k) - col("__j") + 1) >=
+        col("__wtot") - (col("__sj") - dec(col("__w"))))
+    val nCertain = cert.count() // bounded: ≤ k rows by construction
+    val certOut = cert
+      .select(df.columns.map(col) :+ lit(true).as("certain"): _*)
+    if (nCertain >= k) certOut
+    else {
+      val rest = keyed
+        .join(broadcast(cert.select(col(idCol))), Seq(idCol), "left_anti")
+        .select(df.columns.map(col): _*)
+      val picks = systematicPps(rest, idCol, weightCol, k - nCertain, buckets)
+        .withColumn("certain",
+          when(col("sample_weight") > 1, raise_error(concat(
+            lit("ppsDistinct: remainder multiplicity "),
+            col("sample_weight").cast("string"),
+            lit(" > 1 — the certainty cascade missed an oversized unit"))))
+            .otherwise(lit(false)))
+        .drop("sample_weight")
+      certOut.union(picks)
+    }
+  }
 }

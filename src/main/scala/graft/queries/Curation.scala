@@ -941,7 +941,67 @@ object Curation {
             |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Fixed-k WITHOUT-REPLACEMENT PPS (`operators.Sampling.ppsDistinct`)
+    * — the eval-set complement of [[ppsSample]]: exactly 200 DISTINCT
+    * documents with inclusion ∝ n_chars³ (cubed to plant real whales:
+    * at sf0.01 several documents exceed W/k, so the gate exercises the
+    * certainty cascade, not just the 0/1 systematic remainder). The
+    * cascade is the take-all/take-some survey design computed as a
+    * ONE-PASS prefix filter over the weight-descending order (failure
+    * provably propagates down the order, so filter ≡ the iterative
+    * fixpoint), run on the top-k frame only; the remainder rides the
+    * same integer systematic line as ppsSample with k′ = k − #certain,
+    * where every multiplicity is 0/1 by the cascade's stopping
+    * condition — and a >1 multiplicity raises in-plan rather than
+    * silently duplicating. Oracle: the identical integers through a
+    * plain full-order window + NOT IN remainder — different program,
+    * same selected set, bit-equal `certain` flags.
+    */
+  private val ppsDistinctQ = Q(
+    "q_curation_pps_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"n_chars".cast("long").as("n_chars"))
+        .withColumn("w3", $"n_chars" * $"n_chars" * $"n_chars")
+      graft.operators.Sampling.ppsDistinct(docs, "doc_id", "w3", k = 200L)
+        .select($"doc_id", $"n_chars", $"certain")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+            |         CAST(n_chars AS HUGEINT) * n_chars * n_chars AS w,
+            |         ${Relational.fnv63Sql("CAST(doc_id AS VARCHAR)")} AS h
+            |  FROM documents),
+            |t AS (SELECT CAST(sum(w) AS HUGEINT) AS wt FROM d),
+            |ord AS (
+            |  SELECT *, row_number() OVER (ORDER BY w DESC, h, doc_id) AS j,
+            |         CAST(sum(w) OVER (ORDER BY w DESC, h, doc_id
+            |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS sj
+            |  FROM d),
+            |cert AS (
+            |  SELECT ord.* FROM ord, t
+            |  WHERE w * (200 - j + 1) >= wt - (sj - w)),
+            |cc AS (SELECT count(*) AS c FROM cert),
+            |rem AS (SELECT d.* FROM d
+            |        WHERE doc_id NOT IN (SELECT doc_id FROM cert)),
+            |rt AS (SELECT CAST(sum(w) AS HUGEINT) AS wt FROM rem),
+            |rc AS (
+            |  SELECT doc_id, n_chars, w,
+            |         CAST(sum(w) OVER (ORDER BY h % 64, h, doc_id
+            |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
+            |  FROM rem),
+            |picks AS (
+            |  SELECT rc.doc_id, rc.n_chars FROM rc, rt, cc
+            |  WHERE (cw * (200 - cc.c)) // rt.wt -
+            |        ((cw - w) * (200 - cc.c)) // rt.wt > 0)
+            |SELECT doc_id, n_chars, TRUE AS certain FROM cert
+            |UNION ALL
+            |SELECT doc_id, n_chars, FALSE AS certain FROM picks
+            |ORDER BY doc_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(curation, curationV2, curationV3, streamCuration,
     sampleMixture, sampleDomainCap, sampleEpochs, shardAssign,
-    pipelineWeightedMix, ppsSample)
+    pipelineWeightedMix, ppsSample, ppsDistinctQ)
 }

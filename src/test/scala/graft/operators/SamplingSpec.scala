@@ -79,4 +79,88 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("non-positive weight"))
   }
+
+  private def distinctSample(
+      rows: Seq[(Long, Long)], k: Long, parts: Int = 1): Map[Long, Boolean] =
+    Sampling.ppsDistinct(
+      rows.toDF("id", "w").repartition(parts), "id", "w", k)
+      .select($"id", $"certain")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+  /** Sequential reference for the certainty cascade: the literal
+    * ITERATIVE form (take every w >= W/k, recompute, repeat) — a
+    * different program shape from the operator's one-pass prefix
+    * filter, which is the point of the cross-check. */
+  private def seqCertainty(rows: Seq[(Long, Long)], k: Long): Set[Long] = {
+    var pool = rows
+    var kk = k
+    var cert = Set.empty[Long]
+    var changed = true
+    while (changed && kk > 0 && pool.nonEmpty) {
+      changed = false
+      val tot = pool.map(_._2).sum
+      val take = pool.filter { case (_, w) => w * kk >= tot }
+      if (take.nonEmpty) {
+        // one at a time, largest first (hash/id tiebreak), to mirror
+        // the strict cascade semantics
+        val next = take.maxBy { case (id, w) =>
+          (w, -graft.functions.Fnv63.hash(id.toString.getBytes("UTF-8")), -id)
+        }
+        cert += next._1
+        pool = pool.filterNot(_._1 == next._1)
+        kk -= 1
+        changed = true
+      }
+    }
+    cert
+  }
+
+  test("ppsDistinct returns exactly k distinct items, every whale is " +
+    "certain, and the one-pass prefix equals the iterative cascade") {
+    val rows = (1L to 60L).map(i => (i, i * i)) // heavy tail → whales
+    for (k <- Seq(3L, 7L, 20L)) {
+      val s = distinctSample(rows, k)
+      assert(s.size == k, s"k=$k: ${s.size} items")
+      val expectCert = seqCertainty(rows, k)
+      assert(s.filter(_._2).keySet == expectCert, s"k=$k certainty set")
+      assert(s == distinctSample(rows, k, parts = 7), s"k=$k partitioning")
+    }
+  }
+
+  test("ppsDistinct with no whales degenerates to 0/1 systematic PPS " +
+    "(certain is false everywhere) and still returns exactly k") {
+    val rows = (1L to 400L).map(i => (i, (i % 5) + 1L))
+    val s = distinctSample(rows, 50L)
+    assert(s.size == 50 && s.values.forall(_ == false))
+    // agrees with plain systematicPps when nothing is certain
+    val plain = sample(rows, 50L)
+    assert(plain.values.forall(_ == 1L))
+    assert(s.keySet == plain.keySet)
+  }
+
+  test("ppsDistinct where the cascade PROMOTES a mid-weight item: " +
+    "removing the giant makes a second item oversized") {
+    // giant 1000, then 30: W=1060, k=2 → giant certain (2000 >= 1060);
+    // remainder W'=60, k'=1 → 30*1 >= 60? no... make it 40: 40 >= 60 no.
+    // Use 3 items: 1000, 50, 10 → W=1060, k=2: giant yes (2000>=1060);
+    // then 50*1 >= 60? no. Promote needs w' >= W'/k': 1000, 55, 5:
+    // W'=60, 55 >= 60 no. 1000, 58, 2: 58 >= 60 no... take k=3:
+    // 1000,60,30,20,...: W=1110+, 1000*3 >= W yes; W'=110, k'=2:
+    // 60*2=120 >= 110 yes — promoted; W''=50, k''=1: 30 >= 50 no.
+    val rows = Seq((1L, 1000L), (2L, 60L), (3L, 30L), (4L, 15L), (5L, 5L))
+    val s = distinctSample(rows, 3L)
+    assert(s.size == 3)
+    assert(s(1L) && s(2L), s"cascade should certify 1 and 2: $s")
+    assert(s.count(_._2) == 2, s"only 1 and 2 are certain: $s")
+  }
+
+  test("ppsDistinct never duplicates and k > n fails loudly") {
+    val rows = Seq((1L, 3L), (2L, 4L), (3L, 5L))
+    val all = distinctSample(rows, 3L)
+    assert(all.keySet == Set(1L, 2L, 3L))
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.ppsDistinct(rows.toDF("id", "w"), "id", "w", 4L).collect()
+    }
+    assert(ex.getMessage.contains("without-replacement"))
+  }
 }

@@ -1398,6 +1398,69 @@ object TextAnalysisQ {
            |ORDER BY word""".stripMargin),
   )
 
+  /** SpaceSaving top items with PER-ITEM error certificates
+    * (`functions.SpaceSaving`, K = 64; Metwally et al. ICDT 2005,
+    * mergeable form per Agarwal et al. PODS 2012): the certificate-
+    * issuing member of the frequency family — where [[misraGriesHeavy]]
+    * bounds every count by ONE global slack n/(K+1), each SpaceSaving
+    * item carries its own [lb, ub] bracket (lb = the MG counter,
+    * ub = lb + its insertion-time + survived-decrement deficit), plus
+    * an EXPLICIT summary deficit Δ certifying "any unreported item has
+    * true count ≤ Δ". The gate audits everything order-invariantly:
+    * per heavy word (true·65 > n, the theorem's coverage line since
+    * Δ ≤ n/(K+1)) coverage + both bracket sides; corpus-wide, that
+    * EVERY reported item's bracket holds against exact counts, every
+    * per-item slack is ≤ Δ, and Δ·65 ≤ n. The retained set is
+    * arrival-order-dependent (the KLL/MG discipline) — only these
+    * verdicts are invariant, and they are theorems, so both engines
+    * must agree.
+    */
+  private val spaceSavingTop = Q(
+    "q_sketch_spacesaving",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.SpaceSaving.register(s)
+      val words = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("w"))
+      val sk = words.agg(
+        call_function(graft.functions.SpaceSaving.Name, $"w").as("s"),
+        count(lit(1)).as("n"))
+      val items = sk.select(explode($"s.items").as("p"), $"s.delta".as("delta"))
+        .select($"p.item".as("w"), $"p.lb".as("lb"), $"p.ub".as("ub"), $"delta")
+      val tru = words.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      val audit = items.join(tru, Seq("w"), "left")
+        .agg(
+          bool_and($"lb" <= coalesce($"true_cnt", lit(0L)) &&
+            coalesce($"true_cnt", lit(0L)) <= $"ub").as("brackets_ok"),
+          bool_and($"ub" - $"lb" <= $"delta").as("slack_ok"),
+          (count(lit(1)) <= 64).as("size_ok"))
+      tru.crossJoin(broadcast(sk.select($"n", $"s.delta".as("delta"))))
+        .filter($"true_cnt" * 65 > $"n")
+        .join(broadcast(items.select($"w", $"lb", $"ub")), Seq("w"), "left")
+        .crossJoin(broadcast(audit))
+        .select($"w".as("word"), $"true_cnt",
+          $"lb".isNotNull.as("covered"),
+          (coalesce($"lb", lit(0L)) <= $"true_cnt").as("lb_ok"),
+          ($"true_cnt" <= coalesce($"ub", lit(Long.MaxValue))).as("ub_ok"),
+          ($"delta" * 65 <= $"n").as("delta_ok"),
+          $"brackets_ok", $"slack_ok", $"size_ok")
+        .orderBy($"word")
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+           |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+           |        FROM words GROUP BY w)
+           |SELECT w AS word, true_cnt,
+           |       TRUE AS covered, TRUE AS lb_ok, TRUE AS ub_ok,
+           |       TRUE AS delta_ok, TRUE AS brackets_ok, TRUE AS slack_ok,
+           |       TRUE AS size_ok
+           |FROM tru, nn
+           |WHERE true_cnt * 65 > n
+           |ORDER BY word""".stripMargin),
+  )
+
   /** STREAMING twin of [[misraGriesHeavy]]: the 64 Misra-Gries
     * counters ARE the streaming state — a complete-mode global
     * aggregate whose buffer is the O(K) summary, accumulated across
@@ -1640,5 +1703,6 @@ object TextAnalysisQ {
       decontaminateFuzzy,
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
-      heavyHitters, misraGriesHeavy, streamMisraGries, mgLake, lengthBatching)
+      heavyHitters, misraGriesHeavy, streamMisraGries, mgLake,
+      spaceSavingTop, lengthBatching)
 }

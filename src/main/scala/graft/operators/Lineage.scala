@@ -41,6 +41,21 @@ object Lineage {
   private val tracked = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, String]())
 
+  /** SINGLE-WRITER ASSUMPTION (deliberate, documented): the rdd-* dir
+    * attribution below diffs the checkpoint directory listing around
+    * the eager materialization, serialized under this object's lock —
+    * which covers every cut() in THIS JVM, but not another driver
+    * checkpointing into the SAME directory concurrently (its fresh
+    * rdd-* dirs would be mis-attributed here, and release() could then
+    * delete a foreign checkpoint). One driver per checkpoint dir is
+    * the operating rule — the natural deployment anyway, since
+    * SparkContext.setCheckpointDir is context-global. Multi-driver
+    * setups namespace the dir per driver (e.g. suffix the
+    * applicationId) via [[DirKey]]. release() only ever deletes paths
+    * this map attributed (spec-pinned), so the failure mode without
+    * namespacing is bounded to the shared directory, never arbitrary
+    * paths.
+    */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable =

@@ -104,6 +104,34 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  test("release only deletes dirs cut() attributed: foreign rdd-* dirs " +
+    "survive, and releasing an untracked frame is a no-op " +
+    "(the single-writer contract's bounded failure mode)") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_attr_ck").toString
+    withReliable(ckDir) {
+      val actualDir = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.getOrElse(
+          "file://" + ckDir)).getPath)
+      // simulate another writer's checkpoint landing in the same dir
+      val foreign = new java.io.File(actualDir, "rdd-99999999")
+      foreign.mkdirs()
+      val marker = new java.io.File(foreign, "part-00000")
+      java.nio.file.Files.writeString(marker.toPath, "foreign")
+      // our own cut + release cycle must not touch it
+      val df = Lineage.cut(Seq((1L, 2L)).toDF("a", "b"))
+      assert(df.count() == 1)
+      Lineage.release(df)
+      assert(foreign.isDirectory && marker.isFile,
+        "release deleted a dir cut() never attributed")
+      // an untracked frame (no cut) releases as a no-op
+      val plain = Seq((5L, 6L)).toDF("a", "b")
+      Lineage.release(plain)
+      assert(foreign.isDirectory && marker.isFile)
+      foreign.listFiles().foreach(_.delete()); foreign.delete()
+      ()
+    }
+  }
+
   test("the round-9 loops (FW-BW SCC, temporal reach) run under the " +
     "reliable path with identical results and bounded retention") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),

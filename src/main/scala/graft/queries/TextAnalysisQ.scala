@@ -1580,6 +1580,142 @@ object TextAnalysisQ {
            |ORDER BY word""".stripMargin),
   )
 
+  /** STREAMING twin of [[spaceSavingTop]]: the summary (64 counters +
+    * the deficit scalar) IS the streaming state — a complete-mode
+    * global aggregate accumulated across micro-batches by the same
+    * mergeable rule as the batch shuffle. The finish audits the
+    * stream-accumulated certificates against exact batch counts on
+    * the IDENTICAL oracle: the invariants are arrival-order-free
+    * theorems, which is exactly why one contract gates both engines
+    * and both execution modes (the q_stream_misra_gries discipline,
+    * now with per-item brackets).
+    */
+  private val streamSpaceSaving = Q(
+    "q_stream_spacesaving",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.SpaceSaving.register(s)
+      val sinkName = "graft_stream_ss_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val words = Tables.streamTable(s, dir, "documents", sch)
+          .select(explode(split($"text", " ")).as("w"))
+        val sk = words.agg(
+          call_function(graft.functions.SpaceSaving.Name, $"w").as("s"),
+          count(lit(1)).as("n"))
+        val query = sk.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val st = s.table(sinkName)
+      val items = st.select(explode($"s.items").as("p"), $"s.delta".as("delta"))
+        .select($"p.item".as("w"), $"p.lb".as("lb"), $"p.ub".as("ub"), $"delta")
+      val words = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("w"))
+      val tru = words.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      val audit = items.join(tru, Seq("w"), "left")
+        .agg(
+          bool_and($"lb" <= coalesce($"true_cnt", lit(0L)) &&
+            coalesce($"true_cnt", lit(0L)) <= $"ub").as("brackets_ok"),
+          bool_and($"ub" - $"lb" <= $"delta").as("slack_ok"),
+          (count(lit(1)) <= 64).as("size_ok"))
+      tru.crossJoin(broadcast(st.select($"n", $"s.delta".as("delta"))))
+        .filter($"true_cnt" * 65 > $"n")
+        .join(broadcast(items.select($"w", $"lb", $"ub")), Seq("w"), "left")
+        .crossJoin(broadcast(audit))
+        .select($"w".as("word"), $"true_cnt",
+          $"lb".isNotNull.as("covered"),
+          (coalesce($"lb", lit(0L)) <= $"true_cnt").as("lb_ok"),
+          ($"true_cnt" <= coalesce($"ub", lit(Long.MaxValue))).as("ub_ok"),
+          ($"delta" * 65 <= $"n").as("delta_ok"),
+          $"brackets_ok", $"slack_ok", $"size_ok")
+        .orderBy($"word")
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+           |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+           |        FROM words GROUP BY w)
+           |SELECT w AS word, true_cnt,
+           |       TRUE AS covered, TRUE AS lb_ok, TRUE AS ub_ok,
+           |       TRUE AS delta_ok, TRUE AS brackets_ok, TRUE AS slack_ok,
+           |       TRUE AS size_ok
+           |FROM tru, nn
+           |WHERE true_cnt * 65 > n
+           |ORDER BY word""".stripMargin),
+  )
+
+  /** SpaceSaving summary LAKE: per-source summaries persisted to
+    * parquet (struct<delta, items> is directly storable) and rolled up
+    * with `ss_merge` — per the mergeable rule, the rollup keeps the
+    * FULL per-item bracket + coverage + deficit guarantees of a direct
+    * corpus pass, and this gate pins exactly that contract through
+    * store + rollup (the q_sketch_mg_lake discipline with
+    * certificates).
+    */
+  private val ssLake = Q(
+    "q_sketch_ss_lake",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.SpaceSaving.register(s)
+      val words = Tables(s, dir).documents
+        .select($"source", explode(split($"text", " ")).as("w"))
+      val lake = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_ss_lake_${s.sparkContext.applicationId}").getPath
+      words.groupBy($"source")
+        .agg(call_function(graft.functions.SpaceSaving.Name, $"w").as("s"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(lake)
+      val stored = s.read.parquet(lake)
+      val rolled = stored.agg(
+        call_function(graft.functions.SpaceSaving.MergeName, $"s").as("s"),
+        sum($"n").as("n"))
+      val items = rolled.select(explode($"s.items").as("p"), $"s.delta".as("delta"))
+        .select($"p.item".as("w"), $"p.lb".as("lb"), $"p.ub".as("ub"), $"delta")
+      val tru = words.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      val audit = items.join(tru, Seq("w"), "left")
+        .agg(
+          bool_and($"lb" <= coalesce($"true_cnt", lit(0L)) &&
+            coalesce($"true_cnt", lit(0L)) <= $"ub").as("brackets_ok"),
+          bool_and($"ub" - $"lb" <= $"delta").as("slack_ok"),
+          (count(lit(1)) <= 64).as("size_ok"))
+      tru.crossJoin(broadcast(rolled.select($"n", $"s.delta".as("delta"))))
+        .filter($"true_cnt" * 65 > $"n")
+        .join(broadcast(items.select($"w", $"lb", $"ub")), Seq("w"), "left")
+        .crossJoin(broadcast(audit))
+        .select($"w".as("word"), $"true_cnt",
+          $"lb".isNotNull.as("covered"),
+          (coalesce($"lb", lit(0L)) <= $"true_cnt").as("lb_ok"),
+          ($"true_cnt" <= coalesce($"ub", lit(Long.MaxValue))).as("ub_ok"),
+          ($"delta" * 65 <= $"n").as("delta_ok"),
+          $"brackets_ok", $"slack_ok", $"size_ok")
+        .orderBy($"word")
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+           |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt
+           |        FROM words GROUP BY w)
+           |SELECT w AS word, true_cnt,
+           |       TRUE AS covered, TRUE AS lb_ok, TRUE AS ub_ok,
+           |       TRUE AS delta_ok, TRUE AS brackets_ok, TRUE AS slack_ok,
+           |       TRUE AS size_ok
+           |FROM tru, nn
+           |WHERE true_cnt * 65 > n
+           |ORDER BY word""".stripMargin),
+  )
+
   /** Length-bucketed batch planning (operators/Batching): bucket
     * boundaries are the corpus's p25/p50/p75 word-count quantiles from
     * the MERGEABLE histogram sketch (bin width 1 over [0,128) — the
@@ -1704,5 +1840,5 @@ object TextAnalysisQ {
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, misraGriesHeavy, streamMisraGries, mgLake,
-      spaceSavingTop, lengthBatching)
+      spaceSavingTop, streamSpaceSaving, ssLake, lengthBatching)
 }

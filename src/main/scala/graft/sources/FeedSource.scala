@@ -62,7 +62,9 @@ class GraftFeedProvider extends TableProvider
     // shape under a different user schema would corrupt downstream
     require(schema == GraftFeed.schema,
       s"graft-feed has a fixed schema ${GraftFeed.schema.simpleString}; got ${schema.simpleString}")
-    new GraftFeedTable(new CaseInsensitiveStringMap(properties))
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.containsKey("host")) new GraftLiveFeedTable(opts)
+    else new GraftFeedTable(opts)
   }
 }
 
@@ -281,5 +283,159 @@ class FeedReaderFactory(nMarkets: Int, assetsPerMarket: Int)
           GraftFeed.frameLine(i, nMarkets, assetsPerMarket)))
       override def close(): Unit = ()
     }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Live mode: the same table surface fed by the REAL socket transport
+// ---------------------------------------------------------------------------
+
+/** JVM-global frame buffers for live streams: the driver-side
+  * [[LiveFeedClient]] appends arriving frames under a unique key, and
+  * partition readers slice by index. LOCAL-MODE contract (documented,
+  * deliberate): readers resolve the key in the same JVM, which holds
+  * on `local[n]` — the target of the loopback integration. A cluster
+  * deployment does NOT stream executors off a driver socket; it runs
+  * the collector shape the reference runs — the live client lands raw
+  * frames in durable storage (K2's rotating zstd-JSONL sink) and
+  * executors read THAT, giving replayable offsets. Live mode exists to
+  * drive the transport + query surface end-to-end, not to pretend a
+  * single socket feeds a thousand executors.
+  */
+object LiveFeedRegistry {
+  private val buffers =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.ArrayList[String]]()
+
+  def create(key: String): Unit =
+    buffers.putIfAbsent(key, new java.util.ArrayList[String]())
+
+  def append(key: String, line: String): Unit = {
+    val b = buffers.get(key)
+    b.synchronized { b.add(line); () }
+  }
+
+  def size(key: String): Int = {
+    val b = buffers.get(key)
+    if (b == null) 0 else b.synchronized(b.size())
+  }
+
+  def slice(key: String, begin: Long, end: Long): Array[String] = {
+    val b = buffers.get(key)
+    require(b != null,
+      s"live feed buffer '$key' not found — live mode requires readers in " +
+        "the driver JVM (local mode); on a cluster land frames durably first")
+    b.synchronized {
+      (begin until end).map(i => b.get(i.toInt)).toArray
+    }
+  }
+
+  def remove(key: String): Unit = { buffers.remove(key); () }
+}
+
+class GraftLiveFeedTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft_feed_live(${options.get("host")}:${options.get("port")})"
+  override def schema(): StructType = GraftFeed.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(m: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftFeed.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftLiveFeedStream(options)
+      }
+    }
+}
+
+/** MicroBatchStream over the live client: offsets are arrived-frame
+  * indexes into the registry buffer; each trigger admits everything
+  * arrived so far. Options: `host`, `port`, `assets`
+  * (comma-separated token ids), `numPartitions`,
+  * plus the [[LiveFeed.Config]] timing knobs (`pingIntervalMs`,
+  * `splitThreshold`, …) for tests.
+  */
+class GraftLiveFeedStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private val key = s"live-${java.util.UUID.randomUUID()}"
+  private val numPartitions = options.getInt("numPartitions", 4)
+
+  private lazy val client: LiveFeedClient = {
+    val assets = Option(options.get("assets"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    val cfg = LiveFeed.Config(
+      host = options.get("host"),
+      port = options.getInt("port", 0),
+      maxAssetsPerConnection = options.getInt("maxAssetsPerConnection", 25),
+      splitThreshold = options.getInt("splitThreshold", 20),
+      initialReadTimeoutMs = options.getInt("initialReadTimeoutMs", 10000),
+      pingIntervalMs = options.getLong("pingIntervalMs", 15000L),
+      longLivedMs = options.getLong("longLivedMs", 30000L),
+      idlePaceMs = options.getLong("idlePaceMs", 500L),
+      errorBackoffUnitMs = options.getLong("errorBackoffUnitMs", 1000L),
+    )
+    LiveFeedRegistry.create(key)
+    val c = new LiveFeedClient(assets, cfg)
+    c.start()
+    val drainer = new Thread(() => {
+      var live = true
+      while (live) {
+        val ev = c.events.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+        ev match {
+          case LiveFeed.FeedMessage(text) => LiveFeedRegistry.append(key, text)
+          case LiveFeed.ConnectionClosed(_, 0, _) if stopped => live = false
+          case _ => if (stopped && ev == null) live = false
+        }
+      }
+    }, s"graft-live-feed-drainer-$key")
+    drainer.setDaemon(true)
+    drainer.start()
+    c
+  }
+  @volatile private var stopped = false
+
+  override def initialOffset(): Offset = FeedOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val c = client // starts lazily on the first poll
+    require(c != null, "unreachable")
+    val arrived = LiveFeedRegistry.size(key).toLong
+    FeedOffset(arrived)
+  }
+
+  override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftFeedStream.slices(
+      start.asInstanceOf[FeedOffset].n,
+      end.asInstanceOf[FeedOffset].n,
+      numPartitions)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val k = key
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val r = partition.asInstanceOf[FeedRange]
+        val lines = LiveFeedRegistry.slice(k, r.begin, r.end)
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < lines.length }
+          override def get(): InternalRow =
+            InternalRow(UTF8String.fromString(lines(i)))
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = {
+    stopped = true
+    client.stop()
+    LiveFeedRegistry.remove(key)
   }
 }

@@ -92,11 +92,12 @@ object MarketsConnector {
     assets.grouped(maxPerConnection).toSeq
 
   /** Failure-driven split: halve a connection's market set
-    * (`split_markets`, `mod.rs:402-408` — first half keeps the extra
-    * element for odd sizes).
+    * (`split_markets`, `mod.rs:402-408`: split_at(len/2), so the
+    * SECOND half keeps the extra element for odd sizes — 5 → (2, 3),
+    * 1 → (0, 1), per the reference's own doc examples).
     */
   def splitMarkets[A](markets: Seq[A]): (Seq[A], Seq[A]) = {
-    val mid = (markets.size + 1) / 2
+    val mid = markets.size / 2
     (markets.take(mid), markets.drop(mid))
   }
 

@@ -67,11 +67,13 @@ class MarketsConnectorSpec extends AnyFunSuite {
     assert(shardAssets((1 to 25).map(_.toString)) == Seq((1 to 25).map(_.toString))) // exactly 25
   }
 
-  test("split_markets halves with the extra element in the first half") {
+  test("split_markets halves with the extra element in the SECOND half " +
+    "(split_at(len/2): 5 -> (2,3), 1 -> (0,1) per mod.rs:395-408)") {
     assert(splitMarkets(Seq.empty[String]) == ((Nil, Nil)))
-    assert(splitMarkets(Seq("a")) == ((Seq("a"), Nil)))
+    assert(splitMarkets(Seq("a")) == ((Nil, Seq("a"))))
     assert(splitMarkets(Seq("a", "b")) == ((Seq("a"), Seq("b"))))
-    assert(splitMarkets(Seq("a", "b", "c")) == ((Seq("a", "b"), Seq("c"))))
+    assert(splitMarkets(Seq("a", "b", "c")) == ((Seq("a"), Seq("b", "c"))))
+    assert(splitMarkets((1 to 5).toSeq) == ((Seq(1, 2), Seq(3, 4, 5))))
   }
 
   test("shouldSplit truth table (threshold 20, code-as-spec)") {

@@ -953,6 +953,7 @@ object GraphAlgos {
       nodeCol: String,
       tsCol: String,
       maxLevel: Int = 12,
+      maxWait: Option[Long] = None,
   ): DataFrame = {
     require(maxLevel >= 0 && maxLevel <= 40,
       s"chainShortcuts: maxLevel must be in [0, 40], got $maxLevel")
@@ -962,22 +963,116 @@ object GraphAlgos {
       .partitionBy(partCols.map(col): _*).orderBy(ordCols.map(col): _*)
     val levels = (0 to maxLevel).map(1 << _)
     val dep1 = lead(col(tsCol).cast("long"), 1).over(w)
+    // WAIT-RESPECTING shortcuts (maxWait = Some(W)): a level-2^l
+    // composite contracts 2^l − 1 INTERMEDIATE waits (the chain gaps
+    // ts_{j+1} − ts_j for j in [i+1, i+2^l−1]); under a bounded-waiting
+    // path model it is a valid edge ONLY if every contracted wait is
+    // ≤ W — otherwise the shortcut would claim a path the base chain
+    // forbids. One gap column + one bounded rows-window max per level
+    // computes the worst contracted wait; the first hop's own wait
+    // stays checked by the traversal's join predicate (the composite
+    // carries the real first departure). Level-1 edges contract
+    // nothing and are always emitted.
+    val gap1 = lead(col(tsCol).cast("long"), 1).over(w) - col(tsCol).cast("long")
     val leads = chains
       .withColumn("__dep",
         when(dep1 < col(tsCol).cast("long"), raise_error(concat(
           lit("chainShortcuts: successor time precedes the row's own — "),
           lit("the chain is not chronological along the given order"))))
           .otherwise(dep1))
-      .select(Seq(col(nodeCol).cast("long").as("u"), col("__dep").as("dep")) ++
+      .withColumn("__gap", gap1)
+      .select(Seq(col(nodeCol).cast("long").as("u"), col("__dep").as("dep"),
+        col("__gap").as("__gap")) ++
         levels.flatMap(l => Seq(
           lead(col(nodeCol).cast("long"), l).over(w).as(s"__v$l"),
-          lead(col(tsCol).cast("long"), l).over(w).as(s"__a$l"))): _*)
+          lead(col(tsCol).cast("long"), l).over(w).as(s"__a$l")) ++
+          (if (maxWait.isDefined && l > 1)
+            Seq(max(col("__gap")).over(w.rowsBetween(1, l - 1)).as(s"__mg$l"))
+          else Seq.empty)): _*)
     levels.map { l =>
-      leads.filter(col(s"__v$l").isNotNull)
-        .select($"u", col(s"__v$l").as("v"), $"dep", col(s"__a$l").as("arr"))
+      val base = leads.filter(col(s"__v$l").isNotNull)
+      val gated = maxWait match {
+        case Some(mw) if l > 1 => base.filter(col(s"__mg$l") <= mw)
+        case _ => base
+      }
+      gated.select($"u", col(s"__v$l").as("v"), $"dep", col(s"__a$l").as("arr"))
     }.reduce(_ union _)
       .filter($"u" =!= $"v")
       .distinct()
+  }
+
+  /** BOUNDED-WAITING temporal reachability — earliest arrival when a
+    * path may wait at most `maxWait` at every intermediate node: edge
+    * (u, v, dep, arr) is usable from an arrival a at u iff
+    * dep ≥ a AND dep − a ≤ maxWait (the source chooses when to leave,
+    * so its first hop needs only dep ≥ startTs; Wu et al. VLDB 2014's
+    * waiting-constrained variant). This is the OTHER non-monotone
+    * temporal problem: a LATER arrival at u can reach edges an early
+    * arrival cannot wait for, so single-arrival relaxation is wrong
+    * and (d, a) Pareto pruning is UNSOUND too (a larger arrival is not
+    * dominated — its waiting window sits later). Per-node state is
+    * therefore the set of DISTINCT reachable arrival times, bounded by
+    * the node's in-edge timestamp support — exact dedup is the only
+    * sound reduction, and the loop is the [[temporalReachable]]
+    * frontier shape with a set in the scalar's place.
+    *
+    * Shortcut edges must be wait-respecting — see [[chainShortcuts]]'s
+    * `maxWait` gating; composites from plain chainShortcuts would
+    * contract over-long intermediate waits and OVERSTATE reachability.
+    *
+    * Returns (node, arr) per reachable (node, arrival-time) label with
+    * the minimum arrival per node — (node, arr_min) — seed excluded.
+    */
+  def temporalBoundedWait(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      seed: Long,
+      maxWait: Long,
+      startTs: Long = 0L,
+      maxIters: Int = 100,
+  ): DataFrame = {
+    require(maxWait >= 0, s"temporalBoundedWait: maxWait must be >= 0, got $maxWait")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
+      col(arrCol).cast("long").as("ets"))
+      .filter($"dep" <= $"ets")
+      .cutLineage()
+    val nEdges = e.count()
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
+      var state = Lineage.settle(
+        e.filter($"src" === seed && $"dep" >= startTs)
+          .select($"dst".as("node"), $"ets".as("a")).distinct())
+      var frontier = state
+      var n = frontier.count()
+      var i = 0
+      while (n > 0 && i < maxIters) {
+        i += 1
+        val cand = frontier
+          .join(e, $"node" === $"src" && $"dep" >= $"a" &&
+            $"dep" - $"a" <= maxWait)
+          .select($"dst".as("node"), $"ets".as("a")).distinct()
+        val fresh = Lineage.settle(
+          cand.join(state, Seq("node", "a"), "left_anti"))
+        n = fresh.count()
+        if (n > 0) {
+          val merged = Lineage.settle(state.union(fresh))
+          Lineage.release(state)
+          if (frontier ne state) Lineage.release(frontier)
+          state = merged
+          frontier = fresh
+        } else Lineage.release(fresh)
+      }
+      require(n == 0,
+        s"temporalBoundedWait did not converge in $maxIters rounds; raise maxIters")
+      if (frontier ne state) Lineage.release(frontier)
+      state.filter($"node" =!= seed)
+        .groupBy($"node").agg(min($"a").as("arr"))
+    }
   }
 
   /** LATEST-DEPARTURE influence set — the backward twin of

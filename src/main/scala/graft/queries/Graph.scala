@@ -1630,7 +1630,9 @@ object Graph {
     * level-2^l rows compose 2^l consecutive chronological hops (see
     * [[graphTemporalReach]]'s scaladoc for the equivalence argument).
     */
-  private def handoffChain(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def handoffChain(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxWait: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val fe = Tables(s, dir).events
@@ -1643,7 +1645,7 @@ object Graph {
     GraphAlgos.chainShortcuts(fe,
       partCols = Seq("event_type", "bkt"),
       ordCols = Seq("fts", "feid", "user_id"),
-      nodeCol = "user_id", tsCol = "ts_ms", maxLevel = 12)
+      nodeCol = "user_id", tsCol = "ts_ms", maxLevel = 12, maxWait = maxWait)
   }
 
   private val graphTemporalReach = Q(
@@ -1780,6 +1782,58 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** BOUNDED-WAITING temporal reachability
+    * (`GraphAlgos.temporalBoundedWait`, maxWait = 2 000 000 ms ≈ 33 min
+    * — the chains' median hand-off gap is ~18 min, p90 ~1 h, so the
+    * bound genuinely bites): earliest arrival when influence cannot
+    * linger more than W at any intermediate user. The second
+    * non-monotone temporal problem: a LATER arrival can catch an edge
+    * the earliest cannot wait for, so (d, a) Pareto pruning is
+    * UNSOUND here and per-node state is the distinct reachable
+    * arrival-time set (exact dedup, bounded by in-edge timestamp
+    * support). The shortcut edges are WAIT-RESPECTING — a composite is
+    * emitted only when every contracted intermediate gap is ≤ W
+    * (chainShortcuts' maxWait gating; plain composites would contract
+    * over-long waits and overstate reachability, the spec's negative
+    * control) — and the oracle walks BASE edges only, so the hash
+    * match proves the gating exact. Rounds stay O(log chain) for the
+    * wait-feasible spans.
+    */
+  private val graphTemporalBoundedWait = Q(
+    "q_graph_temporal_bounded_wait",
+    (s, dir) => {
+      import s.implicits._
+      val w = 2000000L
+      val chain = handoffChain(s, dir, maxWait = Some(w))
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      GraphAlgos.temporalBoundedWait(chain, "u", "v", "dep", "arr", seed, w)
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |labels AS (
+           |  SELECT e.v AS node, e.ts AS a FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, e.ts FROM labels JOIN e ON e.u = labels.node
+           |   AND e.ts >= labels.a AND e.ts - labels.a <= 2000000)
+           |SELECT node, CAST(min(a) AS BIGINT) AS arr
+           |FROM labels WHERE node <> (SELECT s FROM sd)
+           |GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
   /** The condensation DAG of the per-entity SCC decomposition — what a
     * pipeline actually CONSUMES downstream of [[graphSccEntity]]:
     * collapse each strongly-connected community to its scc_id and keep
@@ -1854,6 +1908,6 @@ object Graph {
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
     graphSccEntity, graphTemporalReach, graphTemporalInfluence,
-    graphTemporalFastest,
+    graphTemporalFastest, graphTemporalBoundedWait,
     graphSccEntityDag)
 }

@@ -263,6 +263,100 @@ class TemporalReachSpec extends AnyFunSuite {
     assert(withSkips == baseFast)
   }
 
+  private def boundedWait(
+      edges: Seq[(Long, Long, Long)], seed: Long, w: Long,
+      startTs: Long = 0L): Map[Long, Long] =
+    GraphAlgos.temporalBoundedWait(
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", seed, w, startTs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Sequential label-set fixpoint for bounded waiting — full distinct
+    * arrival sets, no pruning. */
+  private def seqBoundedWait(
+      edges: Seq[(Long, Long, Long)], seed: Long, w: Long,
+      startTs: Long = 0L): Map[Long, Long] = {
+    val arrivals = scala.collection.mutable.Map
+      .empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for ((u, v, t) <- edges if u == seed && t >= startTs) arrivals(v) += t
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((u, v, t) <- edges; a <- arrivals(u) if t >= a && t - a <= w)
+        if (!arrivals(v).contains(t)) { arrivals(v) += t; changed = true }
+    }
+    arrivals.filter(_._1 != seed).map { case (n, as) => n -> as.min }.toMap
+  }
+
+  test("bounded waiting excludes paths that linger too long at a node") {
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 100L))
+    assert(boundedWait(edges, 1L, w = 50L) == Map(2L -> 10L))
+    assert(boundedWait(edges, 1L, w = 90L) == Map(2L -> 10L, 3L -> 100L))
+  }
+
+  test("a LATER arrival enables reachability the earliest cannot wait " +
+    "for (why single-arrival state is wrong under waiting bounds)") {
+    val edges = Seq((1L, 2L, 10L), (1L, 2L, 60L), (2L, 3L, 100L))
+    val out = boundedWait(edges, 1L, w = 50L)
+    // earliest arrival at 2 is 10, but only the a=60 label (wait 40)
+    // can take the t=100 edge
+    assert(out == Map(2L -> 10L, 3L -> 100L))
+  }
+
+  test("bounded-wait arrivals match the sequential label-set fixpoint " +
+    "on random temporal graphs") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (1 to 4 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(30).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      val w = 3L + rnd.nextInt(8)
+      assert(boundedWait(edges, 0L, w) === seqBoundedWait(edges, 0L, w),
+        s"trial $trial w=$w")
+    }
+  }
+
+  test("wait-respecting shortcuts preserve the bounded-wait fixpoint; " +
+    "PLAIN shortcuts would overstate it (the gating is load-bearing)") {
+    // chain 1..8 with one long gap in the middle: ts = 10,20,30,90,
+    // 100,110,120,130 — the 30→90 hop waits 60
+    val ts = Seq(10L, 20L, 30L, 90L, 100L, 110L, 120L, 130L)
+    val rows = ts.zipWithIndex.map { case (t, i) => ("g", i + 1L, i + 1L, t) }
+      .toDF("grp", "ord", "node", "ts")
+    val base = (0 until 7).map(i => (i + 1L, i + 2L, ts(i + 1)))
+    val w = 30L
+    val expect = boundedWait(base, 1L, w)
+    // node 4 requires the 60-wait at node 3 → unreachable past 3
+    assert(expect == Map(2L -> 20L, 3L -> 30L))
+    val gated = GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"),
+      "node", "ts", maxLevel = 3, maxWait = Some(w))
+    val viaGated = GraphAlgos.temporalBoundedWait(
+      gated, "u", "v", "dep", "arr", 1L, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaGated == expect)
+    // negative control: ungated composites contract the long wait and
+    // claim reachability the base chain forbids
+    val plain = GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"),
+      "node", "ts", maxLevel = 3)
+    val viaPlain = GraphAlgos.temporalBoundedWait(
+      plain, "u", "v", "dep", "arr", 1L, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPlain.keySet.size > expect.size,
+      "ungated shortcuts should (wrongly) reach past the long wait")
+  }
+
+  test("wait-respecting shortcuts on a friendly chain still collapse " +
+    "rounds: tight budget converges with gated shortcuts only") {
+    val rows = (1L to 17L).map(i => ("g", i, i, 10L * i))
+      .toDF("grp", "ord", "node", "ts")
+    val gated = GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"),
+      "node", "ts", maxLevel = 4, maxWait = Some(10L))
+    val out = GraphAlgos.temporalBoundedWait(
+      gated, "u", "v", "dep", "arr", 1L, 10L, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (2L to 17L).map(i => i -> 10L * i).toMap)
+  }
+
   test("shortcut edges (dep < arr composites of real paths) change the " +
     "round count, never the fixpoint") {
     // chronological chain 0→1→…→12 at ts 10,20,…,120: diameter 12

@@ -785,7 +785,90 @@ object Replay {
     Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
   )
 
+  /** S5's live transport under the CORRECTNESS gate: an in-process
+    * loopback TCP server serves a deterministic frame set; the REAL
+    * client stack — LiveConnection subscribe/await-first/read-loop,
+    * LiveFeedClient sharding + reconnect bookkeeping, the graft-feed
+    * DSv2 live mode — carries them into a streaming query, and the
+    * delivered rows must match the served set exactly. This is the
+    * q_stream_live_source generator gate with the generator replaced
+    * by an actual socket: the one piece of S5 no fixture could
+    * exercise before. Distinct guards against a mid-run reconnect
+    * re-serving frames (delivery is at-least-once across reconnects by
+    * design; the recorded-log path is the exactly-once one).
+    */
+  private val streamLiveLoopback = Q(
+    "q_stream_live_loopback",
+    (s, _) => {
+      import s.implicits._
+      val nFrames = 60
+      val server = new java.net.ServerSocket(
+        0, 16, java.net.InetAddress.getLoopbackAddress)
+      val acceptor = new Thread(() => {
+        try {
+          while (true) {
+            val sock = server.accept()
+            val t = new Thread(() => {
+              try {
+                val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+                  sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+                val out = new java.io.OutputStreamWriter(
+                  sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)
+                if (in.readLine() != null) { // the subscribe frame
+                  (1 to nFrames).foreach { i =>
+                    out.write(s"""{"seq":$i}"""); out.write("\n")
+                  }
+                  out.flush()
+                  // hold the connection open until the client stops
+                  sock.setSoTimeout(500)
+                  try { while (in.readLine() != null) () }
+                  catch { case _: Exception => () }
+                }
+              } catch { case _: Exception => () }
+              finally { try sock.close() catch { case _: Exception => () } }
+            })
+            t.setDaemon(true); t.start()
+          }
+        } catch { case _: Exception => () }
+      }, "graft-live-gate-server")
+      acceptor.setDaemon(true)
+      acceptor.start()
+      val sinkName = "graft_stream_live_loopback_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      try {
+        val stream = s.readStream
+          .format("graft.sources.GraftFeedProvider")
+          .option("host", "127.0.0.1")
+          .option("port", server.getLocalPort.toString)
+          .option("assets", "T1,T2,T3")
+          .option("idlePaceMs", "5")
+          .load()
+        val query = stream.writeStream
+          .format("memory").queryName(sinkName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+          .start()
+        try {
+          val deadline = System.currentTimeMillis() + 60000
+          var rows = 0L
+          while (rows < nFrames && System.currentTimeMillis() < deadline) {
+            Thread.sleep(200)
+            rows = s.table(sinkName).count()
+          }
+        } finally query.stop()
+        s.table(sinkName)
+          .select(get_json_object($"value", "$.seq").cast("long").as("seq"))
+          .distinct()
+          .orderBy($"seq")
+      } finally server.close()
+    },
+    Some("""SELECT CAST(x + 1 AS BIGINT) AS seq
+           |FROM range(60) t(x)
+           |ORDER BY seq""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
+    streamLiveLoopback,
     streamIngestMetrics,
     streamSinkExactlyOnce,
     sinkJsonlRoundtrip,

@@ -175,4 +175,93 @@ object Sampling {
       certOut.union(picks)
     }
   }
+
+  /** STRATIFIED systematic PPS — the training-mix composer: draw a
+    * size-k sample whose PER-STRATUM budgets k_g are the exact
+    * largest-remainder apportionment of k proportional to stratum
+    * weight mass (Hamilton's method: floor every quota
+    * k·W_g/W, then hand the leftover seats to the largest
+    * fractional remainders — all integer arithmetic, remainders
+    * compared by the exact cross-multiplication W·frac ordering with
+    * (remainder desc, W_g desc, group) tie-breaks, so both engines
+    * apportion identically), then [[systematicPps]] independently
+    * WITHIN each stratum. Σ k_g = k exactly, every stratum with
+    * positive mass and quota ≥ its floor share, and the within-stratum
+    * draw keeps PPS semantics on the stratum's own cumulative line.
+    *
+    * Scale shape: ONE (group) aggregate for the masses (map-side
+    * combined), the apportionment on the ≤|groups| rows in a bounded
+    * window, broadcast back; the within-stratum cumulative lines ride
+    * the same two-level bucketed prefix sums as [[systematicPps]] but
+    * PARTITIONED BY (group, bucket) — no global sort, no per-group
+    * driver loop. Groups whose apportionment is 0 are absent from the
+    * output. Returns selected rows + `sample_weight` (within-stratum
+    * multiplicity) + `k_g` (the stratum's budget).
+    */
+  def stratifiedPps(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Long,
+      buckets: Int = 64,
+  ): DataFrame = {
+    require(k >= 1, s"stratifiedPps: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val h = graft.functions.Fnv63Hash.hash(spark, col(idCol).cast("string"))
+    val w = when(col(weightCol).cast("long") > 0, col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("stratifiedPps: non-positive weight "),
+        col(weightCol).cast("string"),
+        lit(" — weights must be positive"))))
+    val keyed = df
+      .withColumn("__g", col(groupCol))
+      .withColumn("__w", w)
+      .withColumn("__h", h)
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+    // ---- apportionment on the bounded per-group mass table
+    val masses = keyed.groupBy(col("__g")).agg(sum(dec(col("__w"))).as("__wg"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.orderBy(
+      (dec(col("__wg")) * k - col("__floor") * col("__wt")).desc,
+      col("__wg").desc, col("__g"))
+    val alloc = masses
+      .withColumn("__wt", sum(dec(col("__wg"))).over(wAll))
+      .withColumn("__floor", fdiv(dec(col("__wg")) * lit(k), col("__wt")))
+      .withColumn("__spare",
+        (lit(k) - sum(col("__floor")).over(wAll)).cast("decimal(38,0)"))
+      .withColumn("__r", row_number().over(wRem))
+      .withColumn("k_g",
+        (col("__floor") + when(col("__r") <= col("__spare"), 1).otherwise(0))
+          .cast("long"))
+      .select(col("__g"), col("k_g"))
+      .filter(col("k_g") > 0)
+    // ---- within-stratum systematic PPS, all strata in one plan
+    val wIn = Window.partitionBy(col("__g"), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = keyed.withColumn("__cin", sum(dec(col("__w"))).over(wIn))
+    val wB = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = keyed.groupBy(col("__g"), col("__b"))
+      .agg(sum(dec(col("__w"))).as("__bt"))
+      .withColumn("__prefix", sum(col("__bt")).over(wB) - col("__bt"))
+    val totals = prefixes.groupBy(col("__g"))
+      .agg(max(col("__prefix") + col("__bt")).as("__wtot"))
+    cumIn
+      .join(broadcast(prefixes.select(col("__g"), col("__b"), col("__prefix"))),
+        Seq("__g", "__b"))
+      .join(broadcast(totals), Seq("__g"))
+      .join(broadcast(alloc), Seq("__g"))
+      .withColumn("__c", col("__prefix") + col("__cin"))
+      .withColumn("sample_weight",
+        (fdiv(dec(col("__c")) * col("k_g"), dec(col("__wtot"))) -
+          fdiv((dec(col("__c")) - dec(col("__w"))) * col("k_g"), dec(col("__wtot"))))
+          .cast("long"))
+      .filter(col("sample_weight") > 0)
+      .drop("__g", "__h", "__b", "__w", "__cin", "__prefix", "__wtot", "__c")
+  }
 }

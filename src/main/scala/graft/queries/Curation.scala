@@ -1001,7 +1001,69 @@ object Curation {
             |ORDER BY doc_id""".stripMargin),
   )
 
+  /** Stratified systematic PPS (`operators.Sampling.stratifiedPps`) —
+    * the training-mix composer: a 200-slot sample whose per-SOURCE
+    * budgets are the exact Hamilton (largest-remainder) apportionment
+    * of 200 ∝ source character mass, then the deterministic integer
+    * systematic line independently within each source. Everything is
+    * integer-exact and cross-engine reproducible: quotas floor under
+    * HUGEINT division, leftover seats go to the largest exact
+    * remainders (wg·k mod wt) with (remainder, mass, source)
+    * tie-breaks, and the within-source draw is [[ppsSample]]'s
+    * construction partitioned by (source, bucket) — no global sort
+    * anywhere, apportionment on a ≤|sources|-row bounded window.
+    * Σ sample_weight = 200 exactly across the whole output.
+    */
+  private val ppsStratifiedQ = Q(
+    "q_curation_pps_stratified",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"source", $"n_chars".cast("long").as("n_chars"))
+      graft.operators.Sampling
+        .stratifiedPps(docs, "source", "doc_id", "n_chars", k = 200L)
+        .select($"doc_id", $"source", $"n_chars", $"k_g", $"sample_weight")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+            |         CAST(n_chars AS HUGEINT) AS w,
+            |         ${Relational.fnv63Sql("CAST(doc_id AS VARCHAR)")} AS h
+            |  FROM documents),
+            |m AS (SELECT source, CAST(sum(w) AS HUGEINT) AS wg FROM d GROUP BY source),
+            |t AS (SELECT CAST(sum(wg) AS HUGEINT) AS wt FROM m),
+            |fl AS (
+            |  SELECT source, wg, (wg * 200) // wt AS fl,
+            |         (wg * 200) % wt AS rem
+            |  FROM m, t),
+            |sp AS (SELECT 200 - sum(fl) AS spare FROM fl),
+            |al AS (
+            |  SELECT source,
+            |         fl + CASE WHEN row_number() OVER
+            |           (ORDER BY rem DESC, wg DESC, source) <= (SELECT spare FROM sp)
+            |           THEN 1 ELSE 0 END AS kg
+            |  FROM fl),
+            |c AS (
+            |  SELECT source, doc_id, n_chars, w,
+            |         CAST(sum(w) OVER (PARTITION BY source
+            |           ORDER BY h % 64, h, doc_id
+            |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
+            |  FROM d),
+            |wt2 AS (SELECT source, CAST(sum(w) AS HUGEINT) AS wtot
+            |        FROM d GROUP BY source)
+            |SELECT c.doc_id, c.source, c.n_chars,
+            |       CAST(al.kg AS BIGINT) AS k_g,
+            |       CAST((cw * kg) // wtot - ((cw - w) * kg) // wtot AS BIGINT)
+            |         AS sample_weight
+            |FROM c
+            |JOIN wt2 USING (source)
+            |JOIN al USING (source)
+            |WHERE kg > 0
+            |  AND (cw * kg) // wtot - ((cw - w) * kg) // wtot > 0
+            |ORDER BY doc_id""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(curation, curationV2, curationV3, streamCuration,
     sampleMixture, sampleDomainCap, sampleEpochs, shardAssign,
-    pipelineWeightedMix, ppsSample, ppsDistinctQ)
+    pipelineWeightedMix, ppsSample, ppsDistinctQ, ppsStratifiedQ)
 }

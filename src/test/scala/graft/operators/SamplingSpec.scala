@@ -154,6 +154,62 @@ class SamplingSpec extends AnyFunSuite {
     assert(s.count(_._2) == 2, s"only 1 and 2 are certain: $s")
   }
 
+  /** Sequential Hamilton apportionment: floor quotas, leftover seats
+    * to the largest exact remainders (wg*k mod wt), ties by (wg desc,
+    * group). */
+  private def seqApportion(masses: Map[String, Long], k: Long): Map[String, Long] = {
+    val wt = masses.values.sum
+    val floors = masses.view.mapValues(wg => wg * k / wt).toMap
+    val spare = k - floors.values.sum
+    val order = masses.toSeq
+      .sortBy { case (g, wg) => (-(BigInt(wg) * k mod BigInt(wt)), -wg, g) }
+      .map(_._1)
+    val bumped = order.take(spare.toInt).toSet
+    masses.map { case (g, _) =>
+      g -> (floors(g) + (if (bumped.contains(g)) 1L else 0L))
+    }
+  }
+
+  test("stratifiedPps: budgets are the exact Hamilton apportionment, " +
+    "they sum to k, and each stratum's draw equals an independent " +
+    "within-stratum systematicPps at its budget") {
+    val rows = (1L to 300L).map { i =>
+      val g = s"s${i % 4}"
+      (g, i, (i % 7) + 1L + (if (g == "s0") 20L else 0L)) // skewed masses
+    }
+    val df = rows.toDF("src", "id", "w")
+    val out = Sampling.stratifiedPps(df, "src", "id", "w", k = 60L)
+      .select($"src", $"id", $"k_g", $"sample_weight")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val masses = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expectedAlloc = seqApportion(masses, 60L)
+    val gotAlloc = out.groupBy(_._1).view.mapValues(_.head._3).toMap
+    assert(gotAlloc == expectedAlloc.filter(_._2 > 0))
+    assert(out.map(_._4).sum == 60L, "total multiplicity = k")
+    for ((g, kg) <- expectedAlloc if kg > 0) {
+      val sub = rows.filter(_._1 == g).map(t => (t._2, t._3))
+      val expect = sample(sub, kg)
+      val got = out.filter(_._1 == g).map(t => t._2 -> t._4).toMap
+      assert(got == expect, s"stratum $g at k_g=$kg")
+    }
+  }
+
+  test("stratifiedPps: a near-zero-mass stratum apportions to 0 and is " +
+    "absent; result is invariant to input partitioning") {
+    val rows = (1L to 200L).map(i => ("big", i, 50L)) :+ (("dust", 999L, 1L))
+    val df = rows.toDF("src", "id", "w")
+    val out = Sampling.stratifiedPps(df, "src", "id", "w", k = 10L)
+      .select($"src").distinct().collect().map(_.getString(0)).toSet
+    assert(out == Set("big"))
+    val a = Sampling.stratifiedPps(df.repartition(1), "src", "id", "w", 10L)
+      .select($"id", $"sample_weight").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.stratifiedPps(df.repartition(13), "src", "id", "w", 10L)
+      .select($"id", $"sample_weight").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("ppsDistinct never duplicates and k > n fails loudly") {
     val rows = Seq((1L, 3L), (2L, 4L), (3L, 5L))
     val all = distinctSample(rows, 3L)

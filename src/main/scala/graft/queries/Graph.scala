@@ -1782,6 +1782,57 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** The PARETO FRONTS themselves (`GraphAlgos.temporalParetoLabels`)
+    * — a strictly stronger pin than [[graphTemporalFastest]]'s
+    * min-duration aggregate: the front of a fixed label set is UNIQUE
+    * (no arrival-order dependence — dominance is a property of the
+    * set, not the construction), so the gate hash-matches every
+    * (node, departure, arrival) pair the pruned frontier loop retains
+    * against an oracle that enumerates ALL labels and filters
+    * non-dominated ones with a NOT EXISTS — the pruning itself is
+    * what's under the hash. This is the temporal-profile query (Wu et
+    * al.'s profile problem): "for every start time, when do I
+    * arrive", the full answer surface behind fastest/earliest.
+    */
+  private val graphTemporalProfile = Q(
+    "q_graph_temporal_profile",
+    (s, dir) => {
+      import s.implicits._
+      val chain = handoffChain(s, dir)
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      GraphAlgos.temporalParetoLabels(chain, "u", "v", "dep", "arr", seed)
+        .orderBy($"node", $"d")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |labels AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, labels.d, e.ts
+           |  FROM labels JOIN e ON e.u = labels.node AND e.ts >= labels.a)
+           |SELECT node, CAST(d AS BIGINT) AS d, CAST(a AS BIGINT) AS a
+           |FROM labels l
+           |WHERE node <> (SELECT s FROM sd)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM labels m
+           |    WHERE m.node = l.node
+           |      AND ((m.d > l.d AND m.a <= l.a) OR (m.d >= l.d AND m.a < l.a)))
+           |ORDER BY node, d""".stripMargin),
+  )
+
   /** BOUNDED-WAITING temporal reachability
     * (`GraphAlgos.temporalBoundedWait`, maxWait = 2 000 000 ms ≈ 33 min
     * — the chains' median hand-off gap is ~18 min, p90 ~1 h, so the
@@ -1908,6 +1959,6 @@ object Graph {
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
     graphSccEntity, graphTemporalReach, graphTemporalInfluence,
-    graphTemporalFastest, graphTemporalBoundedWait,
+    graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile,
     graphSccEntityDag)
 }

@@ -355,4 +355,66 @@ object VectorSim {
       .withColumn("band_bits", col("sig").substr(col("band") * w + 1, lit(w)))
       .select(col(idCol), col("band"), col("band_bits"))
   }
+
+  /** Deterministic LIGHTWEIGHT CORESET for k-means (Bachem, Lucic &
+    * Krause, "Scalable k-means clustering via lightweight coresets",
+    * KDD 2018): sample m points with probability
+    * q(x) = 1/(2n) + d²(x, μ)/(2·Σd²) — half uniform mass (so dense
+    * regions stay represented), half proportional to the squared
+    * distance from the GLOBAL MEAN (so outlying mass that dominates
+    * k-means cost cannot be missed); weighting samples by 1/(m·q)
+    * makes the coreset cost an unbiased ε-estimate of the full
+    * clustering cost for any centroid set. One mean, one distance
+    * pass, one sample — no bicriteria pre-clustering.
+    *
+    * Made DETERMINISTIC and cross-engine exact the house way: μ is
+    * the exact integer per-dimension round(avg) over the quantized
+    * vectors (the [[recomputeCentroids]] arithmetic), d² is the exact
+    * integer n2 + n2μ − 2⟨q, μ⟩, and the draw clears q(x)'s
+    * denominators into the integer sampling weight
+    *
+    *   w_i = Σd² + n·d²_i   (∝ q(x); uniform when Σd² = 0)
+    *
+    * fed to [[Sampling.systematicPps]] — no RNG, identical coreset on
+    * every engine/retry. Scale shape: the mean and Σd² are one
+    * map-side-combined aggregate each (broadcast back), d² a narrow
+    * map, and the draw inherits systematicPps' two-level bucketed
+    * prefix sums — no global sort. Long headroom for w is guarded
+    * in-plan (raise_error past 2⁶³, the auc pattern). Returns the
+    * sampled rows with `d2`, `w`, and `sample_weight` (multiplicity
+    * m_i; the unbiased estimator weight is m_i·(2nΣ)/(m·w_i), a ratio
+    * of returned integers).
+    */
+  def lightweightCoreset(
+      vecs: DataFrame,
+      dims: Int,
+      m: Long,
+      buckets: Int = 64,
+  ): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val avgs = (0 until dims).map(i =>
+      round(avg(element_at(col("q"), i + 1))).cast("long").as(s"__m$i"))
+    val mu = vecs.agg(avgs.head, avgs.tail: _*)
+      .select(array((0 until dims).map(i => col(s"__m$i")): _*).as("__muq"))
+      .withColumn("__n2mu", qnorm2(col("__muq")))
+    graft.functions.ArrayDotLong.register(vecs.sparkSession)
+    val d2 = vecs.crossJoin(broadcast(mu))
+      .withColumn("d2",
+        col("n2") + col("__n2mu") - lit(2L) * qdotNative(col("q"), col("__muq")))
+      .drop("__muq", "__n2mu")
+    val tot = d2.agg(sum(dec(col("d2"))).as("__sumd2"), count(lit(1)).as("__nn"))
+    val weighted = d2.crossJoin(broadcast(tot))
+      .withColumn("__wd",
+        when(col("__sumd2") === 0, lit(1).cast("decimal(38,0)"))
+          .otherwise(col("__sumd2") + dec(col("d2")) * col("__nn")))
+      .withColumn("w",
+        when(col("__wd") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(
+            lit("lightweightCoreset: sensitivity weight "),
+            col("__wd").cast("string"),
+            lit(" exceeds long headroom; rescale the quantization"))))
+          .otherwise(col("__wd")).cast("long"))
+      .drop("__sumd2", "__nn", "__wd", "q", "n2")
+    Sampling.systematicPps(weighted, "vec_id", "w", m, buckets)
+  }
 }

@@ -1935,9 +1935,76 @@ object Similarity {
       |LIMIT 30""".stripMargin),
   )
 
+  /** Deterministic lightweight k-means coreset
+    * (`VectorSim.lightweightCoreset` — Bachem et al. KDD 2018): a
+    * 256-slot summary of the embedding corpus whose sampling law
+    * q(x) = 1/(2n) + d²(x, μ)/(2Σd²) provably preserves k-means cost,
+    * drawn with NO RNG — exact integer per-dimension mean, exact
+    * integer d², and the cleared-denominator sensitivity weight
+    * w = Σd² + n·d² on the systematic PPS line, so both engines
+    * select the identical coreset with identical multiplicities. At
+    * 100 TB this is the "cluster the corpus on a laptop" primitive:
+    * one mean + one distance pass + one draw, and every downstream
+    * k-means runs on 256 weighted rows.
+    */
+  private val embedCoreset = Q(
+    "q_embed_coreset",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+      VectorSim.lightweightCoreset(e, dims = 64, m = 256L)
+        .select($"vec_id", $"d2", $"w", $"sample_weight")
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH qv AS (
+            |  SELECT vec_id,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            |  FROM embeddings),
+            |n AS (
+            |  SELECT vec_id, q,
+            |         CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT) AS n2
+            |  FROM qv),
+            |mu AS (
+            |  SELECT list(CAST(round(a) AS BIGINT) ORDER BY j) AS muq FROM (
+            |    SELECT t.j, avg(q[CAST(t.j AS INT) + 1]) AS a
+            |    FROM qv, unnest(range(0, 64)) AS t(j) GROUP BY t.j)),
+            |mn AS (
+            |  SELECT muq,
+            |         CAST(list_sum(list_transform(muq, x -> x * x)) AS HUGEINT) AS n2mu
+            |  FROM mu),
+            |d AS (
+            |  SELECT vec_id,
+            |         n2 + n2mu - 2 * CAST(list_sum(list_transform(range(1, 65),
+            |           i -> q[CAST(i AS INT)] * muq[CAST(i AS INT)])) AS HUGEINT) AS d2
+            |  FROM n, mn),
+            |t AS (SELECT CAST(sum(d2) AS HUGEINT) AS sumd2, count(*) AS nn FROM d),
+            |wts AS (
+            |  SELECT vec_id, d2,
+            |         CASE WHEN sumd2 = 0 THEN 1 ELSE sumd2 + d2 * nn END AS w
+            |  FROM d, t),
+            |h AS (
+            |  SELECT vec_id, d2, w,
+            |         ${Relational.fnv63Sql("CAST(vec_id AS VARCHAR)")} AS h
+            |  FROM wts),
+            |c AS (
+            |  SELECT vec_id, d2, w,
+            |         CAST(sum(w) OVER (ORDER BY h % 64, h, vec_id
+            |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
+            |  FROM h),
+            |wt AS (SELECT CAST(sum(w) AS HUGEINT) AS wtot FROM wts)
+            |SELECT vec_id, CAST(d2 AS BIGINT) AS d2, CAST(w AS BIGINT) AS w,
+            |       CAST((cw * 256) // wtot - ((cw - w) * 256) // wtot AS BIGINT)
+            |         AS sample_weight
+            |FROM c, wt
+            |WHERE (cw * 256) // wtot - ((cw - w) * 256) // wtot > 0
+            |ORDER BY vec_id""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
       topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives,
       rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify, embedIvfRecall,
-      embedIvfNdcg, embedOod)
+      embedIvfNdcg, embedOod, embedCoreset)
 }

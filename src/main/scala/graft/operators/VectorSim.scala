@@ -414,6 +414,12 @@ object VectorSim {
             col("__wd").cast("string"),
             lit(" exceeds long headroom; rescale the quantization"))))
           .otherwise(col("__wd")).cast("long"))
+      // carry the construction constants (same value every row): the
+      // unbiased estimator weight of a sampled row is
+      // m_i · (2 · n · sum_d2) / (m · w_i), so a consumer needs n and
+      // Σd² alongside each row's (w, sample_weight)
+      .withColumn("n", col("__nn"))
+      .withColumn("sum_d2", col("__sumd2").cast("long"))
       .drop("__sumd2", "__nn", "__wd", "q", "n2")
     Sampling.systematicPps(weighted, "vec_id", "w", m, buckets)
   }

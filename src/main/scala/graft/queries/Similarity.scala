@@ -2002,9 +2002,126 @@ object Similarity {
             |ORDER BY vec_id""".stripMargin),
   )
 
+  /** The coreset EARNING ITS KEEP: the k-means cost of a fixed
+    * centroid set evaluated on the full corpus vs estimated from the
+    * 256-row coreset alone — the quantity the lightweight-coreset
+    * theorem bounds. Everything stays exact-integer until one final
+    * expression: per-vector min squared distance to the centroids is
+    * the integer n2 + n2c − 2⟨q,qc⟩ (centroid-id tie-break), the
+    * exact cost is its decimal sum, and the coreset estimate clears
+    * the estimator weight m_i/(m·q_i) into parts-per-billion integer
+    * division — est_ppb = Σ (m_i·d2min_i·10⁹) // w_i, an order-free
+    * integer sum — so both engines produce bit-identical doubles from
+    * identical integers. The gate's rel_err column SHOWS the coreset
+    * approximating the full cost (typically a few percent at m = 256),
+    * and the hash pins the whole construction.
+    */
+  private val embedCoresetCost = Q(
+    "q_embed_coreset_cost",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val cents = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val d2min = e.crossJoin(broadcast(cents))
+        .withColumn("dd", $"n2" + $"n2c" - lit(2L) * VectorSim.qdotNative($"q", $"qc"))
+        .groupBy($"vec_id").agg(min($"dd").as("d2min"))
+      val exact = d2min.agg(sum(dec($"d2min")).as("exact_sum"))
+      val cs = VectorSim.lightweightCoreset(e, dims = 64, m = 256L)
+      val est = cs.join(d2min, "vec_id")
+        .select(
+          fdiv(dec($"sample_weight") * dec($"d2min") * lit(1000000000L),
+            dec($"w")).as("ppb"),
+          $"n", $"sum_d2")
+        .groupBy($"n", $"sum_d2")
+        .agg(sum($"ppb").as("est_ppb"))
+      est.crossJoin(broadcast(exact))
+        .select(
+          $"n",
+          $"exact_sum".cast("double").as("exact_cost"),
+          round(($"est_ppb".cast("double") * 2.0 * $"n".cast("double") *
+            $"sum_d2".cast("double")) / lit(2.56e11), 2).as("coreset_cost"),
+          round(
+            abs(($"est_ppb".cast("double") * 2.0 * $"n".cast("double") *
+              $"sum_d2".cast("double")) / lit(2.56e11) -
+              $"exact_sum".cast("double")) / $"exact_sum".cast("double"),
+            4).as("rel_err"))
+    },
+    Some(s"""WITH qv AS (
+            |  SELECT vec_id,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            |  FROM embeddings),
+            |n AS (
+            |  SELECT vec_id, q,
+            |         CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT) AS n2
+            |  FROM qv),
+            |cents AS (SELECT vec_id AS cent_id, q AS qc, n2 AS n2c
+            |          FROM n WHERE vec_id % 100 = 1),
+            |dmin AS (
+            |  SELECT v.vec_id,
+            |         min(v.n2 + c.n2c - 2 * CAST(list_sum(list_transform(range(1, 65),
+            |           i -> v.q[CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS HUGEINT))
+            |           AS d2min
+            |  FROM n v CROSS JOIN cents c GROUP BY v.vec_id),
+            |ex AS (SELECT CAST(sum(d2min) AS HUGEINT) AS exact_sum FROM dmin),
+            |mu AS (
+            |  SELECT list(CAST(round(a) AS BIGINT) ORDER BY j) AS muq FROM (
+            |    SELECT t.j, avg(q[CAST(t.j AS INT) + 1]) AS a
+            |    FROM qv, unnest(range(0, 64)) AS t(j) GROUP BY t.j)),
+            |mn AS (
+            |  SELECT muq,
+            |         CAST(list_sum(list_transform(muq, x -> x * x)) AS HUGEINT) AS n2mu
+            |  FROM mu),
+            |d AS (
+            |  SELECT vec_id,
+            |         n2 + n2mu - 2 * CAST(list_sum(list_transform(range(1, 65),
+            |           i -> q[CAST(i AS INT)] * muq[CAST(i AS INT)])) AS HUGEINT) AS d2
+            |  FROM n, mn),
+            |t AS (SELECT CAST(sum(d2) AS HUGEINT) AS sumd2, count(*) AS nn FROM d),
+            |wts AS (
+            |  SELECT vec_id, d2,
+            |         CASE WHEN sumd2 = 0 THEN 1 ELSE sumd2 + d2 * nn END AS w
+            |  FROM d, t),
+            |h AS (
+            |  SELECT vec_id, w,
+            |         ${Relational.fnv63Sql("CAST(vec_id AS VARCHAR)")} AS h
+            |  FROM wts),
+            |c AS (
+            |  SELECT vec_id, w,
+            |         CAST(sum(w) OVER (ORDER BY h % 64, h, vec_id
+            |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
+            |  FROM h),
+            |wt AS (SELECT CAST(sum(w) AS HUGEINT) AS wtot FROM wts),
+            |cs AS (
+            |  SELECT vec_id, w,
+            |         (cw * 256) // wtot - ((cw - w) * 256) // wtot AS sw
+            |  FROM c, wt
+            |  WHERE (cw * 256) // wtot - ((cw - w) * 256) // wtot > 0),
+            |est AS (
+            |  SELECT CAST(sum((CAST(cs.sw AS HUGEINT) * dmin.d2min * 1000000000)
+            |           // cs.w) AS HUGEINT) AS est_ppb
+            |  FROM cs JOIN dmin USING (vec_id))
+            |SELECT CAST(nn AS BIGINT) AS n,
+            |       CAST(exact_sum AS DOUBLE) AS exact_cost,
+            |       round((CAST(est_ppb AS DOUBLE) * 2.0 * CAST(nn AS DOUBLE) *
+            |         CAST(sumd2 AS DOUBLE)) / 2.56e11, 2) AS coreset_cost,
+            |       round(abs((CAST(est_ppb AS DOUBLE) * 2.0 * CAST(nn AS DOUBLE) *
+            |         CAST(sumd2 AS DOUBLE)) / 2.56e11 -
+            |         CAST(exact_sum AS DOUBLE)) / CAST(exact_sum AS DOUBLE), 4)
+            |         AS rel_err
+            |FROM est, ex, t""".stripMargin),
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
       topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives,
       rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify, embedIvfRecall,
-      embedIvfNdcg, embedOod, embedCoreset)
+      embedIvfNdcg, embedOod, embedCoreset, embedCoresetCost)
 }

@@ -224,6 +224,89 @@ object Drift {
     cusumFromPeriods(per).withColumnRenamed("g", groupCol)
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV test, integer-exact end to end —
+    * the distribution-free complement of [[histogramL1]] (which needs
+    * binning) and the chi-square (which needs categories): D =
+    * max_x |F_A(x) − F_B(x)| over the EMPIRICAL cdfs. Denominators
+    * cleared, every operand an exact integer both engines reproduce
+    * bit for bit:
+    *
+    *   D_num = max_x |n_B·cumA(x) − n_A·cumB(x)|,  D = D_num/(n_A·n_B)
+    *
+    * and the α = 0.05 rejection (Smirnov's asymptotic critical value
+    * c = 1.358) is decided WITHOUT libm: D > c·√((n_A+n_B)/(n_A·n_B))
+    * ⟺ D_num²·10⁶ > 1 844 164·(n_A+n_B)·n_A·n_B (squares cleared,
+    * 1.358² = 1.844164 exactly) — an integer comparison, so the
+    * verdict is deterministic across engines, not a libm-sqrt
+    * coin-flip at the boundary.
+    *
+    * Scale shape: ONE (value) groupBy builds both sides' counts in the
+    * same pass (map-side combined — THE corpus pass); the cumulative
+    * window runs over the VALUE SUPPORT only, guarded in-plan by the
+    * prCurve cap (`spark.graft.scoreSupportMaxRows` — an unbinned
+    * high-cardinality double fails loudly; quantize first). Decimal
+    * headroom for the squared comparison is guarded at n_A + n_B ≤
+    * 10⁸ (beyond that KS rejects everything anyway — subsample or
+    * bin). Requires an integer-castable value column; `sideCol` is a
+    * boolean (true = sample A). Returns one row:
+    * (n_a, n_b, d_num, d_stat, ks_x, reject_05) with ks_x the argmax
+    * value (smallest on ties, the cusum pin).
+    */
+  def ksTwoSample(
+      df: DataFrame,
+      valueCol: String,
+      sideCol: String,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = spark.conf
+      .getOption("spark.graft.scoreSupportMaxRows").map(_.toLong)
+      .getOrElse(100000L)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val hist = df
+      .filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("x"))
+      .agg(
+        sum(when(col(sideCol), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col(sideCol), 1L).otherwise(0L)).as("cb"))
+    val wAsc = org.apache.spark.sql.expressions.Window.orderBy($"x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = hist.agg(sum($"ca").cast("long").as("n_a"),
+      sum($"cb").cast("long").as("n_b"))
+    val cum = hist
+      .withColumn("cuma", sum(dec($"ca")).over(wAsc))
+      .withColumn("cumb", sum(dec($"cb")).over(wAsc))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"x")))
+      .crossJoin(broadcast(tot))
+      .select(
+        when($"__rn" > cap, raise_error(lit(
+          s"ksTwoSample: value support exceeds " +
+            s"spark.graft.scoreSupportMaxRows=$cap rows — quantize or " +
+            "bin the value first")))
+          .otherwise($"x").as("x"),
+        abs(dec($"n_b") * $"cuma" - dec($"n_a") * $"cumb").as("dn"),
+        $"n_a", $"n_b")
+    cum.groupBy($"n_a", $"n_b")
+      .agg(
+        max($"dn").as("dnd"),
+        max_by($"x", struct($"dn", expr("-x"))).as("ks_x"))
+      .select(
+        when($"n_a" + $"n_b" > 100000000L, raise_error(lit(
+          "ksTwoSample: n_a + n_b exceeds the 1e8 decimal-headroom " +
+            "guard for the exact squared comparison — subsample or bin")))
+          .otherwise($"n_a").as("n_a"),
+        $"n_b",
+        $"dnd".cast("long").as("d_num"),
+        round($"dnd".cast("double") /
+          ($"n_a".cast("double") * $"n_b".cast("double")), 6).as("d_stat"),
+        $"ks_x",
+        ($"dnd" * $"dnd" * lit(1000000L) >
+          dec(lit(1844164L)) * dec($"n_a" + $"n_b") * dec($"n_a") * dec($"n_b"))
+          .as("reject_05"))
+  }
+
   /** The CUSUM localization over an already-aggregated (g, p, x)
     * period table — split from [[cusumChangepoint]] exactly like
     * [[chi2FromCounts]]: the per-period sums are MERGEABLE, so a

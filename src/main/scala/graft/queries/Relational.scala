@@ -3131,6 +3131,56 @@ object Relational {
     * is 160 rows, and every extra partition is an empty state-store
     * commit per batch.
     */
+  /** Two-sample Kolmogorov–Smirnov (`Drift.ksTwoSample`): does the
+    * n_chars distribution of English documents differ from the rest?
+    * The distribution-free drift test completing the family
+    * (L1 needs bins, χ² needs categories, CUSUM needs a time axis) —
+    * and every operand exact-integer: D's denominators cleared, the
+    * α = 0.05 verdict decided by the squared integer comparison
+    * D_num²·10⁶ vs 1 844 164·(n_A+n_B)·n_A·n_B instead of a libm sqrt
+    * whose boundary behavior differs across engines. One corpus pass
+    * (both sides' counts in one groupBy), cumulative window over the
+    * value support only, support cap enforced in-plan.
+    */
+  private val profileKs = Q(
+    "q_profile_ks",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Drift.ksTwoSample(
+        Tables(s, dir).documents
+          .withColumn("is_en", $"lang" === "en"),
+        "n_chars", "is_en")
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(n_chars AS BIGINT) AS x, (lang = 'en') AS sa
+           |  FROM documents),
+           |h AS (
+           |  SELECT x,
+           |         sum(CASE WHEN sa THEN 1 ELSE 0 END) AS ca,
+           |         sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS cb
+           |  FROM d GROUP BY x),
+           |t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+           |             CAST(sum(cb) AS HUGEINT) AS nb FROM h),
+           |c AS (
+           |  SELECT x,
+           |         CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |           AS HUGEINT) AS cuma,
+           |         CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |           AS HUGEINT) AS cumb
+           |  FROM h),
+           |dd AS (SELECT x, abs(nb * cuma - na * cumb) AS dn FROM c, t),
+           |mx AS (SELECT max(dn) AS dnum FROM dd),
+           |arg AS (SELECT min(x) AS ks_x FROM dd, mx WHERE dn = dnum)
+           |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           |       CAST(dnum AS BIGINT) AS d_num,
+           |       round(CAST(dnum AS DOUBLE) /
+           |             (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_stat,
+           |       ks_x,
+           |       (dnum * dnum * 1000000 > 1844164 * (na + nb) * na * nb)
+           |         AS reject_05
+           |FROM mx, arg, t""".stripMargin),
+  )
+
   private val streamDrift = Q(
     "q_stream_drift",
     (s, dir) => {
@@ -3542,6 +3592,7 @@ object Relational {
     profileDrift,
     profileChangepoint,
     streamChangepoint,
+    profileKs,
     streamDrift,
     streamChi2,
     profileOutliers,

@@ -123,6 +123,64 @@ class DriftSpec extends AnyFunSuite {
     assert(out("s") == ((6L, "p01", 0L, 0L)))
   }
 
+  private def ks(rows: Seq[(Long, Boolean)]): (Long, Long, Long, Double, Long, Boolean) = {
+    val r = Drift.ksTwoSample(rows.toDF("x", "sa"), "x", "sa").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+      r.getBoolean(5))
+  }
+
+  /** Sequential KS reference over exact rationals. */
+  private def seqKs(rows: Seq[(Long, Boolean)]): (Long, Long, Double, Boolean) = {
+    val a = rows.filter(_._2).map(_._1)
+    val b = rows.filterNot(_._2).map(_._1)
+    val support = rows.map(_._1).distinct.sorted
+    val dn = support.map(x =>
+      math.abs(b.size.toLong * a.count(_ <= x) - a.size.toLong * b.count(_ <= x)))
+      .max
+    val reject = BigInt(dn) * dn * 1000000L >
+      BigInt(1844164L) * (a.size + b.size) * a.size * b.size
+    (dn, support.minBy(x => (-math.abs(
+      b.size.toLong * a.count(_ <= x) - a.size.toLong * b.count(_ <= x)), x)),
+      dn.toDouble / (a.size.toLong * b.size), reject)
+  }
+
+  test("ksTwoSample: hand case — disjoint samples give D = 1 and reject; " +
+    "identical samples give D = 0 and no rejection") {
+    val disjoint = (1L to 30L).map(i => (i, true)) ++ (31L to 60L).map(i => (i, false))
+    val (na, nb, dn, d, kx, rej) = ks(disjoint)
+    assert((na, nb) == ((30L, 30L)))
+    assert(dn == 900L && d == 1.0 && kx == 30L && rej)
+    val same = (1L to 40L).flatMap(i => Seq((i % 7, true), (i % 7, false)))
+    val (_, _, dn2, d2, _, rej2) = ks(same)
+    assert(dn2 == 0L && d2 == 0.0 && !rej2)
+  }
+
+  test("ksTwoSample matches a sequential exact-rational reference on " +
+    "random integer samples (statistic, argmax, and the libm-free " +
+    "rejection verdict)") {
+    val rnd = new scala.util.Random(89)
+    for (trial <- 1 to 5) {
+      val shift = trial % 3 // 0 = same law, else shifted
+      val rows = (1 to 150).map(_ => (rnd.nextInt(25).toLong, true)) ++
+        (1 to 130).map(_ => (rnd.nextInt(25).toLong + shift, false))
+      val (na, nb, dn, d, kx, rej) = ks(rows)
+      val (edn, ekx, ed, erej) = seqKs(rows)
+      assert((na, nb) == ((150L, 130L)), s"trial $trial")
+      assert(dn == edn && kx == ekx && rej == erej, s"trial $trial")
+      assert(math.abs(d - ed) < 5e-7, s"trial $trial") // operator rounds to 6dp
+    }
+  }
+
+  test("ksTwoSample: the support cap raises loudly on unbinned " +
+    "high-cardinality values") {
+    spark.conf.set("spark.graft.scoreSupportMaxRows", "50")
+    try {
+      val rows = (1L to 200L).map(i => (i, i % 2 == 0))
+      val ex = intercept[Exception] { ks(rows) }
+      assert(ex.getMessage.contains("scoreSupportMaxRows"), ex.getMessage)
+    } finally spark.conf.unset("spark.graft.scoreSupportMaxRows")
+  }
+
   test("cusumChangepoint: groups are independent and result is invariant " +
     "to input partitioning") {
     val rows = (1 to 12).flatMap(i => Seq(

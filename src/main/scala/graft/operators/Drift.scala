@@ -256,19 +256,27 @@ object Drift {
       df: DataFrame,
       valueCol: String,
       sideCol: String,
-  ): DataFrame = {
-    val spark = df.sparkSession
+  ): DataFrame =
+    ksFromCounts(df
+      .filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("x"))
+      .agg(
+        sum(when(col(sideCol), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col(sideCol), 1L).otherwise(0L)).as("cb")))
+
+  /** The KS finish over an already-aggregated (x, ca, cb) count table
+    * — split exactly like [[chi2FromCounts]]/[[cusumFromPeriods]]: the
+    * per-value counts are MERGEABLE, so a complete-mode stream holds
+    * them as its state and this finish is a view over that state
+    * (q_stream_ks).
+    */
+  def ksFromCounts(hist: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
     import spark.implicits._
     val cap = spark.conf
       .getOption("spark.graft.scoreSupportMaxRows").map(_.toLong)
       .getOrElse(100000L)
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val hist = df
-      .filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("long").as("x"))
-      .agg(
-        sum(when(col(sideCol), 1L).otherwise(0L)).as("ca"),
-        sum(when(!col(sideCol), 1L).otherwise(0L)).as("cb"))
     val wAsc = org.apache.spark.sql.expressions.Window.orderBy($"x")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

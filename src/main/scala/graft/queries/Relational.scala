@@ -3181,6 +3181,74 @@ object Relational {
            |FROM mx, arg, t""".stripMargin),
   )
 
+  /** STREAMING twin of [[profileKs]]: the per-value (x, ca, cb) count
+    * table IS the streaming state — mergeable, so a complete-mode
+    * aggregation holds ≤ |support| rows across any number of
+    * micro-batches — and `Drift.ksFromCounts` finishes over the sink
+    * table on the IDENTICAL oracle (the chi2/changepoint twin
+    * discipline; KS's statistic is a pure function of the counts, so
+    * stream ≡ batch bit for bit).
+    */
+  private val streamKs = Q(
+    "q_stream_ks",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_ks_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val stream = Tables.streamTable(s, dir, "documents", sch)
+        val counts = stream
+          .withColumn("is_en", $"lang" === "en")
+          .groupBy($"n_chars".cast("long").as("x"))
+          .agg(
+            sum(when($"is_en", 1L).otherwise(0L)).as("ca"),
+            sum(when(!$"is_en", 1L).otherwise(0L)).as("cb"))
+        val query = counts.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val state0 = s.table(sinkName)
+      val state = s.createDataFrame(state0.rdd, state0.schema)
+      graft.operators.Drift.ksFromCounts(state)
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(n_chars AS BIGINT) AS x, (lang = 'en') AS sa
+           |  FROM documents),
+           |h AS (
+           |  SELECT x,
+           |         sum(CASE WHEN sa THEN 1 ELSE 0 END) AS ca,
+           |         sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS cb
+           |  FROM d GROUP BY x),
+           |t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+           |             CAST(sum(cb) AS HUGEINT) AS nb FROM h),
+           |c AS (
+           |  SELECT x,
+           |         CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |           AS HUGEINT) AS cuma,
+           |         CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+           |           AS HUGEINT) AS cumb
+           |  FROM h),
+           |dd AS (SELECT x, abs(nb * cuma - na * cumb) AS dn FROM c, t),
+           |mx AS (SELECT max(dn) AS dnum FROM dd),
+           |arg AS (SELECT min(x) AS ks_x FROM dd, mx WHERE dn = dnum)
+           |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           |       CAST(dnum AS BIGINT) AS d_num,
+           |       round(CAST(dnum AS DOUBLE) /
+           |             (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_stat,
+           |       ks_x,
+           |       (dnum * dnum * 1000000 > 1844164 * (na + nb) * na * nb)
+           |         AS reject_05
+           |FROM mx, arg, t""".stripMargin),
+  )
+
   private val streamDrift = Q(
     "q_stream_drift",
     (s, dir) => {
@@ -3592,7 +3660,7 @@ object Relational {
     profileDrift,
     profileChangepoint,
     streamChangepoint,
-    profileKs,
+    profileKs, streamKs,
     streamDrift,
     streamChi2,
     profileOutliers,

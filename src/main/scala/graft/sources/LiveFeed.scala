@@ -204,6 +204,14 @@ final class LiveFeedClient(assets: Seq[String], cfg: LiveFeed.Config) {
   @volatile private var initialCount = 0
   @volatile private var pumpThread: Thread = _
   @volatile private var reconThread: Thread = _
+  /** Backoff observability for soak tests: the reconnecter's CURRENT
+    * error-count (0 after a clean round) and the maximum it ever
+    * reached — growing max + recovered-to-0 current is the
+    * deterministic signature of "the storm engaged the backoff and
+    * the client healed", with no wall-clock assertions.
+    */
+  @volatile var observedErrorCount: Long = 0L
+  @volatile var maxObservedErrorCount: Long = 0L
 
   def connectionCount: Int = connections.size()
   def connectionAssets: Map[Long, Seq[String]] = {
@@ -259,6 +267,8 @@ final class LiveFeedClient(assets: Seq[String], cfg: LiveFeed.Config) {
   private def reconnecterLoop(): Unit = {
     var errorCount = 0L
     while (!cancelled.get()) {
+      observedErrorCount = errorCount
+      maxObservedErrorCount = math.max(maxObservedErrorCount, errorCount)
       val pace =
         if (errorCount > 0) cfg.errorBackoffUnitMs * math.max(3L, errorCount)
         else cfg.idlePaceMs

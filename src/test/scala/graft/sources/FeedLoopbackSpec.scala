@@ -227,6 +227,50 @@ class FeedLoopbackSpec extends AnyFunSuite {
     }
   }
 
+  test("reconnect storm: while the server withholds first messages, the " +
+    "error-count backoff ENGAGES (max observed grows past 1) and the " +
+    "client heals completely when the server recovers (count back to 0, " +
+    "connection open, frames flowing)") {
+    val healthy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = new LoopbackServer((idx, _, io) => {
+      if (healthy.get()) {
+        io.send(s"""{"frame":"recovered-$idx"}""")
+        io.listen(30000)
+      }
+      // storm mode: accept + read the subscribe, then say NOTHING —
+      // await_first_msg times out, a genuine connect failure
+    })
+    // short first-message timeout so storm rounds cycle fast; tiny
+    // error-backoff unit so the test doesn't sleep real seconds
+    val cfg = fastCfg(server.port)
+      .copy(initialReadTimeoutMs = 60, errorBackoffUnitMs = 5L)
+    val client = new LiveFeedClient(Seq("A1", "A2"), cfg)
+    try {
+      client.start()
+      val stormDeadline = System.currentTimeMillis() + 20000
+      while (client.maxObservedErrorCount < 2 &&
+        System.currentTimeMillis() < stormDeadline) Thread.sleep(20)
+      assert(client.maxObservedErrorCount >= 2,
+        s"backoff never engaged (max=${client.maxObservedErrorCount})")
+      healthy.set(true)
+      val opened = awaitEvent(client.events, 20000) {
+        case LiveFeed.ConnectionOpened(_, nOpen, _) => nOpen == 1
+        case _ => false
+      }
+      assert(opened, "client should heal when the server recovers")
+      val healDeadline = System.currentTimeMillis() + 10000
+      while (client.observedErrorCount != 0 &&
+        System.currentTimeMillis() < healDeadline) Thread.sleep(20)
+      assert(client.observedErrorCount == 0,
+        "a clean round must reset the error count")
+      val frame = awaitEvent(client.events, 5000) {
+        case LiveFeed.FeedMessage(t) => t.contains("recovered")
+        case _ => false
+      }
+      assert(frame, "frames should flow after recovery")
+    } finally { client.stop(); server.close() }
+  }
+
   test("the >=20-flap split policy: a connection that repeatedly opens " +
     "and dies splits into two half-shards, which then both open") {
     val afterSplit = new ConcurrentLinkedQueue[String]()

@@ -1254,6 +1254,74 @@ object GraphAlgos {
       .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
   }
 
+  /** FASTEST DURATION UNDER A WAITING BOUND — the composition of the
+    * two non-monotone temporal variants: minimize elapsed time a − d
+    * over chronological paths that never wait more than `maxWait` at
+    * an intermediate node. Neither parent's state suffices: duration
+    * needs the source departure d carried per label, and waiting
+    * bounds make (d, a) Pareto pruning UNSOUND (a later arrival's
+    * waiting window sits later — it can catch edges a dominating
+    * label cannot), so per-node state is the full DISTINCT (d, a)
+    * pair set — bounded by (seed out-departure support) × (in-edge
+    * arrival support) per node, with exact dedup the only sound
+    * reduction. Same frontier/settle/release loop; shortcut edges
+    * must be wait-respecting ([[chainShortcuts]] maxWait gating).
+    * Returns (node, fastest), seed excluded.
+    */
+  def temporalBoundedWaitFastest(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      seed: Long,
+      maxWait: Long,
+      startTs: Long = 0L,
+      maxIters: Int = 100,
+  ): DataFrame = {
+    require(maxWait >= 0,
+      s"temporalBoundedWaitFastest: maxWait must be >= 0, got $maxWait")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
+      col(arrCol).cast("long").as("ets"))
+      .filter($"dep" <= $"ets")
+      .cutLineage()
+    val nEdges = e.count()
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
+      var state = Lineage.settle(
+        e.filter($"src" === seed && $"dep" >= startTs)
+          .select($"dst".as("node"), $"dep".as("d"), $"ets".as("a")).distinct())
+      var frontier = state
+      var n = frontier.count()
+      var i = 0
+      while (n > 0 && i < maxIters) {
+        i += 1
+        val cand = frontier
+          .join(e, $"node" === $"src" && $"dep" >= $"a" &&
+            $"dep" - $"a" <= maxWait)
+          .select($"dst".as("node"), $"d", $"ets".as("a")).distinct()
+        val fresh = Lineage.settle(
+          cand.join(state, Seq("node", "d", "a"), "left_anti"))
+        n = fresh.count()
+        if (n > 0) {
+          val merged = Lineage.settle(state.union(fresh))
+          Lineage.release(state)
+          if (frontier ne state) Lineage.release(frontier)
+          state = merged
+          frontier = fresh
+        } else Lineage.release(fresh)
+      }
+      require(n == 0,
+        s"temporalBoundedWaitFastest did not converge in $maxIters rounds; " +
+          "raise maxIters")
+      if (frontier ne state) Lineage.release(frontier)
+      state.filter($"node" =!= seed)
+        .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
+    }
+  }
+
   /** Strongly-connected-component condensation of a DIRECTED graph
     * over a BOUNDED node domain — event/page/state types, dimensions
     * that do NOT grow with the corpus (session-flow condensation, not

@@ -1885,6 +1885,54 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** FASTEST DURATION UNDER THE WAITING BOUND
+    * (`GraphAlgos.temporalBoundedWaitFastest`) — the composition of
+    * the round's two non-monotone temporal gates: minimum elapsed
+    * influence time when no intermediate user may hold the baton
+    * longer than W. Per-node state is the full distinct (d, a) label
+    * set (duration needs d; waiting bounds make Pareto pruning
+    * unsound), exact dedup only; the same wait-respecting shortcut
+    * edges as [[graphTemporalBoundedWait]], with the base-edges-only
+    * oracle enumerating the complete label closure — the hash match
+    * proves pruning-free state + shortcut gating at once.
+    */
+  private val graphTemporalBwFastest = Q(
+    "q_graph_temporal_bw_fastest",
+    (s, dir) => {
+      import s.implicits._
+      val w = 2000000L
+      val chain = handoffChain(s, dir, maxWait = Some(w))
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      GraphAlgos.temporalBoundedWaitFastest(chain, "u", "v", "dep", "arr", seed, w)
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |labels AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, labels.d, e.ts
+           |  FROM labels JOIN e ON e.u = labels.node
+           |   AND e.ts >= labels.a AND e.ts - labels.a <= 2000000)
+           |SELECT node, CAST(min(a - d) AS BIGINT) AS fastest
+           |FROM labels WHERE node <> (SELECT s FROM sd)
+           |GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
   /** The condensation DAG of the per-entity SCC decomposition — what a
     * pipeline actually CONSUMES downstream of [[graphSccEntity]]:
     * collapse each strongly-connected community to its scc_id and keep
@@ -1959,6 +2007,6 @@ object Graph {
     graphTrianglesDoulion, graphAnfDiameter, graphAnfHarmonic, graphAnfCloseness,
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
     graphSccEntity, graphTemporalReach, graphTemporalInfluence,
-    graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile,
+    graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile, graphTemporalBwFastest,
     graphSccEntityDag)
 }

@@ -357,6 +357,95 @@ class TemporalReachSpec extends AnyFunSuite {
     assert(out == (2L to 17L).map(i => i -> 10L * i).toMap)
   }
 
+  private def bwFastest(
+      edges: Seq[(Long, Long, Long)], seed: Long, w: Long): Map[Long, Long] =
+    GraphAlgos.temporalBoundedWaitFastest(
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", seed, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Sequential (d, a) label-set fixpoint under the waiting bound. */
+  private def seqBwFastest(
+      edges: Seq[(Long, Long, Long)], seed: Long, w: Long): Map[Long, Long] = {
+    val labels = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long)]].withDefaultValue(Set.empty)
+    for ((u, v, t) <- edges if u == seed && t >= 0) labels(v) += ((t, t))
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((u, v, t) <- edges; (d, a) <- labels(u) if t >= a && t - a <= w)
+        if (!labels(v).contains((d, t))) { labels(v) += ((d, t)); changed = true }
+    }
+    labels.filter(_._1 != seed)
+      .map { case (n, ls) => n -> ls.map(p => p._2 - p._1).min }.toMap
+  }
+
+  test("bounded-wait fastest differs from BOTH parents: the unbounded " +
+    "fastest path waits too long, and the bounded-wait earliest path " +
+    "is slower than the bounded-wait fastest one") {
+    // to 3: (a) leave 1 early via (1,10)->(3,100): wait 90, dur 99
+    //       (b) leave 1 late  via (60)->(3,100):   wait 40, dur 41
+    //       (c) direct (1->3) dep 95 arr 100:       dur 5
+    val e4 = Seq((1L, 2L, 10L, 10L), (1L, 2L, 60L, 60L), (2L, 3L, 100L, 100L),
+      (1L, 3L, 95L, 100L)).toDF("u", "v", "dep", "arr")
+    def fm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unbounded fastest to 3 is the direct hop: 5
+    assert(fm(GraphAlgos.temporalFastest(e4, "u", "v", "dep", "arr", 1L))(3L) == 5L)
+    // wait bound 40: direct hop still fine (no intermediate wait) → 5;
+    // tighten to a graph without the direct edge to see the interplay
+    val noDirect = Seq((1L, 2L, 10L, 10L), (1L, 2L, 60L, 60L),
+      (2L, 3L, 100L, 100L)).toDF("u", "v", "dep", "arr")
+    // unbounded fastest via 2: leave at 60, arrive 100 → 40
+    assert(fm(GraphAlgos.temporalFastest(noDirect, "u", "v", "dep", "arr", 1L))(3L) == 40L)
+    // wait bound 30: the (60,60) label waits 40 at node 2 — blocked;
+    // 3 is unreachable entirely (the early label waits 90)
+    val bw = fm(GraphAlgos.temporalBoundedWaitFastest(
+      noDirect, "u", "v", "dep", "arr", 1L, maxWait = 30L))
+    assert(!bw.contains(3L))
+    // wait bound 45 re-admits ONLY the late label → fastest 40, and the
+    // bounded-wait EARLIEST (arr 100 via d=10? blocked: wait 90 > 45)
+    // equals the same path here, while duration picks d = 60
+    val bw45 = fm(GraphAlgos.temporalBoundedWaitFastest(
+      noDirect, "u", "v", "dep", "arr", 1L, maxWait = 45L))
+    assert(bw45(3L) == 40L)
+  }
+
+  test("bounded-wait fastest matches the sequential (d, a) label-set " +
+    "fixpoint on random temporal graphs") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 4) {
+      val n = 9 + rnd.nextInt(9)
+      val edges = (1 to 4 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(22).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      val w = 3L + rnd.nextInt(7)
+      assert(bwFastest(edges, 0L, w) === seqBwFastest(edges, 0L, w),
+        s"trial $trial w=$w")
+    }
+  }
+
+  test("bounded-wait fastest is preserved by wait-respecting shortcuts " +
+    "and overstated by plain ones") {
+    val ts = Seq(10L, 20L, 30L, 90L, 100L, 110L, 120L, 130L)
+    val rows = ts.zipWithIndex.map { case (t, i) => ("g", i + 1L, i + 1L, t) }
+      .toDF("grp", "ord", "node", "ts")
+    val base = (0 until 7).map(i => (i + 1L, i + 2L, ts(i + 1)))
+    val w = 30L
+    val expect = seqBwFastest(base, 1L, w)
+    val gated = GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"),
+      "node", "ts", maxLevel = 3, maxWait = Some(w))
+    val viaGated = GraphAlgos.temporalBoundedWaitFastest(
+      gated, "u", "v", "dep", "arr", 1L, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaGated == expect)
+    val plain = GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"),
+      "node", "ts", maxLevel = 3)
+    val viaPlain = GraphAlgos.temporalBoundedWaitFastest(
+      plain, "u", "v", "dep", "arr", 1L, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPlain.keySet.size > expect.size)
+  }
+
   test("shortcut edges (dep < arr composites of real paths) change the " +
     "round count, never the fixpoint") {
     // chronological chain 0→1→…→12 at ts 10,20,…,120: diameter 12

@@ -1264,8 +1264,13 @@ object GraphAlgos {
     * label cannot), so per-node state is the full DISTINCT (d, a)
     * pair set — bounded by (seed out-departure support) × (in-edge
     * arrival support) per node, with exact dedup the only sound
-    * reduction. Same frontier/settle/release loop; shortcut edges
-    * must be wait-respecting ([[chainShortcuts]] maxWait gating).
+    * reduction; this is deliberately the maximal state contract in
+    * the temporal family, the honest cost of the composed problem. A
+    * deployment that needs it cheaper bounds d's support at the
+    * SOURCE (quantize the seed's departure times before calling —
+    * coarser d buckets trade duration resolution for label mass).
+    * Same frontier/settle/release loop; shortcut edges must be
+    * wait-respecting ([[chainShortcuts]] maxWait gating).
     * Returns (node, fastest), seed excluded.
     */
   def temporalBoundedWaitFastest(

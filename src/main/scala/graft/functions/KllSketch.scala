@@ -111,7 +111,16 @@ object KllSketch {
     */
   val K = 1024
 
-  /** Wire-format magic for serialized states ("KLL1"). */
+  /** Wire-format magic for serialized states ("KLL1").
+    *
+    * MIGRATION NOTE: the 12-byte magic+K header (introduced round 10)
+    * deliberately makes pre-header `kll_state` blobs unreadable —
+    * `fromBytes` rejects them loudly on the magic check rather than
+    * misparsing the first level sizes as data. There is no legacy
+    * reader: any lake states persisted by a pre-header build must be
+    * REBUILT from the source rows (they are cheap one-pass
+    * aggregations). States are also pinned to the build's K.
+    */
   val Magic = 0x4B4C4C31
 
   /** Growable compactor hierarchy. Level l items carry weight 2^l.

@@ -1043,14 +1043,18 @@ object GraphAlgos {
       .filter($"dep" <= $"ets")
       .cutLineage()
     val nEdges = e.count()
+    val labelCap = temporalLabelCap(spark)
     ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       var state = Lineage.settle(
         e.filter($"src" === seed && $"dep" >= startTs)
           .select($"dst".as("node"), $"ets".as("a")).distinct())
       var frontier = state
       var n = frontier.count()
+      var total = n
       var i = 0
       while (n > 0 && i < maxIters) {
+        requireLabelsBounded("temporalBoundedWait", total, labelCap, i,
+          "coarsen the edge arrival timestamps before calling")
         i += 1
         val cand = frontier
           .join(e, $"node" === $"src" && $"dep" >= $"a" &&
@@ -1059,6 +1063,7 @@ object GraphAlgos {
         val fresh = Lineage.settle(
           cand.join(state, Seq("node", "a"), "left_anti"))
         n = fresh.count()
+        total += n
         if (n > 0) {
           val merged = Lineage.settle(state.union(fresh))
           Lineage.release(state)
@@ -1074,6 +1079,29 @@ object GraphAlgos {
         .groupBy($"node").agg(min($"a").as("arr"))
     }
   }
+
+  /** Distinct-label state bound shared by the bounded-wait temporal
+    * family (`spark.graft.temporalLabelMaxRows`, default 10 000 000):
+    * these operators' per-node state is an exact distinct label SET
+    * (pruning is unsound under waiting bounds), so its mass is a data
+    * property, not a structural one — a dense seed on fine-grained
+    * timestamps can balloon it silently until the round budget saves
+    * it (or doesn't). The loop already pays a driver-side count per
+    * round (convergence), so the guard reuses that exact number and
+    * raises BEFORE launching the next round's join — the prCurve
+    * enforce-the-precondition contract at zero added cost.
+    */
+  private def temporalLabelCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.temporalLabelMaxRows")
+      .map(_.toLong).getOrElse(10000000L)
+
+  private def requireLabelsBounded(
+      op: String, total: Long, cap: Long, round: Int, lever: String): Unit =
+    require(total <= cap,
+      s"$op: distinct-label state has $total rows entering round ${round + 1}, " +
+        s"over spark.graft.temporalLabelMaxRows=$cap — exact label sets are " +
+        s"the only sound state under waiting bounds, so this growth is real; " +
+        s"$lever, or raise the cap if the cluster can hold the state")
 
   /** LATEST-DEPARTURE influence set — the backward twin of
     * [[temporalReachable]]: every node that can reach `target` along
@@ -1265,12 +1293,25 @@ object GraphAlgos {
     * pair set — bounded by (seed out-departure support) × (in-edge
     * arrival support) per node, with exact dedup the only sound
     * reduction; this is deliberately the maximal state contract in
-    * the temporal family, the honest cost of the composed problem. A
-    * deployment that needs it cheaper bounds d's support at the
-    * SOURCE (quantize the seed's departure times before calling —
-    * coarser d buckets trade duration resolution for label mass).
-    * Same frontier/settle/release loop; shortcut edges must be
-    * wait-respecting ([[chainShortcuts]] maxWait gating).
+    * the temporal family, the honest cost of the composed problem.
+    *
+    * That contract is ENFORCED, not prose: the per-round convergence
+    * count doubles as a state-mass guard
+    * (`spark.graft.temporalLabelMaxRows`, see [[temporalLabelCap]]) —
+    * a dense seed raises loudly instead of ballooning until the round
+    * budget saves it. The in-plan lever is `quantizeDepartures =
+    * Some(q)`: the seed departure d each label carries is floored to
+    * a multiple of q (`dep − pmod(dep, q)` — exact long arithmetic),
+    * so labels differing only within a q-bucket of d MERGE and the
+    * state bound becomes (seed departure support / q) × (in-edge
+    * arrival support). Traversal is UNAFFECTED (edge usability
+    * depends only on the arrival a, never on d), so the reachable
+    * (node, a) set — and therefore the reachable node set — is
+    * exact; only the duration readout coarsens: the reported fastest
+    * is min(a − floor(d/q)·q) ≥ min(a − d), a conservative UPPER
+    * bound within [true, true + q). Same frontier/settle/release
+    * loop; shortcut edges must be wait-respecting
+    * ([[chainShortcuts]] maxWait gating).
     * Returns (node, fastest), seed excluded.
     */
   def temporalBoundedWaitFastest(
@@ -1283,9 +1324,12 @@ object GraphAlgos {
       maxWait: Long,
       startTs: Long = 0L,
       maxIters: Int = 100,
+      quantizeDepartures: Option[Long] = None,
   ): DataFrame = {
     require(maxWait >= 0,
       s"temporalBoundedWaitFastest: maxWait must be >= 0, got $maxWait")
+    quantizeDepartures.foreach(q => require(q > 0,
+      s"temporalBoundedWaitFastest: quantizeDepartures must be > 0, got $q"))
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("src"),
@@ -1294,14 +1338,25 @@ object GraphAlgos {
       .filter($"dep" <= $"ets")
       .cutLineage()
     val nEdges = e.count()
+    val labelCap = temporalLabelCap(spark)
+    // floor-to-multiple in exact long arithmetic (pmod is always
+    // non-negative, so this is floor division × q for any sign of dep)
+    val dExpr = quantizeDepartures match {
+      case Some(q) => ($"dep" - pmod($"dep", lit(q))).as("d")
+      case None => $"dep".as("d")
+    }
     ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       var state = Lineage.settle(
         e.filter($"src" === seed && $"dep" >= startTs)
-          .select($"dst".as("node"), $"dep".as("d"), $"ets".as("a")).distinct())
+          .select($"dst".as("node"), dExpr, $"ets".as("a")).distinct())
       var frontier = state
       var n = frontier.count()
+      var total = n
       var i = 0
       while (n > 0 && i < maxIters) {
+        requireLabelsBounded("temporalBoundedWaitFastest", total, labelCap, i,
+          "pass quantizeDepartures = Some(q) to merge d within q-buckets " +
+            "(exact reachability, duration upper-bounded within q)")
         i += 1
         val cand = frontier
           .join(e, $"node" === $"src" && $"dep" >= $"a" &&
@@ -1310,6 +1365,7 @@ object GraphAlgos {
         val fresh = Lineage.settle(
           cand.join(state, Seq("node", "d", "a"), "left_anti"))
         n = fresh.count()
+        total += n
         if (n > 0) {
           val merged = Lineage.settle(state.union(fresh))
           Lineage.release(state)

@@ -849,11 +849,16 @@ object Replay {
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
           .start()
         try {
+          // Poll the DISTINCT seq count, not the raw row count: a
+          // mid-serve reconnect re-serves frames 1..k (at-least-once),
+          // so raw rows can hit nFrames while distinct seqs haven't.
           val deadline = System.currentTimeMillis() + 60000
-          var rows = 0L
-          while (rows < nFrames && System.currentTimeMillis() < deadline) {
+          var seqs = 0L
+          while (seqs < nFrames && System.currentTimeMillis() < deadline) {
             Thread.sleep(200)
-            rows = s.table(sinkName).count()
+            seqs = s.table(sinkName)
+              .select(get_json_object($"value", "$.seq"))
+              .distinct().count()
           }
         } finally query.stop()
         s.table(sinkName)

@@ -309,9 +309,13 @@ object LiveFeedRegistry {
   def create(key: String): Unit =
     buffers.putIfAbsent(key, new java.util.ArrayList[String]())
 
+  /** No-op on a missing key: `stop()` removes the entry while the
+    * drainer thread may still be polling the client queue, and a late
+    * frame must not kill the daemon with an NPE.
+    */
   def append(key: String, line: String): Unit = {
     val b = buffers.get(key)
-    b.synchronized { b.add(line); () }
+    if (b != null) b.synchronized { b.add(line); () }
   }
 
   def size(key: String): Int = {
@@ -325,6 +329,11 @@ object LiveFeedRegistry {
       s"live feed buffer '$key' not found — live mode requires readers in " +
         "the driver JVM (local mode); on a cluster land frames durably first")
     b.synchronized {
+      require(begin >= 0 && end <= b.size(),
+        s"live feed buffer '$key' has ${b.size()} frames but [$begin, $end) " +
+          "was requested — live-mode offsets index a per-run in-memory " +
+          "buffer and are NOT restart-recoverable; restart the query with " +
+          "a fresh checkpoint (on a cluster land frames durably first)")
       (begin until end).map(i => b.get(i.toInt)).toArray
     }
   }

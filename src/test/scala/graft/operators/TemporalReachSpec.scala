@@ -424,6 +424,58 @@ class TemporalReachSpec extends AnyFunSuite {
     }
   }
 
+  test("the label-support guard raises loudly on a dense seed instead " +
+    "of ballooning state (bounded-wait and bounded-wait fastest)") {
+    // 1 → {2..9} at 8 departures each: 64 seed labels; node 2's state
+    // alone crosses a cap of 10 before the first expansion round
+    val dense = for (v <- 2L to 9L; t <- 1L to 8L) yield (1L, v, t * 10L)
+    val key = "spark.graft.temporalLabelMaxRows"
+    spark.conf.set(key, "10")
+    try {
+      val e1 = intercept[IllegalArgumentException](bwFastest(dense, 1L, 100L))
+      assert(e1.getMessage.contains("temporalLabelMaxRows"))
+      assert(e1.getMessage.contains("quantizeDepartures"))
+      val e2 = intercept[IllegalArgumentException](boundedWait(dense, 1L, 100L))
+      assert(e2.getMessage.contains("temporalLabelMaxRows"))
+    } finally spark.conf.unset(key)
+    // the same input passes under the default cap
+    assert(bwFastest(dense, 1L, 100L).nonEmpty)
+  }
+
+  test("quantizeDepartures: exact reachability, duration upper-bounded " +
+    "within the quantum, q = 1 bit-identical") {
+    val rnd = new scala.util.Random(131)
+    def bwq(edges: Seq[(Long, Long, Long)], w: Long, q: Long) =
+      GraphAlgos.temporalBoundedWaitFastest(
+        edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", 1L, w,
+        quantizeDepartures = Some(q))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = (1 to 4 * n).map { _ =>
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L,
+          rnd.nextInt(40).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      val w = 5L + rnd.nextInt(8)
+      val exactOut = bwFastest(edges, 1L, w)
+      assert(bwq(edges, w, 1L) === exactOut, s"trial $trial q=1")
+      val q = 7L
+      val coarse = bwq(edges, w, q)
+      // reachable node set exact; each duration in [true, true + q)
+      assert(coarse.keySet === exactOut.keySet, s"trial $trial reach")
+      coarse.foreach { case (node, dur) =>
+        assert(dur >= exactOut(node) && dur < exactOut(node) + q,
+          s"trial $trial node $node: coarse $dur vs exact ${exactOut(node)}")
+      }
+    }
+    // a concrete merge: departures 10 and 12 share the q=10 bucket, so
+    // the two seed labels collapse to one with d = 10
+    val twoDeps = Seq((1L, 2L, 10L), (1L, 2L, 12L), (2L, 3L, 20L))
+    assert(bwq(twoDeps, 100L, 10L) == Map(2L -> 0L, 3L -> 10L))
+    // exact: best label is d = 12 → node 3 duration 8
+    assert(bwFastest(twoDeps, 1L, 100L)(3L) == 8L)
+  }
+
   test("bounded-wait fastest is preserved by wait-respecting shortcuts " +
     "and overstated by plain ones") {
     val ts = Seq(10L, 20L, 30L, 90L, 100L, 110L, 120L, 130L)

@@ -147,6 +147,57 @@ object VectorSim {
   def kmeans(vecs: DataFrame, initCents: DataFrame, dims: Int, iters: Int): DataFrame =
     kmeansFit(vecs, initCents, dims, iters)._2
 
+  /** One WEIGHTED Lloyd update: per-dimension round of the
+    * weight-scaled mean Σwᵢqᵢ / Σwᵢ — [[recomputeCentroids]]'s
+    * arithmetic generalized to integer point weights. Both sums are
+    * exact decimals of long products, so the single IEEE double
+    * division + half-away round is engine-identical; zero-weight rows
+    * contribute nothing; clusters whose weight sum is zero drop out
+    * (same contract as empty clusters in the unweighted update).
+    */
+  def recomputeCentroidsWeighted(
+      assign: DataFrame,
+      vecs: DataFrame,
+      weightCol: String,
+      dims: Int): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val avgs = (0 until dims).map(i =>
+      round(sum(dec(col(weightCol)) * element_at(col("q"), i + 1)).cast("double") /
+        sum(dec(col(weightCol))).cast("double")).cast("long").as(s"c_$i"))
+    assign
+      .join(vecs.select(col("vec_id"), col("q"), col(weightCol)), "vec_id")
+      .groupBy(col("cent_id"))
+      .agg(avgs.head, avgs.tail: _*)
+      .filter(col("c_0").isNotNull)
+      .select(col("cent_id"),
+        array((0 until dims).map(i => col(s"c_$i")): _*).as("qc"))
+      .withColumn("n2c", qnorm2(col("qc")))
+  }
+
+  /** Lloyd's k-means over a WEIGHTED point set — the coreset consumer
+    * leg: a lightweight coreset ([[lightweightCoreset]]) stands in for
+    * the corpus, each sampled row carrying an integer estimator
+    * weight, and the trained quantizer comes out of 256 rows instead
+    * of the full scan. Assignment is the identical nearest-cosine pass
+    * (weights don't move a point's nearest centroid); only the update
+    * is weight-scaled. Same deterministic fixed-iteration contract as
+    * [[kmeansFit]]. `vecs` must carry (vec_id, q, n2, weightCol).
+    */
+  def kmeansFitWeighted(
+      vecs: DataFrame,
+      weightCol: String,
+      initCents: DataFrame,
+      dims: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    var cents = initCents
+    var assign = assignToCentroids(vecs, cents)
+    (1 until iters).foreach { _ =>
+      cents = recomputeCentroidsWeighted(assign, vecs, weightCol, dims)
+      assign = assignToCentroids(vecs, cents)
+    }
+    (cents, assign)
+  }
+
   /** Nearest-centroid assignment under SQUARED L2 (the product-
     * quantization metric): argmin of ‖v−c‖² = n2v + n2c − 2⟨v,c⟩, and
     * since n2v is constant per vector the ranking key is the INTEGER

@@ -2119,9 +2119,186 @@ object Similarity {
             |FROM est, ex, t""".stripMargin),
   )
 
+  /** The coreset CONSUMER leg (VectorSim.kmeansFitWeighted): weighted
+    * Lloyd over the 256-row coreset vs full-data Lloyd from the SAME
+    * init, compared two ways — per-centroid drift (exact integer L2²
+    * between corresponding trained centroids) and the cost gap (full-
+    * corpus k-means cost under each trained set, exact decimal sums of
+    * integer min-d², one double division at the end). This is what the
+    * lightweight-coreset theorem is FOR: train on 256 weighted rows,
+    * get centroids whose full-corpus cost is within ε of training on
+    * everything. Estimator weights are integers end to end: the
+    * unbiased weight mᵢ·(2nΣ)/(m·wᵢ) is floor-scaled by 10⁶ (micro-
+    * weights — outlying rows with large wᵢ stay non-zero), so both
+    * engines run the identical weighted update. At 100 TB the full-
+    * Lloyd side of this gate is the thing you no longer run — the
+    * coreset side's scan count (one mean + one distance pass + one
+    * draw, then 256-row iterations) is the point.
+    */
+  private val embedCoresetKmeans = Q(
+    "q_embed_coreset_kmeans",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val fullCents = VectorSim.kmeansFit(e, init, dims = 64, iters = 3)._1
+      val cs = VectorSim.lightweightCoreset(e, dims = 64, m = 256L)
+        .withColumn("iw",
+          when($"sum_d2" === 0, dec($"sample_weight"))
+            .otherwise(fdiv(
+              dec($"sample_weight") * lit(2L) * dec($"n") * dec($"sum_d2") *
+                lit(1000000L),
+              dec($"w") * lit(256L)))
+            .cast("long"))
+        .select($"vec_id", $"iw")
+      val csVecs = e.join(broadcast(cs), "vec_id")
+      val wCents = VectorSim.kmeansFitWeighted(csVecs, "iw", init,
+        dims = 64, iters = 3)._1
+      def fullCost(cents: org.apache.spark.sql.DataFrame) =
+        e.crossJoin(broadcast(cents))
+          .withColumn("dd",
+            $"n2" + $"n2c" - lit(2L) * VectorSim.qdotNative($"q", $"qc"))
+          .groupBy($"vec_id").agg(min($"dd").as("d2min"))
+          .agg(sum(dec($"d2min")).as("c"))
+      val costF = fullCost(fullCents).select($"c".as("cf"))
+      val costW = fullCost(wCents).select($"c".as("cw"))
+      fullCents.select($"cent_id", $"qc".as("qf"))
+        .join(wCents.select($"cent_id", $"qc".as("qw")), "cent_id")
+        .crossJoin(broadcast(costF))
+        .crossJoin(broadcast(costW))
+        .select(
+          $"cent_id",
+          aggregate(zip_with($"qf", $"qw", (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, x) => a + x).as("drift_l2sq"),
+          $"cf".cast("double").as("cost_full"),
+          $"cw".cast("double").as("cost_coreset"),
+          round(($"cw".cast("double") - $"cf".cast("double")) /
+            $"cf".cast("double"), 4).as("cost_gap"))
+        .orderBy($"cent_id")
+    },
+    Some {
+      def cos(vq: String, vn: String, cq: String, cn: String) =
+        cosSqlDims(64)(vq, vn, cq, cn)
+      def wassign(k: Int) = s""",
+        |wassign$k AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |    FROM (
+        |      SELECT v.vec_id, c.cent_id, ${cos("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+        |      FROM wv v CROSS JOIN wcents$k c))
+        |  WHERE rn = 1)""".stripMargin
+      def wcents(k: Int) = s""",
+        |wcents$k AS (
+        |  SELECT cent_id, qc,
+        |         CAST(list_sum(list_transform(qc, x -> x * x)) AS DOUBLE) AS n2c
+        |  FROM (
+        |    SELECT cent_id, list(CAST(round(a) AS BIGINT) ORDER BY j) AS qc
+        |    FROM (
+        |      SELECT s.cent_id, t.j,
+        |             CAST(sum(v.iw * v.q[CAST(t.j AS INT) + 1]) AS DOUBLE) /
+        |             CAST(sum(v.iw) AS DOUBLE) AS a
+        |      FROM wassign${k - 1} s JOIN wv v ON v.vec_id = s.vec_id,
+        |           unnest(range(0, 64)) AS t(j)
+        |      GROUP BY s.cent_id, t.j)
+        |    GROUP BY cent_id))""".stripMargin
+      kmeansCtes(3) + s""",
+        |ni AS (
+        |  SELECT vec_id, q,
+        |         CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT) AS n2i
+        |  FROM n),
+        |mu AS (
+        |  SELECT list(CAST(round(a) AS BIGINT) ORDER BY j) AS muq FROM (
+        |    SELECT t.j, avg(q[CAST(t.j AS INT) + 1]) AS a
+        |    FROM n, unnest(range(0, 64)) AS t(j) GROUP BY t.j)),
+        |mn AS (
+        |  SELECT muq,
+        |         CAST(list_sum(list_transform(muq, x -> x * x)) AS HUGEINT) AS n2mu
+        |  FROM mu),
+        |d AS (
+        |  SELECT vec_id,
+        |         n2i + n2mu - 2 * CAST(list_sum(list_transform(range(1, 65),
+        |           i -> q[CAST(i AS INT)] * muq[CAST(i AS INT)])) AS HUGEINT) AS d2
+        |  FROM ni, mn),
+        |t AS (SELECT CAST(sum(d2) AS HUGEINT) AS sumd2, count(*) AS nn FROM d),
+        |wts AS (
+        |  SELECT vec_id, d2,
+        |         CASE WHEN sumd2 = 0 THEN 1 ELSE sumd2 + d2 * nn END AS w
+        |  FROM d, t),
+        |h AS (
+        |  SELECT vec_id, w,
+        |         ${Relational.fnv63Sql("CAST(vec_id AS VARCHAR)")} AS h
+        |  FROM wts),
+        |cc AS (
+        |  SELECT vec_id, w,
+        |         CAST(sum(w) OVER (ORDER BY h % 64, h, vec_id
+        |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
+        |  FROM h),
+        |wt AS (SELECT CAST(sum(w) AS HUGEINT) AS wtot FROM wts),
+        |csel AS (
+        |  SELECT vec_id, w,
+        |         (cw * 256) // wtot - ((cw - w) * 256) // wtot AS sw
+        |  FROM cc, wt
+        |  WHERE (cw * 256) // wtot - ((cw - w) * 256) // wtot > 0),
+        |csw AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sumd2 = 0 THEN CAST(sw AS HUGEINT)
+        |              ELSE (CAST(sw AS HUGEINT) * 2 * nn * sumd2 * 1000000)
+        |                   // (CAST(w AS HUGEINT) * 256)
+        |         END AS iw
+        |  FROM csel, t),
+        |wv AS (
+        |  SELECT n.vec_id, n.q, n.n2, csw.iw
+        |  FROM csw JOIN n USING (vec_id)),
+        |wcents0 AS (SELECT cent_id, qc, n2c FROM cents0)""".stripMargin +
+        wassign(0) + wcents(1) + wassign(1) + wcents(2) + s""",
+        |fint AS (
+        |  SELECT cent_id, qc,
+        |         CAST(list_sum(list_transform(qc, x -> x * x)) AS HUGEINT) AS n2ci
+        |  FROM cents2),
+        |wint AS (
+        |  SELECT cent_id, qc,
+        |         CAST(list_sum(list_transform(qc, x -> x * x)) AS HUGEINT) AS n2ci
+        |  FROM wcents2),
+        |costf AS (
+        |  SELECT CAST(sum(d2min) AS HUGEINT) AS cf FROM (
+        |    SELECT v.vec_id,
+        |           min(v.n2i + c.n2ci - 2 * CAST(list_sum(list_transform(range(1, 65),
+        |             i -> v.q[CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS HUGEINT))
+        |             AS d2min
+        |    FROM ni v CROSS JOIN fint c GROUP BY v.vec_id)),
+        |costw AS (
+        |  SELECT CAST(sum(d2min) AS HUGEINT) AS cw FROM (
+        |    SELECT v.vec_id,
+        |           min(v.n2i + c.n2ci - 2 * CAST(list_sum(list_transform(range(1, 65),
+        |             i -> v.q[CAST(i AS INT)] * c.qc[CAST(i AS INT)])) AS HUGEINT))
+        |             AS d2min
+        |    FROM ni v CROSS JOIN wint c GROUP BY v.vec_id))
+        |SELECT f.cent_id,
+        |       CAST(list_sum(list_transform(range(1, 65),
+        |         i -> (f.qc[CAST(i AS INT)] - w.qc[CAST(i AS INT)]) *
+        |              (f.qc[CAST(i AS INT)] - w.qc[CAST(i AS INT)])))
+        |         AS BIGINT) AS drift_l2sq,
+        |       CAST(cf AS DOUBLE) AS cost_full,
+        |       CAST(cw AS DOUBLE) AS cost_coreset,
+        |       round((CAST(cw AS DOUBLE) - CAST(cf AS DOUBLE)) /
+        |         CAST(cf AS DOUBLE), 4) AS cost_gap
+        |FROM cents2 f JOIN wcents2 w USING (cent_id), costf, costw
+        |ORDER BY cent_id""".stripMargin
+    },
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
       topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives,
       rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify, embedIvfRecall,
-      embedIvfNdcg, embedOod, embedCoreset, embedCoresetCost)
+      embedIvfNdcg, embedOod, embedCoreset, embedCoresetCost, embedCoresetKmeans)
 }

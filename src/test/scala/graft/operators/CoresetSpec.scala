@@ -68,4 +68,41 @@ class CoresetSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum == 12L)
     assert(out.values.forall { case (d2, w, _) => d2 == 0L && w == 1L })
   }
+
+  private def centsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select($"cent_id", $"qc").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+
+  test("weighted Lloyd with uniform weights equals the unweighted fit") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 80L).map(i =>
+      (i, Seq.fill(dims)(rnd.nextInt(2000).toLong - 1000L)))
+    val vecs = vecsDf(rows)
+    val init = vecs.filter($"vec_id" % 20 === 1)
+      .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+    val plain = centsOf(VectorSim.kmeansFit(vecs, init, dims, iters = 3)._1)
+    val uniform = centsOf(VectorSim.kmeansFitWeighted(
+      vecs.withColumn("iw", lit(7L)), "iw", init, dims, iters = 3)._1)
+    assert(uniform == plain)
+  }
+
+  test("a heavy weight pulls its cluster's centroid to the heavy point " +
+    "(exact weighted mean, zero-weight rows contribute nothing)") {
+    // one cluster: points at 100 and 1000 on dim 0 (nonzero norms —
+    // the cosine assignment is ANSI-strict about zero vectors)
+    val vecs = vecsDf(Seq(
+      (1L, Seq(100L, 10L, 10L, 10L)), (2L, Seq(1000L, 10L, 10L, 10L))))
+      .withColumn("iw", when($"vec_id" === 2L, lit(9L)).otherwise(lit(1L)))
+    val init = vecsDf(Seq((1L, Seq(100L, 10L, 10L, 10L))))
+      .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+    val cents = centsOf(VectorSim.kmeansFitWeighted(
+      vecs, "iw", init, dims, iters = 2)._1)
+    // weighted mean = (1·100 + 9·1000) / 10 = 910
+    assert(cents(1L) == List(910L, 10L, 10L, 10L))
+    val zeroed = vecs.withColumn("iw",
+      when($"vec_id" === 2L, lit(0L)).otherwise(lit(1L)))
+    val cz = centsOf(VectorSim.kmeansFitWeighted(
+      zeroed, "iw", init, dims, iters = 2)._1)
+    assert(cz(1L) == List(100L, 10L, 10L, 10L))
+  }
 }

@@ -176,4 +176,48 @@ object Sketches {
       .join(broadcast(cells), Seq("r", "pos"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** SKETCH-VERIFIED exact top-k: the SpaceSaving summary's coverage
+    * certificate turned into a PROOF of top-k membership. Phase 1
+    * sketches the stream into ≤ K candidates plus the deficit Δ, which
+    * certifies "any item outside the summary has true count ≤ Δ"
+    * (Metwally et al. ICDT 2005). Phase 2 counts ONLY the candidates
+    * exactly — a broadcast semi-join keeps the shuffle at ≤ K keys
+    * (map-side combine emits ≤ K rows per task), so the verify pass
+    * costs one narrow scan, not a full-vocabulary groupBy. Every
+    * candidate whose exact count exceeds Δ provably outranks every
+    * unreported item, so the exact-count ordering of that set is a
+    * PROVEN PREFIX of the true frequency ranking: row r is the true
+    * rank-r item, full stop. Returns up to `k` rows
+    * (rank, item, cnt) — FEWER than k when the data doesn't support
+    * the proof (near-uniform streams where the true k-th count ≤ Δ):
+    * short output is the honest "only this much is certifiable"
+    * verdict, never a guess. The returned rows are arrival-order-
+    * INVARIANT even though the summary isn't: the candidate set and Δ
+    * vary with order, but {true > Δ} always contains the true top
+    * ranks above Δ and exact counts re-rank them — which is what
+    * makes the result gate-able against an exact oracle. Ties break
+    * by item ascending (total order, engine-independent).
+    */
+  def certifiedTopK(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"certifiedTopK: k must be in [1, 64] (the summary holds 64 counters), got $k")
+    val spark = items.sparkSession
+    graft.functions.SpaceSaving.register(spark)
+    val it = items.select(col(itemCol).cast("string").as("item"))
+    val sk = it
+      .agg(call_function(graft.functions.SpaceSaving.Name, col("item")).as("s"))
+      .select(col("s.items.item").as("cands"), col("s.delta").as("delta"))
+    val cand = sk.select(explode(col("cands")).as("item"))
+    val exact = it.join(broadcast(cand), "item")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(broadcast(sk.select(col("delta"))))
+      .filter(col("cnt") > col("delta"))
+      // global window over ≤ 64 surviving candidates — bounded by K,
+      // a structural constant, not the corpus
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("item"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("item"), col("cnt"))
+  }
 }

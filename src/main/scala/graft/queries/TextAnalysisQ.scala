@@ -1716,6 +1716,42 @@ object TextAnalysisQ {
            |ORDER BY word""".stripMargin),
   )
 
+  /** The certificates doing QUERYABLE work (`Sketches.certifiedTopK`):
+    * SpaceSaving's coverage deficit Δ turned into a PROOF of exact
+    * top-k membership — sketch to ≤ 64 candidates, exact-count ONLY
+    * the candidates (broadcast semi-join: the verify shuffle moves
+    * ≤ 64 keys however big the corpus), keep candidates whose exact
+    * count beats Δ, and the exact ordering of that set is a proven
+    * prefix of the true frequency ranking. The oracle computes the
+    * unassisted exact top-10 over the full vocabulary; the hash match
+    * proves the two-phase sketch+verify plan returns the IDENTICAL
+    * rows while shuffling 64 keys instead of the vocabulary — the
+    * certificate is a queryable contract, not decoration. (The corpus
+    * supports the proof with ~2.2× margin at rank 10: c₁₀ ≈ 2.2·n/65
+    * at every SF, so the proven prefix always reaches k.)
+    */
+  private val ssCertifiedTopK = Q(
+    "q_sketch_ss_certified",
+    (s, dir) => {
+      import s.implicits._
+      val words = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("w"))
+      graft.operators.Sketches.certifiedTopK(words, "w", k = 10)
+        .select($"rank", $"item".as("word"), $"cnt")
+        .orderBy($"rank")
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM words GROUP BY w)
+           |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INTEGER) AS rank,
+           |       w AS word, cnt
+           |FROM tru
+           |ORDER BY cnt DESC, w
+           |LIMIT 10""".stripMargin),
+  )
+
   /** Length-bucketed batch planning (operators/Batching): bucket
     * boundaries are the corpus's p25/p50/p75 word-count quantiles from
     * the MERGEABLE histogram sketch (bin width 1 over [0,128) — the
@@ -1840,5 +1876,5 @@ object TextAnalysisQ {
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, misraGriesHeavy, streamMisraGries, mgLake,
-      spaceSavingTop, streamSpaceSaving, ssLake, lengthBatching)
+      spaceSavingTop, streamSpaceSaving, ssLake, ssCertifiedTopK, lengthBatching)
 }

@@ -112,4 +112,40 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("not a space_saving summary"), ex.getMessage)
   }
+
+  private def certified(values: Seq[String], k: Int, parts: Int = 4): Seq[(Int, String, Long)] =
+    graft.operators.Sketches.certifiedTopK(
+      values.toDF("x").repartition(parts), "x", k)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+
+  private def exactTop(values: Seq[String], k: Int): Seq[(Int, String, Long)] =
+    values.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(k)
+      .zipWithIndex.map { case ((w, c), i) => (i + 1, w, c) }
+
+  test("certifiedTopK returns the exact top-k on a skewed stream, " +
+    "invariant to partitioning (arrival order)") {
+    val rnd = new scala.util.Random(41)
+    // zipf-ish: item i appears ~ 3000/i times over 200 distinct items
+    val values = rnd.shuffle(
+      (1 to 200).flatMap(i => Seq.fill(3000 / i)(s"w$i")))
+    val expect = exactTop(values, 10)
+    assert(certified(values, 10) == expect)
+    assert(certified(values, 10, parts = 1) == expect)
+    assert(certified(values, 10, parts = 13) == expect)
+  }
+
+  test("certifiedTopK emits only the PROVEN prefix on near-uniform data " +
+    "(never a guess), and every emitted row matches the exact ranking") {
+    val rnd = new scala.util.Random(59)
+    // 500 distinct items, all counts in [8, 12]: far more distinct than
+    // counters, so delta is large and little (often nothing) is provable
+    val values = rnd.shuffle(
+      (1 to 500).flatMap(i => Seq.fill(8 + i % 5)(s"u$i")))
+    val out = certified(values, 10)
+    assert(out.size < 10, s"near-uniform data must not certify a full top-10: $out")
+    val expect = exactTop(values, out.size)
+    assert(out == expect, "whatever IS emitted must be the true prefix")
+  }
 }

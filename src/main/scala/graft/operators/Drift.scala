@@ -315,6 +315,91 @@ object Drift {
           .as("reject_05"))
   }
 
+  /** GROUPED two-sample KS — [[ksTwoSample]] fanned out per group in
+    * ONE corpus pass (the [[chi2Tokens]] monitoring shape): for every
+    * group, D between the group's `sideCol = true` slice and its
+    * reference slice (`sideCol = false` — a baseline period, a control
+    * cohort, the trusted pipeline), all denominators cleared so the
+    * per-group verdict is the same integer-exact decision as the
+    * ungrouped test. A group with an empty side has no defined cdf
+    * pair: d_stat is NULL and reject_05 false (d_num is 0 by
+    * construction), mirroring cusum's NULL-dev contract.
+    *
+    * Scale shape: ONE (group, value) groupBy builds every group's
+    * count pair in the same map-side-combined pass; every window after
+    * it is PARTITIONED BY GROUP over that group's value support only
+    * (per-group supports are what the prCurve cap bounds — the
+    * in-plan raise is per group); the finish is one
+    * max/max_by aggregate per group. Returns one row per group:
+    * (group, n_a, n_b, d_num, d_stat, ks_x, reject_05).
+    */
+  def ksGrouped(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sideCol: String,
+  ): DataFrame =
+    ksFromCountsGrouped(df
+      .filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("x"))
+      .agg(
+        sum(when(col(sideCol), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col(sideCol), 1L).otherwise(0L)).as("cb")))
+      .withColumnRenamed("g", groupCol)
+
+  /** The grouped-KS finish over an already-aggregated (g, x, ca, cb)
+    * count table — same mergeable-state split as [[ksFromCounts]], so
+    * a complete-mode stream can hold the (g, x) counts and monitor
+    * every group's KS verdict continuously.
+    */
+  def ksFromCountsGrouped(hist: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cap = spark.conf
+      .getOption("spark.graft.scoreSupportMaxRows").map(_.toLong)
+      .getOrElse(100000L)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    val cum = hist
+      .withColumn("cuma", sum(dec($"ca")).over(wAsc))
+      .withColumn("cumb", sum(dec($"cb")).over(wAsc))
+      .withColumn("n_a", sum($"ca").over(wAll).cast("long"))
+      .withColumn("n_b", sum($"cb").over(wAll).cast("long"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"x")))
+      .select(
+        $"g",
+        when($"__rn" > cap, raise_error(lit(
+          s"ksGrouped: a group's value support exceeds " +
+            s"spark.graft.scoreSupportMaxRows=$cap rows — quantize or " +
+            "bin the value first")))
+          .otherwise($"x").as("x"),
+        abs(dec($"n_b") * $"cuma" - dec($"n_a") * $"cumb").as("dn"),
+        $"n_a", $"n_b")
+    cum.groupBy($"g", $"n_a", $"n_b")
+      .agg(
+        max($"dn").as("dnd"),
+        max_by($"x", struct($"dn", expr("-x"))).as("ks_x"))
+      .select(
+        when($"n_a" + $"n_b" > 100000000L, raise_error(lit(
+          "ksGrouped: a group's n_a + n_b exceeds the 1e8 decimal-headroom " +
+            "guard for the exact squared comparison — subsample or bin")))
+          .otherwise($"g").as("g"),
+        $"n_a", $"n_b",
+        $"dnd".cast("long").as("d_num"),
+        when($"n_a" === 0 || $"n_b" === 0, lit(null).cast("double"))
+          .otherwise(round($"dnd".cast("double") /
+            ($"n_a".cast("double") * $"n_b".cast("double")), 6)).as("d_stat"),
+        $"ks_x",
+        ($"dnd" * $"dnd" * lit(1000000L) >
+          dec(lit(1844164L)) * dec($"n_a" + $"n_b") * dec($"n_a") * dec($"n_b"))
+          .as("reject_05"))
+  }
+
   /** The CUSUM localization over an already-aggregated (g, p, x)
     * period table — split from [[cusumChangepoint]] exactly like
     * [[chi2FromCounts]]: the per-period sums are MERGEABLE, so a

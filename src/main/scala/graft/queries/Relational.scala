@@ -3181,6 +3181,70 @@ object Relational {
            |FROM mx, arg, t""".stripMargin),
   )
 
+  /** Per-GROUP KS monitoring (`Drift.ksGrouped`): the two-sample test
+    * fanned out across every source in ONE corpus pass — for each
+    * source, does its English slice's n_chars distribution differ
+    * from its non-English reference slice? This is the fleet-
+    * monitoring shape (one verdict row per pipeline/source/cohort,
+    * refreshed per scan) the ungrouped test can't give without
+    * |sources| passes. Same integer-exact arithmetic per group —
+    * cleared-denominator D, squared-integer α = 0.05 verdict — with
+    * every window PARTITIONED BY source over that source's value
+    * support, and the support cap enforced per group in-plan.
+    */
+  private val profileKsBySource = Q(
+    "q_profile_ks_by_source",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Drift.ksGrouped(
+        Tables(s, dir).documents
+          .withColumn("is_en", $"lang" === "en"),
+        "source", "n_chars", "is_en")
+        .withColumnRenamed("source", "src")
+        .orderBy($"src")
+    },
+    Some("""WITH d AS (
+           |  SELECT source AS g, CAST(n_chars AS BIGINT) AS x,
+           |         (lang = 'en') AS sa
+           |  FROM documents),
+           |h AS (
+           |  SELECT g, x,
+           |         sum(CASE WHEN sa THEN 1 ELSE 0 END) AS ca,
+           |         sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS cb
+           |  FROM d GROUP BY g, x),
+           |c AS (
+           |  SELECT g, x,
+           |         CAST(sum(ca) OVER (PARTITION BY g ORDER BY x
+           |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cuma,
+           |         CAST(sum(cb) OVER (PARTITION BY g ORDER BY x
+           |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumb,
+           |         CAST(sum(ca) OVER (PARTITION BY g) AS HUGEINT) AS na,
+           |         CAST(sum(cb) OVER (PARTITION BY g) AS HUGEINT) AS nb
+           |  FROM h),
+           |dd AS (SELECT g, x, na, nb,
+           |              abs(nb * cuma - na * cumb) AS dn FROM c),
+           |mx AS (
+           |  SELECT g, max(na) AS na, max(nb) AS nb, max(dn) AS dnum
+           |  FROM dd GROUP BY g),
+           |arg AS (
+           |  SELECT dd.g, min(dd.x) AS ks_x
+           |  FROM dd JOIN (SELECT g, max(dn) AS dnum FROM dd GROUP BY g) m
+           |    ON dd.g = m.g AND dd.dn = m.dnum
+           |  GROUP BY dd.g)
+           |SELECT mx.g AS src,
+           |       CAST(mx.na AS BIGINT) AS n_a, CAST(mx.nb AS BIGINT) AS n_b,
+           |       CAST(mx.dnum AS BIGINT) AS d_num,
+           |       CASE WHEN mx.na = 0 OR mx.nb = 0 THEN NULL
+           |            ELSE round(CAST(mx.dnum AS DOUBLE) /
+           |              (CAST(mx.na AS DOUBLE) * CAST(mx.nb AS DOUBLE)), 6)
+           |       END AS d_stat,
+           |       arg.ks_x,
+           |       (mx.dnum * mx.dnum * 1000000 >
+           |         1844164 * (mx.na + mx.nb) * mx.na * mx.nb) AS reject_05
+           |FROM mx JOIN arg ON mx.g = arg.g
+           |ORDER BY src""".stripMargin),
+  )
+
   /** STREAMING twin of [[profileKs]]: the per-value (x, ca, cb) count
     * table IS the streaming state — mergeable, so a complete-mode
     * aggregation holds ≤ |support| rows across any number of
@@ -3660,7 +3724,7 @@ object Relational {
     profileDrift,
     profileChangepoint,
     streamChangepoint,
-    profileKs, streamKs,
+    profileKs, profileKsBySource, streamKs,
     streamDrift,
     streamChi2,
     profileOutliers,

@@ -196,4 +196,32 @@ class DriftSpec extends AnyFunSuite {
     assert(base == repart)
     assert(base("shift")._2 == "p04" && base("flat")._4 == 0L)
   }
+
+  test("ksGrouped: each group's row equals the ungrouped test run on " +
+    "that group alone; an empty side gives NULL d_stat and no rejection") {
+    val rnd = new scala.util.Random(23)
+    val groups = Seq("g1", "g2", "g3")
+    val rows = groups.flatMap { g =>
+      val shift = g.length % 2
+      (1 to 60).map(_ => (g, rnd.nextInt(15).toLong, true)) ++
+        (1 to 50).map(_ => (g, rnd.nextInt(15).toLong + shift, false))
+    }
+    val out = Drift.ksGrouped(
+        rows.toDF("g", "x", "sa").repartition(7), "g", "x", "sa")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(out.keySet == groups.toSet)
+    for (g <- groups) {
+      val solo = ks(rows.filter(_._1 == g).map(t => (t._2, t._3)))
+      assert(out(g) == solo, s"group $g")
+    }
+    val oneSided = Seq(("lone", 1L, true), ("lone", 2L, true))
+    val r = Drift.ksGrouped(oneSided.toDF("g", "x", "sa"), "g", "x", "sa")
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(r.isNullAt(4) && !r.getBoolean(6))
+  }
 }

@@ -1282,6 +1282,82 @@ object GraphAlgos {
       .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
   }
 
+  /** MULTI-SEED Pareto-front fastest durations — [[temporalFastest]]
+    * for a BATCH of seeds in ONE shared frontier loop: state carries a
+    * `seed` column, every front/prune/anti-join is keyed
+    * (seed, node), and the per-round expansion joins ALL seeds'
+    * frontiers against the edge set at once — so the round count is
+    * the max temporal diameter across seeds, NOT the sum (the per-seed
+    * loops the single-seed API would cost), and each round's edge-join
+    * shuffle amortizes across the batch. State stays structurally
+    * bounded: each (seed, node) front holds at most that seed's
+    * out-departure support. This is the centrality shape — per-seed
+    * closeness/reach aggregates over the fronts are one groupBy over
+    * the returned (seed, node, fastest) frame.
+    */
+  def temporalFastestMulti(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      seeds: Seq[Long],
+      startTs: Long = 0L,
+      maxIters: Int = 100,
+  ): DataFrame = {
+    require(seeds.nonEmpty, "temporalFastestMulti: seeds must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
+      col(arrCol).cast("long").as("ets"))
+      .filter($"dep" <= $"ets")
+      .cutLineage()
+    val nEdges = e.count()
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
+      def prune(labels: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"seed", $"node").orderBy($"d".desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        labels.groupBy($"seed", $"node", $"d").agg(min($"a").as("a"))
+          .withColumn("__best", min($"a").over(w))
+          .filter($"__best".isNull || $"a" < $"__best")
+          .drop("__best")
+      }
+      val seedsDf = seeds.distinct.toDF("seed")
+      var state = Lineage.settle(prune(
+        e.join(broadcast(seedsDf), $"src" === $"seed" && $"dep" >= startTs)
+          .select($"seed", $"dst".as("node"), $"dep".as("d"), $"ets".as("a"))))
+      var frontier = state
+      var n = frontier.count()
+      var i = 0
+      while (n > 0 && i < maxIters) {
+        i += 1
+        val cand = frontier.join(e, $"node" === $"src" && $"dep" >= $"a")
+          .select($"seed", $"dst".as("node"), $"d", $"ets".as("a"))
+          .groupBy($"seed", $"node", $"d").agg(min($"a").as("a"))
+        val fresh = Lineage.settle(prune(cand.as("c")
+          .join(state.as("s"),
+            $"c.seed" === $"s.seed" && $"c.node" === $"s.node" &&
+              $"s.d" >= $"c.d" && $"s.a" <= $"c.a",
+            "left_anti")))
+        n = fresh.count()
+        if (n > 0) {
+          val merged = Lineage.settle(state.union(fresh))
+          Lineage.release(state)
+          if (frontier ne state) Lineage.release(frontier)
+          state = merged
+          frontier = fresh
+        } else Lineage.release(fresh)
+      }
+      require(n == 0,
+        s"temporalFastestMulti did not converge in $maxIters rounds; raise maxIters")
+      if (frontier ne state) Lineage.release(frontier)
+      state.filter($"node" =!= $"seed")
+        .groupBy($"seed", $"node").agg(min($"a" - $"d").as("fastest"))
+    }
+  }
+
   /** FASTEST DURATION UNDER A WAITING BOUND — the composition of the
     * two non-monotone temporal variants: minimize elapsed time a − d
     * over chronological paths that never wait more than `maxWait` at

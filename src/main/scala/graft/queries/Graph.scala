@@ -1833,6 +1833,72 @@ object Graph {
            |ORDER BY node, d""".stripMargin),
   )
 
+  /** MULTI-SEED temporal closeness (`GraphAlgos.temporalFastestMulti`):
+    * fastest durations from a BATCH of seeds in one shared frontier
+    * loop — the round count is the max temporal diameter over seeds,
+    * not the sum, and every round's edge join carries all seeds'
+    * frontiers at once (the centrality shape: per-seed aggregates over
+    * shared front computation). Seeds are the three smallest node ids
+    * (a bounded deterministic driver pull, the k-means-init pattern).
+    * Per seed the gate emits reach count, total fastest duration, and
+    * a libm-free harmonic closeness — Σ 10¹² div (1 + fastest_ms),
+    * integer floor division term by term, so the centrality is an
+    * order-free exact sum both engines reproduce bit for bit. Oracle:
+    * the same recursive-CTE FULL label-closure enumeration as the
+    * single-seed gates, seeded three ways — the hash match proves the
+    * shared-loop batching changes nothing a seed can observe.
+    */
+  private val graphTemporalMultiCloseness = Q(
+    "q_graph_temporal_multi_closeness",
+    (s, dir) => {
+      import s.implicits._
+      val chain = handoffChain(s, dir)
+      val seeds = chain.select($"u".as("nd")).union(chain.select($"v".as("nd")))
+        .distinct().orderBy($"nd").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("long")
+      GraphAlgos.temporalFastestMulti(chain, "u", "v", "dep", "arr", seeds)
+        .groupBy($"seed")
+        .agg(
+          count(lit(1)).as("n_reached"),
+          sum($"fastest").as("sum_fastest"),
+          sum(fdiv(lit(1000000000000L), lit(1L) + $"fastest")).as("harmonic_ppt"))
+        .orderBy($"seed")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |nodes AS (SELECT DISTINCT nd FROM (
+           |  SELECT u AS nd FROM e UNION ALL SELECT v AS nd FROM e)),
+           |sd AS (SELECT nd AS s FROM nodes ORDER BY nd LIMIT 3),
+           |labels AS (
+           |  SELECT sd.s, e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT l.s, e.v, l.d, e.ts
+           |  FROM labels l JOIN e ON e.u = l.node AND e.ts >= l.a),
+           |fast AS (
+           |  SELECT s, node, min(a - d) AS fastest
+           |  FROM labels WHERE node <> s GROUP BY s, node)
+           |SELECT s AS seed, CAST(count(*) AS BIGINT) AS n_reached,
+           |       CAST(sum(fastest) AS BIGINT) AS sum_fastest,
+           |       CAST(sum(1000000000000 // (1 + fastest)) AS BIGINT)
+           |         AS harmonic_ppt
+           |FROM fast GROUP BY s
+           |ORDER BY seed""".stripMargin),
+  )
+
   /** BOUNDED-WAITING temporal reachability
     * (`GraphAlgos.temporalBoundedWait`, maxWait = 2 000 000 ms ≈ 33 min
     * — the chains' median hand-off gap is ~18 min, p90 ~1 h, so the
@@ -2008,5 +2074,6 @@ object Graph {
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
     graphSccEntity, graphTemporalReach, graphTemporalInfluence,
     graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile, graphTemporalBwFastest,
+    graphTemporalMultiCloseness,
     graphSccEntityDag)
 }

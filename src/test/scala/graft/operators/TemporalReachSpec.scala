@@ -424,6 +424,26 @@ class TemporalReachSpec extends AnyFunSuite {
     }
   }
 
+  test("temporalFastestMulti: the shared-loop batch equals per-seed " +
+    "single-seed runs, including seeds with no outgoing edges") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(8)
+      val edges = (1 to 4 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(30).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      // n is never a source in the generator: a seed with no out-edges
+      val seeds = Seq(0L, 1L, n.toLong)
+      val multi = GraphAlgos.temporalFastestMulti(
+        edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", seeds)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val singles = seeds.flatMap(s =>
+        fastest(edges, s).map { case (node, f) => (s, node) -> f }).toMap
+      assert(multi == singles, s"trial $trial")
+    }
+  }
+
   test("the label-support guard raises loudly on a dense seed instead " +
     "of ballooning state (bounded-wait and bounded-wait fastest)") {
     // 1 → {2..9} at 8 departures each: 64 seed labels; node 2's state

@@ -872,8 +872,132 @@ object Replay {
            |ORDER BY seq""".stripMargin),
   )
 
+  /** [[streamLiveLoopback]] with the wire swapped for REAL RFC 6455
+    * WebSocket framing (`sources.WsChannel`, `framing = ws`): the
+    * in-gate server performs the Upgrade handshake (Sec-WebSocket-Key
+    * → SHA-1 Accept), reads the client's MASKED subscribe frame, and
+    * serves the same 60-frame set as unmasked text frames; the client
+    * stack — handshake, frame decode, control frames, the whole
+    * lifecycle — carries them into the streaming query. With this
+    * gate the only untested layer between the repo and the
+    * reference's `wss://` ingest is TLS itself.
+    */
+  private val streamLiveLoopbackWs = Q(
+    "q_stream_live_loopback_ws",
+    (s, _) => {
+      import s.implicits._
+      import graft.sources.WsCodec
+      val nFrames = 60
+      val server = new java.net.ServerSocket(
+        0, 16, java.net.InetAddress.getLoopbackAddress)
+      val acceptor = new Thread(() => {
+        try {
+          while (true) {
+            val sock = server.accept()
+            val t = new Thread(() => {
+              try {
+                val in = sock.getInputStream
+                val out = sock.getOutputStream
+                // HTTP Upgrade request up to CRLFCRLF
+                val hdr = new java.io.ByteArrayOutputStream
+                var done = false
+                while (!done) {
+                  val b = in.read()
+                  if (b < 0) throw new java.io.IOException("eof in handshake")
+                  hdr.write(b)
+                  val a = hdr.toByteArray; val n = a.length
+                  done = n >= 4 && a(n - 4) == '\r' && a(n - 3) == '\n' &&
+                    a(n - 2) == '\r' && a(n - 1) == '\n'
+                }
+                val req = new String(hdr.toByteArray,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                val key = req.linesIterator
+                  .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+                  .map(_.split(":", 2)(1).trim).get
+                out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+                  "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+                  s"Sec-WebSocket-Accept: ${WsCodec.acceptKey(key)}\r\n\r\n")
+                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+                out.flush()
+                // the masked subscribe frame
+                var buf = Array.emptyByteArray
+                def readFrame(): Option[(Int, Array[Byte])] = {
+                  while (true) {
+                    WsCodec.decodeFrame(buf, 0) match {
+                      case Some((_, op, payload, used)) =>
+                        buf = buf.drop(used)
+                        return Some((op, payload))
+                      case None =>
+                        val tmp = new Array[Byte](4096)
+                        val k = in.read(tmp)
+                        if (k < 0) return None
+                        buf = buf ++ tmp.take(k)
+                    }
+                  }
+                  None
+                }
+                if (readFrame().exists(_._1 == WsCodec.OpText)) {
+                  (1 to nFrames).foreach { i =>
+                    out.write(WsCodec.encodeFrame(WsCodec.OpText,
+                      s"""{"seq":$i}""".getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8), None))
+                  }
+                  out.flush()
+                  sock.setSoTimeout(500)
+                  // hold open, absorbing client pings, until close/EOF
+                  try {
+                    var live = true
+                    while (live) live = readFrame().exists(_._1 != WsCodec.OpClose)
+                  } catch { case _: Exception => () }
+                }
+              } catch { case _: Exception => () }
+              finally { try sock.close() catch { case _: Exception => () } }
+            })
+            t.setDaemon(true); t.start()
+          }
+        } catch { case _: Exception => () }
+      }, "graft-live-ws-gate-server")
+      acceptor.setDaemon(true)
+      acceptor.start()
+      val sinkName = "graft_stream_live_loopback_ws_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      try {
+        val stream = s.readStream
+          .format("graft.sources.GraftFeedProvider")
+          .option("host", "127.0.0.1")
+          .option("port", server.getLocalPort.toString)
+          .option("assets", "T1,T2,T3")
+          .option("framing", "ws")
+          .option("idlePaceMs", "5")
+          .load()
+        val query = stream.writeStream
+          .format("memory").queryName(sinkName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+          .start()
+        try {
+          val deadline = System.currentTimeMillis() + 60000
+          var seqs = 0L
+          while (seqs < nFrames && System.currentTimeMillis() < deadline) {
+            Thread.sleep(200)
+            seqs = s.table(sinkName)
+              .select(get_json_object($"value", "$.seq"))
+              .distinct().count()
+          }
+        } finally query.stop()
+        s.table(sinkName)
+          .select(get_json_object($"value", "$.seq").cast("long").as("seq"))
+          .distinct()
+          .orderBy($"seq")
+      } finally server.close()
+    },
+    Some("""SELECT CAST(x + 1 AS BIGINT) AS seq
+           |FROM range(60) t(x)
+           |ORDER BY seq""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
-    streamLiveLoopback,
+    streamLiveLoopback, streamLiveLoopbackWs,
     streamIngestMetrics,
     streamSinkExactlyOnce,
     sinkJsonlRoundtrip,

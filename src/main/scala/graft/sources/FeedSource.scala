@@ -385,6 +385,7 @@ class GraftLiveFeedStream(options: CaseInsensitiveStringMap)
       longLivedMs = options.getLong("longLivedMs", 30000L),
       idlePaceMs = options.getLong("idlePaceMs", 500L),
       errorBackoffUnitMs = options.getLong("errorBackoffUnitMs", 1000L),
+      wsFraming = Option(options.get("framing")).contains("ws"),
     )
     LiveFeedRegistry.create(key)
     val c = new LiveFeedClient(assets, cfg)

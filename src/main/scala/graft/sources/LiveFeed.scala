@@ -45,6 +45,11 @@ object LiveFeed {
       errorBackoffUnitMs: Long = 1000L,
       /** MAX_PARALLELISM (`mod.rs:17`). */
       maxParallelism: Int = 50,
+      /** RFC 6455 framing ([[WsChannel]]) instead of newline-delimited
+        * JSON — the reference's actual wire minus TLS; the full
+        * lifecycle runs identically over either channel.
+        */
+      wsFraming: Boolean = false,
   )
 
   /** Client-level events, the reference's `FeedEvent` (`mod.rs`):
@@ -115,13 +120,13 @@ private[sources] final class LiveConnection(
       val s = new Socket()
       s.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.initialReadTimeoutMs)
       s.setSoTimeout(cfg.initialReadTimeoutMs)
-      val out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.UTF_8)
-      out.write(MarketsConnector.subscribeMessage(assetIds))
-      out.write("\n")
-      out.flush()
-      val in = new BufferedReader(
-        new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
-      val first = in.readLine() // times out per soTimeout
+      // the channel is the framing layer: WsChannel runs the RFC 6455
+      // Upgrade handshake in its constructor (under the initial
+      // timeout), LineChannel is plain NDJSON
+      val chan: FeedChannel =
+        if (cfg.wsFraming) new WsChannel(s, cfg.host) else new LineChannel(s)
+      chan.send(MarketsConnector.subscribeMessage(assetIds))
+      val first = chan.receive() // times out per soTimeout
       if (first == null)
         throw new java.io.IOException("socket closed before first message")
       openedAtMs = System.currentTimeMillis()
@@ -129,7 +134,7 @@ private[sources] final class LiveConnection(
       socket = s
       events.put(RawOpened(id))
       events.put(RawMsg(id, first))
-      val t = new Thread(() => readLoop(s, in, out), s"graft-live-feed-$id")
+      val t = new Thread(() => readLoop(s, chan), s"graft-live-feed-$id")
       t.setDaemon(true)
       t.start()
       reader = t
@@ -144,29 +149,30 @@ private[sources] final class LiveConnection(
     * lines, ping on the interval, emit Closed once on exit (server
     * close, error, or client shutdown).
     */
-  private def readLoop(s: Socket, in: BufferedReader, out: OutputStreamWriter): Unit = {
+  private def readLoop(s: Socket, chan: FeedChannel): Unit = {
     var lastPing = System.currentTimeMillis()
     try {
       s.setSoTimeout(20) // poll so shutdown + ping cadence stay responsive
       var done = false
       while (!done && !shutdown) {
         try {
-          val line = in.readLine()
+          val line = chan.receive()
           if (line == null) done = true
           else events.put(RawMsg(id, line))
         } catch {
-          case _: SocketTimeoutException => // idle poll
+          case _: SocketTimeoutException => // idle poll (ws: partial bytes retained)
         }
         val now = System.currentTimeMillis()
         if (!done && !shutdown && now - lastPing >= cfg.pingIntervalMs) {
           lastPing = now
-          try { out.write("{\"type\":\"ping\"}\n"); out.flush() }
+          try chan.send("{\"type\":\"ping\"}")
           catch { case _: Exception => done = true }
         }
       }
     } catch {
       case _: Exception => ()
     } finally {
+      try chan.close() catch { case _: Exception => () }
       try s.close() catch { case _: Exception => () }
       events.put(RawClosed(id))
     }

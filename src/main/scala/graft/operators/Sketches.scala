@@ -220,4 +220,39 @@ object Sketches {
       .filter(col("rank") <= k)
       .select(col("rank"), col("item"), col("cnt"))
   }
+
+  /** Per-GROUP certified exact top-k — [[certifiedTopK]] fanned out
+    * across a BOUNDED group dimension (sources, pipelines, cohorts —
+    * dimensions that do not grow with the corpus) in the same two
+    * passes: one groupBy-group sketch pass (each group's summary is a
+    * fixed-size aggregation buffer, map-side combined), one exact
+    * count pass restricted to the ≤ 64·|groups| candidate pairs via a
+    * broadcast semi-join, then each group's proven prefix under its
+    * own Δ. Returns (group, rank, item, cnt) rows — per group up to
+    * `k`, fewer where that group's data doesn't support the proof.
+    */
+  def certifiedTopKGrouped(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"certifiedTopKGrouped: k must be in [1, 64], got $k")
+    val spark = items.sparkSession
+    graft.functions.SpaceSaving.register(spark)
+    val it = items.select(col(groupCol).as("g"),
+      col(itemCol).cast("string").as("item"))
+    val sk = it.groupBy(col("g"))
+      .agg(call_function(graft.functions.SpaceSaving.Name, col("item")).as("s"))
+      .select(col("g"), col("s.items.item").as("cands"), col("s.delta").as("delta"))
+    val cand = sk.select(col("g"), explode(col("cands")).as("item"))
+    val exact = it.join(broadcast(cand), Seq("g", "item"))
+      .groupBy(col("g"), col("item")).agg(count(lit(1)).as("cnt"))
+    exact.join(broadcast(sk.select(col("g"), col("delta"))), "g")
+      .filter(col("cnt") > col("delta"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("cnt").desc, col("item"))))
+      .filter(col("rank") <= k)
+      .select(col("g"), col("rank"), col("item"), col("cnt"))
+  }
 }

@@ -3313,6 +3313,88 @@ object Relational {
            |FROM mx, arg, t""".stripMargin),
   )
 
+  /** STREAMING twin of [[profileKsBySource]]: the (source, x, ca, cb)
+    * count table is the streaming state — mergeable, complete-mode,
+    * ≤ |sources| × |support| rows however many micro-batches arrive —
+    * and `Drift.ksFromCountsGrouped` finishes over the sink table
+    * against the IDENTICAL oracle: the whole per-source KS fleet
+    * monitor runs live with bounded state, one verdict row per source
+    * per trigger.
+    */
+  private val streamKsBySource = Q(
+    "q_stream_ks_by_source",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_ks_by_source_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val stream = Tables.streamTable(s, dir, "documents", sch)
+        val counts = stream
+          .withColumn("is_en", $"lang" === "en")
+          .groupBy($"source".as("g"), $"n_chars".cast("long").as("x"))
+          .agg(
+            sum(when($"is_en", 1L).otherwise(0L)).as("ca"),
+            sum(when(!$"is_en", 1L).otherwise(0L)).as("cb"))
+        val query = counts.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val state0 = s.table(sinkName)
+      val state = s.createDataFrame(state0.rdd, state0.schema)
+      graft.operators.Drift.ksFromCountsGrouped(state)
+        .withColumnRenamed("g", "src")
+        .orderBy($"src")
+    },
+    Some("""WITH d AS (
+           |  SELECT source AS g, CAST(n_chars AS BIGINT) AS x,
+           |         (lang = 'en') AS sa
+           |  FROM documents),
+           |h AS (
+           |  SELECT g, x,
+           |         sum(CASE WHEN sa THEN 1 ELSE 0 END) AS ca,
+           |         sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS cb
+           |  FROM d GROUP BY g, x),
+           |c AS (
+           |  SELECT g, x,
+           |         CAST(sum(ca) OVER (PARTITION BY g ORDER BY x
+           |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cuma,
+           |         CAST(sum(cb) OVER (PARTITION BY g ORDER BY x
+           |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumb,
+           |         CAST(sum(ca) OVER (PARTITION BY g) AS HUGEINT) AS na,
+           |         CAST(sum(cb) OVER (PARTITION BY g) AS HUGEINT) AS nb
+           |  FROM h),
+           |dd AS (SELECT g, x, na, nb,
+           |              abs(nb * cuma - na * cumb) AS dn FROM c),
+           |mx AS (
+           |  SELECT g, max(na) AS na, max(nb) AS nb, max(dn) AS dnum
+           |  FROM dd GROUP BY g),
+           |arg AS (
+           |  SELECT dd.g, min(dd.x) AS ks_x
+           |  FROM dd JOIN (SELECT g, max(dn) AS dnum FROM dd GROUP BY g) m
+           |    ON dd.g = m.g AND dd.dn = m.dnum
+           |  GROUP BY dd.g)
+           |SELECT mx.g AS src,
+           |       CAST(mx.na AS BIGINT) AS n_a, CAST(mx.nb AS BIGINT) AS n_b,
+           |       CAST(mx.dnum AS BIGINT) AS d_num,
+           |       CASE WHEN mx.na = 0 OR mx.nb = 0 THEN NULL
+           |            ELSE round(CAST(mx.dnum AS DOUBLE) /
+           |              (CAST(mx.na AS DOUBLE) * CAST(mx.nb AS DOUBLE)), 6)
+           |       END AS d_stat,
+           |       arg.ks_x,
+           |       (mx.dnum * mx.dnum * 1000000 >
+           |         1844164 * (mx.na + mx.nb) * mx.na * mx.nb) AS reject_05
+           |FROM mx JOIN arg ON mx.g = arg.g
+           |ORDER BY src""".stripMargin),
+  )
+
   private val streamDrift = Q(
     "q_stream_drift",
     (s, dir) => {
@@ -3724,7 +3806,7 @@ object Relational {
     profileDrift,
     profileChangepoint,
     streamChangepoint,
-    profileKs, profileKsBySource, streamKs,
+    profileKs, profileKsBySource, streamKs, streamKsBySource,
     streamDrift,
     streamChi2,
     profileOutliers,

@@ -1752,6 +1752,42 @@ object TextAnalysisQ {
            |LIMIT 10""".stripMargin),
   )
 
+  /** Per-source certified exact top-k
+    * (`Sketches.certifiedTopKGrouped`): every source's proven top-5
+    * words from one per-group sketch pass + one 64·|sources|-key
+    * verify pass — the fleet-monitoring twin of
+    * [[ssCertifiedTopK]], and the same queryable-proof contract: each
+    * emitted row is CERTIFIED rank-r for its source because its exact
+    * count beats that source's own coverage deficit Δ. Oracle: the
+    * unassisted per-source exact top-5 over the full vocabulary (the
+    * corpus supports the proof with ≥ 2.2× margin at rank 5 in every
+    * source at every SF).
+    */
+  private val ssCertifiedBySource = Q(
+    "q_sketch_ss_certified_by_source",
+    (s, dir) => {
+      import s.implicits._
+      val words = Tables(s, dir).documents
+        .select($"source", explode(split($"text", " ")).as("w"))
+      graft.operators.Sketches.certifiedTopKGrouped(words, "source", "w", k = 5)
+        .select($"g".as("src"), $"rank", $"item".as("word"), $"cnt")
+        .orderBy($"src", $"rank")
+    },
+    Some("""WITH words AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |tru AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM words GROUP BY source, w),
+           |r AS (
+           |  SELECT source, w, cnt,
+           |         CAST(row_number() OVER (PARTITION BY source
+           |           ORDER BY cnt DESC, w) AS INTEGER) AS rank
+           |  FROM tru)
+           |SELECT source AS src, rank, w AS word, cnt
+           |FROM r WHERE rank <= 5
+           |ORDER BY src, rank""".stripMargin),
+  )
+
   /** Length-bucketed batch planning (operators/Batching): bucket
     * boundaries are the corpus's p25/p50/p75 word-count quantiles from
     * the MERGEABLE histogram sketch (bin width 1 over [0,128) — the
@@ -1876,5 +1912,5 @@ object TextAnalysisQ {
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, misraGriesHeavy, streamMisraGries, mgLake,
-      spaceSavingTop, streamSpaceSaving, ssLake, ssCertifiedTopK, lengthBatching)
+      spaceSavingTop, streamSpaceSaving, ssLake, ssCertifiedTopK, ssCertifiedBySource, lengthBatching)
 }

@@ -148,4 +148,25 @@ class SpaceSavingSpec extends AnyFunSuite {
     val expect = exactTop(values, out.size)
     assert(out == expect, "whatever IS emitted must be the true prefix")
   }
+
+  test("certifiedTopKGrouped: per-group proven prefixes equal per-group " +
+    "ungrouped runs — skewed groups certify, near-uniform groups emit less") {
+    val rnd = new scala.util.Random(67)
+    val skewed = rnd.shuffle(
+      (1 to 150).flatMap(i => Seq.fill(2000 / i)(s"w$i"))).map(("sk", _))
+    val uniform = rnd.shuffle(
+      (1 to 400).flatMap(i => Seq.fill(9 + i % 3)(s"u$i"))).map(("un", _))
+    val rows = rnd.shuffle(skewed ++ uniform)
+    val out = graft.operators.Sketches.certifiedTopKGrouped(
+        rows.toDF("g", "x").repartition(5), "g", "x", 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    for (g <- Seq("sk", "un")) {
+      val solo = certified(rows.filter(_._1 == g).map(_._2), 8)
+      assert(out.getOrElse(g, Seq.empty) == solo, s"group $g")
+    }
+    assert(out("sk").size == 8, "the skewed group must certify a full top-8")
+    assert(out.getOrElse("un", Seq.empty).size < 8,
+      "the near-uniform group must emit only its proven prefix")
+  }
 }

@@ -2119,6 +2119,91 @@ object Similarity {
             |FROM est, ex, t""".stripMargin),
   )
 
+  /** Shared oracle CTE chain for the coreset-trained quantizer: the
+    * full Lloyd CTEs (kmeansCtes(3)), the deterministic lightweight-
+    * coreset selection with micro estimator weights (`csw.iw`), and a
+    * 3-iteration WEIGHTED Lloyd over the coreset rows (`wv`), ending
+    * at `wcents2` — the coreset-trained centroid table both the
+    * drift/cost gate and the IVF-on-coreset gate consume.
+    */
+  private def coresetWeightedLloydCtes: String = {
+    def cos(vq: String, vn: String, cq: String, cn: String) =
+      cosSqlDims(64)(vq, vn, cq, cn)
+    def wassign(k: Int) = s""",
+      |wassign$k AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+      |    FROM (
+      |      SELECT v.vec_id, c.cent_id, ${cos("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+      |      FROM wv v CROSS JOIN wcents$k c))
+      |  WHERE rn = 1)""".stripMargin
+    def wcents(k: Int) = s""",
+      |wcents$k AS (
+      |  SELECT cent_id, qc,
+      |         CAST(list_sum(list_transform(qc, x -> x * x)) AS DOUBLE) AS n2c
+      |  FROM (
+      |    SELECT cent_id, list(CAST(round(a) AS BIGINT) ORDER BY j) AS qc
+      |    FROM (
+      |      SELECT s.cent_id, t.j,
+      |             CAST(sum(v.iw * v.q[CAST(t.j AS INT) + 1]) AS DOUBLE) /
+      |             CAST(sum(v.iw) AS DOUBLE) AS a
+      |      FROM wassign${k - 1} s JOIN wv v ON v.vec_id = s.vec_id,
+      |           unnest(range(0, 64)) AS t(j)
+      |      GROUP BY s.cent_id, t.j)
+      |    GROUP BY cent_id))""".stripMargin
+    kmeansCtes(3) + s""",
+      |ni AS (
+      |  SELECT vec_id, q,
+      |         CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT) AS n2i
+      |  FROM n),
+      |mu AS (
+      |  SELECT list(CAST(round(a) AS BIGINT) ORDER BY j) AS muq FROM (
+      |    SELECT t.j, avg(q[CAST(t.j AS INT) + 1]) AS a
+      |    FROM n, unnest(range(0, 64)) AS t(j) GROUP BY t.j)),
+      |mn AS (
+      |  SELECT muq,
+      |         CAST(list_sum(list_transform(muq, x -> x * x)) AS HUGEINT) AS n2mu
+      |  FROM mu),
+      |d AS (
+      |  SELECT vec_id,
+      |         n2i + n2mu - 2 * CAST(list_sum(list_transform(range(1, 65),
+      |           i -> q[CAST(i AS INT)] * muq[CAST(i AS INT)])) AS HUGEINT) AS d2
+      |  FROM ni, mn),
+      |t AS (SELECT CAST(sum(d2) AS HUGEINT) AS sumd2, count(*) AS nn FROM d),
+      |wts AS (
+      |  SELECT vec_id, d2,
+      |         CASE WHEN sumd2 = 0 THEN 1 ELSE sumd2 + d2 * nn END AS w
+      |  FROM d, t),
+      |h AS (
+      |  SELECT vec_id, w,
+      |         ${Relational.fnv63Sql("CAST(vec_id AS VARCHAR)")} AS h
+      |  FROM wts),
+      |cc AS (
+      |  SELECT vec_id, w,
+      |         CAST(sum(w) OVER (ORDER BY h % 64, h, vec_id
+      |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
+      |  FROM h),
+      |wt AS (SELECT CAST(sum(w) AS HUGEINT) AS wtot FROM wts),
+      |csel AS (
+      |  SELECT vec_id, w,
+      |         (cw * 256) // wtot - ((cw - w) * 256) // wtot AS sw
+      |  FROM cc, wt
+      |  WHERE (cw * 256) // wtot - ((cw - w) * 256) // wtot > 0),
+      |csw AS (
+      |  SELECT vec_id,
+      |         CASE WHEN sumd2 = 0 THEN CAST(sw AS HUGEINT)
+      |              ELSE (CAST(sw AS HUGEINT) * 2 * nn * sumd2 * 1000000)
+      |                   // (CAST(w AS HUGEINT) * 256)
+      |         END AS iw
+      |  FROM csel, t),
+      |wv AS (
+      |  SELECT n.vec_id, n.q, n.n2, csw.iw
+      |  FROM csw JOIN n USING (vec_id)),
+      |wcents0 AS (SELECT cent_id, qc, n2c FROM cents0)""".stripMargin +
+      wassign(0) + wcents(1) + wassign(1) + wcents(2)
+  }
+
   /** The coreset CONSUMER leg (VectorSim.kmeansFitWeighted): weighted
     * Lloyd over the 256-row coreset vs full-data Lloyd from the SAME
     * init, compared two ways — per-centroid drift (exact integer L2²
@@ -2185,81 +2270,7 @@ object Similarity {
         .orderBy($"cent_id")
     },
     Some {
-      def cos(vq: String, vn: String, cq: String, cn: String) =
-        cosSqlDims(64)(vq, vn, cq, cn)
-      def wassign(k: Int) = s""",
-        |wassign$k AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT vec_id, cent_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-        |    FROM (
-        |      SELECT v.vec_id, c.cent_id, ${cos("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
-        |      FROM wv v CROSS JOIN wcents$k c))
-        |  WHERE rn = 1)""".stripMargin
-      def wcents(k: Int) = s""",
-        |wcents$k AS (
-        |  SELECT cent_id, qc,
-        |         CAST(list_sum(list_transform(qc, x -> x * x)) AS DOUBLE) AS n2c
-        |  FROM (
-        |    SELECT cent_id, list(CAST(round(a) AS BIGINT) ORDER BY j) AS qc
-        |    FROM (
-        |      SELECT s.cent_id, t.j,
-        |             CAST(sum(v.iw * v.q[CAST(t.j AS INT) + 1]) AS DOUBLE) /
-        |             CAST(sum(v.iw) AS DOUBLE) AS a
-        |      FROM wassign${k - 1} s JOIN wv v ON v.vec_id = s.vec_id,
-        |           unnest(range(0, 64)) AS t(j)
-        |      GROUP BY s.cent_id, t.j)
-        |    GROUP BY cent_id))""".stripMargin
-      kmeansCtes(3) + s""",
-        |ni AS (
-        |  SELECT vec_id, q,
-        |         CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT) AS n2i
-        |  FROM n),
-        |mu AS (
-        |  SELECT list(CAST(round(a) AS BIGINT) ORDER BY j) AS muq FROM (
-        |    SELECT t.j, avg(q[CAST(t.j AS INT) + 1]) AS a
-        |    FROM n, unnest(range(0, 64)) AS t(j) GROUP BY t.j)),
-        |mn AS (
-        |  SELECT muq,
-        |         CAST(list_sum(list_transform(muq, x -> x * x)) AS HUGEINT) AS n2mu
-        |  FROM mu),
-        |d AS (
-        |  SELECT vec_id,
-        |         n2i + n2mu - 2 * CAST(list_sum(list_transform(range(1, 65),
-        |           i -> q[CAST(i AS INT)] * muq[CAST(i AS INT)])) AS HUGEINT) AS d2
-        |  FROM ni, mn),
-        |t AS (SELECT CAST(sum(d2) AS HUGEINT) AS sumd2, count(*) AS nn FROM d),
-        |wts AS (
-        |  SELECT vec_id, d2,
-        |         CASE WHEN sumd2 = 0 THEN 1 ELSE sumd2 + d2 * nn END AS w
-        |  FROM d, t),
-        |h AS (
-        |  SELECT vec_id, w,
-        |         ${Relational.fnv63Sql("CAST(vec_id AS VARCHAR)")} AS h
-        |  FROM wts),
-        |cc AS (
-        |  SELECT vec_id, w,
-        |         CAST(sum(w) OVER (ORDER BY h % 64, h, vec_id
-        |           ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
-        |  FROM h),
-        |wt AS (SELECT CAST(sum(w) AS HUGEINT) AS wtot FROM wts),
-        |csel AS (
-        |  SELECT vec_id, w,
-        |         (cw * 256) // wtot - ((cw - w) * 256) // wtot AS sw
-        |  FROM cc, wt
-        |  WHERE (cw * 256) // wtot - ((cw - w) * 256) // wtot > 0),
-        |csw AS (
-        |  SELECT vec_id,
-        |         CASE WHEN sumd2 = 0 THEN CAST(sw AS HUGEINT)
-        |              ELSE (CAST(sw AS HUGEINT) * 2 * nn * sumd2 * 1000000)
-        |                   // (CAST(w AS HUGEINT) * 256)
-        |         END AS iw
-        |  FROM csel, t),
-        |wv AS (
-        |  SELECT n.vec_id, n.q, n.n2, csw.iw
-        |  FROM csw JOIN n USING (vec_id)),
-        |wcents0 AS (SELECT cent_id, qc, n2c FROM cents0)""".stripMargin +
-        wassign(0) + wcents(1) + wassign(1) + wcents(2) + s""",
+      coresetWeightedLloydCtes + s""",
         |fint AS (
         |  SELECT cent_id, qc,
         |         CAST(list_sum(list_transform(qc, x -> x * x)) AS HUGEINT) AS n2ci
@@ -2296,9 +2307,95 @@ object Similarity {
     },
   )
 
+  /** The coreset paying off in the ANN family: an IVF index whose
+    * coarse quantizer is trained by weighted Lloyd ON THE 256-ROW
+    * CORESET, then the FULL corpus is assigned in a single broadcast
+    * pass and probed exactly as in [[topkIvfKmeans]] (nprobe = 2,
+    * exact top-3 in the probed posting lists). The corpus-pass
+    * arithmetic is the point: full-data training costs `iters`
+    * corpus × k scans; this path costs one mean + one distance pass +
+    * one draw (the coreset) + ONE assignment scan — at 100 TB the
+    * difference between re-reading the corpus three times and reading
+    * it once — and every downstream probe behaves identically. The
+    * oracle composes the shared coreset-weighted-Lloyd CTE chain with
+    * the standard IVF probe chain against the coreset-trained
+    * centroids, so the hash pins training, assignment, and probing
+    * end to end.
+    */
+  private val topkIvfCoreset = Q(
+    "q_embed_topk_ivf_coreset",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.ArrayDotLong.register(s)
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+      val e = Tables(s, dir).embeddings
+        .select($"vec_id", VectorSim.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorSim.qnorm2($"q"))
+        .persist()
+      val init = e.filter($"vec_id" % 100 === 1)
+        .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
+      val cs = VectorSim.lightweightCoreset(e, dims = 64, m = 256L)
+        .withColumn("iw",
+          when($"sum_d2" === 0, dec($"sample_weight"))
+            .otherwise(fdiv(
+              dec($"sample_weight") * lit(2L) * dec($"n") * dec($"sum_d2") *
+                lit(1000000L),
+              dec($"w") * lit(256L)))
+            .cast("long"))
+        .select($"vec_id", $"iw")
+      val csVecs = e.join(broadcast(cs), "vec_id")
+      val wCents = VectorSim.kmeansFitWeighted(csVecs, "iw", init,
+        dims = 64, iters = 3)._1
+      // the ONE full-corpus pass: assign everything to the coreset-
+      // trained quantizer (centroids broadcast)
+      val posting = VectorSim.assignToCentroids(e, wCents)
+        .select($"vec_id".as("cand_id"), $"cent_id")
+      val probes = e.filter($"vec_id" % 97 === 0)
+        .crossJoin(broadcast(wCents))
+        .withColumn("cos",
+          VectorSim.qcosine(VectorSim.qdotNative($"q", $"qc"), $"n2", $"n2c"))
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id")
+      val cand = probes.join(posting, "cent_id")
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id").distinct()
+      cand
+        .join(e.select($"vec_id".as("query_id"), $"q".as("qa"), $"n2".as("na")), "query_id")
+        .join(e.select($"vec_id".as("cand_id"), $"q".as("qb"), $"n2".as("nb")), "cand_id")
+        .select($"query_id", $"cand_id",
+          VectorSim.qcosine(VectorSim.qdotNative($"qa", $"qb"), $"na", $"nb").as("cosine"))
+        .withColumn("rank",
+          row_number().over(
+            Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      coresetWeightedLloydCtes + s""",
+        |wassignfull AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |    FROM (
+        |      SELECT v.vec_id, c.cent_id,
+        |             ${cosSqlDims(64)("v.q", "v.n2", "c.qc", "c.n2c")} AS cos
+        |      FROM n v CROSS JOIN wcents2 c))
+        |  WHERE rn = 1),
+        |cents9 AS (SELECT cent_id, qc, n2c FROM wcents2),
+        |assign9 AS (SELECT vec_id, cent_id FROM wassignfull)""".stripMargin +
+        ivfProbeSql(9, 64, "v.vec_id % 97 = 0")
+    },
+  )
+
   val all: Seq[Q] =
     Seq(topkBrute, lshPairs, topkIvf, kmeansClusters, topkIvfKmeans, topkIvfPersist,
       topkPq, topkIvfPq, ivfRerank, knnClassify, topkIvfFiltered, hardNegatives,
       rankRrfFusion, embedPcaPower, embedAllButTop, rankMmrDiversify, embedIvfRecall,
-      embedIvfNdcg, embedOod, embedCoreset, embedCoresetCost, embedCoresetKmeans)
+      embedIvfNdcg, embedOod, embedCoreset, embedCoresetCost, embedCoresetKmeans,
+      topkIvfCoreset)
 }

@@ -2234,7 +2234,8 @@ object Similarity {
         .persist()
       val init = e.filter($"vec_id" % 100 === 1)
         .select($"vec_id".as("cent_id"), $"q".as("qc"), $"n2".as("n2c"))
-      val fullCents = VectorSim.kmeansFit(e, init, dims = 64, iters = 3)._1
+      val fullCents = graft.operators.Lineage.settle(
+        VectorSim.kmeansFit(e, init, dims = 64, iters = 3)._1)
       val cs = VectorSim.lightweightCoreset(e, dims = 64, m = 256L)
         .withColumn("iw",
           when($"sum_d2" === 0, dec($"sample_weight"))
@@ -2244,9 +2245,14 @@ object Similarity {
               dec($"w") * lit(256L)))
             .cast("long"))
         .select($"vec_id", $"iw")
-      val csVecs = e.join(broadcast(cs), "vec_id")
-      val wCents = VectorSim.kmeansFitWeighted(csVecs, "iw", init,
-        dims = 64, iters = 3)._1
+      // settle the 256-row coreset join and both trained centroid
+      // tables ONCE: the coreset chain is two corpus passes and the
+      // Lloyd chains are iters× corpus scans — without the cut, every
+      // downstream consumer (each weighted iteration, the drift join,
+      // both cost audits) would re-execute them from scratch
+      val csVecs = graft.operators.Lineage.settle(e.join(broadcast(cs), "vec_id"))
+      val wCents = graft.operators.Lineage.settle(
+        VectorSim.kmeansFitWeighted(csVecs, "iw", init, dims = 64, iters = 3)._1)
       def fullCost(cents: org.apache.spark.sql.DataFrame) =
         e.crossJoin(broadcast(cents))
           .withColumn("dd",
@@ -2345,9 +2351,12 @@ object Similarity {
               dec($"w") * lit(256L)))
             .cast("long"))
         .select($"vec_id", $"iw")
-      val csVecs = e.join(broadcast(cs), "vec_id")
-      val wCents = VectorSim.kmeansFitWeighted(csVecs, "iw", init,
-        dims = 64, iters = 3)._1
+      // settle the coreset join and the trained quantizer once — the
+      // coreset chain is corpus passes and wCents feeds BOTH the
+      // posting assignment and the probe ranking
+      val csVecs = graft.operators.Lineage.settle(e.join(broadcast(cs), "vec_id"))
+      val wCents = graft.operators.Lineage.settle(
+        VectorSim.kmeansFitWeighted(csVecs, "iw", init, dims = 64, iters = 3)._1)
       // the ONE full-corpus pass: assign everything to the coreset-
       // trained quantizer (centroids broadcast)
       val posting = VectorSim.assignToCentroids(e, wCents)

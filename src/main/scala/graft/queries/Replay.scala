@@ -872,6 +872,128 @@ object Replay {
            |ORDER BY seq""".stripMargin),
   )
 
+  /** S3/S4 under the CORRECTNESS gate over REAL HTTP — the markets
+    * REST scan end to end: two in-gate JDK HttpServers serve 1 237
+    * reference-shape market records in 100-row pages with base64
+    * row-offset cursors; the windowed-concurrent paginator (S3,
+    * `MarketsConnector.fetchAllMarkets` + the real
+    * `MarketsConnector.httpFetch` transport) and the sequential
+    * paginator (S4, `fetchAllSequential`) both walk the wire — the
+    * S4 server 500s the FIRST request for every cursor, so the retry
+    * path is exercised inside the gate — and the two fetches must
+    * agree row for row. The fetched JSON then flows through the REAL
+    * dim pipeline (S2 parse → F1 activity predicate → F7 token dim)
+    * and the oracle recomputes the expected projection from the same
+    * integer functions of the row index. This upgrades S3/S4 from
+    * spec-covered to driver-verified, the move r10 made for S5.
+    */
+  private val sourceMarketsHttp = Q(
+    "q_source_markets_http",
+    (s, _) => {
+      import s.implicits._
+      val total = 1237
+      val pageSize = 100
+      def marketJson(i: Int): String = {
+        val p = (i % 100) / 100.0
+        s"""{"id":"m$i","condition_id":"c$i","question_id":"qid$i",""" +
+          s""""question":"Q $i?","description":"d$i",""" +
+          s""""closed":${i % 7 == 0},"accepting_orders":${i % 5 != 0},""" +
+          s""""active":true,"archived":${i % 11 == 0},""" +
+          s""""enable_order_book":true,"tokens":[""" +
+          s"""{"outcome":"YES","price":$p,"token_id":"T${i}y","winner":${i % 2 == 0}},""" +
+          s"""{"outcome":"NO","price":${1.0 - p},"token_id":"T${i}n","winner":${i % 2 == 1}}""" +
+          s"""],"extra":$i}"""
+      }
+      // DAEMON executor threads: HttpServer.stop() does not shut down a
+      // custom executor, and a non-daemon pool would pin the driver JVM
+      // at exit (DestroyJavaVM waiting on idle pool threads)
+      def daemonPool(n: Int) = java.util.concurrent.Executors.newFixedThreadPool(
+        n,
+        (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+      def startServer(failFirst: Boolean): com.sun.net.httpserver.HttpServer = {
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 16)
+        val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        server.createContext("/markets", (ex: com.sun.net.httpserver.HttpExchange) => {
+          try {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val cursor = q.split("&").collectFirst {
+              case kv if kv.startsWith("next_cursor=") => kv.drop("next_cursor=".length)
+            }.getOrElse("")
+            if (failFirst && failed.add(cursor)) {
+              ex.sendResponseHeaders(500, -1)
+            } else {
+              val offset = new String(java.util.Base64.getDecoder.decode(cursor),
+                java.nio.charset.StandardCharsets.UTF_8).toInt
+              val rows = (offset until math.min(offset + pageSize, total))
+                .map(marketJson)
+              val next =
+                if (offset + pageSize >= total) "null"
+                else "\"" + graft.sources.MarketsConnector
+                  .cursorFor(offset / pageSize + 1, pageSize) + "\""
+              val body = s"""{"data":[${rows.mkString(",")}],"next_cursor":$next}"""
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              ex.getResponseHeaders.set("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, body.length)
+              ex.getResponseBody.write(body)
+            }
+          } finally ex.close()
+        })
+        server.setExecutor(daemonPool(16))
+        server.start()
+        server
+      }
+      val plain = startServer(failFirst = false)
+      val flaky = startServer(failFirst = true)
+      try {
+        import graft.sources.MarketsConnector
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val viaConcurrent = MarketsConnector.fetchAllMarkets(
+          MarketsConnector.httpFetch(
+            s"http://127.0.0.1:${plain.getAddress.getPort}/markets"),
+          pageSize = pageSize, concurrency = 8)
+        val viaSequential = MarketsConnector.fetchAllSequential(
+          MarketsConnector.httpFetch(
+            s"http://127.0.0.1:${flaky.getAddress.getPort}/markets"),
+          firstCursor = MarketsConnector.cursorFor(0, pageSize))
+        require(viaConcurrent.sorted == viaSequential.sorted,
+          "S3 and S4 paginations must return the identical row set")
+        require(viaConcurrent.size == total,
+          s"expected $total markets, got ${viaConcurrent.size}")
+        val frames = Seq(graft.model.Frame(
+          fileHour = "2024-01-01-00", lineNo = 0L, frameTs = "0",
+          messageType = "active_markets",
+          content = s"""{"markets":[${viaConcurrent.mkString(",")}]}"""))
+          .toDS()
+        graft.sources.MarketsDim.tokenDim(
+          graft.sources.MarketsDim.activeMarkets(
+            graft.sources.MarketsDim.markets(frames)))
+          .orderBy($"condition_id", $"token_id")
+      } finally {
+        plain.stop(0)
+        flaky.stop(0)
+      }
+    },
+    Some("""WITH idx AS (SELECT CAST(x AS INTEGER) AS i FROM range(1237) t(x)),
+           |act AS (
+           |  SELECT i FROM idx
+           |  WHERE i % 5 <> 0 AND i % 11 <> 0 AND i % 7 <> 0),
+           |tok AS (
+           |  SELECT i, 'YES' AS outcome, (i % 100) / 100.0 AS token_price,
+           |         'T' || i || 'y' AS token_id, (i % 2 = 0) AS winner
+           |  FROM act
+           |  UNION ALL
+           |  SELECT i, 'NO', 1.0 - (i % 100) / 100.0,
+           |         'T' || i || 'n', (i % 2 = 1)
+           |  FROM act)
+           |SELECT 'c' || i AS condition_id, 'qid' || i AS question_id,
+           |       'Q ' || i || '?' AS question, outcome, token_price,
+           |       token_id, winner
+           |FROM tok
+           |ORDER BY condition_id, token_id""".stripMargin),
+  )
+
   /** [[streamLiveLoopback]] with the wire swapped for REAL RFC 6455
     * WebSocket framing (`sources.WsChannel`, `framing = ws`): the
     * in-gate server performs the Upgrade handshake (Sec-WebSocket-Key
@@ -997,7 +1119,7 @@ object Replay {
   )
 
   val all: Seq[Q] = Seq(
-    streamLiveLoopback, streamLiveLoopbackWs,
+    streamLiveLoopback, streamLiveLoopbackWs, sourceMarketsHttp,
     streamIngestMetrics,
     streamSinkExactlyOnce,
     sinkJsonlRoundtrip,

@@ -5,6 +5,7 @@ import java.util.Base64
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
+import scala.jdk.CollectionConverters._
 
 /** Ingest-side connector logic (SURVEY.md §2.1 S3-S5, §2.7 sharding):
   * REST pagination, market sharding, and connection split policy —
@@ -82,6 +83,38 @@ object MarketsConnector {
       cursor = page.nextCursor
     }
     acc.result()
+  }
+
+  /** The REAL transport for the paginators: GET
+    * `$baseUrl?next_cursor=$cursor`, JSON-parse `{data, next_cursor}`
+    * (`MarketsApiResponse`, `collector/src/lib.rs:74-80`). Non-200
+    * throws — that is [[fetchAllSequential]]'s retry trigger. Injected
+    * as the `fetch` argument so tests can also drive the paginators
+    * with pure functions; the q_source_markets_http gate runs THIS
+    * function against a loopback HTTP server.
+    */
+  def httpFetch(
+      baseUrl: String,
+      connectTimeoutMs: Int = 3000,
+      readTimeoutMs: Int = 3000,
+  )(cursor: String): Page = {
+    val url = java.net.URI.create(s"$baseUrl?next_cursor=$cursor").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    try {
+      if (conn.getResponseCode != 200)
+        throw new java.io.IOException(
+          s"HTTP ${conn.getResponseCode} for cursor '$cursor'")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(conn.getInputStream)
+      val data = Option(node.get("data")).filter(_.isArray).toSeq
+        .flatMap(_.elements().asScala)
+        .map(n => if (n.isTextual) n.asText() else n.toString)
+      val next = Option(node.get("next_cursor"))
+        .filterNot(_.isNull).map(_.asText())
+      Page(data, next)
+    } finally conn.disconnect()
   }
 
   /** Greedy sharding: pack asset ids into connections of at most

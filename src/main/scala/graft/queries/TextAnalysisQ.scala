@@ -1654,6 +1654,69 @@ object TextAnalysisQ {
            |ORDER BY word""".stripMargin),
   )
 
+  /** STREAMING certified top-k: the SpaceSaving summary accumulates as
+    * complete-mode stream state (the [[streamSpaceSaving]] discipline),
+    * and the CERTIFY leg runs over the sink — explode the accumulated
+    * candidates, exact-count only them batch-side (the cheap verify
+    * pass), keep those beating the stream-accumulated Δ, emit the
+    * proven prefix. This is the live "trending items, PROVEN" monitor:
+    * fixed sketch state across any volume, and each trigger's verify
+    * pass touches ≤ 64 keys. Oracle: the unassisted exact top-10 —
+    * identical to the batch gate's, because the proof contract is
+    * arrival-order-free.
+    */
+  private val streamSsCertified = Q(
+    "q_stream_ss_certified",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.SpaceSaving.register(s)
+      val sinkName = "graft_stream_ss_cert_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val words = Tables.streamTable(s, dir, "documents", sch)
+          .select(explode(split($"text", " ")).as("w"))
+        val sk = words.agg(
+          call_function(graft.functions.SpaceSaving.Name, $"w").as("s"))
+        val query = sk.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val st = s.table(sinkName)
+      val cand = st.select(explode($"s.items.item").as("w"))
+      val delta = st.select($"s.delta".as("delta"))
+      val words = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("w"))
+      val exact = words.join(broadcast(cand), "w")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      exact.crossJoin(broadcast(delta))
+        .filter($"cnt" > $"delta")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"cnt".desc, $"w")))
+        .filter($"rank" <= 10)
+        .select($"rank", $"w".as("word"), $"cnt")
+        .orderBy($"rank")
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |tru AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM words GROUP BY w)
+           |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INTEGER) AS rank,
+           |       w AS word, cnt
+           |FROM tru
+           |ORDER BY cnt DESC, w
+           |LIMIT 10""".stripMargin),
+  )
+
   /** SpaceSaving summary LAKE: per-source summaries persisted to
     * parquet (struct<delta, items> is directly storable) and rolled up
     * with `ss_merge` — per the mergeable rule, the rollup keeps the
@@ -1912,5 +1975,6 @@ object TextAnalysisQ {
       rareBigrams, lmScore, lmBackoff, dsir, repetition, chunk, cdcChunk, pack, packNfd, bpe, bpeEncode, boilerplate,
       dedupLines, bloomScreen,
       heavyHitters, misraGriesHeavy, streamMisraGries, mgLake,
-      spaceSavingTop, streamSpaceSaving, ssLake, ssCertifiedTopK, ssCertifiedBySource, lengthBatching)
+      spaceSavingTop, streamSpaceSaving, ssLake, ssCertifiedTopK, ssCertifiedBySource,
+      streamSsCertified, lengthBatching)
 }

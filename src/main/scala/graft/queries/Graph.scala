@@ -1999,6 +1999,56 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** The quantizeDepartures knob UNDER THE DRIVER HASH — not just
+    * spec-pinned: [[graphTemporalBwFastest]] with seed departures
+    * floored to 1-hour buckets (`quantizeDepartures = 3 600 000 ms`),
+    * against an oracle whose recursive label closure floors the SAME
+    * d at the seed rows (`(ts // q) * q`) and carries it unchanged —
+    * so the hash match proves the knob's exact semantics end to end:
+    * the reachable node set is IDENTICAL to the exact gate's (the
+    * traversal never reads d) and every duration is the documented
+    * conservative upper bound within its q-bucket. This is the lever
+    * a dense-seed deployment pulls when the label-support guard
+    * raises; gating it keeps the coarse semantics from drifting.
+    */
+  private val graphTemporalBwFastestQuantized = Q(
+    "q_graph_temporal_bw_fastest_q",
+    (s, dir) => {
+      import s.implicits._
+      val w = 2000000L
+      val chain = handoffChain(s, dir, maxWait = Some(w))
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      GraphAlgos.temporalBoundedWaitFastest(chain, "u", "v", "dep", "arr",
+        seed, w, quantizeDepartures = Some(3600000L))
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |labels AS (
+           |  SELECT e.v AS node, (e.ts // 3600000) * 3600000 AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, labels.d, e.ts
+           |  FROM labels JOIN e ON e.u = labels.node
+           |   AND e.ts >= labels.a AND e.ts - labels.a <= 2000000)
+           |SELECT node, CAST(min(a - d) AS BIGINT) AS fastest
+           |FROM labels WHERE node <> (SELECT s FROM sd)
+           |GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
   /** The condensation DAG of the per-entity SCC decomposition — what a
     * pipeline actually CONSUMES downstream of [[graphSccEntity]]:
     * collapse each strongly-connected community to its scc_id and keep
@@ -2074,6 +2124,6 @@ object Graph {
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
     graphSccEntity, graphTemporalReach, graphTemporalInfluence,
     graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile, graphTemporalBwFastest,
-    graphTemporalMultiCloseness,
+    graphTemporalMultiCloseness, graphTemporalBwFastestQuantized,
     graphSccEntityDag)
 }

@@ -1717,6 +1717,70 @@ object TextAnalysisQ {
            |LIMIT 10""".stripMargin),
   )
 
+  /** The grouped certified top-k LIVE (composing [[ssCertifiedBySource]]
+    * and [[streamSsCertified]]): one SpaceSaving summary PER SOURCE as
+    * complete-mode stream state (|sources| × O(K) rows — the grouped
+    * trending monitor), then each source's certify leg batch-side:
+    * exact-count that source's ≤ 64 accumulated candidates, keep those
+    * beating that source's accumulated Δ, emit per-source proven
+    * top-5 prefixes. Same oracle as the batch gate — the proof
+    * contract is arrival-order- and batching-free.
+    */
+  private val streamSsCertifiedBySource = Q(
+    "q_stream_ss_cert_by_source",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.SpaceSaving.register(s)
+      val sinkName = "graft_stream_ss_cert_src_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        val words = Tables.streamTable(s, dir, "documents", sch)
+          .select($"source", explode(split($"text", " ")).as("w"))
+        val sk = words.groupBy($"source")
+          .agg(call_function(graft.functions.SpaceSaving.Name, $"w").as("s"))
+        val query = sk.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val st = s.table(sinkName)
+      val cand = st.select($"source".as("g"), explode($"s.items.item").as("w"))
+      val delta = st.select($"source".as("g"), $"s.delta".as("delta"))
+      val words = Tables(s, dir).documents
+        .select($"source".as("g"), explode(split($"text", " ")).as("w"))
+      val exact = words.join(broadcast(cand), Seq("g", "w"))
+        .groupBy($"g", $"w").agg(count(lit(1)).as("cnt"))
+      exact.join(broadcast(delta), "g")
+        .filter($"cnt" > $"delta")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"g").orderBy($"cnt".desc, $"w")))
+        .filter($"rank" <= 5)
+        .select($"g".as("src"), $"rank", $"w".as("word"), $"cnt")
+        .orderBy($"src", $"rank")
+    },
+    Some("""WITH words AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+           |),
+           |tru AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM words GROUP BY source, w),
+           |r AS (
+           |  SELECT source, w, cnt,
+           |         CAST(row_number() OVER (PARTITION BY source
+           |           ORDER BY cnt DESC, w) AS INTEGER) AS rank
+           |  FROM tru)
+           |SELECT source AS src, rank, w AS word, cnt
+           |FROM r WHERE rank <= 5
+           |ORDER BY src, rank""".stripMargin),
+  )
+
   /** SpaceSaving summary LAKE: per-source summaries persisted to
     * parquet (struct<delta, items> is directly storable) and rolled up
     * with `ss_merge` — per the mergeable rule, the rollup keeps the
@@ -1976,5 +2040,5 @@ object TextAnalysisQ {
       dedupLines, bloomScreen,
       heavyHitters, misraGriesHeavy, streamMisraGries, mgLake,
       spaceSavingTop, streamSpaceSaving, ssLake, ssCertifiedTopK, ssCertifiedBySource,
-      streamSsCertified, lengthBatching)
+      streamSsCertified, streamSsCertifiedBySource, lengthBatching)
 }

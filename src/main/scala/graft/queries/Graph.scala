@@ -1999,6 +1999,77 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** FRONT REUSE ACROSS A START-TIME SWEEP: the Pareto fronts from ONE
+    * [[GraphAlgos.temporalParetoLabels]] loop answer EVERY start time
+    * — the front for start T is exactly the full front restricted to
+    * d ≥ T (a dominator has d ≥ the dominated label's d, so dominance
+    * within the subset is inherited both ways; argued here, pinned by
+    * the hash). The gate runs the loop ONCE (fronts settled) and
+    * emits three start times' (n_reached, sum of per-node fastest)
+    * from filtered aggregates — the k-question profile sweep at the
+    * cost of one question, where the naive API would pay k frontier
+    * loops. Oracle: the full unpruned label closure, filtered per
+    * start time — so the hash also re-proves the restriction identity
+    * against an enumeration that never pruned anything.
+    */
+  private val graphTemporalProfileSweep = Q(
+    "q_graph_temporal_profile_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val chain = handoffChain(s, dir)
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      val t0 = chain.agg(min($"dep".cast("long"))).head.getLong(0)
+      val fronts = graft.operators.Lineage.settle(
+        GraphAlgos.temporalParetoLabels(chain, "u", "v", "dep", "arr", seed))
+      Seq(0L, 21600000L, 43200000L).zipWithIndex.map { case (off, i) =>
+        fronts.filter($"d" >= t0 + off)
+          .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
+          .agg(count(lit(1)).as("n_reached"),
+            coalesce(sum($"fastest"), lit(0L)).as("sum_fastest"))
+          .select(lit(i).as("sweep"), lit(t0 + off).as("start_ms"),
+            $"n_reached", $"sum_fastest")
+      }.reduce(_ union _).orderBy($"sweep")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |labels AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, labels.d, e.ts
+           |  FROM labels JOIN e ON e.u = labels.node AND e.ts >= labels.a),
+           |t0 AS (SELECT min(ts) AS t FROM e),
+           |sweep AS (
+           |  SELECT 0 AS k, 0 AS off
+           |  UNION ALL SELECT 1, 21600000
+           |  UNION ALL SELECT 2, 43200000),
+           |fr AS (
+           |  SELECT sw.k, l.node, min(l.a - l.d) AS fastest
+           |  FROM labels l, sweep sw, t0
+           |  WHERE l.d >= t0.t + sw.off AND l.node <> (SELECT s FROM sd)
+           |  GROUP BY sw.k, l.node),
+           |agg AS (
+           |  SELECT k, count(*) AS c, sum(fastest) AS sf FROM fr GROUP BY k)
+           |SELECT CAST(sw.k AS INTEGER) AS sweep,
+           |       CAST(t0.t + sw.off AS BIGINT) AS start_ms,
+           |       CAST(coalesce(agg.c, 0) AS BIGINT) AS n_reached,
+           |       CAST(coalesce(agg.sf, 0) AS BIGINT) AS sum_fastest
+           |FROM sweep sw CROSS JOIN t0 LEFT JOIN agg ON agg.k = sw.k
+           |ORDER BY sweep""".stripMargin),
+  )
+
   /** The quantizeDepartures knob UNDER THE DRIVER HASH — not just
     * spec-pinned: [[graphTemporalBwFastest]] with seed departures
     * floored to 1-hour buckets (`quantizeDepartures = 3 600 000 ms`),
@@ -2124,6 +2195,6 @@ object Graph {
     graphAnfLake, pipelineGraphEmbedding, graphAssortativity, graphScc,
     graphSccEntity, graphTemporalReach, graphTemporalInfluence,
     graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile, graphTemporalBwFastest,
-    graphTemporalMultiCloseness, graphTemporalBwFastestQuantized,
+    graphTemporalMultiCloseness, graphTemporalBwFastestQuantized, graphTemporalProfileSweep,
     graphSccEntityDag)
 }

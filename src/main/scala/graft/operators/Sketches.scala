@@ -230,6 +230,14 @@ object Sketches {
     * broadcast semi-join, then each group's proven prefix under its
     * own Δ. Returns (group, rank, item, cnt) rows — per group up to
     * `k`, fewer where that group's data doesn't support the proof.
+    *
+    * The bounded-groups precondition is ENFORCED, not prose (the
+    * prCurve doctrine): the candidate table broadcast to the verify
+    * pass is 64·|groups| rows, so a corpus-growing group column would
+    * silently turn the broadcast into the corpus. A row_number over
+    * the per-group summary table (already ≤ |groups| rows) raises
+    * loudly past `spark.graft.certifiedTopKMaxGroups` (default
+    * 10 000 → ≤ 640 k broadcast rows) before the broadcast builds.
     */
   def certifiedTopKGrouped(
       items: DataFrame,
@@ -240,11 +248,23 @@ object Sketches {
       s"certifiedTopKGrouped: k must be in [1, 64], got $k")
     val spark = items.sparkSession
     graft.functions.SpaceSaving.register(spark)
+    val groupCap = spark.conf
+      .getOption("spark.graft.certifiedTopKMaxGroups").map(_.toLong)
+      .getOrElse(10000L)
     val it = items.select(col(groupCol).as("g"),
       col(itemCol).cast("string").as("item"))
     val sk = it.groupBy(col("g"))
       .agg(call_function(graft.functions.SpaceSaving.Name, col("item")).as("s"))
-      .select(col("g"), col("s.items.item").as("cands"), col("s.delta").as("delta"))
+      .withColumn("__gn", row_number().over(Window.orderBy(col("g"))))
+      .select(
+        when(col("__gn") > groupCap, raise_error(lit(
+          s"certifiedTopKGrouped: more than " +
+            s"spark.graft.certifiedTopKMaxGroups=$groupCap groups — the " +
+            "group column must be a bounded dimension (sources, cohorts), " +
+            "not a corpus-growing key; raise the cap only if the " +
+            "64×groups candidate broadcast fits")))
+          .otherwise(col("g")).as("g"),
+        col("s.items.item").as("cands"), col("s.delta").as("delta"))
     val cand = sk.select(col("g"), explode(col("cands")).as("item"))
     val exact = it.join(broadcast(cand), Seq("g", "item"))
       .groupBy(col("g"), col("item")).agg(count(lit(1)).as("cnt"))

@@ -169,4 +169,21 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(out.getOrElse("un", Seq.empty).size < 8,
       "the near-uniform group must emit only its proven prefix")
   }
+
+  test("certifiedTopKGrouped: the bounded-groups precondition is " +
+    "enforced in-plan, not prose") {
+    spark.conf.set("spark.graft.certifiedTopKMaxGroups", "3")
+    try {
+      val rows = (1 to 5).flatMap(g => (1 to 30).map(i => (s"g$g", s"x${i % 4}")))
+      val ex = intercept[Exception] {
+        graft.operators.Sketches.certifiedTopKGrouped(
+          rows.toDF("g", "x"), "g", "x", 2).collect()
+      }
+      assert(ex.getMessage.contains("certifiedTopKMaxGroups"), ex.getMessage)
+      // under the cap the same shape passes
+      val ok = (1 to 3).flatMap(g => (1 to 30).map(i => (s"g$g", s"x${i % 4}")))
+      assert(graft.operators.Sketches.certifiedTopKGrouped(
+        ok.toDF("g", "x"), "g", "x", 2).collect().nonEmpty)
+    } finally spark.conf.unset("spark.graft.certifiedTopKMaxGroups")
+  }
 }

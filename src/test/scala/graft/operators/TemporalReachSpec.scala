@@ -536,4 +536,24 @@ class TemporalReachSpec extends AnyFunSuite {
     // the budget reachable, and the arrivals are identical
     assert(withSkips == base)
   }
+
+  test("front restriction identity: the Pareto front for start time T " +
+    "is the full front filtered to d >= T (the sweep-reuse theorem)") {
+    val rnd = new scala.util.Random(103)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = (1 to 5 * n).map { _ =>
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L,
+          rnd.nextInt(40).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      def fronts(startTs: Long): Set[(Long, Long, Long)] =
+        GraphAlgos.temporalParetoLabels(
+          edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", 1L, startTs)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = fronts(0L)
+      for (t <- Seq(10L, 20L, 30L)) {
+        assert(fronts(t) == full.filter(_._2 >= t), s"trial $trial T=$t")
+      }
+    }
+  }
 }

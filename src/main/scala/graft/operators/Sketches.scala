@@ -205,9 +205,18 @@ object Sketches {
     val spark = items.sparkSession
     graft.functions.SpaceSaving.register(spark)
     val it = items.select(col(itemCol).cast("string").as("item"))
-    val sk = it
+    // The summary's final merge is merge-order DEPENDENT (candidates
+    // and delta both vary with shuffle-fetch order), and the plan
+    // below reads it twice — once for the candidate set, once for the
+    // delta in the filter. Two independent executions could observe
+    // two DIFFERENT summaries, voiding the proof (an item absent from
+    // cand_A is only bounded by delta_A, not delta_B). Settle the
+    // one-row summary so both consumers read the SAME materialized
+    // merge — the streaming twins get this for free from the memory
+    // sink; this is the batch path's equivalent.
+    val sk = Lineage.settle(it
       .agg(call_function(graft.functions.SpaceSaving.Name, col("item")).as("s"))
-      .select(col("s.items.item").as("cands"), col("s.delta").as("delta"))
+      .select(col("s.items.item").as("cands"), col("s.delta").as("delta")))
     val cand = sk.select(explode(col("cands")).as("item"))
     val exact = it.join(broadcast(cand), "item")
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
@@ -253,7 +262,11 @@ object Sketches {
       .getOrElse(10000L)
     val it = items.select(col(groupCol).as("g"),
       col(itemCol).cast("string").as("item"))
-    val sk = it.groupBy(col("g"))
+    // settled for the same single-materialization reason as
+    // [[certifiedTopK]]: per-group summaries are merge-order
+    // dependent and read twice (candidates + per-group delta); the
+    // settle also runs the group-cap guard exactly once, eagerly
+    val sk = Lineage.settle(it.groupBy(col("g"))
       .agg(call_function(graft.functions.SpaceSaving.Name, col("item")).as("s"))
       .withColumn("__gn", row_number().over(Window.orderBy(col("g"))))
       .select(
@@ -264,7 +277,7 @@ object Sketches {
             "not a corpus-growing key; raise the cap only if the " +
             "64×groups candidate broadcast fits")))
           .otherwise(col("g")).as("g"),
-        col("s.items.item").as("cands"), col("s.delta").as("delta"))
+        col("s.items.item").as("cands"), col("s.delta").as("delta")))
     val cand = sk.select(col("g"), explode(col("cands")).as("item"))
     val exact = it.join(broadcast(cand), Seq("g", "item"))
       .groupBy(col("g"), col("item")).agg(count(lit(1)).as("cnt"))

@@ -98,7 +98,11 @@ object MarketsConnector {
       connectTimeoutMs: Int = 3000,
       readTimeoutMs: Int = 3000,
   )(cursor: String): Page = {
-    val url = java.net.URI.create(s"$baseUrl?next_cursor=$cursor").toURL
+    // base64 cursors can carry '+' and '=' — '+' in a raw query value
+    // decodes as a SPACE on standard servers, corrupting the cursor
+    // (e.g. 'MTI+MA=='), so the cursor must be URL-encoded
+    val enc = java.net.URLEncoder.encode(cursor, java.nio.charset.StandardCharsets.UTF_8)
+    val url = java.net.URI.create(s"$baseUrl?next_cursor=$enc").toURL
     val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)

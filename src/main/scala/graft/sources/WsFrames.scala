@@ -156,6 +156,10 @@ private[sources] final class WsChannel(s: Socket, host: String) extends FeedChan
   private var buf = Array.emptyByteArray
   private var bufOff = 0
   private val fragments = new StringBuilder
+  // true while a fragmented BINARY message is in progress: its OpCont
+  // frames belong to the skipped binary payload, not the text
+  // reassembly buffer (RFC 6455 §5.4 — continuations carry no type)
+  private var binaryInProgress = false
   @volatile private var closeSent = false
 
   handshake()
@@ -224,7 +228,19 @@ private[sources] final class WsChannel(s: Socket, host: String) extends FeedChan
         case Some((fin, op, payload, used)) =>
           bufOff += used
           op match {
-            case WsCodec.OpText | WsCodec.OpCont =>
+            case WsCodec.OpText =>
+              binaryInProgress = false
+              fragments.append(new String(payload, StandardCharsets.UTF_8))
+              if (fin) {
+                val msg = fragments.toString
+                fragments.setLength(0)
+                return msg
+              }
+            case WsCodec.OpCont if binaryInProgress =>
+              // continuation of a skipped binary message — drop it,
+              // and the final fragment ends the binary message
+              if (fin) binaryInProgress = false
+            case WsCodec.OpCont =>
               fragments.append(new String(payload, StandardCharsets.UTF_8))
               if (fin) {
                 val msg = fragments.toString
@@ -240,7 +256,10 @@ private[sources] final class WsChannel(s: Socket, host: String) extends FeedChan
                 catch { case _: Exception => () }
               }
               return null
-            case WsCodec.OpBinary => () // feed is text-only; skip
+            case WsCodec.OpBinary =>
+              // feed is text-only; skip — but a FRAGMENTED binary
+              // message must mark its continuations as binary too
+              if (!fin) binaryInProgress = true
             case other =>
               throw new java.io.IOException(s"ws: unknown opcode $other")
           }

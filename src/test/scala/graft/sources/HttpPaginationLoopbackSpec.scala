@@ -125,6 +125,40 @@ class HttpPaginationLoopbackSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("httpFetch URL-encodes the cursor: base64 '+' and '=' survive a " +
+    "standards-decoding server byte-for-byte") {
+    // 'MTI+MA==' raw in a query value reads back as 'MTI MA==' on any
+    // server applying standard application/x-www-form-urlencoded
+    // decoding ('+' → space); only %2B/%3D escaping round-trips it
+    val want = "MTI+MA=="
+    val seen = new ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new InetSocketAddress("127.0.0.1", 0), 4)
+    server.createContext("/m", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        // a standard server: RAW query, then form-urlencoded decode
+        val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val v = raw.split("&").collectFirst {
+          case s if s.startsWith("next_cursor=") => s.drop("next_cursor=".length)
+        }.getOrElse("")
+        seen.add(java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+        val body = """{"data":["ok"],"next_cursor":null}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val page = MarketsConnector.httpFetch(
+        s"http://127.0.0.1:${server.getAddress.getPort}/m")(want)
+      assert(page.data == Seq("ok") && page.nextCursor.isEmpty)
+      assert(seen.asScala.toSeq == Seq(want),
+        s"the server must recover the cursor exactly: ${seen.asScala.toSeq}")
+    } finally server.stop(0)
+  }
+
   test("S4 exhausts retries on a permanently failing page and surfaces " +
     "the error") {
     val server = new MarketsServer(total = 100, pageSize = 100)

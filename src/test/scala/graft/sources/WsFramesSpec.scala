@@ -170,6 +170,18 @@ class WsFramesSpec extends AnyFunSuite {
         payload.getBytes(StandardCharsets.UTF_8), None))
       out.flush()
     }
+    /** Fragmented BINARY message: OpBinary FIN=0 + OpCont FIN=1. A
+      * text-only client must drop BOTH fragments — the continuation
+      * carries no opcode (RFC 6455 §5.4), so the client has to
+      * remember the message was binary.
+      */
+    def sendFragmentedBinary(a: Array[Byte], b: Array[Byte]): Unit = out.synchronized {
+      val f1 = WsCodec.encodeFrame(WsCodec.OpBinary, a, None)
+      f1(0) = (f1(0) & 0x7f).toByte // clear FIN
+      out.write(f1)
+      out.write(WsCodec.encodeFrame(WsCodec.OpCont, b, None))
+      out.flush()
+    }
 
     private def fill(): Boolean = {
       val tmp = new Array[Byte](4096)
@@ -285,6 +297,31 @@ class WsFramesSpec extends AnyFunSuite {
         Thread.sleep(20)
       assert(server.clientPongs.asScala.toSeq == Seq("hb-42"),
         "ping payload must echo back in the pong")
+    } finally {
+      client.stop()
+      server.close()
+    }
+  }
+
+  test("a fragmented BINARY message is dropped whole: its continuation " +
+    "frames must not leak into text reassembly or corrupt the next text") {
+    val server = new WsLoopbackServer({ (_, _, io) =>
+      // binary fragments whose bytes LOOK like text — if the client
+      // appends the continuation to its text buffer, the next real
+      // message arrives corrupted (prefixed with `garbage}`)
+      io.sendFragmentedBinary(
+        "{\"bin\":".getBytes(StandardCharsets.UTF_8),
+        "garbage}".getBytes(StandardCharsets.UTF_8))
+      io.sendText("""{"seq":1}""")
+      io.sendFragmented("""{"seq":""", """2}""")
+      io.listen(1200)
+    })
+    val client = new LiveFeedClient(Seq("D1"), cfg(server.port))
+    try {
+      client.start()
+      val msgs = drainMessages(client, 2, 6000)
+      assert(msgs == Seq("""{"seq":1}""", """{"seq":2}"""),
+        s"binary fragments must vanish and text must arrive intact: $msgs")
     } finally {
       client.stop()
       server.close()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Lineage.CutOps
@@ -954,9 +954,15 @@ object GraphAlgos {
       tsCol: String,
       maxLevel: Int = 12,
       maxWait: Option[Long] = None,
+      arrivalSlack: Option[Long] = None,
   ): DataFrame = {
     require(maxLevel >= 0 && maxLevel <= 40,
       s"chainShortcuts: maxLevel must be in [0, 40], got $maxLevel")
+    require(arrivalSlack.isEmpty || maxWait.isDefined,
+      "chainShortcuts: arrivalSlack gating needs maxWait (it tightens " +
+        "the wait predicate, it does not replace it)")
+    arrivalSlack.foreach(g => require(g > 0,
+      s"chainShortcuts: arrivalSlack must be > 0, got $g"))
     val spark = chains.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -974,6 +980,23 @@ object GraphAlgos {
     // carries the real first departure). Level-1 edges contract
     // nothing and are always emitted.
     val gap1 = lead(col(tsCol).cast("long"), 1).over(w) - col(tsCol).cast("long")
+    // G-SLACK gating (arrivalSlack = Some(g), used by the
+    // quantizeArrivals traversal): the interior-wait condition
+    // tightens from `gap ≤ W` to the g-slack predicate on the pair
+    // (arrival ts_j, next departure ts_{j+1}) —
+    //   ts_{j+1} ≥ ceil_g(ts_j)  ∧  ts_{j+1} ≤ floor_g(ts_j) + W —
+    // the SAME predicate the class-keyed traversal applies at its own
+    // hops, checked here EXACTLY at composition time, so traversing a
+    // composite is indistinguishable from walking its base hops under
+    // g-slack (the fixpoint-equality argument carries over verbatim:
+    // entry hop checked by the traversal join, interiors here).
+    val slackOk1: Column = arrivalSlack match {
+      case Some(g) =>
+        val ts = col(tsCol).cast("long")
+        ((dep1 >= ts + pmod(-ts, lit(g))) &&
+          (dep1 - (ts - pmod(ts, lit(g))) <= maxWait.get)).cast("int")
+      case None => lit(1)
+    }
     val leads = chains
       .withColumn("__dep",
         when(dep1 < col(tsCol).cast("long"), raise_error(concat(
@@ -981,18 +1004,24 @@ object GraphAlgos {
           lit("the chain is not chronological along the given order"))))
           .otherwise(dep1))
       .withColumn("__gap", gap1)
+      .withColumn("__ok", slackOk1)
       .select(Seq(col(nodeCol).cast("long").as("u"), col("__dep").as("dep"),
-        col("__gap").as("__gap")) ++
+        col("__gap").as("__gap"), col("__ok").as("__ok")) ++
         levels.flatMap(l => Seq(
           lead(col(nodeCol).cast("long"), l).over(w).as(s"__v$l"),
           lead(col(tsCol).cast("long"), l).over(w).as(s"__a$l")) ++
           (if (maxWait.isDefined && l > 1)
             Seq(max(col("__gap")).over(w.rowsBetween(1, l - 1)).as(s"__mg$l"))
+          else Seq.empty) ++
+          (if (arrivalSlack.isDefined && l > 1)
+            Seq(min(col("__ok")).over(w.rowsBetween(1, l - 1)).as(s"__sk$l"))
           else Seq.empty)): _*)
     levels.map { l =>
       val base = leads.filter(col(s"__v$l").isNotNull)
-      val gated = maxWait match {
-        case Some(mw) if l > 1 => base.filter(col(s"__mg$l") <= mw)
+      val gated = (maxWait, arrivalSlack) match {
+        case (Some(_), Some(_)) if l > 1 =>
+          base.filter(col(s"__sk$l") === 1)
+        case (Some(mw), _) if l > 1 => base.filter(col(s"__mg$l") <= mw)
         case _ => base
       }
       gated.select($"u", col(s"__v$l").as("v"), $"dep", col(s"__a$l").as("arr"))
@@ -1305,7 +1334,40 @@ object GraphAlgos {
       startTs: Long = 0L,
       maxIters: Int = 100,
   ): DataFrame = {
-    require(seeds.nonEmpty, "temporalFastestMulti: seeds must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    temporalParetoLabelsMulti(edges, uCol, vCol, depCol, arrCol, seeds,
+      startTs, maxIters)
+      .groupBy($"seed", $"node").agg(min($"a" - $"d").as("fastest"))
+  }
+
+  /** The PARETO FRONTS behind [[temporalFastestMulti]], public for
+    * front reuse: (seed, node, d, a) rows, per (seed, node) the
+    * dominance-pruned front. Exposing the fronts instead of the
+    * aggregated readout is what makes the START-TIME RESTRICTION
+    * identity composable across the seed batch: the front for
+    * (seed, start T) is exactly this frame filtered to d ≥ T (the
+    * identity is per-seed — a dominator never departs earlier than
+    * what it dominates, so dominance within the d ≥ T subset is
+    * inherited both ways), giving the full seed × start-time profile
+    * MATRIX from ONE shared frontier loop — k_seeds × k_starts
+    * questions for one loop's cost, where the naive API pays a loop
+    * per pair. Aggregating min(a − d) over the front equals the
+    * unpruned readout (a dominated pair (d, a) has a witness with
+    * d' ≥ d, a' ≤ a, so a' − d' ≤ a − d: pruning never loses the
+    * minimum).
+    */
+  def temporalParetoLabelsMulti(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      seeds: Seq[Long],
+      startTs: Long = 0L,
+      maxIters: Int = 100,
+  ): DataFrame = {
+    require(seeds.nonEmpty, "temporalParetoLabelsMulti: seeds must be non-empty")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("src"),
@@ -1351,10 +1413,135 @@ object GraphAlgos {
         } else Lineage.release(fresh)
       }
       require(n == 0,
-        s"temporalFastestMulti did not converge in $maxIters rounds; raise maxIters")
+        s"temporalParetoLabelsMulti did not converge in $maxIters rounds; " +
+          "raise maxIters")
       if (frontier ne state) Lineage.release(frontier)
-      state.filter($"node" =!= $"seed")
-        .groupBy($"seed", $"node").agg(min($"a" - $"d").as("fastest"))
+      prune(state.filter($"node" =!= $"seed"))
+    }
+  }
+
+  /** ALL-NODES temporal reach cardinality by ANF over the TEMPORAL
+    * frontier — the tier between exact per-seed temporal closures
+    * (one frontier loop per seed: unpayable for every node) and
+    * static ANF (which ignores chronology and overstates reach):
+    * for EVERY node at once, an HLL estimate of |{w : v reaches w
+    * along a time-respecting path}| in ONE shared iteration, no
+    * per-seed fan-out — the operator a 100-TB temporal graph
+    * actually runs for influence profiling.
+    *
+    * State is one 4 KiB register binary per EDGE, not per (source ×
+    * node) pair: H(e) for e = (u→x, dep, arr) sketches the node set
+    * reachable from u when the FIRST hop is e. The recursion
+    *   H(e) = {x} ∪ ⋃ { H(e′) : e′ leaves x with dep′ ≥ arr }
+    * needs no source column because a path's feasibility depends
+    * only on its own hop chronology — that is what makes the state
+    * O(|E|) instead of O(|V|·|E|). Register merge is EXACT set
+    * union (HllRegisters' contract), so the fixpoint registers equal
+    * a direct sketch of the true reach set bit for bit — the
+    * property the gate oracle checks by rebuilding every register
+    * from the exact recursive closure; the only approximation is
+    * HLL's own readout (ε ≈ 1.04/√4096 ≈ 1.6% standard error).
+    *
+    * The round is ONE window pass, not an in×out pair join (a pair
+    * join would move in(x)·out(x) register payloads per node — the
+    * 4 KiB payload makes that the shuffle bottleneck; measured 169×
+    * the necessary volume on the hand-off chains): per node, the
+    * suffix-merge ⋃{H(e′) : dep′ ≥ t} is a RUNNING window aggregate
+    * over out-edges sorted by dep descending, and interleaving each
+    * in-edge's query row (t = its arr, regs = null — the merge
+    * ignores nulls, and an empty suffix merges as the identity
+    * all-zero register) into the same window reads the suffix
+    * exactly at its threshold: |E_out| + |E_in| rows per node, each
+    * carrying its payload ONCE. Convergence costs no register
+    * comparison join either: registers only grow, so the global
+    * register_sum_scaled (strictly decreasing per change) is stable
+    * iff every edge sketch is — one scalar aggregate per round.
+    * Rounds track the longest edge-successor chain; feeding
+    * [[chainShortcuts]] edges (plain, monotone semantics — shortcuts
+    * preserve reachability) collapses that to O(log chain) exactly
+    * as in the exact gates.
+    * Readout: per source, merge its out-edges' registers. Returns
+    * (node, regs) for every node with ≥ 1 out-edge; reach counts
+    * nodes reachable via ≥ 1 hop (the source itself included only if
+    * a temporal cycle returns to it).
+    */
+  def temporalAnfReach(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      maxIters: Int = 40,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    graft.functions.HllRegisters.register(spark)
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
+      col(arrCol).cast("long").as("ets"))
+      .filter($"dep" <= $"ets")
+      .distinct()
+      .withColumn("eid", monotonically_increasing_id())
+      .cutLineage()
+    val nEdges = e.count()
+    val dstInit = call_function(
+      graft.functions.HllRegisters.InitName, $"dst".cast("string")).as("regs")
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
+      val mergeOf = (c: Column) =>
+        call_function(graft.functions.HllRegisters.MergeName, c)
+      // monotone convergence witness: registers only grow under merge,
+      // so each edge's register_sum_scaled strictly decreases on any
+      // change — the global (decimal, overflow-safe) sum is stable iff
+      // the whole state is
+      def witness(df: DataFrame): java.math.BigDecimal = df
+        .agg(sum(call_function(graft.functions.HllRegisters.EvalName, $"regs")
+          .getField("register_sum_scaled").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+      var h = Lineage.settle(
+        e.select($"eid", $"src", $"dep", dstInit))
+      var prev = witness(h)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        i += 1
+        // suffix-merge window: per node, out-edge sketch rows (isA=1)
+        // interleaved with in-edge query rows (isA=0, null regs) in
+        // dep/arr-descending order — the running merge AT a query row
+        // is exactly ⋃{H(e′) : dep′ ≥ its arr} (ties: A first, the
+        // bound is inclusive); an empty suffix is the all-zero
+        // register, the merge identity
+        val wSuf = org.apache.spark.sql.expressions.Window
+          .partitionBy($"xn").orderBy($"tt".desc, $"isA".desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val suffAtQuery = h
+          .select($"src".as("xn"), $"dep".as("tt"), lit(1).as("isA"),
+            $"regs", lit(null).cast("long").as("qid"))
+          .union(e.select($"dst".as("xn"), $"ets".as("tt"), lit(0).as("isA"),
+            lit(null).cast("binary").as("regs"), $"eid".as("qid")))
+          .withColumn("sregs", mergeOf($"regs").over(wSuf))
+          .filter($"isA" === 0)
+          .select($"qid".as("eid"), $"sregs".as("regs"))
+        val next = Lineage.settle(
+          e.select($"eid", dstInit)
+            .union(suffAtQuery)
+            .groupBy($"eid")
+            .agg(mergeOf($"regs").as("regs"))
+            .join(e.select($"eid", $"src", $"dep"), "eid")
+            .select($"eid", $"src", $"dep", $"regs"))
+        val cur = witness(next)
+        converged = cur == prev
+        prev = cur
+        Lineage.release(h)
+        h = next
+      }
+      require(converged,
+        s"temporalAnfReach did not converge in $maxIters rounds; raise " +
+          "maxIters (or feed chainShortcuts edges to collapse rounds)")
+      Lineage.settle(
+        h.groupBy($"src")
+          .agg(mergeOf($"regs").as("regs"))
+          .select($"src".as("node"), $"regs"))
     }
   }
 
@@ -1388,7 +1575,34 @@ object GraphAlgos {
     * bound within [true, true + q). Same frontier/settle/release
     * loop; shortcut edges must be wait-respecting
     * ([[chainShortcuts]] maxWait gating).
-    * Returns (node, fastest), seed excluded.
+    *
+    * `quantizeArrivals = Some(g)` is the ARRIVAL-side lever — the one
+    * that bites when the label product grows on the arrival axis (the
+    * measured shape at scale: many distinct in-edge arrivals per
+    * node). It does NOT coarsen any timestamp; it tightens the edge
+    * usability predicate to its g-SLACK form
+    *   dep ≥ ceil_g(a)  ∧  dep ≤ floor_g(a) + maxWait
+    * (stricter than the exact `a ≤ dep ≤ a + maxWait` on both ends),
+    * under which usability depends on the label's arrival ONLY
+    * through the pair (floor_g(a), ceil_g(a)) — so labels whose
+    * arrivals share that pair are traversal-EQUIVALENT and the state
+    * key collapses from (node, d, a) to (node, d, arrival-class),
+    * bounding per-node state by (d support) × (time range / g + 1)
+    * classes instead of the raw arrival support. The class keeps
+    * min(a) across ALL rounds (later, smaller same-class arrivals
+    * merge in without re-traversal — successors are class-determined,
+    * so re-traversal could add nothing), which makes the result
+    * EXACTLY the closure of the g-slack predicate over exact labels:
+    * deterministic, oracle-expressible, hash-gateable. The contract
+    * is one-sided and precise: every reported (node, fastest) is the
+    * duration of a REAL wait-bounded path (the predicate only ever
+    * forbids), so fastest ≥ the true optimum; and every path with
+    * per-hop slack ≥ g (dep ≥ a + g and dep − a ≤ maxWait − g at
+    * every hop) is found, so fastest ≤ the best g-slack path's
+    * duration. g trades the slack margin against state mass; no
+    * precondition on the data (no grid alignment required).
+    * Composes freely with `quantizeDepartures` (the axes are
+    * independent). Returns (node, fastest), seed excluded.
     */
   def temporalBoundedWaitFastest(
       edges: DataFrame,
@@ -1401,11 +1615,14 @@ object GraphAlgos {
       startTs: Long = 0L,
       maxIters: Int = 100,
       quantizeDepartures: Option[Long] = None,
+      quantizeArrivals: Option[Long] = None,
   ): DataFrame = {
     require(maxWait >= 0,
       s"temporalBoundedWaitFastest: maxWait must be >= 0, got $maxWait")
     quantizeDepartures.foreach(q => require(q > 0,
       s"temporalBoundedWaitFastest: quantizeDepartures must be > 0, got $q"))
+    quantizeArrivals.foreach(g => require(g > 0,
+      s"temporalBoundedWaitFastest: quantizeArrivals must be > 0, got $g"))
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(uCol).cast("long").as("src"),
@@ -1421,7 +1638,8 @@ object GraphAlgos {
       case Some(q) => ($"dep" - pmod($"dep", lit(q))).as("d")
       case None => $"dep".as("d")
     }
-    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) { quantizeArrivals match {
+      case None =>
       var state = Lineage.settle(
         e.filter($"src" === seed && $"dep" >= startTs)
           .select($"dst".as("node"), dExpr, $"ets".as("a")).distinct())
@@ -1432,7 +1650,9 @@ object GraphAlgos {
       while (n > 0 && i < maxIters) {
         requireLabelsBounded("temporalBoundedWaitFastest", total, labelCap, i,
           "pass quantizeDepartures = Some(q) to merge d within q-buckets " +
-            "(exact reachability, duration upper-bounded within q)")
+            "(exact reachability, duration upper-bounded within q) and/or " +
+            "quantizeArrivals = Some(g) to collapse arrival classes " +
+            "(the g-slack contract)")
         i += 1
         val cand = frontier
           .join(e, $"node" === $"src" && $"dep" >= $"a" &&
@@ -1456,7 +1676,64 @@ object GraphAlgos {
       if (frontier ne state) Lineage.release(frontier)
       state.filter($"node" =!= seed)
         .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
-    }
+
+      case Some(g) =>
+      // arrival-class columns: floor / ceil of an arrival to the
+      // g-grid, exact long arithmetic (pmod is always non-negative)
+      def clsFloor(a: Column): Column = a - pmod(a, lit(g))
+      def clsCeil(a: Column): Column = a + pmod(-a, lit(g))
+      // collapse a label batch to one row per arrival CLASS, keeping
+      // the minimum exact arrival for the duration readout
+      def grouped(labels: DataFrame): DataFrame =
+        labels.groupBy($"node", $"d", $"af", $"ac").agg(min($"a").as("a"))
+      var state = Lineage.settle(grouped(
+        e.filter($"src" === seed && $"dep" >= startTs)
+          .select($"dst".as("node"), dExpr,
+            clsFloor($"ets").as("af"), clsCeil($"ets").as("ac"),
+            $"ets".as("a"))))
+      var frontier = state
+      var n = frontier.count()
+      var total = n
+      var i = 0
+      while (n > 0 && i < maxIters) {
+        requireLabelsBounded("temporalBoundedWaitFastest", total, labelCap, i,
+          s"raise quantizeArrivals past $g to merge more arrival classes " +
+            "(and/or pass quantizeDepartures)")
+        i += 1
+        // g-slack usability reads only the CLASS, never the exact
+        // arrival: dep ≥ ceil_g(a), dep ≤ floor_g(a) + maxWait —
+        // stricter than exact on both ends, so every path taken is
+        // real; class-constant, so one traversal per class suffices
+        val cand = grouped(frontier
+          .join(e, $"node" === $"src" && $"dep" >= $"ac" &&
+            $"dep" - $"af" <= maxWait)
+          .select($"dst".as("node"), $"d",
+            clsFloor($"ets").as("af"), clsCeil($"ets").as("ac"),
+            $"ets".as("a")))
+        val fresh = Lineage.settle(
+          cand.join(state, Seq("node", "d", "af", "ac"), "left_anti"))
+        n = fresh.count()
+        total += n
+        // merge the WHOLE round's candidates, not just class-novel
+        // ones: a known class re-reached with a smaller exact arrival
+        // improves the readout but cannot change traversal
+        // (successors are class-determined), so it never re-enters
+        // the frontier
+        val merged = Lineage.settle(
+          state.union(cand).groupBy($"node", $"d", $"af", $"ac")
+            .agg(min($"a").as("a")))
+        Lineage.release(state)
+        if (frontier ne state) Lineage.release(frontier)
+        state = merged
+        frontier = fresh
+      }
+      require(n == 0,
+        s"temporalBoundedWaitFastest did not converge in $maxIters rounds; " +
+          "raise maxIters")
+      if (frontier ne state) Lineage.release(frontier)
+      state.filter($"node" =!= seed)
+        .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
+    } }
   }
 
   /** Strongly-connected-component condensation of a DIRECTED graph

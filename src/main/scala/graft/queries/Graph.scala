@@ -1632,7 +1632,8 @@ object Graph {
     */
   private def handoffChain(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      maxWait: Option[Long] = None)
+      maxWait: Option[Long] = None,
+      arrivalSlack: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val fe = Tables(s, dir).events
@@ -1645,7 +1646,8 @@ object Graph {
     GraphAlgos.chainShortcuts(fe,
       partCols = Seq("event_type", "bkt"),
       ordCols = Seq("fts", "feid", "user_id"),
-      nodeCol = "user_id", tsCol = "ts_ms", maxLevel = 12, maxWait = maxWait)
+      nodeCol = "user_id", tsCol = "ts_ms", maxLevel = 12, maxWait = maxWait,
+      arrivalSlack = arrivalSlack)
   }
 
   private val graphTemporalReach = Q(
@@ -2070,6 +2072,163 @@ object Graph {
            |ORDER BY sweep""".stripMargin),
   )
 
+  /** ALL-NODES temporal reach via ANF over the temporal frontier
+    * ([[GraphAlgos.temporalAnfReach]]) — every user's time-respecting
+    * influence-set size from ONE O(|E|)-state iteration, where exact
+    * per-seed closures would cost a frontier loop per node. Runs on
+    * the SHORTCUT chain (plain composites — monotone semantics, so
+    * reachability is preserved and rounds collapse to O(log chain));
+    * the oracle rebuilds every node's HLL registers from the exact
+    * BASE-edge recursive closure with the same fnv63 register SQL as
+    * the static ANF gates. Register merge is exact set union, so the
+    * hash match proves the edge-sketch fixpoint computes precisely
+    * sketch(true reach set) for every node — approximation lives
+    * only in HLL's readout (documented ε ≈ 1.04/√4096 ≈ 1.6%), which
+    * both sides evaluate identically.
+    */
+  private val graphTemporalAnf = Q(
+    "q_graph_temporal_anf",
+    (s, dir) => {
+      import s.implicits._
+      val chain = handoffChain(s, dir)
+      GraphAlgos.temporalAnfReach(chain, "u", "v", "dep", "arr")
+        .select($"node",
+          call_function(graft.functions.HllRegisters.EvalName, $"regs").as("ev"))
+        .select($"node",
+          round($"ev.estimate", 4).cast("decimal(20,4)").as("reach_est"),
+          $"ev.nonzero_buckets".as("nonzero_buckets"),
+          $"ev.register_sum_scaled".as("reg_sum"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH RECURSIVE fe AS (
+            |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+            |         min(ts) AS fts, min(event_id) AS feid
+            |  FROM events GROUP BY 1, 2, 3),
+            |chain AS (
+            |  SELECT user_id AS u,
+            |         lead(user_id) OVER (PARTITION BY event_type, bkt
+            |                             ORDER BY fts, feid, user_id) AS v,
+            |         lead(fts) OVER (PARTITION BY event_type, bkt
+            |                         ORDER BY fts, feid, user_id) AS vts
+            |  FROM fe),
+            |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+            |      FROM chain WHERE v IS NOT NULL AND u <> v),
+            |labels AS (
+            |  SELECT e.u AS s, e.v AS node, e.ts AS a FROM e
+            |  UNION
+            |  SELECT l.s, e.v, e.ts
+            |  FROM labels l JOIN e ON e.u = l.node AND e.ts >= l.a),
+            |mem AS (SELECT DISTINCT s, node AS member FROM labels),
+            |dh AS MATERIALIZED (
+            |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
+            |  FROM (SELECT DISTINCT node AS member FROM labels)),
+            |regs AS (
+            |  SELECT m.s, ${Relational.fnv63Bucket("d.h")} AS bucket,
+            |         max(${Relational.fnv63RankOf(Relational.fnv63Tail("d.h"))}) AS r
+            |  FROM mem m JOIN dh d USING (member)
+            |  GROUP BY 1, 2),
+            |agg AS (
+            |  SELECT s,
+            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+            |              (4096 - count(*)) * 1073741824 AS BIGINT) AS reg_sum,
+            |         CAST(count(*) AS BIGINT) AS nonzero_buckets
+            |  FROM regs GROUP BY s)
+            |SELECT s AS node,
+            |       CAST(round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+            |             (reg_sum / 1073741824.0), 4) AS DECIMAL(20,4)) AS reach_est,
+            |       nonzero_buckets, reg_sum
+            |FROM agg
+            |ORDER BY node""".stripMargin),
+  )
+
+  /** The SEED × START-TIME PROFILE MATRIX from ONE frontier loop —
+    * the composition of round 11's two front-reuse tricks: the
+    * multi-seed shared loop (state keyed (seed, node), rounds = max
+    * diameter across seeds, not the sum) and the start-time
+    * restriction identity (front(T) = front(0) restricted to d ≥ T,
+    * applied per seed — dominance is inherited both ways inside the
+    * d ≥ T subset). [[GraphAlgos.temporalParetoLabelsMulti]] runs
+    * ONCE (fronts settled); the 3 seeds × 3 start times = 9 cells
+    * are filtered aggregates over the same frame, so the matrix
+    * costs one loop where the naive API pays nine. Cells where a
+    * (seed, T) pair reaches nothing stay present with zeros (the
+    * seed grid is crossed with the sweep grid, aggregates
+    * left-joined in). Oracle: the per-seed full unpruned label
+    * closure, filtered per start time — every cell's hash re-proves
+    * the restriction identity against an enumeration that never
+    * pruned, seed by seed.
+    */
+  private val graphTemporalMatrix = Q(
+    "q_graph_temporal_matrix",
+    (s, dir) => {
+      import s.implicits._
+      val chain = handoffChain(s, dir)
+      val seeds = chain.select($"u".as("nd")).union(chain.select($"v".as("nd")))
+        .distinct().orderBy($"nd").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val t0 = chain.agg(min($"dep".cast("long"))).head.getLong(0)
+      val fronts = graft.operators.Lineage.settle(
+        GraphAlgos.temporalParetoLabelsMulti(chain, "u", "v", "dep", "arr", seeds))
+      val grid = seeds.toDF("seed").crossJoin(
+        Seq((0, 0L), (1, 21600000L), (2, 43200000L)).toDF("sweep", "off"))
+        .select($"seed", $"sweep", ($"off" + t0).as("start_ms"))
+      val cells = Seq(0L, 21600000L, 43200000L).zipWithIndex.map { case (off, i) =>
+        fronts.filter($"d" >= t0 + off)
+          .groupBy($"seed", $"node").agg(min($"a" - $"d").as("fastest"))
+          .groupBy($"seed").agg(count(lit(1)).as("n_reached"),
+            sum($"fastest").as("sum_fastest"))
+          .select($"seed", lit(i).as("sweep"), $"n_reached", $"sum_fastest")
+      }.reduce(_ union _)
+      grid.join(cells, Seq("seed", "sweep"), "left")
+        .select($"seed", $"sweep", $"start_ms",
+          coalesce($"n_reached", lit(0L)).as("n_reached"),
+          coalesce($"sum_fastest", lit(0L)).as("sum_fastest"))
+        .orderBy($"seed", $"sweep")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |nodes AS (SELECT DISTINCT nd FROM (
+           |  SELECT u AS nd FROM e UNION ALL SELECT v AS nd FROM e)),
+           |sd AS (SELECT nd AS s FROM nodes ORDER BY nd LIMIT 3),
+           |labels AS (
+           |  SELECT sd.s, e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT l.s, e.v, l.d, e.ts
+           |  FROM labels l JOIN e ON e.u = l.node AND e.ts >= l.a),
+           |t0 AS (SELECT min(ts) AS t FROM e),
+           |sweep AS (
+           |  SELECT 0 AS k, 0 AS off
+           |  UNION ALL SELECT 1, 21600000
+           |  UNION ALL SELECT 2, 43200000),
+           |fr AS (
+           |  SELECT l.s, sw.k, l.node, min(l.a - l.d) AS fastest
+           |  FROM labels l, sweep sw, t0
+           |  WHERE l.d >= t0.t + sw.off AND l.node <> l.s
+           |  GROUP BY l.s, sw.k, l.node),
+           |agg AS (
+           |  SELECT s, k, count(*) AS c, sum(fastest) AS sf
+           |  FROM fr GROUP BY s, k)
+           |SELECT sd.s AS seed, CAST(sw.k AS INTEGER) AS sweep,
+           |       CAST(t0.t + sw.off AS BIGINT) AS start_ms,
+           |       CAST(coalesce(agg.c, 0) AS BIGINT) AS n_reached,
+           |       CAST(coalesce(agg.sf, 0) AS BIGINT) AS sum_fastest
+           |FROM sd CROSS JOIN sweep sw CROSS JOIN t0
+           |LEFT JOIN agg ON agg.s = sd.s AND agg.k = sw.k
+           |ORDER BY seed, sweep""".stripMargin),
+  )
+
   /** The quantizeDepartures knob UNDER THE DRIVER HASH — not just
     * spec-pinned: [[graphTemporalBwFastest]] with seed departures
     * floored to 1-hour buckets (`quantizeDepartures = 3 600 000 ms`),
@@ -2114,6 +2273,67 @@ object Graph {
            |  SELECT e.v, labels.d, e.ts
            |  FROM labels JOIN e ON e.u = labels.node
            |   AND e.ts >= labels.a AND e.ts - labels.a <= 2000000)
+           |SELECT node, CAST(min(a - d) AS BIGINT) AS fastest
+           |FROM labels WHERE node <> (SELECT s FROM sd)
+           |GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
+  /** The quantizeArrivals knob UNDER THE DRIVER HASH — the ARRIVAL-
+    * side state lever ([[GraphAlgos.temporalBoundedWaitFastest]]
+    * `quantizeArrivals = 600 000 ms`), the axis the departure knob
+    * cannot touch (measured at sf1: label growth is arrival-
+    * dominated). Semantics are the g-SLACK closure — edge usable iff
+    * `dep ≥ ceil_g(a) ∧ dep ≤ floor_g(a) + W` — which is
+    * deterministic and exactly enumerable, so the oracle walks the
+    * full recursive label closure over BASE edges with the SAME
+    * tightened predicate in SQL (`ceil`/`floor` spelled in modular
+    * arithmetic at the join), while the Spark side runs class-keyed
+    * state over g-slack-GATED shortcut edges (chainShortcuts
+    * `arrivalSlack` — interior waits checked with the identical
+    * predicate at composition time). The hash match therefore proves
+    * three things at once: the class-collapse is exact for the
+    * g-slack semantics, min-arrival merging across rounds loses
+    * nothing, and the slack-gated shortcuts preserve the fixpoint.
+    * Every reported duration is a REAL wait-bounded path's (the
+    * predicate only forbids), so this coarsening never invents
+    * reachability — the honest trade is completeness only for paths
+    * with per-hop slack ≥ g.
+    */
+  private val graphTemporalBwFastestArrQuantized = Q(
+    "q_graph_temporal_bw_fastest_aq",
+    (s, dir) => {
+      import s.implicits._
+      val w = 2000000L
+      val g = 600000L
+      val chain = handoffChain(s, dir, maxWait = Some(w), arrivalSlack = Some(g))
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      GraphAlgos.temporalBoundedWaitFastest(chain, "u", "v", "dep", "arr",
+        seed, w, quantizeArrivals = Some(g))
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |labels AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, labels.d, e.ts
+           |  FROM labels JOIN e ON e.u = labels.node
+           |   AND e.ts >= labels.a + ((600000 - labels.a % 600000) % 600000)
+           |   AND e.ts - (labels.a - (labels.a % 600000)) <= 2000000)
            |SELECT node, CAST(min(a - d) AS BIGINT) AS fastest
            |FROM labels WHERE node <> (SELECT s FROM sd)
            |GROUP BY node
@@ -2196,5 +2416,6 @@ object Graph {
     graphSccEntity, graphTemporalReach, graphTemporalInfluence,
     graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile, graphTemporalBwFastest,
     graphTemporalMultiCloseness, graphTemporalBwFastestQuantized, graphTemporalProfileSweep,
+    graphTemporalBwFastestArrQuantized, graphTemporalMatrix, graphTemporalAnf,
     graphSccEntityDag)
 }

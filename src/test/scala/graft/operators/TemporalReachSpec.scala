@@ -556,4 +556,187 @@ class TemporalReachSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("seed × start-time matrix: the shared multi-seed fronts restricted " +
+    "to d >= T equal per-(seed, T) single-seed runs for every cell") {
+    val rnd = new scala.util.Random(233)
+    for (trial <- 1 to 2) {
+      val n = 10 + rnd.nextInt(6)
+      val edges = (1 to 5 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(40).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      val seeds = Seq(0L, 1L, 2L)
+      val fronts = GraphAlgos.temporalParetoLabelsMulti(
+        edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      for (t <- Seq(0L, 10L, 25L); s <- seeds) {
+        val cell = fronts.filter(f => f._1 == s && f._3 >= t)
+          .groupBy(_._2).view
+          .mapValues(ls => ls.map(l => l._4 - l._3).min).toMap
+        assert(cell == fastest(edges, s, startTs = t),
+          s"trial $trial seed $s T=$t")
+      }
+    }
+  }
+
+  test("temporalAnfReach: the edge-sketch fixpoint's registers equal a " +
+    "direct sketch of the exact temporal reach set, node for node") {
+    val rnd = new scala.util.Random(307)
+    for (trial <- 1 to 2) {
+      val n = 9 + rnd.nextInt(5)
+      val edges = (1 to 5 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(25).toLong + 1L)
+      }.filter(e => e._1 != e._2).distinct
+      // exact per-source reach set (≥ 1 hop; source itself only via a
+      // temporal cycle), by sequential label closure
+      def reachSet(s: Long): Set[Long] = {
+        val labels = scala.collection.mutable.Set.empty[(Long, Long)]
+        for ((u, v, t) <- edges if u == s) labels += ((v, t))
+        var changed = true
+        while (changed) {
+          changed = false
+          for ((u, v, t) <- edges; (nd, a) <- labels.toSeq
+               if nd == u && t >= a)
+            if (!labels.contains((v, t))) { labels += ((v, t)); changed = true }
+        }
+        labels.map(_._1).toSet
+      }
+      val out = GraphAlgos.temporalAnfReach(
+        edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts")
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("regs")).toMap
+      graft.functions.HllRegisters.register(spark)
+      val sources = edges.map(_._1).distinct
+      val direct = sources.flatMap(s => reachSet(s).toSeq.map(m => (s, m)))
+        .toDF("node", "member")
+        .select($"node", org.apache.spark.sql.functions.call_function(
+          graft.functions.HllRegisters.InitName,
+          $"member".cast("string")).as("regs"))
+        .groupBy($"node").agg(org.apache.spark.sql.functions.call_function(
+          graft.functions.HllRegisters.MergeName, $"regs").as("regs"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(out.keySet == direct.keySet, s"trial $trial")
+      out.foreach { case (nd, regs) =>
+        assert(java.util.Arrays.equals(regs, direct(nd)),
+          s"trial $trial node $nd registers differ")
+      }
+    }
+  }
+
+  /** Sequential g-slack closure: exact (d, a) labels under the
+    * TIGHTENED usability predicate dep ≥ ceil_g(a) ∧ dep ≤
+    * floor_g(a) + w — the deterministic semantics quantizeArrivals
+    * implements with class-keyed state.
+    */
+  private def seqBwFastestGSlack(
+      edges: Seq[(Long, Long, Long)], seed: Long, w: Long, g: Long): Map[Long, Long] = {
+    def fl(a: Long) = a - math.floorMod(a, g)
+    def ce(a: Long) = a + math.floorMod(-a, g)
+    val labels = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long)]].withDefaultValue(Set.empty)
+    for ((u, v, t) <- edges if u == seed && t >= 0) labels(v) += ((t, t))
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((u, v, t) <- edges; (d, a) <- labels(u)
+           if t >= ce(a) && t <= fl(a) + w)
+        if (!labels(v).contains((d, t))) { labels(v) += ((d, t)); changed = true }
+    }
+    labels.filter(_._1 != seed)
+      .map { case (n, ls) => n -> ls.map(p => p._2 - p._1).min }.toMap
+  }
+
+  private def bwaFastest(
+      edges: Seq[(Long, Long, Long)], w: Long, g: Long): Map[Long, Long] =
+    GraphAlgos.temporalBoundedWaitFastest(
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", 1L, w,
+      quantizeArrivals = Some(g))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("quantizeArrivals: the class-keyed loop equals the exact g-slack " +
+    "closure label for label, and every report is a real wait-bounded path") {
+    val rnd = new scala.util.Random(173)
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = (1 to 5 * n).map { _ =>
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L,
+          rnd.nextInt(60).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      val w = 8L + rnd.nextInt(10)
+      val g = 2L + rnd.nextInt(4)
+      val out = bwaFastest(edges, w, g)
+      assert(out === seqBwFastestGSlack(edges, 1L, w, g), s"trial $trial g=$g w=$w")
+      // one-sided soundness: the predicate only forbids, so every
+      // reported node is exact-reachable and no duration beats exact
+      val exact = seqBwFastest(edges, 1L, w)
+      out.foreach { case (node, dur) =>
+        assert(exact.contains(node) && dur >= exact(node),
+          s"trial $trial node $node: g-slack $dur vs exact ${exact.get(node)}")
+      }
+    }
+  }
+
+  test("quantizeArrivals on grid-aligned data is bit-identical to exact " +
+    "(grid arrivals have ceil = floor = a, so the predicate never tightens)") {
+    val rnd = new scala.util.Random(211)
+    val g = 5L
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = (1 to 5 * n).map { _ =>
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L,
+          (rnd.nextInt(20).toLong + 1L) * g)
+      }.filter(e => e._1 != e._2)
+      val w = 3L + rnd.nextInt(30) // w need NOT align to the grid
+      assert(bwaFastest(edges, w, g) === seqBwFastest(edges, 1L, w),
+        s"trial $trial w=$w")
+    }
+  }
+
+  test("quantizeArrivals collapses arrival classes: state the exact loop " +
+    "refuses under the label cap fits after the collapse, same answers") {
+    // 20 seed labels differing only in arrival (d = 10 for all):
+    // arrivals 101..120 fold into 5 g=10 classes
+    val dense = ((1L to 20L).map(i => (1L, 2L, 10L, 100L + i)) :+
+      ((2L, 3L, 300L, 300L))).toDF("u", "v", "dep", "arr")
+    def run(qa: Option[Long]) =
+      GraphAlgos.temporalBoundedWaitFastest(
+        dense, "u", "v", "dep", "arr", 1L, 500L, quantizeArrivals = qa)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val key = "spark.graft.temporalLabelMaxRows"
+    spark.conf.set(key, "5")
+    try {
+      val ex = intercept[IllegalArgumentException](run(None))
+      assert(ex.getMessage.contains("temporalLabelMaxRows"))
+      assert(ex.getMessage.contains("quantizeArrivals"))
+      assert(run(Some(10L)) == Map(2L -> 91L, 3L -> 290L))
+    } finally spark.conf.unset(key)
+    // and the collapse changed nothing here: slack ≥ g at every hop
+    assert(run(None) == Map(2L -> 91L, 3L -> 290L))
+  }
+
+  test("g-slack-gated shortcuts preserve the g-slack fixpoint; wait-only " +
+    "gating contracts a slack-violating wait and overstates it") {
+    // chain at ts 10, 21, 25, 40 with g = 10: the wait 21 → 25 sits
+    // inside a grid cell (ceil(21) = 30 > 25) — g-slack forbids it
+    // though the wait itself (4) is far under the bound
+    val rows = Seq(("g", 1L, 1L, 10L), ("g", 2L, 2L, 21L),
+      ("g", 3L, 3L, 25L), ("g", 4L, 4L, 40L))
+      .toDF("grp", "ord", "node", "ts")
+    val w = 100L
+    val g = 10L
+    val base = Seq((1L, 2L, 21L), (2L, 3L, 25L), (3L, 4L, 40L))
+    val expect = seqBwFastestGSlack(base, 1L, w, g)
+    assert(expect.keySet == Set(2L), s"fixture: $expect")
+    def via(shortcuts: org.apache.spark.sql.DataFrame) =
+      GraphAlgos.temporalBoundedWaitFastest(
+        shortcuts, "u", "v", "dep", "arr", 1L, w, quantizeArrivals = Some(g))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slackGated = GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"),
+      "node", "ts", maxLevel = 2, maxWait = Some(w), arrivalSlack = Some(g))
+    assert(via(slackGated) === expect)
+    // negative control: wait-only composites hide the violating hop
+    val waitOnly = GraphAlgos.chainShortcuts(rows, Seq("grp"), Seq("ord"),
+      "node", "ts", maxLevel = 2, maxWait = Some(w))
+    assert(via(waitOnly).keySet.size > expect.size,
+      "wait-only shortcuts should (wrongly) reach past the slack violation")
+  }
 }

@@ -799,6 +799,72 @@ object Dedup {
            |ORDER BY event_id""".stripMargin),
   )
 
+  /** STREAMING MinHash-LSH candidate generation — the stream twin of
+    * q_dedup_minhash_lsh, closing the last batch-only dedup family:
+    * the shingle → signature → band pipeline is per-row NARROW
+    * (shingleArrays / minhashSignature / minhashBands are maps and
+    * generators, no aggregation), so it runs unchanged on the
+    * document stream; the only stateful op is the band-bucket
+    * accumulation, a complete-mode (band, band_hash) aggregation
+    * whose per-bucket state is the doc-id set — the grouped-KS state
+    * shape: O(#distinct buckets) rows, each bounded by the same
+    * saturation cap the batch candidate join enforces (buckets wider
+    * than the cap are boilerplate collisions, dropped whole at
+    * finish; in production the in-state list would be capped with the
+    * same constant). The FINISH is the batch verify reused: explode
+    * each surviving bucket's sorted doc list into a < b pairs,
+    * distinct across bands, then exact Jaccard ≥ 0.8 against the
+    * stored corpus — identical semantics, identical oracle, to the
+    * batch gate, so the hash match proves the incremental bucket
+    * state converges to exactly the batch banding.
+    */
+  private val streamDedupLsh = Q(
+    "q_stream_dedup_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_dedup_lsh_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val sch = Tables(s, dir).documents.schema
+        def src = Tables.streamTable(s, dir, "documents", sch)
+        val bands = TextDedup.minhashBands(
+          TextDedup.minhashSignature(
+            TextDedup.shingleArrays(src.select($"doc_id", $"text"), 3), 8),
+          8, 2)
+        val buckets = bands
+          .groupBy($"band", $"band_hash")
+          .agg(sort_array(collect_set($"doc_id")).as("docs"))
+        val query = buckets.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // batch finish on the materialized bucket state: cap, pair, verify
+      val docs = col("docs")
+      val pairs = s.table(sinkName)
+        .filter(size(docs) >= 2 && size(docs) <= TextDedup.DefaultMaxBucket)
+        .select(explode(flatten(transform(docs, (x, i) =>
+          transform(slice(docs, i + 2, size(docs)),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select($"p.doc_a", $"p.doc_b")
+        .distinct()
+      val arr = TextDedup.shingleArrays(Tables(s, dir).documents, 3).persist()
+      val sh = arr.select($"doc_id", explode($"shs").as("sh"))
+      val cnt = arr.select($"doc_id", size($"shs").as("n"))
+      TextDedup.jaccard(pairs, sh, cnt).filter($"jaccard" >= 0.8)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("WITH " + minhashPairsCtes(0.8) + """
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
   /** Span-level exact dedup (Lee et al.-style repeated substrings,
     * distributed as a k-gram inverted index — see
     * `TextDedup.crossDocRepeatedSpans`): maximal runs of word
@@ -1163,6 +1229,6 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, minhashLsh, canonical, canonicalChain,
     splitLeakageSafe, simhashPairs,
     ngramJaccard, prefixFilter, embeddingCosine, embeddingCosineBlocked, semDedup, streamExact,
-    streamDedupWatermarked, substringSpans, normalizedDedup, incremental,
-    containment, lshRecall)
+    streamDedupWatermarked, streamDedupLsh, substringSpans, normalizedDedup,
+    incremental, containment, lshRecall)
 }

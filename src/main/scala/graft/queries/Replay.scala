@@ -1118,8 +1118,134 @@ object Replay {
            |ORDER BY seq""".stripMargin),
   )
 
+  /** [[streamLiveLoopbackWs]] with the LAST wire layer added: the
+    * server listens on an `SSLServerSocket` keyed by a keystore
+    * generated fresh at gate runtime (JDK keytool, no embedded
+    * certificate material — [[graft.sources.TlsLoopback]]), and the
+    * Structured Streaming source connects with a pinned-trust client
+    * `SSLContext` (`tlsTruststore` option), so the full reference
+    * stack — TCP → TLS handshake → HTTP Upgrade → masked RFC 6455
+    * frames → subscribe → delivery — runs end to end under the
+    * driver hash (`connection.rs:80-135`'s `wss://` connect shape,
+    * now with zero environment-bound residue above the DNS name).
+    */
+  private val streamLiveLoopbackWss = Q(
+    "q_stream_live_loopback_wss",
+    (s, _) => {
+      import s.implicits._
+      import graft.sources.{TlsLoopback, WsCodec}
+      val nFrames = 60
+      val (ksPath, ksPass) = TlsLoopback.genKeystore()
+      val server = TlsLoopback.serverContext(ksPath, ksPass)
+        .getServerSocketFactory.createServerSocket(
+          0, 16, java.net.InetAddress.getLoopbackAddress)
+      val acceptor = new Thread(() => {
+        try {
+          while (true) {
+            val sock = server.accept() // TLS handshake runs on first IO
+            val t = new Thread(() => {
+              try {
+                val in = sock.getInputStream
+                val out = sock.getOutputStream
+                val hdr = new java.io.ByteArrayOutputStream
+                var done = false
+                while (!done) {
+                  val b = in.read()
+                  if (b < 0) throw new java.io.IOException("eof in handshake")
+                  hdr.write(b)
+                  val a = hdr.toByteArray; val n = a.length
+                  done = n >= 4 && a(n - 4) == '\r' && a(n - 3) == '\n' &&
+                    a(n - 2) == '\r' && a(n - 1) == '\n'
+                }
+                val req = new String(hdr.toByteArray,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                val key = req.linesIterator
+                  .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+                  .map(_.split(":", 2)(1).trim).get
+                out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+                  "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+                  s"Sec-WebSocket-Accept: ${WsCodec.acceptKey(key)}\r\n\r\n")
+                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+                out.flush()
+                var buf = Array.emptyByteArray
+                def readFrame(): Option[(Int, Array[Byte])] = {
+                  while (true) {
+                    WsCodec.decodeFrame(buf, 0) match {
+                      case Some((_, op, payload, used)) =>
+                        buf = buf.drop(used)
+                        return Some((op, payload))
+                      case None =>
+                        val tmp = new Array[Byte](4096)
+                        val k = in.read(tmp)
+                        if (k < 0) return None
+                        buf = buf ++ tmp.take(k)
+                    }
+                  }
+                  None
+                }
+                if (readFrame().exists(_._1 == WsCodec.OpText)) {
+                  (1 to nFrames).foreach { i =>
+                    out.write(WsCodec.encodeFrame(WsCodec.OpText,
+                      s"""{"seq":$i}""".getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8), None))
+                  }
+                  out.flush()
+                  sock.setSoTimeout(500)
+                  try {
+                    var live = true
+                    while (live) live = readFrame().exists(_._1 != WsCodec.OpClose)
+                  } catch { case _: Exception => () }
+                }
+              } catch { case _: Exception => () }
+              finally { try sock.close() catch { case _: Exception => () } }
+            })
+            t.setDaemon(true); t.start()
+          }
+        } catch { case _: Exception => () }
+      }, "graft-live-wss-gate-server")
+      acceptor.setDaemon(true)
+      acceptor.start()
+      val sinkName = "graft_stream_live_loopback_wss_sink"
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      try {
+        val stream = s.readStream
+          .format("graft.sources.GraftFeedProvider")
+          .option("host", "127.0.0.1")
+          .option("port", server.getLocalPort.toString)
+          .option("assets", "T1,T2,T3")
+          .option("framing", "ws")
+          .option("tlsTruststore", ksPath)
+          .option("tlsStorePass", ksPass)
+          .option("idlePaceMs", "5")
+          .load()
+        val query = stream.writeStream
+          .format("memory").queryName(sinkName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+          .start()
+        try {
+          val deadline = System.currentTimeMillis() + 60000
+          var seqs = 0L
+          while (seqs < nFrames && System.currentTimeMillis() < deadline) {
+            Thread.sleep(200)
+            seqs = s.table(sinkName)
+              .select(get_json_object($"value", "$.seq"))
+              .distinct().count()
+          }
+        } finally query.stop()
+        s.table(sinkName)
+          .select(get_json_object($"value", "$.seq").cast("long").as("seq"))
+          .distinct()
+          .orderBy($"seq")
+      } finally server.close()
+    },
+    Some("""SELECT CAST(x + 1 AS BIGINT) AS seq
+           |FROM range(60) t(x)
+           |ORDER BY seq""".stripMargin),
+  )
+
   val all: Seq[Q] = Seq(
-    streamLiveLoopback, streamLiveLoopbackWs, sourceMarketsHttp,
+    streamLiveLoopback, streamLiveLoopbackWs, streamLiveLoopbackWss, sourceMarketsHttp,
     streamIngestMetrics,
     streamSinkExactlyOnce,
     sinkJsonlRoundtrip,

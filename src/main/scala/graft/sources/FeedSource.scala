@@ -386,6 +386,11 @@ class GraftLiveFeedStream(options: CaseInsensitiveStringMap)
       idlePaceMs = options.getLong("idlePaceMs", 500L),
       errorBackoffUnitMs = options.getLong("errorBackoffUnitMs", 1000L),
       wsFraming = Option(options.get("framing")).contains("ws"),
+      // wss://: a truststore path pins the server cert; the TLS layer
+      // wraps the socket beneath whichever framing is selected
+      sslContext = Option(options.get("tlsTruststore")).map(p =>
+        TlsLoopback.clientContext(p,
+          Option(options.get("tlsStorePass")).getOrElse("loopback"))),
     )
     LiveFeedRegistry.create(key)
     val c = new LiveFeedClient(assets, cfg)

@@ -50,6 +50,14 @@ object LiveFeed {
         * lifecycle runs identically over either channel.
         */
       wsFraming: Boolean = false,
+      /** TLS (`wss://`): wrap the TCP socket in this context before
+        * the channel's handshake — with [[wsFraming]] this is the
+        * reference's complete wire stack (TCP → TLS → HTTP Upgrade →
+        * RFC 6455 frames, `connection.rs:80-135`). Reconnects rerun
+        * the FULL stack: fresh TCP connect, fresh TLS handshake,
+        * fresh ws Upgrade.
+        */
+      sslContext: Option[javax.net.ssl.SSLContext] = None,
   )
 
   /** Client-level events, the reference's `FeedEvent` (`mod.rs`):
@@ -117,9 +125,24 @@ private[sources] final class LiveConnection(
     close()
     shutdown = false
     try {
-      val s = new Socket()
-      s.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.initialReadTimeoutMs)
-      s.setSoTimeout(cfg.initialReadTimeoutMs)
+      val s0 = new Socket()
+      s0.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.initialReadTimeoutMs)
+      s0.setSoTimeout(cfg.initialReadTimeoutMs)
+      // TLS layers UNDER the framing channel: the SSLSocket wraps the
+      // connected TCP socket and handshakes eagerly (under the initial
+      // timeout), so WsChannel's Upgrade bytes ride the encrypted
+      // stream — the wss:// stack, each layer explicit
+      val s = cfg.sslContext match {
+        case Some(ctx) =>
+          val tls = ctx.getSocketFactory
+            .createSocket(s0, cfg.host, cfg.port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          tls.setSoTimeout(cfg.initialReadTimeoutMs)
+          tls.setUseClientMode(true)
+          tls.startHandshake()
+          tls
+        case None => s0
+      }
       // the channel is the framing layer: WsChannel runs the RFC 6455
       // Upgrade handshake in its constructor (under the initial
       // timeout), LineChannel is plain NDJSON

@@ -71,8 +71,11 @@ class WsFramesSpec extends AnyFunSuite {
     * Records every client text payload; `behavior` drives the serve
     * side per connection.
     */
-  private final class WsLoopbackServer(behavior: (Int, String, WsServerIo) => Unit) {
-    private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  private final class WsLoopbackServer(
+      behavior: (Int, String, WsServerIo) => Unit,
+      makeServer: () => ServerSocket =
+        () => new ServerSocket(0, 16, InetAddress.getLoopbackAddress)) {
+    private val server = makeServer()
     val port: Int = server.getLocalPort
     val subscribes = new ConcurrentLinkedQueue[String]()
     val clientTexts = new ConcurrentLinkedQueue[String]()
@@ -300,6 +303,47 @@ class WsFramesSpec extends AnyFunSuite {
     } finally {
       client.stop()
       server.close()
+    }
+  }
+
+  test("wss: lifecycle and reconnect over real TLS — fresh TLS + ws " +
+    "handshake per reopen; pinned trust rejects a foreign certificate") {
+    val (ksPath, ksPass) = TlsLoopback.genKeystore()
+    val sctx = TlsLoopback.serverContext(ksPath, ksPass)
+    def tlsServer(behavior: (Int, String, WsServerIo) => Unit) =
+      new WsLoopbackServer(behavior, () => sctx.getServerSocketFactory
+        .createServerSocket(0, 16, InetAddress.getLoopbackAddress))
+    val server = tlsServer({ (idx, _, io) =>
+      if (idx == 0) io.sendText("""{"seq":1}""") // then return → close
+      else { io.sendText("""{"seq":2}"""); io.listen(1500) }
+    })
+    val client = new LiveFeedClient(Seq("E1"), cfg(server.port)
+      .copy(sslContext = Some(TlsLoopback.clientContext(ksPath, ksPass))))
+    try {
+      client.start()
+      val msgs = drainMessages(client, 2, 10000)
+      assert(msgs.toSet == Set("""{"seq":1}""", """{"seq":2}"""), s"got $msgs")
+      assert(server.connectionsSeen >= 2,
+        "the server drop must reopen through a fresh TLS + ws handshake")
+    } finally {
+      client.stop()
+      server.close()
+    }
+    // pinned trust is load-bearing: a client trusting a DIFFERENT
+    // fresh keystore must fail the TLS handshake and deliver nothing
+    val (otherKs, otherPass) = TlsLoopback.genKeystore()
+    val server2 = tlsServer({ (_, _, io) =>
+      io.sendText("""{"seq":9}"""); io.listen(300)
+    })
+    val bad = new LiveFeedClient(Seq("E1"), cfg(server2.port)
+      .copy(sslContext = Some(TlsLoopback.clientContext(otherKs, otherPass))))
+    try {
+      bad.start()
+      val got = drainMessages(bad, 1, 1500)
+      assert(got.isEmpty, s"untrusted certificate must not deliver: $got")
+    } finally {
+      bad.stop()
+      server2.close()
     }
   }
 

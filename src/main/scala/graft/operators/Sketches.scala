@@ -223,7 +223,10 @@ object Sketches {
     exact.crossJoin(broadcast(sk.select(col("delta"))))
       .filter(col("cnt") > col("delta"))
       // global window over ≤ 64 surviving candidates — bounded by K,
-      // a structural constant, not the corpus
+      // a structural constant, not the corpus, so WindowExec's "No
+      // Partition Defined" warning is vacuous here (a literal
+      // partition key does not silence it — Spark 4 folds foldable
+      // partition expressions away before WindowExec sees them)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cnt").desc, col("item"))))
       .filter(col("rank") <= k)

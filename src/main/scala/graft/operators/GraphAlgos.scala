@@ -1429,38 +1429,48 @@ object GraphAlgos {
     * per-seed fan-out — the operator a 100-TB temporal graph
     * actually runs for influence profiling.
     *
-    * State is one 4 KiB register binary per EDGE, not per (source ×
-    * node) pair: H(e) for e = (u→x, dep, arr) sketches the node set
-    * reachable from u when the FIRST hop is e. The recursion
-    *   H(e) = {x} ∪ ⋃ { H(e′) : e′ leaves x with dep′ ≥ arr }
+    * State is one 4 KiB register binary per (node, BREAKPOINT) — a
+    * breakpoint is one of the node's distinct out-edge departures, so
+    * state rows number the BASE chain rows, not the (shortcut-
+    * multiplied) edge count, and not |V|·|E|. S(x, b) sketches the
+    * node set reachable from x by a chronological path whose first
+    * hop departs ≥ b; the recursion
+    *   S(x, b) = ⋃ { {y} ∪ S(y, pb(e)) : e = (x→y, dep ≥ b, arr) }
     * needs no source column because a path's feasibility depends
-    * only on its own hop chronology — that is what makes the state
-    * O(|E|) instead of O(|V|·|E|). Register merge is EXACT set
-    * union (HllRegisters' contract), so the fixpoint registers equal
-    * a direct sketch of the true reach set bit for bit — the
-    * property the gate oracle checks by rebuilding every register
-    * from the exact recursive closure; the only approximation is
-    * HLL's own readout (ε ≈ 1.04/√4096 ≈ 1.6% standard error).
+    * only on its own hop chronology. pb(e) — the smallest breakpoint
+    * of y at or after e's arrival — is STATIC, computed once as an
+    * interleaved-window as-of over longs (no payload), which turns
+    * every round's suffix lookup into a plain (node, breakpoint)
+    * EQUI-join. Register merge is EXACT set union (HllRegisters'
+    * contract), so the fixpoint registers equal a direct sketch of
+    * the true reach set bit for bit — the property the gate oracle
+    * checks by rebuilding every register from the exact recursive
+    * closure; the only approximation is HLL's own readout
+    * (ε ≈ 1.04/√m). `registerWidth` (m, default 4096) is the COST
+    * knob: the register binary is the unit every round moves, so
+    * m = 512 cuts the iteration's bytes 8× at ε ≈ 4.6 % — the
+    * setting a reach-profiling deployment actually runs
+    * ([[graft.functions.HllRegistersM]]; at m = 4096 the bytes are
+    * identical to the fixed-width family).
     *
-    * The round is ONE window pass, not an in×out pair join (a pair
-    * join would move in(x)·out(x) register payloads per node — the
-    * 4 KiB payload makes that the shuffle bottleneck; measured 169×
-    * the necessary volume on the hand-off chains): per node, the
-    * suffix-merge ⋃{H(e′) : dep′ ≥ t} is a RUNNING window aggregate
-    * over out-edges sorted by dep descending, and interleaving each
-    * in-edge's query row (t = its arr, regs = null — the merge
-    * ignores nulls, and an empty suffix merges as the identity
-    * all-zero register) into the same window reads the suffix
-    * exactly at its threshold: |E_out| + |E_in| rows per node, each
-    * carrying its payload ONCE. Convergence costs no register
-    * comparison join either: registers only grow, so the global
-    * register_sum_scaled (strictly decreasing per change) is stable
-    * iff every edge sketch is — one scalar aggregate per round.
-    * Rounds track the longest edge-successor chain; feeding
-    * [[chainShortcuts]] edges (plain, monotone semantics — shortcuts
-    * preserve reachability) collapses that to O(log chain) exactly
-    * as in the exact gates.
-    * Readout: per source, merge its out-edges' registers. Returns
+    * Round shape, chosen for what it does NOT move: the {y}
+    * singleton contributions pre-aggregate ONCE (static initAtDep,
+    * one row per (x, dep)); the only per-round payload movement is
+    * the equi-join's |E| pointer rows picking up their 4 KiB suffix
+    * sketch plus one (x, dep)-keyed merge (map-side combinable) —
+    * one payload shuffle per round, state settles at base-table
+    * size. (The first cut of this operator keyed state by EDGE and
+    * re-derived suffixes with an interleaved payload window per
+    * round; on the hand-off chains that moved ~8× the bytes —
+    * measured 70 s vs the shape here — and an in×out pair join
+    * would be ~170×.) Convergence costs no register comparison
+    * join: registers only grow, so the global register_sum_scaled
+    * (strictly decreasing per change) is stable iff the state is —
+    * one scalar aggregate per round. Rounds track the longest
+    * edge-successor chain; feeding [[chainShortcuts]] edges (plain,
+    * monotone semantics — shortcuts preserve reachability)
+    * collapses that to O(log chain) exactly as in the exact gates.
+    * Readout: each node's widest suffix S(x, min b). Returns
     * (node, regs) for every node with ≥ 1 out-edge; reach counts
     * nodes reachable via ≥ 1 hop (the source itself included only if
     * a temporal cycle returns to it).
@@ -1472,10 +1482,12 @@ object GraphAlgos {
       depCol: String,
       arrCol: String,
       maxIters: Int = 40,
+      registerWidth: Int = 4096,
   ): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    graft.functions.HllRegisters.register(spark)
+    graft.functions.HllRegistersM.register(spark)
+    graft.functions.HllRegistersM.checkWidth(registerWidth)
     val e = edges.select(col(uCol).cast("long").as("src"),
       col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
       col(arrCol).cast("long").as("ets"))
@@ -1485,62 +1497,94 @@ object GraphAlgos {
       .cutLineage()
     val nEdges = e.count()
     val dstInit = call_function(
-      graft.functions.HllRegisters.InitName, $"dst".cast("string")).as("regs")
+      graft.functions.HllRegistersM.InitName, $"dst".cast("string"),
+      lit(registerWidth)).as("regs")
     ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       val mergeOf = (c: Column) =>
-        call_function(graft.functions.HllRegisters.MergeName, c)
-      // monotone convergence witness: registers only grow under merge,
-      // so each edge's register_sum_scaled strictly decreases on any
-      // change — the global (decimal, overflow-safe) sum is stable iff
-      // the whole state is
-      def witness(df: DataFrame): java.math.BigDecimal = df
-        .agg(sum(call_function(graft.functions.HllRegisters.EvalName, $"regs")
-          .getField("register_sum_scaled").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
-      var h = Lineage.settle(
-        e.select($"eid", $"src", $"dep", dstInit))
-      var prev = witness(h)
-      var converged = false
-      var i = 0
-      while (!converged && i < maxIters) {
-        i += 1
-        // suffix-merge window: per node, out-edge sketch rows (isA=1)
-        // interleaved with in-edge query rows (isA=0, null regs) in
-        // dep/arr-descending order — the running merge AT a query row
-        // is exactly ⋃{H(e′) : dep′ ≥ its arr} (ties: A first, the
-        // bound is inclusive); an empty suffix is the all-zero
-        // register, the merge identity
-        val wSuf = org.apache.spark.sql.expressions.Window
-          .partitionBy($"xn").orderBy($"tt".desc, $"isA".desc)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val suffAtQuery = h
-          .select($"src".as("xn"), $"dep".as("tt"), lit(1).as("isA"),
-            $"regs", lit(null).cast("long").as("qid"))
-          .union(e.select($"dst".as("xn"), $"ets".as("tt"), lit(0).as("isA"),
-            lit(null).cast("binary").as("regs"), $"eid".as("qid")))
-          .withColumn("sregs", mergeOf($"regs").over(wSuf))
-          .filter($"isA" === 0)
-          .select($"qid".as("eid"), $"sregs".as("regs"))
-        val next = Lineage.settle(
-          e.select($"eid", dstInit)
-            .union(suffAtQuery)
-            .groupBy($"eid")
-            .agg(mergeOf($"regs").as("regs"))
-            .join(e.select($"eid", $"src", $"dep"), "eid")
-            .select($"eid", $"src", $"dep", $"regs"))
-        val cur = witness(next)
-        converged = cur == prev
-        prev = cur
-        Lineage.release(h)
-        h = next
+        call_function(graft.functions.HllRegistersM.MergeName, c)
+      val W = org.apache.spark.sql.expressions.Window
+      // STATIC pointer pass (longs only): pb(e) = the smallest
+      // breakpoint of e.dst at or after e.arr — an interleaved as-of
+      // window: breakpoint rows (isB=1, carrying their dep) and edge
+      // query rows (isB=0) scan time-descending, so the LAST
+      // breakpoint seen at a query row is the smallest one ≥ its arr
+      // (ties: breakpoints first — the bound is inclusive)
+      val bps = e.select($"src".as("pn"), $"dep".as("pb")).distinct()
+      val wAsof = W.partitionBy($"pn").orderBy($"tt".desc, $"isB".desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val ePtr = Lineage.settle(
+        bps.select($"pn", $"pb".as("tt"), lit(1).as("isB"),
+            $"pb", lit(null).cast("long").as("eid"))
+          .union(e.select($"dst".as("pn"), $"ets".as("tt"), lit(0).as("isB"),
+            lit(null).cast("long").as("pb"), $"eid"))
+          .withColumn("pbAt", last($"pb", ignoreNulls = true).over(wAsof))
+          .filter($"isB" === 0 && $"pbAt".isNotNull)
+          .select($"eid", $"pbAt"))
+      // pointer rows the rounds re-join: (src, dep) of the edge plus
+      // its (dst, pbAt) state key
+      val eq = Lineage.settle(e.join(ePtr, "eid")
+        .select($"src", $"dep", $"dst", $"pbAt"))
+      // static {y} contributions, pre-merged to one row per (x, dep)
+      val initAtDep = Lineage.settle(
+        e.select($"src", $"dep", dstInit)
+          .groupBy($"src", $"dep").agg(mergeOf($"regs").as("regs")))
+      // grouped (x, dep) contributions → suffix state S(x, b): running
+      // merge over the node's breakpoints, departure-descending
+      def suffixize(grouped: DataFrame): DataFrame = {
+        val w = W.partitionBy($"src").orderBy($"dep".desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        grouped.withColumn("regs", mergeOf($"regs").over(w))
       }
-      require(converged,
+      // per-row monotone change witness: registers only grow under
+      // merge, so a row's register_sum_scaled strictly decreases iff
+      // its registers changed — a LONG comparison, no binary diff
+      def withSum(df: DataFrame): DataFrame = df.withColumn("rsum",
+        call_function(graft.functions.HllRegistersM.EvalName, $"regs")
+          .getField("register_sum_scaled"))
+      // INCREMENTAL rounds (merge is idempotent + monotone, so stale
+      // contributions are already absorbed and never need re-sending):
+      // only state rows whose registers changed last round re-enter
+      // the equi-join — the per-round payload tracks the active front,
+      // which decays geometrically once the long chains saturate,
+      // instead of re-moving all |E| sketches every round
+      var grouped = initAtDep
+      var state = Lineage.settle(withSum(suffixize(initAtDep)))
+      var changed = state
+      var nChanged = changed.count()
+      var i = 0
+      while (nChanged > 0 && i < maxIters) {
+        i += 1
+        val contrib = eq
+          .join(changed.select($"src".as("qn"), $"dep".as("qb"), $"regs"),
+            $"dst" === $"qn" && $"pbAt" === $"qb")
+          .select($"src", $"dep", $"regs")
+        val g2 = Lineage.settle(
+          grouped.union(contrib)
+            .groupBy($"src", $"dep").agg(mergeOf($"regs").as("regs")))
+        val next = Lineage.settle(withSum(suffixize(g2)))
+        val ch = Lineage.settle(
+          next.join(state.select($"src", $"dep", $"rsum".as("prevSum")),
+            Seq("src", "dep"))
+            .filter($"rsum" < $"prevSum")
+            .select($"src", $"dep", $"regs"))
+        nChanged = ch.count()
+        if (grouped ne initAtDep) Lineage.release(grouped)
+        grouped = g2
+        if (changed ne state) Lineage.release(changed)
+        Lineage.release(state)
+        state = next
+        changed = ch
+      }
+      require(nChanged == 0,
         s"temporalAnfReach did not converge in $maxIters rounds; raise " +
           "maxIters (or feed chainShortcuts edges to collapse rounds)")
+      val s1 = state
+      // readout: the widest suffix per node, S(x, min b) = the full
+      // out-edge union — one row per node with ≥ 1 out-edge
       Lineage.settle(
-        h.groupBy($"src")
-          .agg(mergeOf($"regs").as("regs"))
+        s1.withColumn("__rn",
+            row_number().over(W.partitionBy($"src").orderBy($"dep".asc)))
+          .filter($"__rn" === 1)
           .select($"src".as("node"), $"regs"))
     }
   }

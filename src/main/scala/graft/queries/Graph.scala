@@ -2079,21 +2079,27 @@ object Graph {
     * the SHORTCUT chain (plain composites — monotone semantics, so
     * reachability is preserved and rounds collapse to O(log chain));
     * the oracle rebuilds every node's HLL registers from the exact
-    * BASE-edge recursive closure with the same fnv63 register SQL as
-    * the static ANF gates. Register merge is exact set union, so the
-    * hash match proves the edge-sketch fixpoint computes precisely
-    * sketch(true reach set) for every node — approximation lives
-    * only in HLL's readout (documented ε ≈ 1.04/√4096 ≈ 1.6%), which
-    * both sides evaluate identically.
+    * BASE-edge recursive closure with the fnv63 register SQL at the
+    * SAME width. Register merge is exact set union, so the hash match
+    * proves the edge-sketch fixpoint computes precisely sketch(true
+    * reach set) for every node — approximation lives only in HLL's
+    * readout, which both sides evaluate identically. The gate runs
+    * registerWidth = 512 (ε ≈ 1.04/√512 ≈ 4.6 %) — the iteration
+    * moves one register binary per active pointer per round, so the
+    * width is the dominant cost term and 512 is the setting a reach
+    * profile actually ships (8× fewer bytes than the 4096 the
+    * cardinality gates use); the oracle's bucket/tail/rank SQL uses
+    * the matching 9-bit split (h >> 54, 54-bit tail, rank cap 30).
     */
   private val graphTemporalAnf = Q(
     "q_graph_temporal_anf",
     (s, dir) => {
       import s.implicits._
       val chain = handoffChain(s, dir)
-      GraphAlgos.temporalAnfReach(chain, "u", "v", "dep", "arr")
+      GraphAlgos.temporalAnfReach(chain, "u", "v", "dep", "arr",
+        registerWidth = 512)
         .select($"node",
-          call_function(graft.functions.HllRegisters.EvalName, $"regs").as("ev"))
+          call_function(graft.functions.HllRegistersM.EvalName, $"regs").as("ev"))
         .select($"node",
           round($"ev.estimate", 4).cast("decimal(20,4)").as("reach_est"),
           $"ev.nonzero_buckets".as("nonzero_buckets"),
@@ -2123,18 +2129,21 @@ object Graph {
             |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
             |  FROM (SELECT DISTINCT node AS member FROM labels)),
             |regs AS (
-            |  SELECT m.s, ${Relational.fnv63Bucket("d.h")} AS bucket,
-            |         max(${Relational.fnv63RankOf(Relational.fnv63Tail("d.h"))}) AS r
+            |  SELECT m.s, (d.h >> 54) AS bucket,
+            |         max(least(CASE
+            |           WHEN (d.h & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 52
+            |           ELSE 55 - length(bin(d.h & ((CAST(1 AS BIGINT) << 54) - 1)))
+            |         END, 30)) AS r
             |  FROM mem m JOIN dh d USING (member)
             |  GROUP BY 1, 2),
             |agg AS (
             |  SELECT s,
             |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
-            |              (4096 - count(*)) * 1073741824 AS BIGINT) AS reg_sum,
+            |              (512 - count(*)) * 1073741824 AS BIGINT) AS reg_sum,
             |         CAST(count(*) AS BIGINT) AS nonzero_buckets
             |  FROM regs GROUP BY s)
             |SELECT s AS node,
-            |       CAST(round(0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0 /
+            |       CAST(round(0.7213 / (1 + 1.079 / 512.0) * 512.0 * 512.0 /
             |             (reg_sum / 1073741824.0), 4) AS DECIMAL(20,4)) AS reach_est,
             |       nonzero_buckets, reg_sum
             |FROM agg

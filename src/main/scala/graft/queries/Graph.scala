@@ -2349,6 +2349,61 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** BOTH quantization levers COMPOSED under one hash — the dense-
+    * deployment configuration: seed departures floored to 1-hour
+    * buckets (`quantizeDepartures`) AND the g-slack arrival predicate
+    * (`quantizeArrivals`, 10 min) in the same loop, state
+    * (node, d-bucket, arrival-class). The axes are independent by
+    * construction — d is never read by traversal, the g-slack
+    * predicate never reads d — so the composed semantics is exactly
+    * "the g-slack closure with floored seed departures", which is
+    * what the oracle enumerates (floor at the seed rows, tightened
+    * predicate at the recursion; each lever's oracle edit, applied
+    * together). The hash match pins the composition, not just the
+    * parts: a traversal that accidentally coupled the axes (e.g.
+    * read the floored d in the slack window) would diverge here
+    * while both single-lever gates stayed green.
+    */
+  private val graphTemporalBwFastestBothQuantized = Q(
+    "q_graph_temporal_bw_fastest_aqq",
+    (s, dir) => {
+      import s.implicits._
+      val w = 2000000L
+      val g = 600000L
+      val chain = handoffChain(s, dir, maxWait = Some(w), arrivalSlack = Some(g))
+      val seed = chain.agg(min(least($"u", $"v"))).head.getLong(0)
+      GraphAlgos.temporalBoundedWaitFastest(chain, "u", "v", "dep", "arr",
+        seed, w, quantizeDepartures = Some(3600000L), quantizeArrivals = Some(g))
+        .orderBy($"node")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |labels AS (
+           |  SELECT e.v AS node, (e.ts // 3600000) * 3600000 AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, labels.d, e.ts
+           |  FROM labels JOIN e ON e.u = labels.node
+           |   AND e.ts >= labels.a + ((600000 - labels.a % 600000) % 600000)
+           |   AND e.ts - (labels.a - (labels.a % 600000)) <= 2000000)
+           |SELECT node, CAST(min(a - d) AS BIGINT) AS fastest
+           |FROM labels WHERE node <> (SELECT s FROM sd)
+           |GROUP BY node
+           |ORDER BY node""".stripMargin),
+  )
+
   /** The condensation DAG of the per-entity SCC decomposition — what a
     * pipeline actually CONSUMES downstream of [[graphSccEntity]]:
     * collapse each strongly-connected community to its scc_id and keep
@@ -2426,5 +2481,5 @@ object Graph {
     graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile, graphTemporalBwFastest,
     graphTemporalMultiCloseness, graphTemporalBwFastestQuantized, graphTemporalProfileSweep,
     graphTemporalBwFastestArrQuantized, graphTemporalMatrix, graphTemporalAnf,
-    graphSccEntityDag)
+    graphTemporalBwFastestBothQuantized, graphSccEntityDag)
 }

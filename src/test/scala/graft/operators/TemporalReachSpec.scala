@@ -713,6 +713,29 @@ class TemporalReachSpec extends AnyFunSuite {
     assert(run(None) == Map(2L -> 91L, 3L -> 290L))
   }
 
+  test("quantizeArrivals state is DENSITY-INDEPENDENT: 9× more arrivals " +
+    "in the same window need no larger cap (the 2·range/g class bound), " +
+    "while exact state grows with density and raises at both") {
+    def fixture(n: Int) =
+      ((1L to n).map(i => (1L, 2L, 10L, 1000L + i)) :+
+        ((2L, 3L, 5000L, 5000L))).toDF("u", "v", "dep", "arr")
+    def run(n: Int, qa: Option[Long]) =
+      GraphAlgos.temporalBoundedWaitFastest(
+        fixture(n), "u", "v", "dep", "arr", 1L, 10000L, quantizeArrivals = qa)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val key = "spark.graft.temporalLabelMaxRows"
+    spark.conf.set(key, "30")
+    try {
+      for (n <- Seq(100, 900)) {
+        val ex = intercept[IllegalArgumentException](run(n, None))
+        assert(ex.getMessage.contains("temporalLabelMaxRows"), s"n=$n")
+        // classes ≤ 2·(arrival range)/g + 1 ≈ 19 for the 900-wide
+        // window at g = 100 — the SAME bound at every density
+        assert(run(n, Some(100L)) == Map(2L -> 991L, 3L -> 4990L), s"n=$n")
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("g-slack-gated shortcuts preserve the g-slack fixpoint; wait-only " +
     "gating contracts a slack-violating wait and overstates it") {
     // chain at ts 10, 21, 25, 40 with g = 10: the wait 21 → 25 sits

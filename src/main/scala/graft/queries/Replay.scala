@@ -1244,8 +1244,106 @@ object Replay {
            |ORDER BY seq""".stripMargin),
   )
 
+  /** S6 over the REAL GCS wire protocol (minus only hostname + OAuth):
+    * the fixture hour logs are served by an in-gate JSON-API object
+    * store (paginated listing, percent-encoded media paths, daemon
+    * executor), DISCOVERED via `GcsJsonClient.listObjects` (the S7
+    * hourly-discovery shape on the wire), fetched through
+    * `HourCache.fetchMissing`'s 4-wide batches with the protocol
+    * fetcher into a cleaned cache dir, and then run through the SAME
+    * scan→parse→fold pipeline as q_replay_fixture_ticks — same
+    * oracle, so the hash covers listing, pagination, the %2F media
+    * path, byte-exact transfer, the cache partition, and the replay
+    * in one gate. This moves S6 from spec-covered to DRIVER-VERIFIED
+    * over real HTTP (the r11 S3/S4 move, applied to the object
+    * store); the residue is the `storage.googleapis.com` endpoint
+    * itself.
+    */
+  private val sourceGcsHttp = Q(
+    "q_source_gcs_http",
+    (s, _) => {
+      FixtureOracle.ensureDumps(s)
+      val srcPaths = FixtureLog.write(FixtureOracle.batchSpec)
+      val byName = srcPaths.map { p =>
+        val f = new java.io.File(p)
+        s"raw/${f.getName}" -> java.nio.file.Files.readAllBytes(f.toPath)
+      }.toMap
+      val names = byName.keys.toSeq.sorted
+      def daemonPool(n: Int) = java.util.concurrent.Executors.newFixedThreadPool(
+        n, (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 16)
+      val pageSize = 2 // forces the pagination loop on the tiny set
+      server.createContext("/storage/v1/b/logs/o",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          try {
+            val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+            def param(k: String): Option[String] = raw.split("&").collectFirst {
+              case kv if kv.startsWith(k + "=") => java.net.URLDecoder.decode(
+                kv.drop(k.length + 1), java.nio.charset.StandardCharsets.UTF_8)
+            }
+            val prefix = param("prefix").getOrElse("")
+            val start = param("pageToken").map(_.toInt).getOrElse(0)
+            val matching = names.filter(_.startsWith(prefix))
+            val page = matching.slice(start, start + pageSize)
+            val items = page.map(n =>
+              s"""{"name":"$n","size":${byName(n).length}}""").mkString(",")
+            val nextTok =
+              if (start + pageSize < matching.size)
+                s""","nextPageToken":"${start + pageSize}""""
+              else ""
+            val body = s"""{"items":[$items]$nextTok}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body)
+          } finally ex.close()
+        })
+      server.createContext("/download/storage/v1/b/logs/o/",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          try {
+            val enc = ex.getRequestURI.getRawPath
+              .stripPrefix("/download/storage/v1/b/logs/o/")
+            val name = java.net.URLDecoder.decode(
+              enc, java.nio.charset.StandardCharsets.UTF_8)
+            byName.get(name) match {
+              case Some(bytes) =>
+                ex.sendResponseHeaders(200, bytes.length)
+                ex.getResponseBody.write(bytes)
+              case None => ex.sendResponseHeaders(404, -1)
+            }
+          } finally ex.close()
+        })
+      server.setExecutor(daemonPool(16))
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+        // S7 on the wire: discovery must see exactly the bucket's hours
+        val listed = graft.sources.GcsJsonClient.listObjects(base, "logs", "raw/")
+        require(listed.map(_.name) == names,
+          s"GCS listing mismatch: ${listed.map(_.name)} vs $names")
+        val hours = names.map(_.stripPrefix("raw/").stripSuffix(".jsonl.zst"))
+        val cacheDir = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_gcs_gate_cache")
+        // clean: every run must exercise the fetch path, not stale cache
+        Option(cacheDir.listFiles()).foreach(_.foreach(_.delete()))
+        val fetched = graft.sources.HourCache.fetchMissing(
+          cacheDir.getPath, hours,
+          graft.sources.GcsJsonClient.hourFetcher(base, "logs", "raw/"))
+        require(fetched.sorted == hours.sorted,
+          s"expected ${hours.size} hours fetched, got ${fetched.size}")
+        val paths = hours.sorted.map(h =>
+          new java.io.File(cacheDir, s"$h.jsonl.zst").getPath)
+        val msgs = RawLogSource.feedMessages(RawLogSource.frames(s, paths))
+        BookReplay.referenceTicks(msgs)
+      } finally server.stop(0)
+    },
+    Some(FixtureOracle.referenceTicksSql(FixtureOracle.fixtureMsgsPath)),
+  )
+
   val all: Seq[Q] = Seq(
-    streamLiveLoopback, streamLiveLoopbackWs, streamLiveLoopbackWss, sourceMarketsHttp,
+    streamLiveLoopback, streamLiveLoopbackWs, streamLiveLoopbackWss,
+    sourceGcsHttp, sourceMarketsHttp,
     streamIngestMetrics,
     streamSinkExactlyOnce,
     sinkJsonlRoundtrip,

@@ -195,6 +195,51 @@ object FixtureOracle {
          |WHERE t.kind = 'BBO'
          |GROUP BY 1, 2""".stripMargin
 
+  /** The plot-geometry twin of [[notebookBboMinutelySql]]
+    * (q_notebook_bbo_plot): same series, scaled into the 960×480 /
+    * 40 px-pad viewport with the IDENTICAL left-associative IEEE
+    * expressions the Spark side uses, coordinates rounded to 2 dp and
+    * rendered through DECIMAL(10,2), polylines assembled with
+    * string_agg ORDER BY the minute index.
+    */
+  def notebookBboPlotSql: String =
+    ticksCte(glob(fixtureMsgsPath), "TRUE") +
+      s""",
+         |yes_tokens AS (
+         |  SELECT DISTINCT token_id
+         |  FROM read_parquet('${glob(fixtureMarketsPath)}')
+         |  WHERE outcome = 'Yes' AND condition_id = '0xM0'
+         |),
+         |bbo AS (
+         |  SELECT CAST(epoch_ms(date_trunc('minute',
+         |           epoch_ms(CAST(t.timestamp AS BIGINT)))) // 60000 AS BIGINT) AS mi,
+         |         t.side,
+         |         max_by(t.price, t.k * 2 + t.emit_idx) AS last_price
+         |  FROM ticks t JOIN yes_tokens y ON t.asset = y.token_id
+         |  WHERE t.kind = 'BBO'
+         |  GROUP BY 1, 2
+         |),
+         |ext AS (
+         |  SELECT min(mi) AS mi0, max(mi) AS mi1,
+         |         min(last_price) AS p0, max(last_price) AS p1
+         |  FROM bbo
+         |),
+         |pts AS (
+         |  SELECT b.side, b.mi,
+         |         CAST(CAST(round(40.0 +
+         |           ((b.mi - e.mi0) * 880.0) / greatest(e.mi1 - e.mi0, 1), 2)
+         |           AS DECIMAL(10,2)) AS VARCHAR) || ',' ||
+         |         CAST(CAST(round(440.0 -
+         |           ((b.last_price - e.p0) * 400.0) / greatest(e.p1 - e.p0, 1e-9), 2)
+         |           AS DECIMAL(10,2)) AS VARCHAR) AS pt
+         |  FROM bbo b CROSS JOIN ext e
+         |)
+         |SELECT side, CAST(count(*) AS BIGINT) AS n_points,
+         |       string_agg(pt, ' ' ORDER BY mi) AS points
+         |FROM pts
+         |GROUP BY side
+         |ORDER BY side""".stripMargin
+
   /** Streaming minute-BBO agg (q_stream_bbo_minutely): same aggregation
     * plus the watermark cutoff — with AvailableNow + a terminal no-data
     * micro-batch, append mode emits exactly the windows whose end is at

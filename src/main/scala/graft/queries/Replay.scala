@@ -349,6 +349,70 @@ object Replay {
     Some(FixtureOracle.notebookBboMinutelySql),
   )
 
+  /** The notebook's PLOT under the driver hash — the matplotlib cell
+    * (`bbo.ipynb`, final cell) re-expressed as verifiable geometry:
+    * the same minute-BBO series as [[notebookBboMinutely]], scaled
+    * into a 960×480 / 40 px-pad viewport with engine-replicable
+    * arithmetic (minute index and price normalized by the GLOBAL
+    * extents — one broadcast 1-row aggregate — identical
+    * left-associative IEEE expressions on both sides, coordinates
+    * rounded to 2 dp and rendered through DECIMAL(10,2) so the
+    * string forms match exactly), then assembled per side into the
+    * SVG polyline `points` attribute by an ordered aggregation. The
+    * oracle computes the same string with string_agg ORDER BY the
+    * minute index. [[graft.notebook.PlotSvg]] wraps exactly these
+    * strings in markup (spec-pinned, including that the gate rows'
+    * points appear verbatim in the document) — so the only part of
+    * the plotting surface NOT under the hash is inert SVG
+    * boilerplate.
+    */
+  private val notebookBboPlot = Q(
+    "q_notebook_bbo_plot",
+    (s, _) => {
+      import s.implicits._
+      FixtureOracle.ensureDumps(s)
+      val paths = FixtureLog.write(fixtureSpec)
+      val frames = RawLogSource.frames(s, paths)
+      val ticks = BookReplay.ticks(RawLogSource.feedMessages(frames))
+      val yesTokens = MarketsDim
+        .tokenDim(MarketsDim.markets(frames))
+        .filter($"outcome" === "Yes" && $"condition_id" === "0xM0")
+        .select($"token_id").distinct()
+      val bbo = ticks
+        .filter($"kind" === "BBO")
+        .join(broadcast(yesTokens), ticks("asset") === yesTokens("token_id"), "left_semi")
+        .withColumn("mi",
+          (unix_millis(date_trunc("minute",
+            timestamp_millis($"timestamp".cast("long")))) / lit(60000L)).cast("long"))
+        .groupBy($"mi", $"side")
+        .agg(max_by($"price",
+          struct($"file_hour", $"line_no", $"msg_idx", $"emit_idx")).as("last_price"))
+      val ext = bbo.agg(
+        min($"mi").as("mi0"), max($"mi").as("mi1"),
+        min($"last_price").as("p0"), max($"last_price").as("p1"))
+      def dec(c: org.apache.spark.sql.Column) =
+        c.cast("decimal(10,2)").cast("string")
+      bbo.crossJoin(broadcast(ext))
+        .withColumn("x", round(lit(40.0) +
+          (($"mi" - $"mi0") * lit(880.0)) /
+            greatest($"mi1" - $"mi0", lit(1L)), 2))
+        .withColumn("y", round(lit(440.0) -
+          (($"last_price" - $"p0") * lit(400.0)) /
+            greatest($"p1" - $"p0", lit(1e-9)), 2))
+        .withColumn("pt", concat(dec($"x"), lit(","), dec($"y")))
+        .groupBy($"side")
+        .agg(
+          count(lit(1)).as("n_points"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"mi", $"pt"))),
+              c => c.getField("pt")),
+            " ").as("points"))
+        .orderBy($"side")
+    },
+    Some(FixtureOracle.notebookBboPlotSql),
+  )
+
   /** Every trade annotated with the PREVAILING top-of-book
     * (`TickAnalytics.tradesWithPrevailingBbo` — the as-of join
     * specialized to the tick stream, one window pass per asset; the
@@ -1360,6 +1424,7 @@ object Replay {
     marketsActiveTokens,
     replayTicksWithOutcome,
     notebookBboMinutely,
+    notebookBboPlot,
     streamReplayTicks,
     streamReplayTicksTws,
     streamBboMinutely,

@@ -62,7 +62,13 @@ object GcsJsonClient {
     val out = Seq.newBuilder[Obj]
     var token: Option[String] = None
     var more = true
+    var pages = 0
+    val maxPages = 100000 // runaway backstop; real listings are ≤ tens of pages
     while (more) {
+      pages += 1
+      require(pages <= maxPages,
+        s"GCS list: $maxPages pages without exhausting nextPageToken " +
+          s"for prefix '$prefix' — server is echoing tokens, aborting")
       val qs = s"prefix=${java.net.URLEncoder.encode(prefix, StandardCharsets.UTF_8)}" +
         token.map(t => s"&pageToken=${java.net.URLEncoder.encode(t, StandardCharsets.UTF_8)}").getOrElse("")
       val conn = get(s"$baseUrl/storage/v1/b/${encodeSegment(bucket)}/o?$qs",
@@ -74,9 +80,22 @@ object GcsJsonClient {
         val node = mapper.readTree(conn.getInputStream)
         Option(node.get("items")).filter(_.isArray).toSeq
           .flatMap(_.elements().asScala)
-          .foreach(o => out += Obj(o.get("name").asText(),
-            Option(o.get("size")).map(_.asLong()).getOrElse(0L)))
-        token = Option(node.get("nextPageToken")).filterNot(_.isNull).map(_.asText())
+          .foreach { o =>
+            // `name` is required by the API; a malformed item without
+            // one is a protocol error, not an NPE
+            val name = Option(o.get("name")).filterNot(_.isNull).map(_.asText())
+              .getOrElse(throw new java.io.IOException(
+                s"GCS list: item missing 'name' for prefix '$prefix'"))
+            out += Obj(name, Option(o.get("size")).map(_.asLong()).getOrElse(0L))
+          }
+        val next = Option(node.get("nextPageToken")).filterNot(_.isNull).map(_.asText())
+        // an unchanged token means the server is not making progress —
+        // looping on it would hang the client forever
+        if (next.isDefined && next == token)
+          throw new java.io.IOException(
+            s"GCS list: nextPageToken unchanged ('${next.get}') for " +
+              s"prefix '$prefix' — server not paginating, aborting")
+        token = next
         more = token.isDefined
       } finally conn.disconnect()
     }

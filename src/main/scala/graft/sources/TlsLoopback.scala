@@ -14,8 +14,11 @@ import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
   * run with the JDK's own `keytool` into a temp JKS, the server derives
   * its key managers from it, and the client trusts exactly that
   * keystore (pinned trust — the loopback stand-in for a real CA chain).
-  * Production use supplies a real `SSLContext` via
-  * `LiveFeed.Config.sslContext`; nothing here is on that path.
+  * [[clientContext]] IS production-reachable: `FeedSource`'s
+  * `tlsTruststore` option routes through it, so the loader accepts
+  * both the JDK-default truststore format (PKCS12 since JDK 9) and
+  * the JKS files [[genKeystore]] writes. [[genKeystore]] and
+  * [[serverContext]] remain loopback-only.
   */
 object TlsLoopback {
 
@@ -45,10 +48,17 @@ object TlsLoopback {
   }
 
   private def load(path: String, pass: String): KeyStore = {
-    val ks = KeyStore.getInstance("JKS")
-    val in = new FileInputStream(path)
-    try ks.load(in, pass.toCharArray) finally in.close()
-    ks
+    def attempt(storeType: String): KeyStore = {
+      val ks = KeyStore.getInstance(storeType)
+      val in = new FileInputStream(path)
+      try ks.load(in, pass.toCharArray) finally in.close()
+      ks
+    }
+    // JDK-default format first (PKCS12 since JDK 9) — a production
+    // truststore handed to clientContext is most likely PKCS12 — then
+    // JKS, the format genKeystore writes for the loopback pair.
+    try attempt(KeyStore.getDefaultType())
+    catch { case _: java.io.IOException => attempt("JKS") }
   }
 
   /** Server side: an SSLContext keyed by the keystore's private key. */

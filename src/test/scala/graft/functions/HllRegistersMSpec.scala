@@ -65,6 +65,29 @@ class HllRegistersMSpec extends AnyFunSuite {
     assert(merged.length == 512)
   }
 
+  test("a corrupt sketch in a SINGLE-input group fails at merge, not " +
+    "silently via the empty-buffer early-adopt") {
+    HllRegistersM.register(spark)
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    // register out of [0,30] — the first (and only) input of its group
+    val corrupt = new Array[Byte](512)
+    corrupt(7) = 42
+    val exReg = intercept[Exception] {
+      Seq(Tuple1(corrupt)).toDF("r")
+        .agg(call_function(HllRegistersM.MergeName, $"r")) // no eval step
+        .collect()
+    }
+    assert(messages(exReg).contains("outside [0,30]"), messages(exReg).take(200))
+    // non-power-of-two length — also caught pre-adopt by checkWidth
+    val exLen = intercept[Exception] {
+      Seq(Tuple1(new Array[Byte](500))).toDF("r")
+        .agg(call_function(HllRegistersM.MergeName, $"r"))
+        .collect()
+    }
+    assert(messages(exLen).contains("power of two"), messages(exLen).take(200))
+  }
+
   test("estimate at m = 512 lands within HLL error of the truth, and " +
     "mixed widths refuse to merge") {
     HllRegistersM.register(spark)

@@ -29,6 +29,7 @@ class GcsJsonLoopbackSpec extends AnyFunSuite {
     def base: String = s"http://127.0.0.1:$port"
     val listQueries = new ConcurrentLinkedQueue[String]()
     val mediaPaths = new ConcurrentLinkedQueue[String]()
+    val authHeaders = new ConcurrentLinkedQueue[String]()
     private val names = objects.keys.toSeq.sorted
 
     server.createContext("/storage/v1/b/logs/o",
@@ -36,6 +37,8 @@ class GcsJsonLoopbackSpec extends AnyFunSuite {
         try {
           val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
           listQueries.add(raw)
+          Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .foreach(authHeaders.add)
           def param(k: String): Option[String] = raw.split("&").collectFirst {
             case s if s.startsWith(k + "=") =>
               java.net.URLDecoder.decode(s.drop(k.length + 1), StandardCharsets.UTF_8)
@@ -63,6 +66,8 @@ class GcsJsonLoopbackSpec extends AnyFunSuite {
           // the RAW path is what the %2F pin inspects
           val rawPath = ex.getRequestURI.getRawPath
           mediaPaths.add(rawPath)
+          Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .foreach(authHeaders.add)
           val enc = rawPath.stripPrefix("/download/storage/v1/b/logs/o/")
           val name = java.net.URLDecoder.decode(enc, StandardCharsets.UTF_8)
           if (name.endsWith("boom")) ex.sendResponseHeaders(500, -1)
@@ -94,6 +99,59 @@ class GcsJsonLoopbackSpec extends AnyFunSuite {
       // 5 matches at pageSize 2 = 3 requests, 2 of them token-bearing
       assert(server.listQueries.asScala.count(_.contains("pageToken=")) == 2)
     } finally server.close()
+  }
+
+  test("the Authorization header passes through to BOTH the list and " +
+    "media requests — the run-book's bearer-token seam, wire-checked") {
+    val name = "raw/a.jsonl.zst"
+    val server = new GcsServer(Map(name -> bytesOf("x")))
+    try {
+      val hdrs = Map("Authorization" -> "Bearer fixture-token-123")
+      GcsJsonClient.listObjects(server.base, "logs", "raw/", headers = hdrs)
+      val dest = File.createTempFile("gcs-dl", ".bin")
+      dest.deleteOnExit()
+      assert(GcsJsonClient.download(server.base, "logs", name, dest, headers = hdrs))
+      assert(server.authHeaders.asScala.toSeq ==
+        Seq("Bearer fixture-token-123", "Bearer fixture-token-123"),
+        s"got ${server.authHeaders.asScala.toSeq}")
+    } finally server.close()
+  }
+
+  test("a server that echoes an unchanged nextPageToken aborts loudly " +
+    "instead of looping forever; an item missing 'name' is a protocol " +
+    "error, not an NPE") {
+    def oneShotServer(body: String): (com.sun.net.httpserver.HttpServer, String) = {
+      val s = com.sun.net.httpserver.HttpServer
+        .create(new InetSocketAddress("127.0.0.1", 0), 8)
+      s.createContext("/storage/v1/b/logs/o",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          try {
+            val bytes = body.getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          } finally ex.close()
+        })
+      s.start()
+      (s, s"http://127.0.0.1:${s.getAddress.getPort}")
+    }
+    // same token on every page — no progress
+    val (echo, echoBase) = oneShotServer(
+      """{"items":[{"name":"raw/a","size":1}],"nextPageToken":"stuck"}""")
+    try {
+      val ex = intercept[java.io.IOException] {
+        GcsJsonClient.listObjects(echoBase, "logs", "raw/")
+      }
+      assert(ex.getMessage.contains("unchanged"), ex.getMessage)
+    } finally echo.stop(0)
+    // item with no name field
+    val (anon, anonBase) = oneShotServer("""{"items":[{"size":7}]}""")
+    try {
+      val ex = intercept[java.io.IOException] {
+        GcsJsonClient.listObjects(anonBase, "logs", "raw/")
+      }
+      assert(ex.getMessage.contains("missing 'name'"), ex.getMessage)
+    } finally anon.stop(0)
   }
 
   test("media requests percent-encode the object name as one segment " +

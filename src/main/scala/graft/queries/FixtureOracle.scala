@@ -240,6 +240,55 @@ object FixtureOracle {
          |GROUP BY side
          |ORDER BY side""".stripMargin
 
+  /** The notebook's SECOND chart (q_notebook_volume_plot): the 1-hour
+    * TRADE volume bars of `bbo.ipynb` cell 2 (`ax2.bar(..., width=1h,
+    * align='edge')`) as verifiable rect geometry. Volumes sum EXACTLY
+    * (centi-size longs — the q_tick_vwap trick, so engine sum order
+    * can't flip the hash); each bar scales into the same 960×480 /
+    * 40 px-pad viewport as the line gate with one float division,
+    * align='edge' semantics (bar i spans its hour slot, width =
+    * 880 / n_slots), baseline at volume 0. Quadruples rounded to 2 dp
+    * through DECIMAL(10,2) and assembled with string_agg ORDER BY the
+    * hour index.
+    */
+  def notebookVolumePlotSql: String =
+    ticksCte(glob(fixtureMsgsPath), "TRUE") +
+      s""",
+         |yes_tokens AS (
+         |  SELECT DISTINCT token_id
+         |  FROM read_parquet('${glob(fixtureMarketsPath)}')
+         |  WHERE outcome = 'Yes' AND condition_id = '0xM0'
+         |),
+         |vol AS (
+         |  SELECT CAST(epoch_ms(date_trunc('hour',
+         |           epoch_ms(CAST(t.timestamp AS BIGINT)))) // 3600000 AS BIGINT) AS hi,
+         |         sum(CAST(round(t.size * 100) AS BIGINT)) AS vol_c
+         |  FROM ticks t JOIN yes_tokens y ON t.asset = y.token_id
+         |  WHERE t.kind = 'TRADE'
+         |  GROUP BY 1
+         |),
+         |ext AS (
+         |  SELECT min(hi) AS hi0, max(hi) AS hi1, max(vol_c) AS vmax FROM vol
+         |),
+         |rects AS (
+         |  SELECT v.hi,
+         |         CAST(CAST(round(40.0 +
+         |           ((v.hi - e.hi0) * 880.0) / (e.hi1 - e.hi0 + 1), 2)
+         |           AS DECIMAL(10,2)) AS VARCHAR) || ',' ||
+         |         CAST(CAST(round(440.0 -
+         |           (v.vol_c * 400.0) / e.vmax, 2)
+         |           AS DECIMAL(10,2)) AS VARCHAR) || ',' ||
+         |         CAST(CAST(round(880.0 / (e.hi1 - e.hi0 + 1), 2)
+         |           AS DECIMAL(10,2)) AS VARCHAR) || ',' ||
+         |         CAST(CAST(round((v.vol_c * 400.0) / e.vmax, 2)
+         |           AS DECIMAL(10,2)) AS VARCHAR) AS rect
+         |  FROM vol v CROSS JOIN ext e
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_bars,
+         |       string_agg(rect, ' ' ORDER BY hi) AS rects
+         |FROM rects
+         |ORDER BY n_bars""".stripMargin
+
   /** Streaming minute-BBO agg (q_stream_bbo_minutely): same aggregation
     * plus the watermark cutoff — with AvailableNow + a terminal no-data
     * micro-batch, append mode emits exactly the windows whose end is at

@@ -413,6 +413,67 @@ object Replay {
     Some(FixtureOracle.notebookBboPlotSql),
   )
 
+  /** The notebook's SECOND chart under the driver hash — cell 2's
+    * 1-hour TRADE volume bars (`ax2.bar(volbars.index, volbars.values,
+    * width=1h, align='edge')`, `bbo.ipynb`) as verifiable RECT
+    * geometry, completing the notebook's plotting parity next to
+    * [[notebookBboPlot]]'s line panel. Volumes sum exactly
+    * (centi-size longs, the q_tick_vwap trick — engine sum order
+    * cannot flip the hash); each hour bar scales into the same
+    * 960×480 / 40 px-pad viewport with align='edge' semantics (bar i
+    * spans its hour slot, width = 880 / n_slots) and baseline at
+    * volume 0, one float division per coordinate, rounded to 2 dp
+    * through DECIMAL(10,2) so the string forms match the oracle
+    * exactly. [[graft.notebook.PlotSvg.barChart]] wraps exactly these
+    * "x,y,w,h" quadruples in `<rect>` markup (spec-pinned verbatim),
+    * so the only plotting surface not under the hash is inert SVG
+    * boilerplate.
+    */
+  private val notebookVolumePlot = Q(
+    "q_notebook_volume_plot",
+    (s, _) => {
+      import s.implicits._
+      FixtureOracle.ensureDumps(s)
+      val paths = FixtureLog.write(fixtureSpec)
+      val frames = RawLogSource.frames(s, paths)
+      val ticks = BookReplay.ticks(RawLogSource.feedMessages(frames))
+      val yesTokens = MarketsDim
+        .tokenDim(MarketsDim.markets(frames))
+        .filter($"outcome" === "Yes" && $"condition_id" === "0xM0")
+        .select($"token_id").distinct()
+      val vol = ticks
+        .filter($"kind" === "TRADE")
+        .join(broadcast(yesTokens), ticks("asset") === yesTokens("token_id"), "left_semi")
+        .withColumn("hi",
+          (unix_millis(date_trunc("hour",
+            timestamp_millis($"timestamp".cast("long")))) / lit(3600000L)).cast("long"))
+        .groupBy($"hi")
+        .agg(sum(round($"size" * 100).cast("long")).as("vol_c"))
+      val ext = vol.agg(
+        min($"hi").as("hi0"), max($"hi").as("hi1"), max($"vol_c").as("vmax"))
+      def dec(c: org.apache.spark.sql.Column) =
+        c.cast("decimal(10,2)").cast("string")
+      vol.crossJoin(broadcast(ext))
+        .withColumn("x", round(lit(40.0) +
+          (($"hi" - $"hi0") * lit(880.0)) / ($"hi1" - $"hi0" + lit(1L)), 2))
+        .withColumn("y", round(lit(440.0) -
+          ($"vol_c" * lit(400.0)) / $"vmax", 2))
+        .withColumn("w", round(lit(880.0) / ($"hi1" - $"hi0" + lit(1L)), 2))
+        .withColumn("h", round(($"vol_c" * lit(400.0)) / $"vmax", 2))
+        .withColumn("rect", concat(dec($"x"), lit(","), dec($"y"),
+          lit(","), dec($"w"), lit(","), dec($"h")))
+        .agg(
+          count(lit(1)).as("n_bars"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"hi", $"rect"))),
+              c => c.getField("rect")),
+            " ").as("rects"))
+        .orderBy($"n_bars")
+    },
+    Some(FixtureOracle.notebookVolumePlotSql),
+  )
+
   /** Every trade annotated with the PREVAILING top-of-book
     * (`TickAnalytics.tradesWithPrevailingBbo` — the as-of join
     * specialized to the tick stream, one window pass per asset; the
@@ -1425,6 +1486,7 @@ object Replay {
     replayTicksWithOutcome,
     notebookBboMinutely,
     notebookBboPlot,
+    notebookVolumePlot,
     streamReplayTicks,
     streamReplayTicksTws,
     streamBboMinutely,

@@ -1630,6 +1630,25 @@ object Graph {
     * level-2^l rows compose 2^l consecutive chronological hops (see
     * [[graphTemporalReach]]'s scaladoc for the equivalence argument).
     */
+  /** First-event rows → shortcut chain; split from [[handoffChain]] so
+    * the STREAMING twin (whose fe frame accumulates in complete-mode
+    * state rather than a batch groupBy) shares the exact chain
+    * derivation with the batch gates.
+    */
+  private def chainFromFe(
+      fe: org.apache.spark.sql.DataFrame,
+      maxWait: Option[Long] = None,
+      arrivalSlack: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame =
+    // ordering stays at FULL timestamp precision (fts, feid, user) —
+    // the ms-truncated edge time is monotone along it, which is all
+    // chainShortcuts' chronology contract needs
+    GraphAlgos.chainShortcuts(fe,
+      partCols = Seq("event_type", "bkt"),
+      ordCols = Seq("fts", "feid", "user_id"),
+      nodeCol = "user_id", tsCol = "ts_ms", maxLevel = 12, maxWait = maxWait,
+      arrivalSlack = arrivalSlack)
+
   private def handoffChain(
       s: org.apache.spark.sql.SparkSession, dir: String,
       maxWait: Option[Long] = None,
@@ -1640,14 +1659,7 @@ object Graph {
       .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
       .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
       .withColumn("ts_ms", unix_millis($"fts"))
-    // ordering stays at FULL timestamp precision (fts, feid, user) —
-    // the ms-truncated edge time is monotone along it, which is all
-    // chainShortcuts' chronology contract needs
-    GraphAlgos.chainShortcuts(fe,
-      partCols = Seq("event_type", "bkt"),
-      ordCols = Seq("fts", "feid", "user_id"),
-      nodeCol = "user_id", tsCol = "ts_ms", maxLevel = 12, maxWait = maxWait,
-      arrivalSlack = arrivalSlack)
+    chainFromFe(fe, maxWait, arrivalSlack)
   }
 
   private val graphTemporalReach = Q(
@@ -2091,22 +2103,40 @@ object Graph {
     * cardinality gates use); the oracle's bucket/tail/rank SQL uses
     * the matching 9-bit split (h >> 54, 54-bit tail, rank cap 30).
     */
+  /** Shared readout of [[GraphAlgos.temporalAnfReach]]'s register
+    * state (batch gate + streaming twin): evaluate each node's widest
+    * suffix sketch to (estimate, nonzero, register sum).
+    */
+  private def anfReachReadout(regs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import regs.sparkSession.implicits._
+    regs
+      .select($"node",
+        call_function(graft.functions.HllRegistersM.EvalName, $"regs").as("ev"))
+      .select($"node",
+        round($"ev.estimate", 4).cast("decimal(20,4)").as("reach_est"),
+        $"ev.nonzero_buckets".as("nonzero_buckets"),
+        $"ev.register_sum_scaled".as("reg_sum"))
+      .orderBy($"node")
+  }
+
   private val graphTemporalAnf = Q(
     "q_graph_temporal_anf",
     (s, dir) => {
-      import s.implicits._
       val chain = handoffChain(s, dir)
-      GraphAlgos.temporalAnfReach(chain, "u", "v", "dep", "arr",
-        registerWidth = 512)
-        .select($"node",
-          call_function(graft.functions.HllRegistersM.EvalName, $"regs").as("ev"))
-        .select($"node",
-          round($"ev.estimate", 4).cast("decimal(20,4)").as("reach_est"),
-          $"ev.nonzero_buckets".as("nonzero_buckets"),
-          $"ev.register_sum_scaled".as("reg_sum"))
-        .orderBy($"node")
+      anfReachReadout(GraphAlgos.temporalAnfReach(chain, "u", "v", "dep", "arr",
+        registerWidth = 512))
     },
-    Some(s"""WITH RECURSIVE fe AS (
+    Some(temporalAnfOracleSql),
+  )
+
+  /** Register-exact oracle shared by q_graph_temporal_anf and its
+    * streaming twin: rebuild every node's HLL registers from the exact
+    * BASE-edge recursive closure with the fnv63 register SQL at width
+    * 512 (9-bit bucket split, rank cap 30).
+    */
+  private lazy val temporalAnfOracleSql: String =
+    s"""WITH RECURSIVE fe AS (
             |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
             |         min(ts) AS fts, min(event_id) AS feid
             |  FROM events GROUP BY 1, 2, 3),
@@ -2147,7 +2177,58 @@ object Graph {
             |             (reg_sum / 1073741824.0), 4) AS DECIMAL(20,4)) AS reach_est,
             |       nonzero_buckets, reg_sum
             |FROM agg
-            |ORDER BY node""".stripMargin),
+            |ORDER BY node""".stripMargin
+
+  /** STREAMING twin of [[graphTemporalAnf]] — the one member of the
+    * temporal/sketch families that lacked a live monitor. The
+    * reference anchor is the collector's live feed
+    * (`collector/src/main.rs:358-397`): exactly the arrival stream an
+    * influence-reach monitor would watch. The STREAMING state is the
+    * chain's ground truth — first event per (type, day, user) — whose
+    * aggregates are both mergeable MINs, so complete-mode accumulation
+    * is the grouped-KS pattern at BASE-table-size state (one row per
+    * (type, day, user), independent of stream length); every arriving
+    * event either creates its row or min-merges into it. The FINISH
+    * reuses the batch machinery verbatim on the settled state —
+    * [[chainFromFe]] (shortcuts included) then
+    * [[GraphAlgos.temporalAnfReach]] at the same width 512 and the
+    * shared readout — and gates against the IDENTICAL register-exact
+    * oracle as the batch gate, so the hash match proves the
+    * incremental first-event state converges to exactly the batch
+    * chain input (the same proof shape as q_stream_dedup_lsh's
+    * bucket-state convergence).
+    */
+  private val graphStreamTemporalAnf = Q(
+    "q_stream_temporal_anf",
+    (s, dir) => {
+      import s.implicits._
+      val sinkName = "graft_stream_temporal_anf_gate"
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+      s.catalog.dropTempView(sinkName)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = Tables.normalizeEventTs(
+          Tables.streamTable(s, dir, "events", rawSchema))
+        val fe = src
+          .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
+          .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
+        val query = fe.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // batch finish on the settled first-event state: shortcut chain +
+      // register fixpoint + shared readout, all identical to the batch gate
+      val feB = s.table(sinkName).withColumn("ts_ms", unix_millis($"fts"))
+      anfReachReadout(GraphAlgos.temporalAnfReach(
+        chainFromFe(feB), "u", "v", "dep", "arr", registerWidth = 512))
+    },
+    Some(temporalAnfOracleSql),
   )
 
   /** The SEED × START-TIME PROFILE MATRIX from ONE frontier loop —
@@ -2404,6 +2485,120 @@ object Graph {
            |ORDER BY node""".stripMargin),
   )
 
+  /** The g-slack QUANTIZATION-ERROR AUDIT — the aq contract is
+    * one-sided (paths must carry per-hop slack ≥ g, so nodes can DROP
+    * and durations can only OVERSTATE); this gate turns that contract
+    * into a MEASURED operating point the way q_embed_ivf_recall priced
+    * nprobe: both legs — the exact bounded-wait fastest closure and
+    * the g-slack aq closure at the SAME W/g as the aq gate — run
+    * in-engine, join per node, and emit the dropped-node count plus
+    * the overstatement distribution (zero/overstated counts, max,
+    * sum, and a g-bucketed histogram of f_aq − f_exact). Soundness
+    * of the sign: aq labels are real wait-bounded paths (the
+    * predicate only forbids), so per node min-over-subset ≥
+    * min-over-all — overstatement is provably ≥ 0, and the gate's
+    * zero-count row measures how often the lever is FREE. Oracle:
+    * both recursive label closures side by side in one
+    * WITH RECURSIVE block (exact predicate and tightened predicate),
+    * joined and summarized with identical arithmetic — so the hash
+    * pins the audit itself, not just the legs.
+    */
+  private val graphTemporalAqError = Q(
+    "q_graph_temporal_aq_error",
+    (s, dir) => {
+      import s.implicits._
+      val w = 2000000L
+      val g = 600000L
+      val chainExact = handoffChain(s, dir, maxWait = Some(w))
+      val seed = chainExact.agg(min(least($"u", $"v"))).head.getLong(0)
+      val exact = GraphAlgos.temporalBoundedWaitFastest(
+        chainExact, "u", "v", "dep", "arr", seed, w)
+      val chainAq = handoffChain(s, dir, maxWait = Some(w), arrivalSlack = Some(g))
+      val aq = GraphAlgos.temporalBoundedWaitFastest(
+        chainAq, "u", "v", "dep", "arr", seed, w, quantizeArrivals = Some(g))
+      val j = graft.operators.Lineage.settle(
+        exact.select($"node", $"fastest".as("f_exact"))
+          .join(aq.select($"node", $"fastest".as("f_aq")), Seq("node"), "left")
+          .withColumn("over", $"f_aq" - $"f_exact"))
+      val stats = j.agg(
+          count(lit(1)).as("n_exact"),
+          count($"f_aq").as("n_aq"),
+          sum(when($"over" === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(when($"over" > 0L, 1L).otherwise(0L)).as("n_over"),
+          coalesce(max($"over"), lit(0L)).as("over_max"),
+          coalesce(sum($"over"), lit(0L)).as("over_sum"))
+        .select(explode(array(
+          struct(lit("nodes_exact").as("stat"), $"n_exact".cast("long").as("v")),
+          struct(lit("nodes_aq").as("stat"), $"n_aq".cast("long").as("v")),
+          struct(lit("nodes_dropped").as("stat"),
+            ($"n_exact" - $"n_aq").cast("long").as("v")),
+          struct(lit("nodes_exact_duration").as("stat"), $"n_zero".cast("long").as("v")),
+          struct(lit("nodes_overstated").as("stat"), $"n_over".cast("long").as("v")),
+          struct(lit("overstatement_max_ms").as("stat"), $"over_max".cast("long").as("v")),
+          struct(lit("overstatement_sum_ms").as("stat"), $"over_sum".cast("long").as("v")),
+        )).as("r"))
+        .select($"r.stat".as("stat"), $"r.v".as("v"))
+      val buckets = j.filter($"over" > 0L)
+        .groupBy(($"over" / lit(g)).cast("long").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("over_g_bucket_"),
+          lpad($"k".cast("string"), 4, "0")).as("stat"), $"n".cast("long").as("v"))
+      stats.union(buckets).orderBy($"stat")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |lex AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, lex.d, e.ts
+           |  FROM lex JOIN e ON e.u = lex.node
+           |   AND e.ts >= lex.a AND e.ts - lex.a <= 2000000),
+           |laq AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, laq.d, e.ts
+           |  FROM laq JOIN e ON e.u = laq.node
+           |   AND e.ts >= laq.a + ((600000 - laq.a % 600000) % 600000)
+           |   AND e.ts - (laq.a - (laq.a % 600000)) <= 2000000),
+           |fx AS (SELECT node, min(a - d) AS f FROM lex
+           |       WHERE node <> (SELECT s FROM sd) GROUP BY node),
+           |fa AS (SELECT node, min(a - d) AS f FROM laq
+           |       WHERE node <> (SELECT s FROM sd) GROUP BY node),
+           |j AS (SELECT fx.node, fx.f AS f_exact, fa.f AS f_aq,
+           |             fa.f - fx.f AS ov
+           |      FROM fx LEFT JOIN fa ON fx.node = fa.node),
+           |stats AS (
+           |  SELECT 'nodes_exact' AS stat, count(*) AS v FROM j
+           |  UNION ALL SELECT 'nodes_aq', count(f_aq) FROM j
+           |  UNION ALL SELECT 'nodes_dropped', count(*) - count(f_aq) FROM j
+           |  UNION ALL SELECT 'nodes_exact_duration',
+           |    count(*) FILTER (WHERE ov = 0) FROM j
+           |  UNION ALL SELECT 'nodes_overstated',
+           |    count(*) FILTER (WHERE ov > 0) FROM j
+           |  UNION ALL SELECT 'overstatement_max_ms', coalesce(max(ov), 0) FROM j
+           |  UNION ALL SELECT 'overstatement_sum_ms', coalesce(sum(ov), 0) FROM j
+           |  UNION ALL
+           |  SELECT 'over_g_bucket_' || lpad(CAST(ov // 600000 AS VARCHAR), 4, '0'),
+           |         count(*)
+           |  FROM j WHERE ov > 0 GROUP BY 1)
+           |SELECT stat, CAST(v AS BIGINT) AS v FROM stats
+           |ORDER BY stat""".stripMargin),
+  )
+
   /** The condensation DAG of the per-entity SCC decomposition — what a
     * pipeline actually CONSUMES downstream of [[graphSccEntity]]:
     * collapse each strongly-connected community to its scc_id and keep
@@ -2481,5 +2676,6 @@ object Graph {
     graphTemporalFastest, graphTemporalBoundedWait, graphTemporalProfile, graphTemporalBwFastest,
     graphTemporalMultiCloseness, graphTemporalBwFastestQuantized, graphTemporalProfileSweep,
     graphTemporalBwFastestArrQuantized, graphTemporalMatrix, graphTemporalAnf,
-    graphTemporalBwFastestBothQuantized, graphSccEntityDag)
+    graphTemporalBwFastestBothQuantized, graphSccEntityDag,
+    graphTemporalAqError, graphStreamTemporalAnf)
 }

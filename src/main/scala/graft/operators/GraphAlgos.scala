@@ -1483,6 +1483,11 @@ object GraphAlgos {
       arrCol: String,
       maxIters: Int = 40,
       registerWidth: Int = 4096,
+      // measurement hook: receives the converged round count. Rounds
+      // are the operator's cost floor (job overhead × rounds once the
+      // payload shape is right), and the [[chainShortcuts]] round-
+      // collapse claim is gated on this number — see GraphAlgosSpec.
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
   ): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -1578,6 +1583,7 @@ object GraphAlgos {
       require(nChanged == 0,
         s"temporalAnfReach did not converge in $maxIters rounds; raise " +
           "maxIters (or feed chainShortcuts edges to collapse rounds)")
+      roundsOut.foreach(_.set(i))
       val s1 = state
       // readout: the widest suffix per node, S(x, min b) = the full
       // out-edge union — one row per node with ≥ 1 out-edge

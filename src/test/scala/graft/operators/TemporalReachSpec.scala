@@ -622,6 +622,39 @@ class TemporalReachSpec extends AnyFunSuite {
     }
   }
 
+  test("temporalAnfReach round collapse: chainShortcuts edges cut the " +
+    "round count to O(log chain) while the register fixpoint stays " +
+    "byte-identical") {
+    import org.apache.spark.sql.functions.lit
+    // one 33-node chronological chain: node i at ts = i
+    val chains = (0 to 32).map(i => (i.toLong, i.toLong))
+      .toDF("node", "ts").withColumn("p", lit(0))
+    def run(maxLevel: Int): (Map[Long, Array[Byte]], Int) = {
+      val edges = GraphAlgos.chainShortcuts(
+        chains, partCols = Seq("p"), ordCols = Seq("ts"),
+        nodeCol = "node", tsCol = "ts", maxLevel = maxLevel)
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val regs = GraphAlgos.temporalAnfReach(
+        edges, "u", "v", "dep", "arr", maxIters = 64, registerWidth = 512,
+        roundsOut = Some(rounds))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("regs")).toMap
+      (regs, rounds.get())
+    }
+    val (baseRegs, baseRounds) = run(0)
+    val (shortRegs, shortRounds) = run(5)
+    // base edges: rounds track the 32-hop chain; shortcuts: O(log)
+    assert(baseRounds >= 30, s"base chain rounds: $baseRounds")
+    assert(shortRounds <= 8, s"shortcut rounds: $shortRounds")
+    assert(shortRounds * 2 < baseRounds,
+      s"round collapse: $baseRounds -> $shortRounds")
+    // shortcuts are exact composites — the fixpoint must not move a bit
+    assert(baseRegs.keySet == shortRegs.keySet)
+    baseRegs.foreach { case (nd, r) =>
+      assert(java.util.Arrays.equals(r, shortRegs(nd)),
+        s"node $nd registers differ between base and shortcut runs")
+    }
+  }
+
   /** Sequential g-slack closure: exact (d, a) labels under the
     * TIGHTENED usability predicate dep ≥ ceil_g(a) ∧ dep ≤
     * floor_g(a) + w — the deterministic semantics quantizeArrivals

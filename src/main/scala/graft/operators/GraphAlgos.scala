@@ -1470,12 +1470,19 @@ object GraphAlgos {
     * edge-successor chain; feeding [[chainShortcuts]] edges (plain,
     * monotone semantics — shortcuts preserve reachability)
     * collapses that to O(log chain) exactly as in the exact gates.
-    * Readout: each node's widest suffix S(x, min b). Returns
-    * (node, regs) for every node with ≥ 1 out-edge; reach counts
+    * Returns the FULL suffix table (node, dep, regs), a narrow
+    * projection backed by the loop's settled state —
+    * S(x, b) for every breakpoint b of every node with ≥ 1 out-edge.
+    * That table answers every START TIME for free: reach from x
+    * starting at T is S(x, smallest b ≥ T), because no breakpoint
+    * lies in [T, b) so the edges departing ≥ T are exactly those
+    * departing ≥ b — the readout-only profile sweep
+    * (q_graph_temporal_anf_profile). [[temporalAnfReach]] is the
+    * min-b readout (the full out-edge union per node); reach counts
     * nodes reachable via ≥ 1 hop (the source itself included only if
     * a temporal cycle returns to it).
     */
-  def temporalAnfReach(
+  def temporalAnfReachState(
       edges: DataFrame,
       uCol: String,
       vCol: String,
@@ -1584,15 +1591,40 @@ object GraphAlgos {
         s"temporalAnfReach did not converge in $maxIters rounds; raise " +
           "maxIters (or feed chainShortcuts edges to collapse rounds)")
       roundsOut.foreach(_.set(i))
-      val s1 = state
-      // readout: the widest suffix per node, S(x, min b) = the full
-      // out-edge union — one row per node with ≥ 1 out-edge
-      Lineage.settle(
-        s1.withColumn("__rn",
-            row_number().over(W.partitionBy($"src").orderBy($"dep".asc)))
-          .filter($"__rn" === 1)
-          .select($"src".as("node"), $"regs"))
+      // the FULL suffix table: S(x, b) for every breakpoint b — the
+      // profile readouts (any start time T) come from this for free.
+      // A narrow projection over the loop's already-settled state: no
+      // re-settle (copying every register binary once more measured
+      // +13 s at sf0.1 for zero benefit — readouts re-read the
+      // materialized rows either way).
+      state.select($"src".as("node"), $"dep", $"regs")
     }
+  }
+
+  /** All-nodes temporal reach sketches — [[temporalAnfReachState]]'s
+    * fixpoint read out at each node's WIDEST suffix, S(x, min b) =
+    * the full out-edge union; one row per node with ≥ 1 out-edge.
+    */
+  def temporalAnfReach(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      maxIters: Int = 40,
+      registerWidth: Int = 4096,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+  ): DataFrame = {
+    val st = temporalAnfReachState(edges, uCol, vCol, depCol, arrCol,
+      maxIters, registerWidth, roundsOut)
+    val spark = st.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    Lineage.settle(
+      st.withColumn("__rn",
+          row_number().over(W.partitionBy($"node").orderBy($"dep".asc)))
+        .filter($"__rn" === 1)
+        .select($"node", $"regs"))
   }
 
   /** FASTEST DURATION UNDER A WAITING BOUND — the composition of the

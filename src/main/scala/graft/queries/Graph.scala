@@ -2231,6 +2231,98 @@ object Graph {
     Some(temporalAnfOracleSql),
   )
 
+  /** ALL-NODES reach profile across a START-TIME SWEEP from ONE ANF
+    * fixpoint — the front-reuse trick (q_graph_temporal_profile_sweep,
+    * q_graph_temporal_matrix) extended to the ANF family: the
+    * per-(node, breakpoint) suffix table S(x, b) that
+    * [[GraphAlgos.temporalAnfReachState]] settles already answers
+    * EVERY start time, because reach from x starting at T is
+    * S(x, smallest breakpoint ≥ T) — no breakpoint lies in [T, b),
+    * so the out-edges departing ≥ T are exactly those departing ≥ b.
+    * The gate runs the fixpoint ONCE and emits three start times'
+    * all-nodes reach estimates as readout-only window passes —
+    * k all-nodes profiles for ~1× the one-profile price, where the
+    * naive API pays k fixpoints. Oracle: the exact BASE-edge
+    * recursive closure with the seed-hop constraint dep ≥ T per
+    * sweep cell, registers rebuilt at the same width 512 — so each
+    * cell's hash re-proves BOTH the suffix-readout identity and
+    * shortcut-invariance at interior breakpoints (the batch gate
+    * pins only the widest suffix; this pins S(x, b) at every swept
+    * b).
+    */
+  private val graphTemporalAnfProfile = Q(
+    "q_graph_temporal_anf_profile",
+    (s, dir) => {
+      import s.implicits._
+      val chain = handoffChain(s, dir)
+      val t0 = chain.agg(min($"dep".cast("long"))).head.getLong(0)
+      val st = GraphAlgos.temporalAnfReachState(chain, "u", "v", "dep", "arr",
+        registerWidth = 512)
+      val W = org.apache.spark.sql.expressions.Window
+      Seq(0L, 21600000L, 43200000L).zipWithIndex.map { case (off, i) =>
+        st.filter($"dep" >= t0 + off)
+          .withColumn("__rn",
+            row_number().over(W.partitionBy($"node").orderBy($"dep".asc)))
+          .filter($"__rn" === 1)
+          .select($"node", lit(i).as("sweep"), lit(t0 + off).as("start_ms"),
+            call_function(graft.functions.HllRegistersM.EvalName, $"regs").as("ev"))
+          .select($"node", $"sweep", $"start_ms",
+            round($"ev.estimate", 4).cast("decimal(20,4)").as("reach_est"),
+            $"ev.nonzero_buckets".as("nonzero_buckets"),
+            $"ev.register_sum_scaled".as("reg_sum"))
+      }.reduce(_ union _).orderBy($"node", $"sweep")
+    },
+    Some(s"""WITH RECURSIVE fe AS (
+            |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+            |         min(ts) AS fts, min(event_id) AS feid
+            |  FROM events GROUP BY 1, 2, 3),
+            |chain AS (
+            |  SELECT user_id AS u,
+            |         lead(user_id) OVER (PARTITION BY event_type, bkt
+            |                             ORDER BY fts, feid, user_id) AS v,
+            |         lead(fts) OVER (PARTITION BY event_type, bkt
+            |                         ORDER BY fts, feid, user_id) AS vts
+            |  FROM fe),
+            |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+            |      FROM chain WHERE v IS NOT NULL AND u <> v),
+            |t0 AS (SELECT min(ts) AS t FROM e),
+            |sweep AS (
+            |  SELECT 0 AS k, 0 AS off
+            |  UNION ALL SELECT 1, 21600000
+            |  UNION ALL SELECT 2, 43200000),
+            |labels AS (
+            |  SELECT sw.k, e.u AS s, e.v AS node, e.ts AS a
+            |  FROM e, sweep sw, t0 WHERE e.ts >= t0.t + sw.off
+            |  UNION
+            |  SELECT l.k, l.s, e.v, e.ts
+            |  FROM labels l JOIN e ON e.u = l.node AND e.ts >= l.a),
+            |mem AS (SELECT DISTINCT k, s, node AS member FROM labels),
+            |dh AS MATERIALIZED (
+            |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
+            |  FROM (SELECT DISTINCT node AS member FROM labels)),
+            |regs AS (
+            |  SELECT m.k, m.s, (d.h >> 54) AS bucket,
+            |         max(least(CASE
+            |           WHEN (d.h & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 52
+            |           ELSE 55 - length(bin(d.h & ((CAST(1 AS BIGINT) << 54) - 1)))
+            |         END, 30)) AS r
+            |  FROM mem m JOIN dh d USING (member)
+            |  GROUP BY 1, 2, 3),
+            |agg AS (
+            |  SELECT k, s,
+            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+            |              (512 - count(*)) * 1073741824 AS BIGINT) AS reg_sum,
+            |         CAST(count(*) AS BIGINT) AS nonzero_buckets
+            |  FROM regs GROUP BY k, s)
+            |SELECT a.s AS node, CAST(a.k AS INTEGER) AS sweep,
+            |       CAST(t0.t + sw.off AS BIGINT) AS start_ms,
+            |       CAST(round(0.7213 / (1 + 1.079 / 512.0) * 512.0 * 512.0 /
+            |             (reg_sum / 1073741824.0), 4) AS DECIMAL(20,4)) AS reach_est,
+            |       nonzero_buckets, reg_sum
+            |FROM agg a JOIN sweep sw ON sw.k = a.k CROSS JOIN t0
+            |ORDER BY node, sweep""".stripMargin),
+  )
+
   /** The SEED × START-TIME PROFILE MATRIX from ONE frontier loop —
     * the composition of round 11's two front-reuse tricks: the
     * multi-seed shared loop (state keyed (seed, node), rounds = max
@@ -2677,5 +2769,5 @@ object Graph {
     graphTemporalMultiCloseness, graphTemporalBwFastestQuantized, graphTemporalProfileSweep,
     graphTemporalBwFastestArrQuantized, graphTemporalMatrix, graphTemporalAnf,
     graphTemporalBwFastestBothQuantized, graphSccEntityDag,
-    graphTemporalAqError, graphStreamTemporalAnf)
+    graphTemporalAqError, graphStreamTemporalAnf, graphTemporalAnfProfile)
 }

@@ -124,9 +124,12 @@ case class HllMergeRegsW(
   // "no width yet" identity
   override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
 
-  // Validate BEFORE the empty-buffer early-adopt: a corrupt sketch in a
-  // single-input group would otherwise be cloned in unchecked and only
-  // fail at eval — or never, if the merged binary is stored unread.
+  // Validation for the empty-buffer EARLY-ADOPT branch only: a corrupt
+  // sketch in a single-input group would otherwise be cloned in
+  // unchecked and fail only at eval — or never, if the merged binary is
+  // stored unread. The non-adopt path keeps its range check FUSED into
+  // the merge loop (this aggregate is the engine's hottest; a separate
+  // validation pass would double the array traversals per row).
   private def validate(other: Array[Byte]): Unit = {
     HllRegistersM.checkWidth(other.length)
     var i = 0
@@ -140,14 +143,16 @@ case class HllMergeRegsW(
 
   private def mergeInto(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
     if (other.isEmpty) return buffer
-    validate(other)
-    if (buffer.isEmpty) return other.clone()
+    if (buffer.isEmpty) { validate(other); return other.clone() }
     require(other.length == buffer.length,
       s"${HllRegistersM.MergeName}: mixed register widths " +
         s"(${buffer.length} vs ${other.length}) — sketches from different " +
         "hll_init_regs_w widths cannot merge")
     var i = 0
     while (i < buffer.length) {
+      require(other(i) >= 0 && other(i) <= 30,
+        s"${HllRegistersM.MergeName}: register $i holds ${other(i)}, " +
+          "outside [0,30] — input is not an hll_init_regs_w sketch")
       if (other(i) > buffer(i)) buffer(i) = other(i)
       i += 1
     }

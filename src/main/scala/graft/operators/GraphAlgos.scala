@@ -1620,11 +1620,16 @@ object GraphAlgos {
     val spark = st.sparkSession
     import spark.implicits._
     val W = org.apache.spark.sql.expressions.Window
-    Lineage.settle(
-      st.withColumn("__rn",
-          row_number().over(W.partitionBy($"node").orderBy($"dep".asc)))
-        .filter($"__rn" === 1)
-        .select($"node", $"regs"))
+    // size the readout's window shuffle to the (materialized) state,
+    // as the in-loop shuffles were — the count is a cheap job over the
+    // settled rdd, not a recompute
+    ScopedConf.withShufflePartitionsFor(spark, st.count()) {
+      Lineage.settle(
+        st.withColumn("__rn",
+            row_number().over(W.partitionBy($"node").orderBy($"dep".asc)))
+          .filter($"__rn" === 1)
+          .select($"node", $"regs"))
+    }
   }
 
   /** FASTEST DURATION UNDER A WAITING BOUND — the composition of the

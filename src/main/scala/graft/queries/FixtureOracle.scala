@@ -276,11 +276,11 @@ object FixtureOracle {
          |           ((v.hi - e.hi0) * 880.0) / (e.hi1 - e.hi0 + 1), 2)
          |           AS DECIMAL(10,2)) AS VARCHAR) || ',' ||
          |         CAST(CAST(round(440.0 -
-         |           (v.vol_c * 400.0) / e.vmax, 2)
+         |           (v.vol_c * 400.0) / greatest(e.vmax, 1), 2)
          |           AS DECIMAL(10,2)) AS VARCHAR) || ',' ||
          |         CAST(CAST(round(880.0 / (e.hi1 - e.hi0 + 1), 2)
          |           AS DECIMAL(10,2)) AS VARCHAR) || ',' ||
-         |         CAST(CAST(round((v.vol_c * 400.0) / e.vmax, 2)
+         |         CAST(CAST(round((v.vol_c * 400.0) / greatest(e.vmax, 1), 2)
          |           AS DECIMAL(10,2)) AS VARCHAR) AS rect
          |  FROM vol v CROSS JOIN ext e
          |)

@@ -1625,11 +1625,6 @@ object Graph {
     * add nothing semantically — that the two sides hash-match is
     * itself the proof).
     */
-  /** The per-(type, day) user hand-off chains WITH doubling shortcut
-    * edges, shared by the two temporal gates: (u, v, dep, arr) where
-    * level-2^l rows compose 2^l consecutive chronological hops (see
-    * [[graphTemporalReach]]'s scaladoc for the equivalence argument).
-    */
   /** First-event rows → shortcut chain; split from [[handoffChain]] so
     * the STREAMING twin (whose fe frame accumulates in complete-mode
     * state rather than a batch groupBy) shares the exact chain
@@ -1649,6 +1644,12 @@ object Graph {
       nodeCol = "user_id", tsCol = "ts_ms", maxLevel = 12, maxWait = maxWait,
       arrivalSlack = arrivalSlack)
 
+  /** The per-(type, day) user hand-off chains WITH doubling shortcut
+    * edges, shared by the whole temporal gate family: (u, v, dep, arr)
+    * where level-2^l rows compose 2^l consecutive chronological hops
+    * (see [[graphTemporalReach]]'s scaladoc for the equivalence
+    * argument).
+    */
   private def handoffChain(
       s: org.apache.spark.sql.SparkSession, dir: String,
       maxWait: Option[Long] = None,
@@ -2135,6 +2136,42 @@ object Graph {
     * BASE-edge recursive closure with the fnv63 register SQL at width
     * 512 (9-bit bucket split, rank cap 30).
     */
+  /** The fnv63 register-rebuild CTEs shared by every ANF oracle: given
+    * a `labels` CTE in scope carrying (`keyCols`…, node), emits
+    * mem/dh/regs/agg where `agg` holds (`keyCols`…, reg_sum,
+    * nonzero_buckets) at width 512 — ONE copy of the 9-bit bucket
+    * split, the rank CASE (52/55/cap-30), and the register-sum
+    * identity, so a width or estimator change cannot silently diverge
+    * between the batch, streaming, and profile gates.
+    */
+  private def anfRegisterCtesSql(keyCols: String): String =
+    s"""mem AS (SELECT DISTINCT $keyCols, node AS member FROM labels),
+       |dh AS MATERIALIZED (
+       |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
+       |  FROM (SELECT DISTINCT node AS member FROM labels)),
+       |regs AS (
+       |  SELECT $keyCols, (h >> 54) AS bucket,
+       |         max(least(CASE
+       |           WHEN (h & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 52
+       |           ELSE 55 - length(bin(h & ((CAST(1 AS BIGINT) << 54) - 1)))
+       |         END, 30)) AS r
+       |  FROM mem JOIN dh USING (member)
+       |  GROUP BY $keyCols, bucket),
+       |agg AS (
+       |  SELECT $keyCols,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
+       |              (512 - count(*)) * 1073741824 AS BIGINT) AS reg_sum,
+       |         CAST(count(*) AS BIGINT) AS nonzero_buckets
+       |  FROM regs GROUP BY $keyCols)""".stripMargin
+
+  /** The width-512 HLL estimate readout over `agg`'s reg_sum. A def,
+    * not a val: gate vals declared ABOVE force the lazy oracle string
+    * during object init, before a val here would be assigned.
+    */
+  private def anfEstimateSql: String =
+    "CAST(round(0.7213 / (1 + 1.079 / 512.0) * 512.0 * 512.0 / " +
+      "(reg_sum / 1073741824.0), 4) AS DECIMAL(20,4))"
+
   private lazy val temporalAnfOracleSql: String =
     s"""WITH RECURSIVE fe AS (
             |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
@@ -2154,27 +2191,9 @@ object Graph {
             |  UNION
             |  SELECT l.s, e.v, e.ts
             |  FROM labels l JOIN e ON e.u = l.node AND e.ts >= l.a),
-            |mem AS (SELECT DISTINCT s, node AS member FROM labels),
-            |dh AS MATERIALIZED (
-            |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
-            |  FROM (SELECT DISTINCT node AS member FROM labels)),
-            |regs AS (
-            |  SELECT m.s, (d.h >> 54) AS bucket,
-            |         max(least(CASE
-            |           WHEN (d.h & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 52
-            |           ELSE 55 - length(bin(d.h & ((CAST(1 AS BIGINT) << 54) - 1)))
-            |         END, 30)) AS r
-            |  FROM mem m JOIN dh d USING (member)
-            |  GROUP BY 1, 2),
-            |agg AS (
-            |  SELECT s,
-            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
-            |              (512 - count(*)) * 1073741824 AS BIGINT) AS reg_sum,
-            |         CAST(count(*) AS BIGINT) AS nonzero_buckets
-            |  FROM regs GROUP BY s)
+            |${anfRegisterCtesSql("s")}
             |SELECT s AS node,
-            |       CAST(round(0.7213 / (1 + 1.079 / 512.0) * 512.0 * 512.0 /
-            |             (reg_sum / 1073741824.0), 4) AS DECIMAL(20,4)) AS reach_est,
+            |       $anfEstimateSql AS reach_est,
             |       nonzero_buckets, reg_sum
             |FROM agg
             |ORDER BY node""".stripMargin
@@ -2296,28 +2315,10 @@ object Graph {
             |  UNION
             |  SELECT l.k, l.s, e.v, e.ts
             |  FROM labels l JOIN e ON e.u = l.node AND e.ts >= l.a),
-            |mem AS (SELECT DISTINCT k, s, node AS member FROM labels),
-            |dh AS MATERIALIZED (
-            |  SELECT member, ${Relational.fnv63Sql("CAST(member AS VARCHAR)")} AS h
-            |  FROM (SELECT DISTINCT node AS member FROM labels)),
-            |regs AS (
-            |  SELECT m.k, m.s, (d.h >> 54) AS bucket,
-            |         max(least(CASE
-            |           WHEN (d.h & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 52
-            |           ELSE 55 - length(bin(d.h & ((CAST(1 AS BIGINT) << 54) - 1)))
-            |         END, 30)) AS r
-            |  FROM mem m JOIN dh d USING (member)
-            |  GROUP BY 1, 2, 3),
-            |agg AS (
-            |  SELECT k, s,
-            |         CAST(sum(CAST(1 AS BIGINT) << CAST(30 - r AS INT)) +
-            |              (512 - count(*)) * 1073741824 AS BIGINT) AS reg_sum,
-            |         CAST(count(*) AS BIGINT) AS nonzero_buckets
-            |  FROM regs GROUP BY k, s)
+            |${anfRegisterCtesSql("k, s")}
             |SELECT a.s AS node, CAST(a.k AS INTEGER) AS sweep,
             |       CAST(t0.t + sw.off AS BIGINT) AS start_ms,
-            |       CAST(round(0.7213 / (1 + 1.079 / 512.0) * 512.0 * 512.0 /
-            |             (reg_sum / 1073741824.0), 4) AS DECIMAL(20,4)) AS reach_est,
+            |       $anfEstimateSql AS reach_est,
             |       nonzero_buckets, reg_sum
             |FROM agg a JOIN sweep sw ON sw.k = a.k CROSS JOIN t0
             |ORDER BY node, sweep""".stripMargin),

@@ -453,13 +453,17 @@ object Replay {
         min($"hi").as("hi0"), max($"hi").as("hi1"), max($"vol_c").as("vmax"))
       def dec(c: org.apache.spark.sql.Column) =
         c.cast("decimal(10,2)").cast("string")
+      // greatest(vmax, 1): all-zero volume would otherwise divide 0/0
+      // into NaN→NULL here while the oracle errors on CAST(NaN AS
+      // DECIMAL) — the same structural guard the line gate puts on its
+      // price denominator, mirrored in the oracle SQL
       vol.crossJoin(broadcast(ext))
         .withColumn("x", round(lit(40.0) +
           (($"hi" - $"hi0") * lit(880.0)) / ($"hi1" - $"hi0" + lit(1L)), 2))
         .withColumn("y", round(lit(440.0) -
-          ($"vol_c" * lit(400.0)) / $"vmax", 2))
+          ($"vol_c" * lit(400.0)) / greatest($"vmax", lit(1L)), 2))
         .withColumn("w", round(lit(880.0) / ($"hi1" - $"hi0" + lit(1L)), 2))
-        .withColumn("h", round(($"vol_c" * lit(400.0)) / $"vmax", 2))
+        .withColumn("h", round(($"vol_c" * lit(400.0)) / greatest($"vmax", lit(1L)), 2))
         .withColumn("rect", concat(dec($"x"), lit(","), dec($"y"),
           lit(","), dec($"w"), lit(","), dec($"h")))
         .agg(

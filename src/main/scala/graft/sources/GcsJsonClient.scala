@@ -63,12 +63,16 @@ object GcsJsonClient {
     var token: Option[String] = None
     var more = true
     var pages = 0
+    // every token ever seen: a server cycling tokens (A, B, A, …) makes
+    // no progress but would evade an unchanged-token-only check
+    val seen = scala.collection.mutable.Set.empty[String]
     val maxPages = 100000 // runaway backstop; real listings are ≤ tens of pages
     while (more) {
       pages += 1
-      require(pages <= maxPages,
-        s"GCS list: $maxPages pages without exhausting nextPageToken " +
-          s"for prefix '$prefix' — server is echoing tokens, aborting")
+      if (pages > maxPages)
+        throw new java.io.IOException(
+          s"GCS list: $maxPages pages without exhausting nextPageToken " +
+            s"for prefix '$prefix' — server not terminating, aborting")
       val qs = s"prefix=${java.net.URLEncoder.encode(prefix, StandardCharsets.UTF_8)}" +
         token.map(t => s"&pageToken=${java.net.URLEncoder.encode(t, StandardCharsets.UTF_8)}").getOrElse("")
       val conn = get(s"$baseUrl/storage/v1/b/${encodeSegment(bucket)}/o?$qs",
@@ -89,12 +93,14 @@ object GcsJsonClient {
             out += Obj(name, Option(o.get("size")).map(_.asLong()).getOrElse(0L))
           }
         val next = Option(node.get("nextPageToken")).filterNot(_.isNull).map(_.asText())
-        // an unchanged token means the server is not making progress —
-        // looping on it would hang the client forever
-        if (next.isDefined && next == token)
-          throw new java.io.IOException(
-            s"GCS list: nextPageToken unchanged ('${next.get}') for " +
-              s"prefix '$prefix' — server not paginating, aborting")
+        // a REPEATED token (unchanged or cycling) means the server is
+        // not making progress — looping on it would hang the client
+        next.foreach { t =>
+          if (!seen.add(t))
+            throw new java.io.IOException(
+              s"GCS list: nextPageToken '$t' repeated for prefix " +
+                s"'$prefix' — server not paginating, aborting")
+        }
         token = next
         more = token.isDefined
       } finally conn.disconnect()

@@ -56,9 +56,20 @@ object TlsLoopback {
     }
     // JDK-default format first (PKCS12 since JDK 9) — a production
     // truststore handed to clientContext is most likely PKCS12 — then
-    // JKS, the format genKeystore writes for the loopback pair.
+    // JKS, the format genKeystore writes for the loopback pair. Keep
+    // the first attempt's exception attached (suppressed): a WRONG
+    // PASSWORD also fails the first load, and reporting only the
+    // JKS-format error would hide the real cause.
     try attempt(KeyStore.getDefaultType())
-    catch { case _: java.io.IOException => attempt("JKS") }
+    catch {
+      case first: java.io.IOException =>
+        try attempt("JKS")
+        catch {
+          case second: java.io.IOException =>
+            second.addSuppressed(first)
+            throw second
+        }
+    }
   }
 
   /** Server side: an SSLContext keyed by the keystore's private key. */

@@ -142,8 +142,33 @@ class GcsJsonLoopbackSpec extends AnyFunSuite {
       val ex = intercept[java.io.IOException] {
         GcsJsonClient.listObjects(echoBase, "logs", "raw/")
       }
-      assert(ex.getMessage.contains("unchanged"), ex.getMessage)
+      assert(ex.getMessage.contains("repeated"), ex.getMessage)
     } finally echo.stop(0)
+    // an A/B token CYCLE also makes no progress — the seen-set must
+    // catch it (an unchanged-token-only check would loop forever)
+    val flip = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cyc = com.sun.net.httpserver.HttpServer
+      .create(new InetSocketAddress("127.0.0.1", 0), 8)
+    cyc.createContext("/storage/v1/b/logs/o",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        try {
+          val t = if (flip.getAndIncrement() % 2 == 0) "A" else "B"
+          val bytes = s"""{"items":[],"nextPageToken":"$t"}"""
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        } finally ex.close()
+      })
+    cyc.start()
+    try {
+      val ex = intercept[java.io.IOException] {
+        GcsJsonClient.listObjects(
+          s"http://127.0.0.1:${cyc.getAddress.getPort}", "logs", "raw/")
+      }
+      assert(ex.getMessage.contains("repeated"), ex.getMessage)
+      assert(flip.get() <= 4, s"must abort on the first repeat: ${flip.get()} pages")
+    } finally cyc.stop(0)
     // item with no name field
     val (anon, anonBase) = oneShotServer("""{"items":[{"size":7}]}""")
     try {

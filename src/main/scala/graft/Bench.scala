@@ -34,19 +34,35 @@ object Bench {
       // poisons the min whenever it overlaps both. clearCache between
       // runs so persisted subplans are re-materialized (their cost is
       // part of the query).
-      val times = (1 to 3).map { _ =>
+      // per-run driver-JVM GC time: the standing in-suite stall
+      // signature (a query 3-4× its standalone min-of-3 ONLY
+      // mid-full-suite) needs wall time split into work vs GC pause
+      // to adjudicate — see ARCHITECTURE.md round-13 addendum
+      def gcMillis(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+      }
+      val runs = (1 to 3).map { _ =>
         spark.catalog.clearCache()
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
         } catch {
           case e: Throwable =>
             // a failing query must read as breakage, not a speedup
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
+            (-1.0, 0.0)
         }
       }
+      val times = runs.map(_._1)
+      val worstGc = runs.map(_._2).max
+      if (worstGc > 1.0)
+        System.err.println(
+          f"[bench-gc] $name runs=${times.map(t => f"$t%.2f").mkString(",")} " +
+            f"gc=${runs.map(r => f"${r._2}%.2f").mkString(",")} s")
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
     // any failed query poisons the headline metric — a breakage must

@@ -34,27 +34,39 @@ object Bench {
       // poisons the min whenever it overlaps both. clearCache between
       // runs so persisted subplans are re-materialized (their cost is
       // part of the query).
-      // per-run driver-JVM GC time: the standing in-suite stall
-      // signature (a query 3-4× its standalone min-of-3 ONLY
+      // per-run JVM GC time (local mode: driver == executors, one
+      // JVM — this covers executor GC too): the standing in-suite
+      // stall signature (a query 3-4× its standalone min-of-3 ONLY
       // mid-full-suite) needs wall time split into work vs GC pause
-      // to adjudicate — see ARCHITECTURE.md round-13 addendum
+      // to adjudicate — see ARCHITECTURE.md round-13/14 addenda. The
+      // round-14 full-suite run REFUTED the GC hypothesis (zero runs
+      // over 1 s of GC across 888 runs), so the next suspect,
+      // whole-stage-codegen recompilation, is instrumented alongside:
+      // a stalled run whose compile-count delta dwarfs its repeats'
+      // is a codegen-cache miss; a stall with flat GC AND flat
+      // compiles points outside the JVM (host steal).
       def gcMillis(): Long = {
         import scala.jdk.CollectionConverters._
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
       }
+      def compileCount(): Long =
+        org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
       val runs = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val g0 = gcMillis()
+        val c0 = compileCount()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
+          ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3,
+            compileCount() - c0)
         } catch {
           case e: Throwable =>
             // a failing query must read as breakage, not a speedup
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            (-1.0, 0.0)
+            (-1.0, 0.0, 0L)
         }
       }
       val times = runs.map(_._1)
@@ -63,6 +75,13 @@ object Bench {
         System.err.println(
           f"[bench-gc] $name runs=${times.map(t => f"$t%.2f").mkString(",")} " +
             f"gc=${runs.map(r => f"${r._2}%.2f").mkString(",")} s")
+      // intra-query stall: one repeat ≥ 2× the min — print the full
+      // attribution row so the mechanism is adjudicable from the log
+      if (times.min > 0.5 && times.max > 2.0 * times.min)
+        System.err.println(
+          f"[bench-stall] $name runs=${times.map(t => f"$t%.2f").mkString(",")} " +
+            f"gc=${runs.map(r => f"${r._2}%.2f").mkString(",")} " +
+            s"compiles=${runs.map(_._3).mkString(",")}")
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
     // any failed query poisons the headline metric — a breakage must

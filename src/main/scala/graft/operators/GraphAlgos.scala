@@ -1632,6 +1632,50 @@ object GraphAlgos {
     }
   }
 
+  /** START-TIME SWEEP over [[temporalAnfReachState]]'s settled suffix
+    * table — the k-independent profile readout: reach from x starting
+    * at T is S(x, smallest breakpoint b ≥ T) (no breakpoint lies in
+    * [T, b), so the out-edges departing ≥ T are exactly those
+    * departing ≥ b), and that identity holds for ANY T — the sweep
+    * grid is a parameter, not a property of the operator.
+    *
+    * Plan shape (the part that matters at scale): the per-T argmin is
+    * computed on a NARROW (node, dep) projection — k long-only
+    * aggregations, register binaries never enter those shuffles —
+    * then ONE equi-join on (node, dep) fetches each picked suffix's
+    * registers. Register bytes therefore cross the wire at most once
+    * for the WHOLE sweep, regardless of k (the previous 3-cell
+    * readout ran one row_number window pass over the full register
+    * table per cell — k full register shuffles). The picks side is
+    * k·|nodes| narrow rows; AQE broadcasts it when small, and at
+    * scale the sort-merge join still moves registers once. Picks are
+    * settled (narrow rows — cheap) under the state-sized scoped
+    * shuffle partitioning, same sizing rule as every other readout
+    * over this table; the register-carrying join is left lazy for the
+    * caller's plan.
+    *
+    * Returns (node, sweep, start_ms, regs) — one row per node per
+    * sweep cell that has ≥ 1 breakpoint ≥ T (a node with none is
+    * absent from that cell, matching the exact-closure semantics).
+    */
+  def temporalAnfProfile(state: DataFrame, startTimes: Seq[Long]): DataFrame = {
+    require(startTimes.nonEmpty, "temporalAnfProfile: empty start-time grid")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val narrow = state.select($"node", $"dep")
+    val picks = ScopedConf.withShufflePartitionsFor(spark, state.count()) {
+      Lineage.settle(
+        startTimes.zipWithIndex.map { case (t, i) =>
+          narrow.filter($"dep" >= t)
+            .groupBy($"node").agg(min($"dep").as("dep"))
+            .withColumn("sweep", lit(i))
+            .withColumn("start_ms", lit(t))
+        }.reduce(_ unionByName _))
+    }
+    state.join(picks, Seq("node", "dep"))
+      .select($"node", $"sweep", $"start_ms", $"regs")
+  }
+
   /** FASTEST DURATION UNDER A WAITING BOUND — the composition of the
     * two non-monotone temporal variants: minimize elapsed time a − d
     * over chronological paths that never wait more than `maxWait` at
@@ -1712,12 +1756,17 @@ object GraphAlgos {
       s"temporalBoundedWaitFastest: quantizeArrivals must be > 0, got $g"))
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(uCol).cast("long").as("src"),
-      col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
-      col(arrCol).cast("long").as("ets"))
-      .filter($"dep" <= $"ets")
-      .cutLineage()
-    val nEdges = e.count()
+    quantizeArrivals match {
+      case Some(g) =>
+        // the g-slack loop settles (node, d, af, ac) → min a; fastest
+        // is a readout over that state (see temporalBoundedWaitArrState)
+        temporalBoundedWaitArrState(edges, uCol, vCol, depCol, arrCol,
+          seed, maxWait, g, startTs, maxIters, quantizeDepartures)
+          .filter($"node" =!= seed)
+          .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
+
+      case None =>
+    val (e, nEdges) = bwEdgesPrep(edges, uCol, vCol, depCol, arrCol)
     val labelCap = temporalLabelCap(spark)
     // floor-to-multiple in exact long arithmetic (pmod is always
     // non-negative, so this is floor division × q for any sign of dep)
@@ -1725,8 +1774,7 @@ object GraphAlgos {
       case Some(q) => ($"dep" - pmod($"dep", lit(q))).as("d")
       case None => $"dep".as("d")
     }
-    ScopedConf.withShufflePartitionsFor(spark, nEdges) { quantizeArrivals match {
-      case None =>
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       var state = Lineage.settle(
         e.filter($"src" === seed && $"dep" >= startTs)
           .select($"dst".as("node"), dExpr, $"ets".as("a")).distinct())
@@ -1763,8 +1811,77 @@ object GraphAlgos {
       if (frontier ne state) Lineage.release(frontier)
       state.filter($"node" =!= seed)
         .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
+    }
+    }
+  }
 
-      case Some(g) =>
+  /** shared edge normalization for the bounded-wait family: cast,
+    * drop time-reversed rows, cut lineage, count (the count sizes the
+    * loop's scoped shuffle partitioning and is the state-mass guard's
+    * denominator).
+    */
+  private def bwEdgesPrep(edges: DataFrame, uCol: String, vCol: String,
+      depCol: String, arrCol: String): (DataFrame, Long) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(uCol).cast("long").as("src"),
+      col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
+      col(arrCol).cast("long").as("ets"))
+      .filter($"dep" <= $"ets")
+      .cutLineage()
+    (e, e.count())
+  }
+
+  /** The g-slack bounded-wait loop's SETTLED STATE TABLE —
+    * (node, d, af, ac, a): for every (node, carried seed departure d,
+    * arrival class [af = floor_g(a), ac = ceil_g(a)]) the minimum
+    * EXACT arrival a. This is [[temporalBoundedWaitFastest]]'s
+    * `quantizeArrivals` branch with the readout lifted off, exposed
+    * for the quantization-error audits: because the g-slack usability
+    * predicate reads arrivals only through their class and NEVER
+    * reads d, one settled state answers every d-side readout —
+    * `min(a − d)` is the aq configuration's fastest, and
+    * `min(a − floor_q(d))` is EXACTLY the composed aqq
+    * configuration's (the engine's `quantizeDepartures` floors d at
+    * the seed rows and never touches it again, so flooring at
+    * readout is the identical function of the identical label set —
+    * the identity the aqq oracle also uses, flooring d at its seed
+    * rows). One coarse loop therefore prices BOTH levers' audits.
+    *
+    * Seed-node rows are NOT filtered; readouts exclude
+    * `node === seed` themselves. Pass `quantizeDepartures` only when
+    * the caller wants the d-bucket state collapse (the audit passes
+    * None to keep exact d for the split readout).
+    */
+  def temporalBoundedWaitArrState(
+      edges: DataFrame,
+      uCol: String,
+      vCol: String,
+      depCol: String,
+      arrCol: String,
+      seed: Long,
+      maxWait: Long,
+      arrivalQuantum: Long,
+      startTs: Long = 0L,
+      maxIters: Int = 100,
+      quantizeDepartures: Option[Long] = None,
+  ): DataFrame = {
+    require(maxWait >= 0,
+      s"temporalBoundedWaitArrState: maxWait must be >= 0, got $maxWait")
+    require(arrivalQuantum > 0,
+      s"temporalBoundedWaitArrState: arrivalQuantum must be > 0, got $arrivalQuantum")
+    quantizeDepartures.foreach(q => require(q > 0,
+      s"temporalBoundedWaitArrState: quantizeDepartures must be > 0, got $q"))
+    val g = arrivalQuantum
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (e, nEdges) = bwEdgesPrep(edges, uCol, vCol, depCol, arrCol)
+    val labelCap = temporalLabelCap(spark)
+    val dExpr = quantizeDepartures match {
+      case Some(q) => ($"dep" - pmod($"dep", lit(q))).as("d")
+      case None => $"dep".as("d")
+    }
+    ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       // arrival-class columns: floor / ceil of an arrival to the
       // g-grid, exact long arithmetic (pmod is always non-negative)
       def clsFloor(a: Column): Column = a - pmod(a, lit(g))
@@ -1783,7 +1900,7 @@ object GraphAlgos {
       var total = n
       var i = 0
       while (n > 0 && i < maxIters) {
-        requireLabelsBounded("temporalBoundedWaitFastest", total, labelCap, i,
+        requireLabelsBounded("temporalBoundedWaitArrState", total, labelCap, i,
           s"raise quantizeArrivals past $g to merge more arrival classes " +
             "(and/or pass quantizeDepartures)")
         i += 1
@@ -1815,12 +1932,13 @@ object GraphAlgos {
         frontier = fresh
       }
       require(n == 0,
-        s"temporalBoundedWaitFastest did not converge in $maxIters rounds; " +
+        s"temporalBoundedWaitArrState did not converge in $maxIters rounds; " +
           "raise maxIters")
       if (frontier ne state) Lineage.release(frontier)
-      state.filter($"node" =!= seed)
-        .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
-    } }
+      // the settled state itself — a narrow projection, NO re-settle
+      // (the readouts re-read the materialized rows either way)
+      state.select($"node", $"d", $"af", $"ac", $"a")
+    }
   }
 
   /** Strongly-connected-component condensation of a DIRECTED graph

@@ -21,6 +21,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ScopedConf {
   private val Key = "spark.sql.shuffle.partitions"
+  private val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Run `body` with shuffle partitions set to
     * `clamp(rows / rowsPerPartition + 1, 1, session default)`,
@@ -35,5 +39,71 @@ object ScopedConf {
     val parts = math.max(1L, math.min(prev.toLong, rows / rowsPerPartition + 1L))
     spark.conf.set(Key, parts.toString)
     try body finally spark.conf.set(Key, prev)
+  }
+
+  /** Fixed shuffle-partition override for a scope, restored
+    * afterwards (also on failure) — the non-streaming sibling of
+    * [[withStreamingGate]] for gates that need a fixed small
+    * partition count without a named memory sink.
+    */
+  def withShufflePartitions[T](
+      spark: SparkSession,
+      partitions: Int,
+  )(body: => T): T = {
+    val prev = spark.conf.get(Key)
+    spark.conf.set(Key, partitions.toString)
+    try body finally spark.conf.set(Key, prev)
+  }
+
+  /** The STREAMING-GATE scope every streaming query gate shares,
+    * with the restore the hand-rolled sites kept forgetting:
+    *
+    *   - stops any active query already named `sinkName` and drops
+    *     its temp view (a re-run on a warm session must not collide
+    *     with the previous run's sink);
+    *   - forces `noDataMicroBatches` ON for the scope — append-mode
+    *     windowed aggs only finalize in the terminal no-data batch,
+    *     and a session with it off would silently gate against an
+    *     empty table — and RESTORES it afterwards (the hand-rolled
+    *     sites set it and leaked it session-wide);
+    *   - sizes shuffle partitions to the query's STATE-KEY
+    *     cardinality (stateful operators allocate one state-store
+    *     instance per shuffle partition per micro-batch, each with
+    *     its own commit — a handful of keys under the session's 32
+    *     partitions is mostly empty-store commits), restoring the
+    *     session value afterwards;
+    *   - optionally pins the RocksDB state-store provider
+    *     (`transformWithState` requires it), restoring whatever the
+    *     session had.
+    *
+    * All restores run on failure too. The SINGLE-QUERY ASSUMPTION
+    * documented on [[withShufflePartitionsFor]] applies identically.
+    */
+  def withStreamingGate[T](
+      spark: SparkSession,
+      sinkName: String,
+      partitions: Int = 8,
+      rocksDb: Boolean = false,
+  )(body: => T): T = {
+    spark.streams.active
+      .filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
+    spark.catalog.dropTempView(sinkName)
+    val prevParts = spark.conf.get(Key)
+    val prevNoData = spark.conf.getOption(NoDataKey)
+    val prevProvider = spark.conf.getOption(ProviderKey)
+    spark.conf.set(Key, partitions.toString)
+    spark.conf.set(NoDataKey, "true")
+    if (rocksDb) spark.conf.set(ProviderKey, RocksDb)
+    try body finally {
+      spark.conf.set(Key, prevParts)
+      prevNoData match {
+        case Some(v) => spark.conf.set(NoDataKey, v)
+        case None => spark.conf.unset(NoDataKey)
+      }
+      if (rocksDb) prevProvider match {
+        case Some(p) => spark.conf.set(ProviderKey, p)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
   }
 }

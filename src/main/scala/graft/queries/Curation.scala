@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.ScopedConf
 import graft.operators.{TextAnalysis, TextDedup}
 
 /** The composed curation pipeline — the training-data workflow the
@@ -576,12 +577,7 @@ object Curation {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_curation_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val sch = Tables(s, dir).documents.schema
         val src = Tables.streamTable(s, dir, "documents", sch)
           .select($"doc_id", $"text")
@@ -600,7 +596,7 @@ object Curation {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName)
         .groupBy($"lang")
         .agg(

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.ScopedConf
 import graft.operators.TextDedup
 
 /** Deduplication operator inventory over the `documents` table — each
@@ -725,12 +726,7 @@ object Dedup {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_dedup_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val sch = Tables(s, dir).documents.schema
         // the file streaming source lists a DIRECTORY; the glob filter
         // narrows it to the documents table
@@ -746,7 +742,7 @@ object Dedup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"h")
     },
     Some("""SELECT DISTINCT md5(text) AS h,
@@ -772,12 +768,7 @@ object Dedup {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_dedup_wm_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src = graft.Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -791,7 +782,7 @@ object Dedup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"event_id")
     },
     Some("""SELECT event_id, user_id, event_type, value
@@ -823,12 +814,7 @@ object Dedup {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_dedup_lsh_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val sch = Tables(s, dir).documents.schema
         def src = Tables.streamTable(s, dir, "documents", sch)
         val bands = TextDedup.minhashBands(
@@ -844,7 +830,7 @@ object Dedup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       // batch finish on the materialized bucket state: cap, pair, verify
       val docs = col("docs")
       val pairs = s.table(sinkName)
@@ -1148,13 +1134,28 @@ object Dedup {
     * parameters (recall ≈ 1−(1−s^r)^b = 98.3% at s = 0.8 for r=2,
     * b=4), measured rather than assumed, the same eval-in-engine
     * pattern as q_embed_ivf_recall. Predicted = the CAPPED band pairs
-    * exactly as q_dedup_minhash_lsh generates them (pre-verification);
-    * truth = shared-shingle candidates (hot-shingle broadcast-anti
-    * cap, which cannot lose a J ≥ 0.8 pair unless EVERY shared
-    * shingle is in > 100 docs) verified with exact Jaccard from the
-    * FULL shingle table. One full-outer pair join then folds to a
-    * single metrics row; both engines replay both pyramids
-    * end-to-end.
+    * exactly as q_dedup_minhash_lsh generates them (pre-verification,
+    * over the FULL corpus — banding behavior, including bucket caps,
+    * is corpus-level); truth = shared-shingle candidates (hot-shingle
+    * broadcast-anti cap, which cannot lose a J ≥ 0.8 pair unless
+    * EVERY shared shingle is in > 100 docs) verified with exact
+    * Jaccard from the FULL shingle table.
+    *
+    * The exact ground-truth leg is measured on a DETERMINISTIC
+    * STRATUM — pairs whose BOTH endpoints satisfy `doc_id % 4 = 1` —
+    * not the whole corpus: recall is an ESTIMATE either way (the
+    * stratum is an id-hash sample, uncorrelated with content), and
+    * restricting the brute shared-shingle self-join to the stratum
+    * cuts its pair work 16×, which is what keeps the exact leg
+    * in-memory as the corpus grows (the unrestricted brute join was
+    * the suite's one spill-prone plan — 2.4× wall-clock envelope
+    * across driver heap sizes). The predictor is NOT restricted —
+    * band pairs are generated exactly as production does, then
+    * filtered to the stratum for the comparison, so the measured
+    * recall is the production candidate generator's, on a sample. At
+    * 100 TB the stratum modulus is the sample-size knob. One
+    * full-outer pair join then folds to a single metrics row; both
+    * engines replay both pyramids end-to-end.
     */
   private val lshRecall = Q(
     "q_dedup_lsh_recall",
@@ -1166,11 +1167,17 @@ object Dedup {
       val bands = TextDedup
         .minhashBands(TextDedup.minhashSignature(arr, 8), 8, 2)
         .persist()
+      // production band pairs, filtered to the measurement stratum
+      // AFTER generation (caps already applied corpus-wide)
       val pred = TextDedup.bandPairs(bands, TextDedup.DefaultMaxBucket)
+        .filter($"doc_a" % 4 === 1 && $"doc_b" % 4 === 1)
         .withColumn("in_pred", lit(1L))
       val stop = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
         .filter($"df" > 100).select("sh")
-      val indexed = sh.join(broadcast(stop), Seq("sh"), "left_anti").persist()
+      // stratum restriction BEFORE the brute self-join — the 16× cut
+      // happens at candidate generation, not post-hoc
+      val indexed = sh.filter($"doc_id" % 4 === 1)
+        .join(broadcast(stop), Seq("sh"), "left_anti").persist()
       val tcand = indexed.as("a").join(indexed.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1191,7 +1198,8 @@ object Dedup {
     Some("WITH " + minhashPairsCtes(0.8).replace(
       """pairs AS (""",
       """idx2 AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
-        |indexed2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN idx2 USING (sh)),
+        |indexed2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN idx2 USING (sh)
+        |             WHERE s.doc_id % 4 = 1),
         |tcand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM indexed2 a JOIN indexed2 b
@@ -1214,7 +1222,8 @@ object Dedup {
         |pairs AS (""".stripMargin) + """,
            |m AS (
            |  SELECT doc_a, doc_b, p.in_pred, t.in_truth
-           |  FROM (SELECT doc_a, doc_b, 1 AS in_pred FROM cand) p
+           |  FROM (SELECT doc_a, doc_b, 1 AS in_pred FROM cand
+           |        WHERE doc_a % 4 = 1 AND doc_b % 4 = 1) p
            |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_truth FROM truth) t
            |    USING (doc_a, doc_b)
            |)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.ScopedConf
 import graft.operators.{GraphAlgos, SccEntity}
 
 /** Graph analytics over derived co-occurrence graphs (the shapes a
@@ -2131,11 +2132,6 @@ object Graph {
     Some(temporalAnfOracleSql),
   )
 
-  /** Register-exact oracle shared by q_graph_temporal_anf and its
-    * streaming twin: rebuild every node's HLL registers from the exact
-    * BASE-edge recursive closure with the fnv63 register SQL at width
-    * 512 (9-bit bucket split, rank cap 30).
-    */
   /** The fnv63 register-rebuild CTEs shared by every ANF oracle: given
     * a `labels` CTE in scope carrying (`keyCols`…, node), emits
     * mem/dh/regs/agg where `agg` holds (`keyCols`…, reg_sum,
@@ -2172,6 +2168,11 @@ object Graph {
     "CAST(round(0.7213 / (1 + 1.079 / 512.0) * 512.0 * 512.0 / " +
       "(reg_sum / 1073741824.0), 4) AS DECIMAL(20,4))"
 
+  /** Register-exact oracle shared by q_graph_temporal_anf and its
+    * streaming twin: rebuild every node's HLL registers from the exact
+    * BASE-edge recursive closure with [[anfRegisterCtesSql]]'s fnv63
+    * register SQL at width 512 (9-bit bucket split, rank cap 30).
+    */
   private lazy val temporalAnfOracleSql: String =
     s"""WITH RECURSIVE fe AS (
             |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
@@ -2222,12 +2223,7 @@ object Graph {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_temporal_anf_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -2240,7 +2236,7 @@ object Graph {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       // batch finish on the settled first-event state: shortcut chain +
       // register fixpoint + shared readout, all identical to the batch gate
       val feB = s.table(sinkName).withColumn("ts_ms", unix_millis($"fts"))
@@ -2250,6 +2246,52 @@ object Graph {
     Some(temporalAnfOracleSql),
   )
 
+  /** The profile gate's sweep grid: 8 cells at 3-hour spacing. A
+    * `def` (object-init-order trap — gate vals interpolate this into
+    * their oracle strings).
+    */
+  private def anfProfileOffsets: Seq[Long] = (0 to 7).map(_ * 10800000L)
+
+  /** The exact-closure profile oracle for ANY sweep grid: per cell k,
+    * the BASE-edge recursive closure with the seed-hop constraint
+    * dep ≥ t0 + off(k), registers rebuilt at width 512.
+    */
+  private def anfProfileOracleSql(offsets: Seq[Long]): String = {
+    val sweepRows = offsets.zipWithIndex.map { case (off, k) =>
+      if (k == 0) s"  SELECT $k AS k, $off AS off"
+      else s"  UNION ALL SELECT $k, $off"
+    }.mkString("\n")
+    s"""WITH RECURSIVE fe AS (
+       |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+       |         min(ts) AS fts, min(event_id) AS feid
+       |  FROM events GROUP BY 1, 2, 3),
+       |chain AS (
+       |  SELECT user_id AS u,
+       |         lead(user_id) OVER (PARTITION BY event_type, bkt
+       |                             ORDER BY fts, feid, user_id) AS v,
+       |         lead(fts) OVER (PARTITION BY event_type, bkt
+       |                         ORDER BY fts, feid, user_id) AS vts
+       |  FROM fe),
+       |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+       |      FROM chain WHERE v IS NOT NULL AND u <> v),
+       |t0 AS (SELECT min(ts) AS t FROM e),
+       |sweep AS (
+       |$sweepRows),
+       |labels AS (
+       |  SELECT sw.k, e.u AS s, e.v AS node, e.ts AS a
+       |  FROM e, sweep sw, t0 WHERE e.ts >= t0.t + sw.off
+       |  UNION
+       |  SELECT l.k, l.s, e.v, e.ts
+       |  FROM labels l JOIN e ON e.u = l.node AND e.ts >= l.a),
+       |${anfRegisterCtesSql("k, s")}
+       |SELECT a.s AS node, CAST(a.k AS INTEGER) AS sweep,
+       |       CAST(t0.t + sw.off AS BIGINT) AS start_ms,
+       |       $anfEstimateSql AS reach_est,
+       |       nonzero_buckets, reg_sum
+       |FROM agg a JOIN sweep sw ON sw.k = a.k CROSS JOIN t0
+       |ORDER BY node, sweep""".stripMargin
+  }
+
   /** ALL-NODES reach profile across a START-TIME SWEEP from ONE ANF
     * fixpoint — the front-reuse trick (q_graph_temporal_profile_sweep,
     * q_graph_temporal_matrix) extended to the ANF family: the
@@ -2258,16 +2300,19 @@ object Graph {
     * EVERY start time, because reach from x starting at T is
     * S(x, smallest breakpoint ≥ T) — no breakpoint lies in [T, b),
     * so the out-edges departing ≥ T are exactly those departing ≥ b.
-    * The gate runs the fixpoint ONCE and emits three start times'
-    * all-nodes reach estimates as readout-only window passes —
-    * k all-nodes profiles for ~1× the one-profile price, where the
-    * naive API pays k fixpoints. Oracle: the exact BASE-edge
-    * recursive closure with the seed-hop constraint dep ≥ T per
-    * sweep cell, registers rebuilt at the same width 512 — so each
-    * cell's hash re-proves BOTH the suffix-readout identity and
-    * shortcut-invariance at interior breakpoints (the batch gate
-    * pins only the widest suffix; this pins S(x, b) at every swept
-    * b).
+    * The sweep grid is a PARAMETER
+    * ([[GraphAlgos.temporalAnfProfile]] takes any `Seq[Long]` of
+    * start times), and the readout is k-INDEPENDENT in register
+    * traffic: narrow (node, min dep ≥ T) picks per cell, ONE
+    * register-carrying equi-join for the whole grid — so this gate
+    * sweeps 8 cells at 3-hour spacing for ~1× the one-profile price,
+    * where the naive API pays 8 fixpoints. Oracle: the exact
+    * BASE-edge recursive closure with the seed-hop constraint
+    * dep ≥ T per sweep cell, registers rebuilt at the same width
+    * 512 — each cell's hash re-proves BOTH the suffix-readout
+    * identity and shortcut-invariance at interior breakpoints (the
+    * batch gate pins only the widest suffix; this pins S(x, b) at
+    * every swept b).
     */
   private val graphTemporalAnfProfile = Q(
     "q_graph_temporal_anf_profile",
@@ -2277,51 +2322,16 @@ object Graph {
       val t0 = chain.agg(min($"dep".cast("long"))).head.getLong(0)
       val st = GraphAlgos.temporalAnfReachState(chain, "u", "v", "dep", "arr",
         registerWidth = 512)
-      val W = org.apache.spark.sql.expressions.Window
-      Seq(0L, 21600000L, 43200000L).zipWithIndex.map { case (off, i) =>
-        st.filter($"dep" >= t0 + off)
-          .withColumn("__rn",
-            row_number().over(W.partitionBy($"node").orderBy($"dep".asc)))
-          .filter($"__rn" === 1)
-          .select($"node", lit(i).as("sweep"), lit(t0 + off).as("start_ms"),
-            call_function(graft.functions.HllRegistersM.EvalName, $"regs").as("ev"))
-          .select($"node", $"sweep", $"start_ms",
-            round($"ev.estimate", 4).cast("decimal(20,4)").as("reach_est"),
-            $"ev.nonzero_buckets".as("nonzero_buckets"),
-            $"ev.register_sum_scaled".as("reg_sum"))
-      }.reduce(_ union _).orderBy($"node", $"sweep")
+      GraphAlgos.temporalAnfProfile(st, anfProfileOffsets.map(t0 + _))
+        .select($"node", $"sweep", $"start_ms",
+          call_function(graft.functions.HllRegistersM.EvalName, $"regs").as("ev"))
+        .select($"node", $"sweep", $"start_ms",
+          round($"ev.estimate", 4).cast("decimal(20,4)").as("reach_est"),
+          $"ev.nonzero_buckets".as("nonzero_buckets"),
+          $"ev.register_sum_scaled".as("reg_sum"))
+        .orderBy($"node", $"sweep")
     },
-    Some(s"""WITH RECURSIVE fe AS (
-            |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
-            |         min(ts) AS fts, min(event_id) AS feid
-            |  FROM events GROUP BY 1, 2, 3),
-            |chain AS (
-            |  SELECT user_id AS u,
-            |         lead(user_id) OVER (PARTITION BY event_type, bkt
-            |                             ORDER BY fts, feid, user_id) AS v,
-            |         lead(fts) OVER (PARTITION BY event_type, bkt
-            |                         ORDER BY fts, feid, user_id) AS vts
-            |  FROM fe),
-            |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
-            |      FROM chain WHERE v IS NOT NULL AND u <> v),
-            |t0 AS (SELECT min(ts) AS t FROM e),
-            |sweep AS (
-            |  SELECT 0 AS k, 0 AS off
-            |  UNION ALL SELECT 1, 21600000
-            |  UNION ALL SELECT 2, 43200000),
-            |labels AS (
-            |  SELECT sw.k, e.u AS s, e.v AS node, e.ts AS a
-            |  FROM e, sweep sw, t0 WHERE e.ts >= t0.t + sw.off
-            |  UNION
-            |  SELECT l.k, l.s, e.v, e.ts
-            |  FROM labels l JOIN e ON e.u = l.node AND e.ts >= l.a),
-            |${anfRegisterCtesSql("k, s")}
-            |SELECT a.s AS node, CAST(a.k AS INTEGER) AS sweep,
-            |       CAST(t0.t + sw.off AS BIGINT) AS start_ms,
-            |       $anfEstimateSql AS reach_est,
-            |       nonzero_buckets, reg_sum
-            |FROM agg a JOIN sweep sw ON sw.k = a.k CROSS JOIN t0
-            |ORDER BY node, sweep""".stripMargin),
+    Some(anfProfileOracleSql(anfProfileOffsets)),
   )
 
   /** The SEED × START-TIME PROFILE MATRIX from ONE frontier loop —
@@ -2692,6 +2702,161 @@ object Graph {
            |ORDER BY stat""".stripMargin),
   )
 
+  /** The quantization-error audit at the COMPOSED (aqq) operating
+    * point — the dense-deployment configuration both levers on
+    * (q_graph_temporal_bw_fastest_aqq: d floored to 1-hour buckets,
+    * g-slack arrival classes at 10 min), priced the way
+    * [[graphTemporalAqError]] priced the arrival lever alone, with
+    * the overstatement SPLIT by lever. The engine side runs the
+    * exact bounded-wait closure plus ONE g-slack loop
+    * ([[GraphAlgos.temporalBoundedWaitArrState]] with exact d), and
+    * reads BOTH coarse configurations off the same settled state:
+    * f_aq = min(a − d), f_aqq = min(a − floor_q(d)) — the latter
+    * EQUALS the composed engine run's output because the g-slack
+    * traversal never reads d and `quantizeDepartures` is a pure
+    * per-label floor at the seed rows (the identity the aqq gate's
+    * own oracle already pins). So the audit prices the full
+    * composition for one exact + one coarse closure, not three.
+    *
+    * Soundness of the signs, telescoped per node:
+    * f_exact ≤ f_aq (aq labels are real wait-bounded paths; min over
+    * a subset) and f_aq ≤ f_aqq (a − floor_q(d) ≥ a − d pointwise on
+    * the same label set) — so over_g = f_aq − f_exact ≥ 0,
+    * over_d = f_aqq − f_aq ≥ 0, and the total
+    * over = f_aqq − f_exact = over_g + over_d, with over_d < q by
+    * construction. Nodes can drop ONLY to the g-slack lever (the
+    * d-floor never touches traversal), which the paired
+    * nodes_aq/nodes_aqq counts make visible. Oracle: both closures
+    * in one WITH RECURSIVE block — exact predicate and g-slack
+    * predicate (exact d carried) — with faq/faqq read off the SAME
+    * laq closure by the same floor identity, joined and summarized
+    * with identical arithmetic.
+    */
+  private val graphTemporalAqqError = Q(
+    "q_graph_temporal_aqq_error",
+    (s, dir) => {
+      import s.implicits._
+      val w = 2000000L
+      val g = 600000L
+      val q = 3600000L
+      val chainExact = handoffChain(s, dir, maxWait = Some(w))
+      val seed = chainExact.agg(min(least($"u", $"v"))).head.getLong(0)
+      val exact = GraphAlgos.temporalBoundedWaitFastest(
+        chainExact, "u", "v", "dep", "arr", seed, w)
+      val chainAq = handoffChain(s, dir, maxWait = Some(w), arrivalSlack = Some(g))
+      val st = GraphAlgos.temporalBoundedWaitArrState(
+        chainAq, "u", "v", "dep", "arr", seed, w, g)
+      val coarse = st.filter($"node" =!= seed)
+        .groupBy($"node").agg(
+          min($"a" - $"d").as("f_aq"),
+          min($"a" - ($"d" - pmod($"d", lit(q)))).as("f_aqq"))
+      val j = graft.operators.Lineage.settle(
+        exact.select($"node", $"fastest".as("f_exact"))
+          .join(coarse, Seq("node"), "left")
+          .withColumn("over_g", $"f_aq" - $"f_exact")
+          .withColumn("over_d", $"f_aqq" - $"f_aq")
+          .withColumn("over", $"f_aqq" - $"f_exact"))
+      val stats = j.agg(
+          count(lit(1)).as("n_exact"),
+          count($"f_aqq").as("n_aqq"),
+          sum(when($"over" === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(when($"over" > 0L, 1L).otherwise(0L)).as("n_over"),
+          coalesce(max($"over"), lit(0L)).as("over_max"),
+          coalesce(sum($"over"), lit(0L)).as("over_sum"),
+          sum(when($"over_g" > 0L, 1L).otherwise(0L)).as("ng_over"),
+          coalesce(max($"over_g"), lit(0L)).as("g_max"),
+          coalesce(sum($"over_g"), lit(0L)).as("g_sum"),
+          sum(when($"over_d" > 0L, 1L).otherwise(0L)).as("nd_over"),
+          coalesce(max($"over_d"), lit(0L)).as("d_max"),
+          coalesce(sum($"over_d"), lit(0L)).as("d_sum"))
+        .select(explode(array(
+          struct(lit("nodes_exact").as("stat"), $"n_exact".cast("long").as("v")),
+          struct(lit("nodes_aqq").as("stat"), $"n_aqq".cast("long").as("v")),
+          struct(lit("nodes_dropped").as("stat"),
+            ($"n_exact" - $"n_aqq").cast("long").as("v")),
+          struct(lit("nodes_exact_duration").as("stat"), $"n_zero".cast("long").as("v")),
+          struct(lit("nodes_overstated").as("stat"), $"n_over".cast("long").as("v")),
+          struct(lit("overstatement_max_ms").as("stat"), $"over_max".cast("long").as("v")),
+          struct(lit("overstatement_sum_ms").as("stat"), $"over_sum".cast("long").as("v")),
+          struct(lit("gslack_overstated").as("stat"), $"ng_over".cast("long").as("v")),
+          struct(lit("gslack_over_max_ms").as("stat"), $"g_max".cast("long").as("v")),
+          struct(lit("gslack_over_sum_ms").as("stat"), $"g_sum".cast("long").as("v")),
+          struct(lit("dfloor_overstated").as("stat"), $"nd_over".cast("long").as("v")),
+          struct(lit("dfloor_over_max_ms").as("stat"), $"d_max".cast("long").as("v")),
+          struct(lit("dfloor_over_sum_ms").as("stat"), $"d_sum".cast("long").as("v")),
+        )).as("r"))
+        .select($"r.stat".as("stat"), $"r.v".as("v"))
+      val buckets = j.filter($"over" > 0L)
+        .groupBy(($"over" / lit(g)).cast("long").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat(lit("over_g_bucket_"),
+          lpad($"k".cast("string"), 4, "0")).as("stat"), $"n".cast("long").as("v"))
+      stats.union(buckets).orderBy($"stat")
+    },
+    Some("""WITH RECURSIVE fe AS (
+           |  SELECT event_type, date_trunc('day', ts) AS bkt, user_id,
+           |         min(ts) AS fts, min(event_id) AS feid
+           |  FROM events GROUP BY 1, 2, 3),
+           |chain AS (
+           |  SELECT user_id AS u,
+           |         lead(user_id) OVER (PARTITION BY event_type, bkt
+           |                             ORDER BY fts, feid, user_id) AS v,
+           |         lead(fts) OVER (PARTITION BY event_type, bkt
+           |                         ORDER BY fts, feid, user_id) AS vts
+           |  FROM fe),
+           |e AS (SELECT DISTINCT u, v, epoch_ms(vts) AS ts
+           |      FROM chain WHERE v IS NOT NULL AND u <> v),
+           |sd AS (SELECT min(least(u, v)) AS s FROM e),
+           |lex AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, lex.d, e.ts
+           |  FROM lex JOIN e ON e.u = lex.node
+           |   AND e.ts >= lex.a AND e.ts - lex.a <= 2000000),
+           |laq AS (
+           |  SELECT e.v AS node, e.ts AS d, e.ts AS a
+           |  FROM e JOIN sd ON e.u = sd.s
+           |  UNION
+           |  SELECT e.v, laq.d, e.ts
+           |  FROM laq JOIN e ON e.u = laq.node
+           |   AND e.ts >= laq.a + ((600000 - laq.a % 600000) % 600000)
+           |   AND e.ts - (laq.a - (laq.a % 600000)) <= 2000000),
+           |fx AS (SELECT node, min(a - d) AS f FROM lex
+           |       WHERE node <> (SELECT s FROM sd) GROUP BY node),
+           |fa AS (SELECT node, min(a - d) AS f_aq,
+           |              min(a - (d // 3600000) * 3600000) AS f_aqq
+           |       FROM laq WHERE node <> (SELECT s FROM sd) GROUP BY node),
+           |j AS (SELECT fx.node, fx.f AS f_exact, fa.f_aq, fa.f_aqq,
+           |             fa.f_aq - fx.f AS ovg, fa.f_aqq - fa.f_aq AS ovd,
+           |             fa.f_aqq - fx.f AS ov
+           |      FROM fx LEFT JOIN fa ON fx.node = fa.node),
+           |stats AS (
+           |  SELECT 'nodes_exact' AS stat, count(*) AS v FROM j
+           |  UNION ALL SELECT 'nodes_aqq', count(f_aqq) FROM j
+           |  UNION ALL SELECT 'nodes_dropped', count(*) - count(f_aqq) FROM j
+           |  UNION ALL SELECT 'nodes_exact_duration',
+           |    count(*) FILTER (WHERE ov = 0) FROM j
+           |  UNION ALL SELECT 'nodes_overstated',
+           |    count(*) FILTER (WHERE ov > 0) FROM j
+           |  UNION ALL SELECT 'overstatement_max_ms', coalesce(max(ov), 0) FROM j
+           |  UNION ALL SELECT 'overstatement_sum_ms', coalesce(sum(ov), 0) FROM j
+           |  UNION ALL SELECT 'gslack_overstated',
+           |    count(*) FILTER (WHERE ovg > 0) FROM j
+           |  UNION ALL SELECT 'gslack_over_max_ms', coalesce(max(ovg), 0) FROM j
+           |  UNION ALL SELECT 'gslack_over_sum_ms', coalesce(sum(ovg), 0) FROM j
+           |  UNION ALL SELECT 'dfloor_overstated',
+           |    count(*) FILTER (WHERE ovd > 0) FROM j
+           |  UNION ALL SELECT 'dfloor_over_max_ms', coalesce(max(ovd), 0) FROM j
+           |  UNION ALL SELECT 'dfloor_over_sum_ms', coalesce(sum(ovd), 0) FROM j
+           |  UNION ALL
+           |  SELECT 'over_g_bucket_' || lpad(CAST(ov // 600000 AS VARCHAR), 4, '0'),
+           |         count(*)
+           |  FROM j WHERE ov > 0 GROUP BY 1)
+           |SELECT stat, CAST(v AS BIGINT) AS v FROM stats
+           |ORDER BY stat""".stripMargin),
+  )
+
   /** The condensation DAG of the per-entity SCC decomposition — what a
     * pipeline actually CONSUMES downstream of [[graphSccEntity]]:
     * collapse each strongly-connected community to its scc_id and keep
@@ -2770,5 +2935,6 @@ object Graph {
     graphTemporalMultiCloseness, graphTemporalBwFastestQuantized, graphTemporalProfileSweep,
     graphTemporalBwFastestArrQuantized, graphTemporalMatrix, graphTemporalAnf,
     graphTemporalBwFastestBothQuantized, graphSccEntityDag,
-    graphTemporalAqError, graphStreamTemporalAnf, graphTemporalAnfProfile)
+    graphTemporalAqError, graphStreamTemporalAnf, graphTemporalAnfProfile,
+    graphTemporalAqqError)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.ScopedConf
 
 /** Relational operator inventory (SURVEY.md §2.2, §2.3, §2.4 A1–A4,
   * §2.5, §2.6) expressed over the driver's TPC-H-ish tables.
@@ -532,16 +533,8 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_gap_fill_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // ≈ series keys / task
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      // ≈ series keys / task; RocksDB: transformWithState requires it
+      ScopedConf.withStreamingGate(s, sinkName, rocksDb = true) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def fixTs(df: org.apache.spark.sql.DataFrame) =
           graft.Tables.normalizeEventTs(df)
@@ -561,12 +554,6 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        prevProvider match {
-          case Some(p) => s.conf.set(providerKey, p)
-          case None => s.conf.unset(providerKey)
-        }
       }
       s.table(sinkName).orderBy($"minute", $"event_type")
     },
@@ -1124,12 +1111,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_sess_dyn_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val ev = graft.Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -1149,7 +1131,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"user_id", $"session_start")
     },
     Some("""WITH g AS (
@@ -1202,12 +1184,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_sessionize_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // ≈ state keys / task
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) { // ≈ state keys / task
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val ev = graft.Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -1225,7 +1202,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"user_id", $"session_start")
     },
     Some("""WITH f AS (
@@ -1271,12 +1248,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_attr_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src = graft.Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -1299,7 +1271,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"buy_id", $"view_id")
     },
     Some("""SELECT b.user_id, b.buy_id, v.view_id, b.buy_ts, v.view_ts,
@@ -1335,12 +1307,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_attr_outer_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src = graft.Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -1364,7 +1331,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"buy_id", $"view_id")
     },
     Some("""WITH b AS (
@@ -1798,12 +1765,7 @@ object Relational {
       import s.implicits._
       graft.functions.HllSketch.register(s)
       val sinkName = "graft_stream_hll_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def src = Tables.streamTable(s, dir, "events", rawSchema)
         val agg = src.union(src)
@@ -1821,7 +1783,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"event_type")
     },
     Some(s"""WITH h AS (
@@ -1869,12 +1831,7 @@ object Relational {
       import s.implicits._
       graft.functions.BottomK.register(s)
       val sinkName = "graft_stream_bottomk_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val sch = s.read.parquet(s"$dir/documents.parquet").schema
         def src = Tables.streamTable(s, dir, "documents", sch)
         val agg = src.union(src)
@@ -1886,7 +1843,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName)
         .select(posexplode($"hs").as(Seq("rank", "h")))
         .orderBy($"rank")
@@ -2302,12 +2259,7 @@ object Relational {
       import s.implicits._
       graft.functions.KllSketch.register(s)
       val sinkName = "graft_stream_kll_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 1) {
         val rawSchema = s.read.parquet(s"$dir/lineitem.parquet").schema
         val px = Tables.streamTable(s, dir, "lineitem", rawSchema)
           .select(($"l_extendedprice" * 100).cast("long").as("x"))
@@ -2320,7 +2272,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val st = s.table(sinkName)
       val sample = st.select(explode($"sk").as("p"))
         .select($"p.v".as("v"), $"p.w".as("w"))
@@ -2372,12 +2324,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_cms_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = Tables.streamTable(s, dir, "events", rawSchema)
         val cells = graft.operators.Sketches
@@ -2389,7 +2336,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"r", $"pos")
     },
     Some(s"""WITH hx AS (
@@ -2423,12 +2370,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_hq_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/lineitem.parquet").schema
         val src = Tables.streamTable(s, dir, "lineitem", rawSchema)
         val hist = graft.operators.Sketches
@@ -2439,7 +2381,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       graft.operators.Sketches
         .quantilesFromHistogram(s.table(sinkName),
           lo = 0.0, hi = 110000.0, bins = 256, qs = Seq(0.5, 0.9, 0.99))
@@ -2968,12 +2910,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_changepoint_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 4) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val ev = Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -2987,7 +2924,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val state = s.table(sinkName)
       graft.operators.Drift.cusumFromPeriods(state)
         .withColumnRenamed("g", "event_type")
@@ -3258,12 +3195,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_ks_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 4) {
         val sch = Tables(s, dir).documents.schema
         val stream = Tables.streamTable(s, dir, "documents", sch)
         val counts = stream
@@ -3278,7 +3210,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val state0 = s.table(sinkName)
       val state = s.createDataFrame(state0.rdd, state0.schema)
       graft.operators.Drift.ksFromCounts(state)
@@ -3326,12 +3258,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_ks_by_source_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 4) {
         val sch = Tables(s, dir).documents.schema
         val stream = Tables.streamTable(s, dir, "documents", sch)
         val counts = stream
@@ -3346,7 +3273,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val state0 = s.table(sinkName)
       val state = s.createDataFrame(state0.rdd, state0.schema)
       graft.operators.Drift.ksFromCountsGrouped(state)
@@ -3400,12 +3327,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_drift_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 4) {
         val sch = Tables(s, dir).documents.schema
         val newStream = Tables.streamTable(s, dir, "documents", sch)
           .filter(expr("(doc_id div 20) % 2 = 1"))
@@ -3417,7 +3339,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val histOld = graft.operators.Drift.histogram(
         Tables(s, dir).documents.filter(expr("(doc_id div 20) % 2 = 0")),
         "source", "n_chars", binWidth = 100L, nBins = 8, cntCol = "c_old")
@@ -3444,12 +3366,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_chi2_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 4) {
         val sch = Tables(s, dir).documents.schema
         val stream = Tables.streamTable(s, dir, "documents", sch)
         val counts = graft.operators.Drift.tokenCounts(stream, "source", "text")
@@ -3459,7 +3376,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       // The χ² tail self-joins the state table (counts ⋈ vocab totals
       // of the SAME relation). The memory sink's MemoryPlan is not a
       // MultiInstanceRelation, so the analyzer can't deduplicate the
@@ -3494,12 +3411,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_profile_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 1) {
         val rawSchema = s.read.parquet(s"$dir/orders.parquet").schema
         val o = Tables.streamTable(s, dir, "orders", rawSchema)
           .withColumn("o_priority_nz", nullif($"o_orderpriority", lit("1-URGENT")))
@@ -3513,7 +3425,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"col_name")
     },
     Some(profileHllOrdersOracle),
@@ -3635,12 +3547,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_sliding_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = graft.Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -3659,7 +3566,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"w_start", $"event_type")
     },
     // Append mode emits exactly the windows finalized below the
@@ -3702,11 +3609,7 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_enrich_gate"
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val dim = Tables(s, dir).customer
           .select($"c_custkey", $"c_mktsegment")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -3722,7 +3625,7 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"event_id")
     },
     Some("""SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
@@ -3754,9 +3657,7 @@ object Relational {
       val inDir = new java.io.File(base, "in").getPath
       val outDir = new java.io.File(base, "out").getPath
       val ckpt = new java.io.File(base, "ckpt").getPath
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withShufflePartitions(s, 8) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         def arrive(pred: org.apache.spark.sql.Column): Unit =
           s.read.parquet(s"$dir/events.parquet").filter(pred)
@@ -3781,7 +3682,7 @@ object Relational {
         drain() // first incarnation: 4 micro-batches over half 1
         arrive($"event_id" % 2 === 1)
         drain() // restart from the SAME checkpoint: only the new files
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(outDir).orderBy($"event_id")
     },
     Some("""SELECT event_id, user_id, event_type,

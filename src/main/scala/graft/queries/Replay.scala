@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.ScopedConf
 import graft.model.{FeedMsg, Tick}
 import graft.operators.BookReplay
 import graft.sources.{FixtureLog, MarketsDim, RawLogSource}
@@ -429,6 +430,56 @@ object Replay {
     * so the only plotting surface not under the hash is inert SVG
     * boilerplate.
     */
+  /** The yes-token dimension of the fixture's 0xM0 market — the
+    * static dim both volume-bars gates (batch + streaming twin)
+    * broadcast against their TRADE side.
+    */
+  private def fixtureYesTokens(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val paths = FixtureLog.write(fixtureSpec)
+    MarketsDim
+      .tokenDim(MarketsDim.markets(RawLogSource.frames(s, paths)))
+      .filter($"outcome" === "Yes" && $"condition_id" === "0xM0")
+      .select($"token_id").distinct()
+  }
+
+  /** Shared rect-geometry finish of the volume bars (batch gate +
+    * streaming twin): (hi, vol_c) → (n_bars, rects). Each hour bar
+    * scales into the 960×480 / 40 px-pad viewport with align='edge'
+    * semantics (bar i spans its hour slot, width = 880 / n_slots),
+    * baseline at volume 0, one float division per coordinate, 2 dp
+    * through DECIMAL(10,2) so string forms match the oracle exactly.
+    */
+  private def volumeRects(vol: DataFrame): DataFrame = {
+    val s = vol.sparkSession
+    import s.implicits._
+    val ext = vol.agg(
+      min($"hi").as("hi0"), max($"hi").as("hi1"), max($"vol_c").as("vmax"))
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast("decimal(10,2)").cast("string")
+    // greatest(vmax, 1): all-zero volume would otherwise divide 0/0
+    // into NaN→NULL here while the oracle errors on CAST(NaN AS
+    // DECIMAL) — the same structural guard the line gate puts on its
+    // price denominator, mirrored in the oracle SQL
+    vol.crossJoin(broadcast(ext))
+      .withColumn("x", round(lit(40.0) +
+        (($"hi" - $"hi0") * lit(880.0)) / ($"hi1" - $"hi0" + lit(1L)), 2))
+      .withColumn("y", round(lit(440.0) -
+        ($"vol_c" * lit(400.0)) / greatest($"vmax", lit(1L)), 2))
+      .withColumn("w", round(lit(880.0) / ($"hi1" - $"hi0" + lit(1L)), 2))
+      .withColumn("h", round(($"vol_c" * lit(400.0)) / greatest($"vmax", lit(1L)), 2))
+      .withColumn("rect", concat(dec($"x"), lit(","), dec($"y"),
+        lit(","), dec($"w"), lit(","), dec($"h")))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"hi", $"rect"))),
+            c => c.getField("rect")),
+          " ").as("rects"))
+      .orderBy($"n_bars")
+  }
+
   private val notebookVolumePlot = Q(
     "q_notebook_volume_plot",
     (s, _) => {
@@ -437,10 +488,7 @@ object Replay {
       val paths = FixtureLog.write(fixtureSpec)
       val frames = RawLogSource.frames(s, paths)
       val ticks = BookReplay.ticks(RawLogSource.feedMessages(frames))
-      val yesTokens = MarketsDim
-        .tokenDim(MarketsDim.markets(frames))
-        .filter($"outcome" === "Yes" && $"condition_id" === "0xM0")
-        .select($"token_id").distinct()
+      val yesTokens = fixtureYesTokens(s)
       val vol = ticks
         .filter($"kind" === "TRADE")
         .join(broadcast(yesTokens), ticks("asset") === yesTokens("token_id"), "left_semi")
@@ -449,31 +497,49 @@ object Replay {
             timestamp_millis($"timestamp".cast("long")))) / lit(3600000L)).cast("long"))
         .groupBy($"hi")
         .agg(sum(round($"size" * 100).cast("long")).as("vol_c"))
-      val ext = vol.agg(
-        min($"hi").as("hi0"), max($"hi").as("hi1"), max($"vol_c").as("vmax"))
-      def dec(c: org.apache.spark.sql.Column) =
-        c.cast("decimal(10,2)").cast("string")
-      // greatest(vmax, 1): all-zero volume would otherwise divide 0/0
-      // into NaN→NULL here while the oracle errors on CAST(NaN AS
-      // DECIMAL) — the same structural guard the line gate puts on its
-      // price denominator, mirrored in the oracle SQL
-      vol.crossJoin(broadcast(ext))
-        .withColumn("x", round(lit(40.0) +
-          (($"hi" - $"hi0") * lit(880.0)) / ($"hi1" - $"hi0" + lit(1L)), 2))
-        .withColumn("y", round(lit(440.0) -
-          ($"vol_c" * lit(400.0)) / greatest($"vmax", lit(1L)), 2))
-        .withColumn("w", round(lit(880.0) / ($"hi1" - $"hi0" + lit(1L)), 2))
-        .withColumn("h", round(($"vol_c" * lit(400.0)) / greatest($"vmax", lit(1L)), 2))
-        .withColumn("rect", concat(dec($"x"), lit(","), dec($"y"),
-          lit(","), dec($"w"), lit(","), dec($"h")))
-        .agg(
-          count(lit(1)).as("n_bars"),
-          array_join(
-            transform(
-              array_sort(collect_list(struct($"hi", $"rect"))),
-              c => c.getField("rect")),
-            " ").as("rects"))
-        .orderBy($"n_bars")
+      volumeRects(vol)
+    },
+    Some(FixtureOracle.notebookVolumePlotSql),
+  )
+
+  /** The volume bars' LIVE TWIN — the notebook's second chart
+    * (`bbo.ipynb` cell 2's 1-hour TRADE bars over the stream the
+    * collector's feed loop delivers, `collector/src/main.rs:358-397`)
+    * computed by a REAL streaming query and hash-gated against the
+    * SAME rect oracle as the batch gate, closing the "every notebook
+    * artifact has a live twin" loop next to q_stream_bbo_minutely.
+    *
+    * Mode choice, reasoned not defaulted: the rect geometry needs
+    * GLOBAL extents (hi0, hi1, vmax), so finalized-window append
+    * output cannot feed it (the last hours sit above any watermark).
+    * Instead the STREAMING leg maintains the hourly centi-volume sums
+    * in complete mode — the aggregate is a mergeable SUM keyed by
+    * hour bucket, so state is bar-count-sized (the
+    * q_stream_temporal_anf shape: tiny mergeable state, batch
+    * finish) — and the BATCH finish reuses [[volumeRects]] verbatim
+    * on the settled sums. The yes-token dimension joins
+    * stream-static broadcast, the production shape for dims. Volumes
+    * sum exactly (centi-size longs), so micro-batch boundaries
+    * cannot flip the hash.
+    */
+  private val streamVolumePlot = Q(
+    "q_stream_volume_plot",
+    (s, _) => {
+      import s.implicits._
+      val yesTokens = fixtureYesTokens(s)
+      runStreamToTable(s, "graft_stream_volume_gate", outputMode = "complete")(tks =>
+        tks.filter($"kind" === "TRADE")
+          .join(broadcast(yesTokens), tks("asset") === yesTokens("token_id"), "left_semi")
+          // try_cast, not cast: the raw exchange timestamp is a string
+          // end-to-end; a dirty one on a long-running stream must drop
+          // the tick, not kill the query (bboMinutely's policy)
+          .withColumn("event_ts", timestamp_millis(expr("try_cast(timestamp AS LONG)")))
+          .filter($"event_ts".isNotNull)
+          .withColumn("hi",
+            (unix_millis(date_trunc("hour", $"event_ts")) / lit(3600000L)).cast("long"))
+          .groupBy($"hi")
+          .agg(sum(round($"size" * 100).cast("long")).as("vol_c")))
+      volumeRects(s.table("graft_stream_volume_gate"))
     },
     Some(FixtureOracle.notebookVolumePlotSql),
   )
@@ -550,38 +616,26 @@ object Replay {
   private def streamFixtureSpec: FixtureLog.Spec = FixtureOracle.streamSpec
 
   /** Run a streaming plan built on the fixture tick stream to a memory
-    * sink with an AvailableNow trigger, returning the sink table. The
-    * no-data-microbatch conf is forced on: append-mode windowed aggs
-    * only finalize in the terminal no-data batch, and a session with it
-    * disabled would silently gate against an empty table.
+    * sink with an AvailableNow trigger, returning the sink table.
+    * [[ScopedConf.withStreamingGate]] supplies the gate scope:
+    * no-data-microbatches forced on (append-mode windowed aggs only
+    * finalize in the terminal no-data batch — a session with it
+    * disabled would silently gate against an empty table), shuffle
+    * partitions sized to the fixture's handful of state keys, the
+    * RocksDB provider when transformWithState needs it, all restored
+    * afterwards. `outputMode` is "append" for the fold/window gates,
+    * "complete" for global-extent finishes (the volume-bars twin)
+    * whose state is mergeable and bucket-count-sized.
     */
   private def runStreamToTable(
       s: SparkSession,
       sinkName: String,
       useTws: Boolean = false,
+      outputMode: String = "append",
   )(plan: org.apache.spark.sql.Dataset[graft.model.Tick] => DataFrame): DataFrame = {
     FixtureOracle.ensureDumps(s)
     FixtureLog.write(streamFixtureSpec)
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-    s.catalog.dropTempView(sinkName)
-    // Stateful operators allocate one state-store instance PER SHUFFLE
-    // PARTITION per micro-batch, each with its own commit — so a
-    // streaming query's shuffle partitioning must be sized to its
-    // state-key cardinality, not to a batch-wide default. The fixture
-    // stream has a handful of assets; 32 partitions would spend the
-    // whole query on empty state-store commits. (At scale the same
-    // sizing rule applies with bigger numbers: partitions ≈ active
-    // keys / keys-per-task, set per query.)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    // transformWithState requires the RocksDB provider (the production
-    // store anyway); restore whatever the session had afterwards
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
-    if (useTws) s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    ScopedConf.withStreamingGate(s, sinkName, rocksDb = useTws) {
       val lines = s.readStream.schema("value STRING").text(streamFixtureSpec.dir)
       val msgs = RawLogSource.feedMessagesFromLines(lines.toDF())
       val ticks =
@@ -590,16 +644,10 @@ object Replay {
       val query = plan(ticks).writeStream
         .format("memory")
         .queryName(sinkName)
-        .outputMode("append")
+        .outputMode(outputMode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      if (useTws) prevProvider match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
     }
     s.table(sinkName)
   }
@@ -671,12 +719,7 @@ object Replay {
       import s.implicits._
       FixtureOracle.ensureDumps(s)
       val sinkName = "graft_stream_live_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val lines = s.readStream.format("graft-feed")
           .option("totalFrames", FixtureOracle.LiveTotalFrames)
           .option("framesPerBatch", 100).load()
@@ -688,7 +731,7 @@ object Replay {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName)
         .orderBy($"asset", $"line_no", $"msg_idx", $"emit_idx")
         .select(Tick.referenceColumns.map(col): _*)
@@ -1491,6 +1534,7 @@ object Replay {
     notebookBboMinutely,
     notebookBboPlot,
     notebookVolumePlot,
+    streamVolumePlot,
     streamReplayTicks,
     streamReplayTicksTws,
     streamBboMinutely,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.ScopedConf
 import graft.operators.TextAnalysis
 
 /** Text-analysis inventory over `documents`, oracle-checked (see
@@ -1478,12 +1479,7 @@ object TextAnalysisQ {
       import s.implicits._
       graft.functions.MisraGries.register(s)
       val sinkName = "graft_stream_mg_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 1) {
         val sch = Tables(s, dir).documents.schema
         val words = Tables.streamTable(s, dir, "documents", sch)
           .select(explode(split($"text", " ")).as("w"))
@@ -1496,7 +1492,7 @@ object TextAnalysisQ {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val st = s.table(sinkName)
       val mg = st.select(explode($"s").as("p"))
         .select($"p.item".as("w"), $"p.cnt".as("mg_cnt"))
@@ -1596,12 +1592,7 @@ object TextAnalysisQ {
       import s.implicits._
       graft.functions.SpaceSaving.register(s)
       val sinkName = "graft_stream_ss_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 1) {
         val sch = Tables(s, dir).documents.schema
         val words = Tables.streamTable(s, dir, "documents", sch)
           .select(explode(split($"text", " ")).as("w"))
@@ -1614,7 +1605,7 @@ object TextAnalysisQ {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val st = s.table(sinkName)
       val items = st.select(explode($"s.items").as("p"), $"s.delta".as("delta"))
         .select($"p.item".as("w"), $"p.lb".as("lb"), $"p.ub".as("ub"), $"delta")
@@ -1671,12 +1662,7 @@ object TextAnalysisQ {
       import s.implicits._
       graft.functions.SpaceSaving.register(s)
       val sinkName = "graft_stream_ss_cert_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 1) {
         val sch = Tables(s, dir).documents.schema
         val words = Tables.streamTable(s, dir, "documents", sch)
           .select(explode(split($"text", " ")).as("w"))
@@ -1688,7 +1674,7 @@ object TextAnalysisQ {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val st = s.table(sinkName)
       val cand = st.select(explode($"s.items.item").as("w"))
       val delta = st.select($"s.delta".as("delta"))
@@ -1732,12 +1718,7 @@ object TextAnalysisQ {
       import s.implicits._
       graft.functions.SpaceSaving.register(s)
       val sinkName = "graft_stream_ss_cert_src_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName, partitions = 4) {
         val sch = Tables(s, dir).documents.schema
         val words = Tables.streamTable(s, dir, "documents", sch)
           .select($"source", explode(split($"text", " ")).as("w"))
@@ -1749,7 +1730,7 @@ object TextAnalysisQ {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val st = s.table(sinkName)
       val cand = st.select($"source".as("g"), explode($"s.items.item").as("w"))
       val delta = st.select($"source".as("g"), $"s.delta".as("delta"))

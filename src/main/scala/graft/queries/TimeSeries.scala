@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.ScopedConf
 
 /** Time-series analytics over the `events` stream: OHLC candle bars
   * (the downsample a tick engine serves to every charting client —
@@ -191,12 +192,7 @@ object TimeSeries {
     (s, dir) => {
       import s.implicits._
       val sinkName = "graft_stream_ohlc_gate"
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.streams.active.filter(q => Option(q.name).contains(sinkName)).foreach(_.stop())
-      s.catalog.dropTempView(sinkName)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      ScopedConf.withStreamingGate(s, sinkName) {
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
         val src = graft.Tables.normalizeEventTs(
           Tables.streamTable(s, dir, "events", rawSchema))
@@ -229,7 +225,7 @@ object TimeSeries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName).orderBy($"hour", $"event_type")
     },
     Some("""WITH e AS (

@@ -64,8 +64,13 @@ object GcsJsonClient {
     var more = true
     var pages = 0
     // every token ever seen: a server cycling tokens (A, B, A, …) makes
-    // no progress but would evade an unchanged-token-only check
+    // no progress but would evade an unchanged-token-only check. Tokens
+    // are opaque with no documented distinctness guarantee, so a
+    // recurrence alone is NOT fatal — only a recurrence on a page that
+    // delivered no new object names (the progress witness; a valid
+    // listing never re-lists a name without new ones alongside).
     val seen = scala.collection.mutable.Set.empty[String]
+    val namesSeen = scala.collection.mutable.Set.empty[String]
     val maxPages = 100000 // runaway backstop; real listings are ≤ tens of pages
     while (more) {
       pages += 1
@@ -82,6 +87,7 @@ object GcsJsonClient {
           throw new java.io.IOException(
             s"GCS list: HTTP ${conn.getResponseCode} for prefix '$prefix'")
         val node = mapper.readTree(conn.getInputStream)
+        var newNames = 0
         Option(node.get("items")).filter(_.isArray).toSeq
           .flatMap(_.elements().asScala)
           .foreach { o =>
@@ -90,16 +96,20 @@ object GcsJsonClient {
             val name = Option(o.get("name")).filterNot(_.isNull).map(_.asText())
               .getOrElse(throw new java.io.IOException(
                 s"GCS list: item missing 'name' for prefix '$prefix'"))
+            if (namesSeen.add(name)) newNames += 1
             out += Obj(name, Option(o.get("size")).map(_.asLong()).getOrElse(0L))
           }
         val next = Option(node.get("nextPageToken")).filterNot(_.isNull).map(_.asText())
-        // a REPEATED token (unchanged or cycling) means the server is
-        // not making progress — looping on it would hang the client
+        // a REPEATED token (unchanged or cycling) on a page with no
+        // new object names means the server is not making progress —
+        // looping on it would hang the client. A repeat WITH new names
+        // is allowed (opaque tokens may legitimately recur); the
+        // maxPages backstop still bounds that path.
         next.foreach { t =>
-          if (!seen.add(t))
+          if (!seen.add(t) && newNames == 0)
             throw new java.io.IOException(
-              s"GCS list: nextPageToken '$t' repeated for prefix " +
-                s"'$prefix' — server not paginating, aborting")
+              s"GCS list: nextPageToken '$t' repeated with no new objects " +
+                s"for prefix '$prefix' — server not paginating, aborting")
         }
         token = next
         more = token.isDefined

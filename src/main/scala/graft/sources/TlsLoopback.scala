@@ -56,16 +56,19 @@ object TlsLoopback {
     }
     // JDK-default format first (PKCS12 since JDK 9) — a production
     // truststore handed to clientContext is most likely PKCS12 — then
-    // JKS, the format genKeystore writes for the loopback pair. Keep
-    // the first attempt's exception attached (suppressed): a WRONG
-    // PASSWORD also fails the first load, and reporting only the
+    // JKS, the format genKeystore writes for the loopback pair.
+    // KeyStore.load signals a format mismatch through several types
+    // (IOException, NoSuchAlgorithmException, CertificateException),
+    // so ANY non-fatal first failure falls through to the JKS attempt.
+    // Keep the first attempt's exception attached (suppressed): a
+    // WRONG PASSWORD also fails the first load, and reporting only the
     // JKS-format error would hide the real cause.
     try attempt(KeyStore.getDefaultType())
     catch {
-      case first: java.io.IOException =>
+      case scala.util.control.NonFatal(first) =>
         try attempt("JKS")
         catch {
-          case second: java.io.IOException =>
+          case scala.util.control.NonFatal(second) =>
             second.addSuppressed(first)
             throw second
         }

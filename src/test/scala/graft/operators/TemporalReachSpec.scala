@@ -795,4 +795,72 @@ class TemporalReachSpec extends AnyFunSuite {
     assert(via(waitOnly).keySet.size > expect.size,
       "wait-only shortcuts should (wrongly) reach past the slack violation")
   }
+
+  test("temporalBoundedWaitArrState: ONE settled state answers both coarse " +
+    "readouts — min(a−d) equals the aq engine run, min(a−floor_q(d)) equals " +
+    "the composed aqq engine run — and the overstatements telescope " +
+    "exact ≤ aq ≤ aqq < aq + q") {
+    import org.apache.spark.sql.functions.{min => fmin, lit, pmod}
+    val rnd = new scala.util.Random(419)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = (1 to 5 * n).map { _ =>
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L,
+          rnd.nextInt(60).toLong + 1L)
+      }.filter(e => e._1 != e._2)
+      val w = 8L + rnd.nextInt(10)
+      val g = 2L + rnd.nextInt(4)
+      val q = 7L
+      val df = edges.toDF("u", "v", "ts")
+      val st = GraphAlgos.temporalBoundedWaitArrState(
+        df, "u", "v", "ts", "ts", 1L, w, g)
+      val readout = st.filter($"node" =!= 1L)
+        .groupBy($"node").agg(
+          fmin($"a" - $"d").as("f_aq"),
+          fmin($"a" - ($"d" - pmod($"d", lit(q)))).as("f_aqq"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val aq = bwaFastest(edges, w, g)
+      val aqq = GraphAlgos.temporalBoundedWaitFastest(
+        df, "u", "v", "ts", "ts", 1L, w,
+        quantizeDepartures = Some(q), quantizeArrivals = Some(g))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(readout.view.mapValues(_._1).toMap === aq, s"trial $trial aq")
+      assert(readout.view.mapValues(_._2).toMap === aqq, s"trial $trial aqq")
+      val exact = seqBwFastest(edges, 1L, w)
+      readout.foreach { case (node, (faq, faqq)) =>
+        assert(exact(node) <= faq && faq <= faqq && faqq < faq + q,
+          s"trial $trial node $node: exact=${exact(node)} aq=$faq aqq=$faqq")
+      }
+    }
+  }
+
+  test("temporalAnfProfile: each sweep cell's registers equal the state's " +
+    "first suffix at that start time, for ANY grid — including a cell " +
+    "past the last breakpoint (absent, not zeroed)") {
+    val rnd = new scala.util.Random(523)
+    val n = 10
+    val edges = (1 to 60).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(40).toLong + 1L)
+    }.filter(e => e._1 != e._2).distinct
+    val st = GraphAlgos.temporalAnfReachState(
+      edges.toDF("u", "v", "ts"), "u", "v", "ts", "ts", registerWidth = 512)
+    val grid = Seq(0L, 7L, 13L, 22L, 35L, 100L)
+    val out = GraphAlgos.temporalAnfProfile(st, grid)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]]("regs"))
+      .toMap
+    val stRows = st.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]]("regs")))
+    grid.zipWithIndex.foreach { case (t, k) =>
+      val expect = stRows.filter(_._2 >= t).groupBy(_._1)
+        .map { case (nd, rows) => nd -> rows.minBy(_._2)._3 }
+      assert(out.keysIterator.filter(_._2 == k).map(_._1).toSet == expect.keySet,
+        s"cell $k (T=$t) node set")
+      expect.foreach { case (nd, regs) =>
+        assert(java.util.Arrays.equals(out((nd, k)), regs),
+          s"cell $k (T=$t) node $nd registers differ")
+      }
+    }
+    assert(out.keysIterator.forall(_._2 < 5), "T=100 is past every breakpoint")
+  }
 }

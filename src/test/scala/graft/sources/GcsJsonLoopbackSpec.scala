@@ -179,6 +179,31 @@ class GcsJsonLoopbackSpec extends AnyFunSuite {
     } finally anon.stop(0)
   }
 
+  test("a REISSUED token with NEW objects on every page is progress, not " +
+    "an abort — opaque tokens carry no distinctness guarantee") {
+    val page = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = com.sun.net.httpserver.HttpServer
+      .create(new InetSocketAddress("127.0.0.1", 0), 8)
+    srv.createContext("/storage/v1/b/logs/o",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        try {
+          val i = page.getAndIncrement()
+          val tok = if (i < 2) ""","nextPageToken":"same"""" else ""
+          val bytes = s"""{"items":[{"name":"raw/p$i","size":$i}]$tok}"""
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        } finally ex.close()
+      })
+    srv.start()
+    try {
+      val objs = GcsJsonClient.listObjects(
+        s"http://127.0.0.1:${srv.getAddress.getPort}", "logs", "raw/")
+      assert(objs.map(_.name) == Seq("raw/p0", "raw/p1", "raw/p2"))
+    } finally srv.stop(0)
+  }
+
   test("media requests percent-encode the object name as one segment " +
     "(%2F on the raw path) and bytes round-trip exactly") {
     val name = "raw/2024-01-01-00.jsonl.zst"

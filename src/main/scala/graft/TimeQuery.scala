@@ -28,11 +28,21 @@ object TimeQuery {
       // codegen warmup at the smallest SF (same plan text → cache hit)
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[warm] ${e.getMessage}") }
+      // process-CPU per run alongside wall: on a host with hypervisor
+      // steal, wall varies ±30% while the CPU the run actually burns is
+      // stable — the honest A/B metric for plan-shape changes
+      def cpuNs(): Long =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+          case _ => 0L
+        }
       (1 to n).foreach { i =>
         spark.catalog.clearCache()
+        val c0 = cpuNs()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"[time] $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[time] $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"cpu=${(cpuNs() - c0) / 1e9}%.2f s")
       }
     }
     spark.stop()

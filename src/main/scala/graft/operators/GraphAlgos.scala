@@ -889,14 +889,21 @@ object GraphAlgos {
   ): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(uCol).cast("long").as("src"),
+    val raw = edges.select(col(uCol).cast("long").as("src"),
       col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
       col(arrCol).cast("long").as("ets"))
       .filter($"dep" <= $"ets") // a path cannot arrive before it departs
       .cutLineage()
-    val nEdges = e.count()
+    val nEdges = raw.count()
+    // static side pre-partitioned + pre-sorted (see bwEdgesPrep)
+    val e = raw.repartition(ScopedConf.partitionsFor(spark, nEdges), $"src")
+      .sortWithinPartitions($"src").cutLineage()
     ScopedConf.withShufflePartitionsFor(spark, nEdges) {
-      var arr = Lineage.settle(Seq((seed, startTs)).toDF("node", "arr"))
+      val partsK = ScopedConf.partitionsFor(spark, nEdges)
+      def keyed(df: DataFrame): DataFrame = df
+        .repartition(partsK, $"node").sortWithinPartitions($"node")
+        .cutLineage()
+      var arr = keyed(Seq((seed, startTs)).toDF("node", "arr"))
       var frontier = arr
       var n = 1L
       var i = 0
@@ -911,8 +918,11 @@ object GraphAlgos {
           .select($"node", $"carr".as("arr")))
         n = improved.count()
         if (n > 0) {
-          val merged = Lineage.settle(arr.union(improved)
-            .groupBy($"node").agg(min($"arr").as("arr")))
+          // the merge's groupBy exchange is already on the join key at
+          // the scoped count, so only the sort is added before the cut
+          val merged = arr.union(improved)
+            .groupBy($"node").agg(min($"arr").as("arr"))
+            .sortWithinPartitions($"node").cutLineage()
           Lineage.release(arr)
           if (frontier ne arr) Lineage.release(frontier)
           arr = merged
@@ -997,7 +1007,29 @@ object GraphAlgos {
           (dep1 - (ts - pmod(ts, lit(g))) <= maxWait.get)).cast("int")
       case None => lit(1)
     }
-    val leads = chains
+    // ONE window pass emits every level's (v, arr, gate) as a struct
+    // array, exploded into edge rows — the previous shape unioned 13
+    // per-level filter branches over the same Window subplan, and
+    // Spark re-evaluates the window (sort + all lead/max/min columns)
+    // once PER BRANCH (only the exchange below it is reused), so the
+    // widest operator in the whole temporal family ran 13× per query.
+    // The explode materializes each window column exactly once; the
+    // emitted (u, v, dep, arr) set is identical (same per-level
+    // null/gate filters, applied post-explode).
+    val lvlStructs = levels.map { l =>
+      val ok: Column = (maxWait, arrivalSlack) match {
+        case (Some(_), Some(_)) if l > 1 =>
+          min(col("__ok")).over(w.rowsBetween(1, l - 1)) === 1
+        case (Some(mw), _) if l > 1 =>
+          max(col("__gap")).over(w.rowsBetween(1, l - 1)) <= mw
+        case _ => lit(true)
+      }
+      struct(
+        lead(col(nodeCol).cast("long"), l).over(w).as("v"),
+        lead(col(tsCol).cast("long"), l).over(w).as("a"),
+        ok.as("ok"))
+    }
+    chains
       .withColumn("__dep",
         when(dep1 < col(tsCol).cast("long"), raise_error(concat(
           lit("chainShortcuts: successor time precedes the row's own — "),
@@ -1005,27 +1037,11 @@ object GraphAlgos {
           .otherwise(dep1))
       .withColumn("__gap", gap1)
       .withColumn("__ok", slackOk1)
-      .select(Seq(col(nodeCol).cast("long").as("u"), col("__dep").as("dep"),
-        col("__gap").as("__gap"), col("__ok").as("__ok")) ++
-        levels.flatMap(l => Seq(
-          lead(col(nodeCol).cast("long"), l).over(w).as(s"__v$l"),
-          lead(col(tsCol).cast("long"), l).over(w).as(s"__a$l")) ++
-          (if (maxWait.isDefined && l > 1)
-            Seq(max(col("__gap")).over(w.rowsBetween(1, l - 1)).as(s"__mg$l"))
-          else Seq.empty) ++
-          (if (arrivalSlack.isDefined && l > 1)
-            Seq(min(col("__ok")).over(w.rowsBetween(1, l - 1)).as(s"__sk$l"))
-          else Seq.empty)): _*)
-    levels.map { l =>
-      val base = leads.filter(col(s"__v$l").isNotNull)
-      val gated = (maxWait, arrivalSlack) match {
-        case (Some(_), Some(_)) if l > 1 =>
-          base.filter(col(s"__sk$l") === 1)
-        case (Some(mw), _) if l > 1 => base.filter(col(s"__mg$l") <= mw)
-        case _ => base
-      }
-      gated.select($"u", col(s"__v$l").as("v"), $"dep", col(s"__a$l").as("arr"))
-    }.reduce(_ union _)
+      .select(col(nodeCol).cast("long").as("u"), col("__dep").as("dep"),
+        array(lvlStructs: _*).as("__lv"))
+      .select($"u", $"dep", explode($"__lv").as("__x"))
+      .filter($"__x.v".isNotNull && $"__x.ok")
+      .select($"u", $"__x.v".as("v"), $"dep", $"__x.a".as("arr"))
       .filter($"u" =!= $"v")
       .distinct()
   }
@@ -1074,7 +1090,20 @@ object GraphAlgos {
     val nEdges = e.count()
     val labelCap = temporalLabelCap(spark)
     ScopedConf.withShufflePartitionsFor(spark, nEdges) {
-      var state = Lineage.settle(
+      // both static join sides of the round live pre-partitioned and
+      // pre-sorted on their join keys (bwEdgesPrep for the edges; the
+      // merge below for the state), so each round's sort-merge joins
+      // read them exchange-free and sort-free — cut(), not settle(),
+      // because cut preserves partitioning/ordering and this chain's
+      // estimates are additive (union) or left-sided (anti join), so
+      // the multiplicative-stats hazard settle() exists for cannot
+      // arise here
+      val partsK = ScopedConf.partitionsFor(spark, nEdges)
+      def keyed(df: DataFrame): DataFrame = df
+        .repartition(partsK, $"node", $"a")
+        .sortWithinPartitions($"node", $"a")
+        .cutLineage()
+      var state = keyed(
         e.filter($"src" === seed && $"dep" >= startTs)
           .select($"dst".as("node"), $"ets".as("a")).distinct())
       var frontier = state
@@ -1094,7 +1123,7 @@ object GraphAlgos {
         n = fresh.count()
         total += n
         if (n > 0) {
-          val merged = Lineage.settle(state.union(fresh))
+          val merged = keyed(state.union(fresh))
           Lineage.release(state)
           if (frontier ne state) Lineage.release(frontier)
           state = merged
@@ -1103,7 +1132,6 @@ object GraphAlgos {
       }
       require(n == 0,
         s"temporalBoundedWait did not converge in $maxIters rounds; raise maxIters")
-      if (frontier ne state) Lineage.release(frontier)
       state.filter($"node" =!= seed)
         .groupBy($"node").agg(min($"a").as("arr"))
     }
@@ -1120,6 +1148,22 @@ object GraphAlgos {
     * raises BEFORE launching the next round's join — the prCurve
     * enforce-the-precondition contract at zero added cost.
     */
+  /** Dev-only per-round phase tracing for the iterative loops
+    * (`-Dgraft.loopTrace=1`): the loops' cost floor is Spark job
+    * overhead × rounds, so optimizing them needs per-phase wall
+    * attribution (which job in the round carries the time), which the
+    * query-level bench cannot see. Off by default; zero cost when off.
+    */
+  private def loopTrace(op: String, round: Int, msg: => String): Unit =
+    if (sys.props.get("graft.loopTrace").contains("1"))
+      System.err.println(s"[loop] $op r$round $msg")
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   private def temporalLabelCap(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("spark.graft.temporalLabelMaxRows")
       .map(_.toLong).getOrElse(10000000L)
@@ -1222,12 +1266,17 @@ object GraphAlgos {
   ): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(uCol).cast("long").as("src"),
+    val raw = edges.select(col(uCol).cast("long").as("src"),
       col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
       col(arrCol).cast("long").as("ets"))
       .filter($"dep" <= $"ets") // a path cannot arrive before it departs
       .cutLineage()
-    val nEdges = e.count()
+    val nEdges = raw.count()
+    // static side pre-partitioned + pre-sorted on the round join's key
+    // (see bwEdgesPrep): every round's frontier equi-join reads the
+    // edge table exchange-free and sort-free
+    val e = raw.repartition(ScopedConf.partitionsFor(spark, nEdges), $"src")
+      .sortWithinPartitions($"src").cutLineage()
     ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       // keep each node's Pareto front: per (node, d) only the minimal
       // arrival survives, then a pair survives iff its arrival beats
@@ -1270,7 +1319,11 @@ object GraphAlgos {
           // fresh pairs enter the frontier), they can only KILL future
           // candidates a live dominator would kill anyway, and no
           // objective monotone in (−d, a) can prefer them; the public
-          // front re-prunes once at the end
+          // front re-prunes once at the end. (A keyed-cut merge — the
+          // bounded-wait loops' shape — was MEASURED here and reverted:
+          // the fronts are structurally small, so the repartition the
+          // keyed merge adds per round costs more than the anti-join
+          // exchange it saves — multi-seed closeness regressed 8%.)
           val merged = Lineage.settle(state.union(fresh))
           Lineage.release(state)
           if (frontier ne state) Lineage.release(frontier)
@@ -1280,7 +1333,6 @@ object GraphAlgos {
       }
       require(n == 0,
         s"temporalParetoLabels did not converge in $maxIters rounds; raise maxIters")
-      if (frontier ne state) Lineage.release(frontier)
       prune(state.filter($"node" =!= seed))
     }
   }
@@ -1370,12 +1422,15 @@ object GraphAlgos {
     require(seeds.nonEmpty, "temporalParetoLabelsMulti: seeds must be non-empty")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(uCol).cast("long").as("src"),
+    val raw = edges.select(col(uCol).cast("long").as("src"),
       col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
       col(arrCol).cast("long").as("ets"))
       .filter($"dep" <= $"ets")
       .cutLineage()
-    val nEdges = e.count()
+    val nEdges = raw.count()
+    // static side pre-partitioned + pre-sorted (see bwEdgesPrep)
+    val e = raw.repartition(ScopedConf.partitionsFor(spark, nEdges), $"src")
+      .sortWithinPartitions($"src").cutLineage()
     ScopedConf.withShufflePartitionsFor(spark, nEdges) {
       def prune(labels: DataFrame): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
@@ -1398,13 +1453,15 @@ object GraphAlgos {
         val cand = frontier.join(e, $"node" === $"src" && $"dep" >= $"a")
           .select($"seed", $"dst".as("node"), $"d", $"ets".as("a"))
           .groupBy($"seed", $"node", $"d").agg(min($"a").as("a"))
-        val fresh = Lineage.settle(prune(cand.as("c")
+        val (fresh, tF) = timed(Lineage.settle(prune(cand.as("c")
           .join(state.as("s"),
             $"c.seed" === $"s.seed" && $"c.node" === $"s.node" &&
               $"s.d" >= $"c.d" && $"s.a" <= $"c.a",
-            "left_anti")))
+            "left_anti"))))
         n = fresh.count()
+        loopTrace("paretoMulti", i, f"fresh=$n settle=$tF%.2f")
         if (n > 0) {
+          // plain settle, not keyed cut (see [[temporalParetoLabels]])
           val merged = Lineage.settle(state.union(fresh))
           Lineage.release(state)
           if (frontier ne state) Lineage.release(frontier)
@@ -1415,7 +1472,6 @@ object GraphAlgos {
       require(n == 0,
         s"temporalParetoLabelsMulti did not converge in $maxIters rounds; " +
           "raise maxIters")
-      if (frontier ne state) Lineage.release(frontier)
       prune(state.filter($"node" =!= $"seed"))
     }
   }
@@ -1533,9 +1589,15 @@ object GraphAlgos {
           .filter($"isB" === 0 && $"pbAt".isNotNull)
           .select($"eid", $"pbAt"))
       // pointer rows the rounds re-join: (src, dep) of the edge plus
-      // its (dst, pbAt) state key
-      val eq = Lineage.settle(e.join(ePtr, "eid")
-        .select($"src", $"dep", $"dst", $"pbAt"))
+      // its (dst, pbAt) state key — pre-partitioned + pre-sorted on
+      // that key (cut preserves both), so every round's contrib join
+      // reads the pointer side exchange-free and sort-free instead of
+      // re-shuffling all |E| pointer rows per round
+      val eq = e.join(ePtr, "eid")
+        .select($"src", $"dep", $"dst", $"pbAt")
+        .repartition(ScopedConf.partitionsFor(spark, nEdges), $"dst", $"pbAt")
+        .sortWithinPartitions($"dst", $"pbAt")
+        .cutLineage()
       // static {y} contributions, pre-merged to one row per (x, dep)
       val initAtDep = Lineage.settle(
         e.select($"src", $"dep", dstInit)
@@ -1558,34 +1620,50 @@ object GraphAlgos {
       // only state rows whose registers changed last round re-enter
       // the equi-join — the per-round payload tracks the active front,
       // which decays geometrically once the long chains saturate,
-      // instead of re-moving all |E| sketches every round
-      var grouped = initAtDep
-      var state = Lineage.settle(withSum(suffixize(initAtDep)))
-      var changed = state
-      var nChanged = changed.count()
+      // instead of re-moving all |E| sketches every round.
+      //
+      // ONE materialization per round: because union-merge is
+      // idempotent, re-running the suffix window over ALREADY-
+      // SUFFIXIZED rows is the identity —
+      //   ⋃_{dep ≥ b} S(x, dep) = ⋃_{dep ≥ b} ⋃_{d' ≥ dep} grouped(x, d')
+      //                         = ⋃_{d' ≥ b} grouped(x, d') = S(x, b)
+      // — so the round can fold the contributions straight into the
+      // STATE rows (state ∪ contrib → per-key merge → suffix window)
+      // and the per-(x, dep) grouped table needs no separate life (the
+      // old shape settled grouped, the new state, AND the changed set:
+      // three register-payload materializations per round, one of
+      // them a full state-vs-state join). The change bit rides the
+      // same pass: every (src, dep) key has exactly ONE state row, so
+      // max() carries its previous rsum through the merge aggregate,
+      // and `rsum < prevSum` after the window is the identical
+      // monotone witness. Registers are bit-identical (register-wise
+      // max is associative, commutative, idempotent — regrouping
+      // cannot change the fixpoint trajectory, and the spec pins it).
+      var state = Lineage.settle(withSum(suffixize(initAtDep))
+        .withColumn("chg", lit(true)))
+      var nChanged = state.count()
       var i = 0
       while (nChanged > 0 && i < maxIters) {
         i += 1
+        val changed = state.filter($"chg")
+          .select($"src".as("qn"), $"dep".as("qb"), $"regs")
         val contrib = eq
-          .join(changed.select($"src".as("qn"), $"dep".as("qb"), $"regs"),
-            $"dst" === $"qn" && $"pbAt" === $"qb")
-          .select($"src", $"dep", $"regs")
-        val g2 = Lineage.settle(
-          grouped.union(contrib)
-            .groupBy($"src", $"dep").agg(mergeOf($"regs").as("regs")))
-        val next = Lineage.settle(withSum(suffixize(g2)))
-        val ch = Lineage.settle(
-          next.join(state.select($"src", $"dep", $"rsum".as("prevSum")),
-            Seq("src", "dep"))
-            .filter($"rsum" < $"prevSum")
-            .select($"src", $"dep", $"regs"))
-        nChanged = ch.count()
-        if (grouped ne initAtDep) Lineage.release(grouped)
-        grouped = g2
-        if (changed ne state) Lineage.release(changed)
+          .join(changed, $"dst" === $"qn" && $"pbAt" === $"qb")
+          .select($"src", $"dep", $"regs",
+            lit(null).cast("long").as("prevSum"))
+        val (next, tN) = timed(Lineage.settle(withSum(suffixize(
+          state.select($"src", $"dep", $"regs", $"rsum".as("prevSum"))
+            .unionByName(contrib)
+            .groupBy($"src", $"dep")
+            .agg(mergeOf($"regs").as("regs"), max($"prevSum").as("prevSum"))))
+          .withColumn("chg", $"rsum" < $"prevSum")
+          .select($"src", $"dep", $"regs", $"rsum", $"chg")))
+        val (nc, tC) = timed(next.filter($"chg").count())
+        nChanged = nc
+        loopTrace("anfState", i,
+          f"changed=$nChanged settle=$tN%.2f count=$tC%.2f")
         Lineage.release(state)
         state = next
-        changed = ch
       }
       require(nChanged == 0,
         s"temporalAnfReach did not converge in $maxIters rounds; raise " +
@@ -1775,9 +1853,13 @@ object GraphAlgos {
       case None => $"dep".as("d")
     }
     ScopedConf.withShufflePartitionsFor(spark, nEdges) {
-      var state = Lineage.settle(
+      val partsK = ScopedConf.partitionsFor(spark, nEdges)
+      var state =
         e.filter($"src" === seed && $"dep" >= startTs)
-          .select($"dst".as("node"), dExpr, $"ets".as("a")).distinct())
+          .select($"dst".as("node"), dExpr, $"ets".as("a")).distinct()
+          .repartition(partsK, $"node", $"d", $"a")
+          .sortWithinPartitions($"node", $"d", $"a")
+          .cutLineage()
       var frontier = state
       var n = frontier.count()
       var total = n
@@ -1793,22 +1875,34 @@ object GraphAlgos {
           .join(e, $"node" === $"src" && $"dep" >= $"a" &&
             $"dep" - $"a" <= maxWait)
           .select($"dst".as("node"), $"d", $"ets".as("a")).distinct()
-        val fresh = Lineage.settle(
-          cand.join(state, Seq("node", "d", "a"), "left_anti"))
-        n = fresh.count()
+        val (fresh, tF) = timed(Lineage.settle(
+          cand.join(state, Seq("node", "d", "a"), "left_anti")))
+        val (nn, tC) = timed(fresh.count())
+        n = nn
         total += n
         if (n > 0) {
-          val merged = Lineage.settle(state.union(fresh))
+          // merge keeps the state pre-partitioned + pre-sorted on the
+          // anti-join key (cut, not settle — cut preserves both), so
+          // the next round's anti-join reads the state side
+          // exchange-free and sort-free too; union/anti estimates are
+          // additive/left-sided, so the multiplicative-stats hazard
+          // settle() guards against cannot arise on this chain
+          val (merged, tM) = timed(
+            state.union(fresh)
+              .repartition(partsK, $"node", $"d", $"a")
+              .sortWithinPartitions($"node", $"d", $"a")
+              .cutLineage())
           Lineage.release(state)
           if (frontier ne state) Lineage.release(frontier)
           state = merged
           frontier = fresh
+          loopTrace("bwFastest", i,
+            f"fresh=$n settle=$tF%.2f count=$tC%.2f merge=$tM%.2f total=$total")
         } else Lineage.release(fresh)
       }
       require(n == 0,
         s"temporalBoundedWaitFastest did not converge in $maxIters rounds; " +
           "raise maxIters")
-      if (frontier ne state) Lineage.release(frontier)
       state.filter($"node" =!= seed)
         .groupBy($"node").agg(min($"a" - $"d").as("fastest"))
     }
@@ -1824,12 +1918,25 @@ object GraphAlgos {
       depCol: String, arrCol: String): (DataFrame, Long) = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(uCol).cast("long").as("src"),
+    val raw = edges.select(col(uCol).cast("long").as("src"),
       col(vCol).cast("long").as("dst"), col(depCol).cast("long").as("dep"),
       col(arrCol).cast("long").as("ets"))
       .filter($"dep" <= $"ets")
       .cutLineage()
-    (e, e.count())
+    val n = raw.count()
+    // pre-partition + pre-sort the STATIC side of every round's
+    // frontier equi-join on its join key, at exactly the partition
+    // count the loop's scoped shuffles will use: localCheckpoint
+    // preserves partitioning AND ordering, so each round's sort-merge
+    // join reads the edge table exchange-free and sort-free — the old
+    // shape re-shuffled and re-sorted all |E| rows once per round
+    // (measured ~1.2 s/round of the bounded-wait loops' ~1.4 s/round
+    // at sf0.1), a per-round cost that scales with the CORPUS rather
+    // than the frontier (guide §2.4: remove shuffles outright).
+    val p = ScopedConf.partitionsFor(spark, n)
+    val e = raw.repartition(p, $"src").sortWithinPartitions($"src")
+      .cutLineage()
+    (e, n)
   }
 
   /** The g-slack bounded-wait loop's SETTLED STATE TABLE —
@@ -1890,7 +1997,17 @@ object GraphAlgos {
       // the minimum exact arrival for the duration readout
       def grouped(labels: DataFrame): DataFrame =
         labels.groupBy($"node", $"d", $"af", $"ac").agg(min($"a").as("a"))
-      var state = Lineage.settle(grouped(
+      // state lives pre-partitioned + pre-sorted on the class key (the
+      // merge's groupBy exchange is on exactly that key, so the added
+      // sort is the only extra work), making each round's anti-join
+      // read the state side exchange-free and sort-free; cut(), not
+      // settle() — partitioning/ordering must survive, and the chain's
+      // estimates are additive, so the multiplicative-stats hazard
+      // cannot arise (see temporalBoundedWait)
+      def keyed(df: DataFrame): DataFrame = df
+        .sortWithinPartitions($"node", $"d", $"af", $"ac")
+        .cutLineage()
+      var state = keyed(grouped(
         e.filter($"src" === seed && $"dep" >= startTs)
           .select($"dst".as("node"), dExpr,
             clsFloor($"ets").as("af"), clsCeil($"ets").as("ac"),
@@ -1923,7 +2040,7 @@ object GraphAlgos {
         // improves the readout but cannot change traversal
         // (successors are class-determined), so it never re-enters
         // the frontier
-        val merged = Lineage.settle(
+        val merged = keyed(
           state.union(cand).groupBy($"node", $"d", $"af", $"ac")
             .agg(min($"a").as("a")))
         Lineage.release(state)

@@ -36,10 +36,27 @@ object ScopedConf {
       rowsPerPartition: Long = 50000L,
   )(body: => T): T = {
     val prev = spark.conf.get(Key)
-    val parts = math.max(1L, math.min(prev.toLong, rows / rowsPerPartition + 1L))
+    val parts = partitionsFor(spark, rows, rowsPerPartition)
     spark.conf.set(Key, parts.toString)
     try body finally spark.conf.set(Key, prev)
   }
+
+  /** The partition count [[withShufflePartitionsFor]] would set —
+    * exposed so a loop can pre-partition its STATIC side (edge table,
+    * pointer table) to exactly the count its per-round shuffles will
+    * use: a keyed `repartition(parts, key) + sortWithinPartitions +
+    * cutLineage` makes every round's equi-join read that side
+    * exchange-free AND sort-free (localCheckpoint preserves
+    * partitioning and ordering), instead of re-shuffling the full
+    * table once per round.
+    */
+  def partitionsFor(
+      spark: SparkSession,
+      rows: Long,
+      rowsPerPartition: Long = 50000L,
+  ): Int =
+    math.max(1L, math.min(spark.conf.get(Key).toLong,
+      rows / rowsPerPartition + 1L)).toInt
 
   /** Fixed shuffle-partition override for a scope, restored
     * afterwards (also on failure) — the non-streaming sibling of

@@ -1651,17 +1651,33 @@ object Graph {
     * (see [[graphTemporalReach]]'s scaladoc for the equivalence
     * argument).
     */
+  /** The first-event rows the chain derives from — split out so the
+    * two-chain audit gates (aq_error, aqq_error) can compute the
+    * events scan + groupBy ONCE and window it twice with different
+    * gating, instead of paying the scan per chain.
+    */
+  private def feFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
+      .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
+      .withColumn("ts_ms", unix_millis($"fts"))
+  }
+
   private def handoffChain(
       s: org.apache.spark.sql.SparkSession, dir: String,
       maxWait: Option[Long] = None,
       arrivalSlack: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val fe = Tables(s, dir).events
-      .groupBy($"event_type", date_trunc("day", $"ts").as("bkt"), $"user_id")
-      .agg(min($"ts").as("fts"), min($"event_id").as("feid"))
-      .withColumn("ts_ms", unix_millis($"fts"))
-    chainFromFe(fe, maxWait, arrivalSlack)
+    import graft.operators.Lineage.CutOps
+    // materialized ONCE: every temporal gate runs 1-2 driver actions
+    // over the chain (seed / t0 pulls) BEFORE the frontier loop's own
+    // edge-prep cut, and each action re-ran the whole events-scan →
+    // groupBy → 13-lead window → explode → distinct pipeline — the
+    // cut makes the pulls and the loop read the same materialized rows
+    chainFromFe(feFrame(s, dir), maxWait, arrivalSlack).cutLineage()
   }
 
   private val graphTemporalReach = Q(
@@ -2612,11 +2628,15 @@ object Graph {
       import s.implicits._
       val w = 2000000L
       val g = 600000L
-      val chainExact = handoffChain(s, dir, maxWait = Some(w))
+      // one events scan + first-event groupBy feeds BOTH chains (the
+      // two windows differ only in slack gating)
+      val fe = graft.operators.Lineage.cut(feFrame(s, dir))
+      val chainExact = graft.operators.Lineage.cut(
+        chainFromFe(fe, maxWait = Some(w)))
       val seed = chainExact.agg(min(least($"u", $"v"))).head.getLong(0)
       val exact = GraphAlgos.temporalBoundedWaitFastest(
         chainExact, "u", "v", "dep", "arr", seed, w)
-      val chainAq = handoffChain(s, dir, maxWait = Some(w), arrivalSlack = Some(g))
+      val chainAq = chainFromFe(fe, maxWait = Some(w), arrivalSlack = Some(g))
       val aq = GraphAlgos.temporalBoundedWaitFastest(
         chainAq, "u", "v", "dep", "arr", seed, w, quantizeArrivals = Some(g))
       val j = graft.operators.Lineage.settle(
@@ -2739,11 +2759,14 @@ object Graph {
       val w = 2000000L
       val g = 600000L
       val q = 3600000L
-      val chainExact = handoffChain(s, dir, maxWait = Some(w))
+      // shared first-event frame, as in the aq_error gate
+      val fe = graft.operators.Lineage.cut(feFrame(s, dir))
+      val chainExact = graft.operators.Lineage.cut(
+        chainFromFe(fe, maxWait = Some(w)))
       val seed = chainExact.agg(min(least($"u", $"v"))).head.getLong(0)
       val exact = GraphAlgos.temporalBoundedWaitFastest(
         chainExact, "u", "v", "dep", "arr", seed, w)
-      val chainAq = handoffChain(s, dir, maxWait = Some(w), arrivalSlack = Some(g))
+      val chainAq = chainFromFe(fe, maxWait = Some(w), arrivalSlack = Some(g))
       val st = GraphAlgos.temporalBoundedWaitArrState(
         chainAq, "u", "v", "dep", "arr", seed, w, g)
       val coarse = st.filter($"node" =!= seed)
